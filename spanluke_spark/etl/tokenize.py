@@ -1,0 +1,116 @@
+"""Whitespace tokenization with char offsets — exact Python str.split() parity.
+
+The reference tokenizes with ``text.split()`` (legal_ner/utils/convert_dataset.py:43,
+count_length.py:15) and maps char spans to word indices with
+``len(text[:start].split())`` (convert_dataset.py:37-40). Spark SQL's
+``split(col, '\\s+')`` differs on leading/trailing/multiple whitespace, so these
+kernels run as vectorized pandas UDFs with the Python semantics preserved
+(SURVEY.md §2.8 F1, §7.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOKENS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("token", T.StringType(), False),
+            T.StructField("start", T.IntegerType(), False),
+            T.StructField("end", T.IntegerType(), False),
+        ]
+    )
+)
+
+
+def py_tokenize_offsets(text: str) -> list[tuple[str, int, int]]:
+    """Tokens of ``text.split()`` with (start, end-exclusive) char offsets.
+
+    Maximal runs of non-whitespace, whitespace per Python ``str.isspace`` —
+    identical token list to ``text.split()`` (verified property-based in
+    tests/test_tokenize.py).
+    """
+    out: list[tuple[str, int, int]] = []
+    start = -1
+    for i, ch in enumerate(text):
+        if ch.isspace():
+            if start >= 0:
+                out.append((text[start:i], start, i))
+                start = -1
+        elif start < 0:
+            start = i
+    if start >= 0:
+        out.append((text[start:], start, len(text)))
+    return out
+
+
+def py_word_index(text: str, char_pos: int) -> int:
+    """``len(text[:char_pos].split())`` — the reference's char->word mapping
+    (legal_ner/utils/convert_dataset.py:38), including its quirk that a
+    mid-word position counts the partial word."""
+    return len(text[:char_pos].split())
+
+
+def with_tokens(df: DataFrame, text_col: str = "text", out_col: str = "tokens") -> DataFrame:
+    """Add ``out_col: array<struct<token,start,end>>`` via an Arrow-batched UDF."""
+
+    @F.pandas_udf(TOKENS_TYPE)
+    def _tok(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: py_tokenize_offsets(t) if t is not None else [])
+
+    return df.withColumn(out_col, _tok(F.col(text_col)))
+
+
+def token_rows(
+    df: DataFrame, id_cols: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Explode a text column into one row per token:
+    (id_cols..., tok_idx, token, start, end).
+
+    ``posexplode`` keeps everything JVM-side after the tokenizing UDF.
+    """
+    tok = with_tokens(df, text_col)
+    exploded = tok.select(
+        *id_cols, F.posexplode("tokens").alias("tok_idx", "tok")
+    )
+    return exploded.select(
+        *id_cols,
+        "tok_idx",
+        F.col("tok.token").alias("token"),
+        F.col("tok.start").alias("start"),
+        F.col("tok.end").alias("end"),
+    )
+
+
+def map_tokenize(
+    df: DataFrame, id_cols: list[str], text_col: str = "text"
+) -> DataFrame:
+    """mapInPandas variant of :func:`token_rows` — single Python hop that never
+    materializes the struct array in the shuffle (preferred in the hot path)."""
+    out_schema = ", ".join(
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in id_cols]
+        + ["tok_idx int", "token string", "start int", "end int"]
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in id_cols}
+            rows.update({"tok_idx": [], "token": [], "start": [], "end": []})
+            for rec in pdf.itertuples(index=False):
+                rec_d = rec._asdict()
+                text = rec_d.get(text_col) or ""
+                for i, (tokv, s, e) in enumerate(py_tokenize_offsets(text)):
+                    for c in id_cols:
+                        rows[c].append(rec_d[c])
+                    rows["tok_idx"].append(i)
+                    rows["token"].append(tokv)
+                    rows["start"].append(s)
+                    rows["end"].append(e)
+            yield pd.DataFrame(rows)
+
+    return df.select(*id_cols, text_col).mapInPandas(_gen, out_schema)
