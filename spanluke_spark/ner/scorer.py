@@ -1,0 +1,150 @@
+"""Pluggable span/token scorers (SURVEY.md §2.10, §7.5).
+
+Production backend = a transformer (LUKE/SpanMarker) loaded lazily per executor
+inside an iterator pandas UDF. This sandbox has no torch, so the shipping
+backend here is a **deterministic surrogate**: gazetteer matching + stable
+feature hashing. The decode + metrics semantics downstream (the part
+BASELINE.json measures as parity) are scorer-independent — both backends emit
+the same (scores, labels) contract.
+
+Determinism contract: no Python ``hash`` (not stable across workers —
+the reference itself dodges this at legal_ner/main.py:350-353); blake2b-based
+hashing, float32, fixed op order.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from .spans import ENTITY_MAX_LENGTH, py_enumerate_spans
+
+
+def stable_hash64(s: str) -> int:
+    """Worker-stable 64-bit hash (blake2b digest prefix)."""
+    return struct.unpack("<Q", hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest())[0]
+
+
+def stable_unit(s: str) -> float:
+    """Deterministic pseudo-uniform in [0, 1), float32-rounded."""
+    import numpy as np
+
+    return float(np.float32(stable_hash64(s) / 2.0**64))
+
+
+def normalize_surface(tokens: tuple[str, ...] | list[str]) -> str:
+    """Gazetteer key: lowercase, single-space-joined token run."""
+    return " ".join(t.lower() for t in tokens)
+
+
+class Gazetteer:
+    """Deterministic surface -> entity-type dictionary.
+
+    Built from annotation surfaces (e.g. the LegalNER train/dev split) —
+    the surrogate's stand-in for learned weights. Ties (same surface, two
+    labels) break by (count desc, label asc) for determinism.
+    """
+
+    def __init__(self, entries: dict[str, str], max_words: int = ENTITY_MAX_LENGTH):
+        self.entries = entries
+        self.max_words = max_words
+
+    @classmethod
+    def from_annotations(cls, rows) -> "Gazetteer":
+        """rows: iterable of (surface, label)."""
+        counts: dict[tuple[str, str], int] = {}
+        max_words = 1
+        for surface, label in rows:
+            toks = (surface or "").split()
+            if not toks:
+                continue
+            key = normalize_surface(toks)
+            counts[(key, label)] = counts.get((key, label), 0) + 1
+            max_words = max(max_words, len(toks))
+        best: dict[str, tuple[int, str]] = {}
+        for (key, label), c in counts.items():
+            cur = best.get(key)
+            cand = (-c, label)
+            if cur is None or cand < cur:
+                best[key] = cand
+        return cls(
+            {k: lbl for k, (_, lbl) in best.items()},
+            max_words=min(max_words, ENTITY_MAX_LENGTH),
+        )
+
+    def to_broadcastable(self) -> dict:
+        return {"entries": self.entries, "max_words": self.max_words}
+
+    @classmethod
+    def from_broadcastable(cls, d: dict) -> "Gazetteer":
+        return cls(d["entries"], d["max_words"])
+
+
+class GazetteerTokenScorer:
+    """Token-classification surrogate (operator M1).
+
+    Per sentence: greedy leftmost-longest gazetteer match over the token
+    sequence -> B-/I- labels; everything else "O". Mirrors the contract of
+    ``AutoModelForTokenClassification`` argmax decoding
+    (legal_ner/inference.py:47-50) with deterministic 'logits'.
+    """
+
+    def __init__(self, gazetteer: Gazetteer):
+        self.gaz = gazetteer
+
+    def predict_types(self, tokens: list[str]) -> list[str]:
+        """Entity TYPE per token (already B/I-stripped, as consumed by the
+        adjacent-merge decode at inference.py:55)."""
+        n = len(tokens)
+        out = ["O"] * n
+        lowered = [t.lower() for t in tokens]
+        i = 0
+        while i < n:
+            matched = 0
+            for ln in range(min(self.gaz.max_words, n - i), 0, -1):
+                key = " ".join(lowered[i : i + ln])
+                label = self.gaz.entries.get(key)
+                if label is not None:
+                    for j in range(i, i + ln):
+                        out[j] = label
+                    matched = ln
+                    break
+            i += matched if matched else 1
+        return out
+
+
+class HashedGazetteerSpanScorer:
+    """Span-scoring surrogate (operator M2, SpanMarker-shaped).
+
+    For every enumerated span (reference order, §2.9): gazetteer hit ->
+    (entity label, score in [0.9, 1.0)); miss -> (outside, score in [0.5, 0.9)).
+    Scores are stable blake2b hashes of the span surface — fully deterministic
+    across partitions/workers, float32 like the reference's softmax output
+    (legal_ner/main.py:356).
+    """
+
+    def __init__(self, gazetteer: Gazetteer, label_to_idx: dict[str, int], outside_id: int = 0):
+        self.gaz = gazetteer
+        self.label_to_idx = label_to_idx
+        self.outside_id = outside_id
+
+    def score_sentence(
+        self, tokens: list[str], max_length: int = ENTITY_MAX_LENGTH
+    ) -> tuple[list[tuple[int, int]], list[float], list[int]]:
+        """Returns (spans, scores, pred_label_ids) in reference span order."""
+        spans = py_enumerate_spans(len(tokens), max_length)
+        lowered = [t.lower() for t in tokens]
+        scores: list[float] = []
+        preds: list[int] = []
+        for s, e in spans:
+            key = " ".join(lowered[s:e])
+            label = self.gaz.entries.get(key)
+            u = stable_unit(key)
+            if label is not None:
+                # B- id stands for the whole span's entity class
+                preds.append(self.label_to_idx.get("B-" + label, self.outside_id))
+                scores.append(0.9 + 0.1 * u)
+            else:
+                preds.append(self.outside_id)
+                scores.append(0.5 + 0.4 * u)
+        return spans, scores, preds

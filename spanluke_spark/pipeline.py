@@ -1,0 +1,136 @@
+"""Fused mention-extraction pipeline (SURVEY.md §3.1 Spark lifecycle).
+
+The reference's per-document loop (inference.py:153-175) becomes ONE
+Arrow-batched Python hop per partition: tokenize -> score -> decode -> mention
+rows. No shuffle anywhere in extraction; shuffles first appear at
+link/canonicalize/dedupe. Window-function and relational variants of the same
+operators live in ner/decode.py + etl/ for oracle checking.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .etl.tokenize import py_tokenize_offsets
+from .ner.decode import py_adjacent_merge, py_greedy_decode_mentions
+from .ner.scorer import Gazetteer, GazetteerTokenScorer, HashedGazetteerSpanScorer
+from .ner.spans import ENTITY_MAX_LENGTH, py_enumerate_spans
+from .schemas import LEGALNER_ENTITIES, encoding_a, idx_to_label
+
+MENTION_COLS = "sent_id int, start int, end int, surface string, label string, score double"
+
+
+def _out_schema(df: DataFrame, id_cols: list[str]) -> str:
+    ids = ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}" for c in id_cols)
+    return f"{ids}, {MENTION_COLS}"
+
+
+def extract_mentions_token(
+    df: DataFrame,
+    id_cols: list[str],
+    gazetteer: Gazetteer,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-classification path (M1 + W1): per doc, predict a type per token
+    (gazetteer surrogate; torch backend plugs in here), then adjacent-merge
+    into char-span mentions — the exact inference.py:35-81 algorithm,
+    distributed. Scorer state is rebuilt once per Arrow batch iterator
+    (executor-local singleton pattern)."""
+    gaz_dict = gazetteer.to_broadcastable()
+    schema = _out_schema(df, id_cols)
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        scorer = GazetteerTokenScorer(Gazetteer.from_broadcastable(gaz_dict))
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in id_cols}
+            rows.update(
+                {"sent_id": [], "start": [], "end": [], "surface": [], "label": [], "score": []}
+            )
+            for rec in pdf.itertuples(index=False):
+                d = rec._asdict()
+                text = d.get(text_col) or ""
+                toks = py_tokenize_offsets(text)
+                types = scorer.predict_types([t for t, _, _ in toks])
+                offsets = [(s, e) for _, s, e in toks]
+                for m in py_adjacent_merge(offsets, types):
+                    for c in id_cols:
+                        rows[c].append(d[c])
+                    rows["sent_id"].append(0)
+                    rows["start"].append(m["start"])
+                    rows["end"].append(m["end"])
+                    rows["surface"].append(text[m["start"] : m["end"]])
+                    rows["label"].append(m["label"])
+                    rows["score"].append(1.0)
+            yield pd.DataFrame(rows)
+
+    return df.select(*id_cols, text_col).mapInPandas(_extract, schema)
+
+
+def extract_mentions_span(
+    df: DataFrame,
+    id_cols: list[str],
+    gazetteer: Gazetteer,
+    text_col: str = "text",
+    entities: list[str] | None = None,
+    max_length: int = ENTITY_MAX_LENGTH,
+) -> DataFrame:
+    """Span path (§2.9 + M2 + W2): enumerate spans, score (surrogate), greedy
+    non-overlap decode — main.py:344-413 semantics, fused into one kernel."""
+    entities = entities or LEGALNER_ENTITIES
+    enc = encoding_a(entities)
+    inv = idx_to_label(enc)
+    outside_id = enc["O"]
+    gaz_dict = gazetteer.to_broadcastable()
+    schema = _out_schema(df, id_cols)
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        scorer = HashedGazetteerSpanScorer(
+            Gazetteer.from_broadcastable(gaz_dict), enc, outside_id
+        )
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in id_cols}
+            rows.update(
+                {"sent_id": [], "start": [], "end": [], "surface": [], "label": [], "score": []}
+            )
+            for rec in pdf.itertuples(index=False):
+                d = rec._asdict()
+                text = d.get(text_col) or ""
+                toks = py_tokenize_offsets(text)
+                words = [t for t, _, _ in toks]
+                spans, scores, preds = scorer.score_sentence(words, max_length)
+                for ws, we, lbl, sc in py_greedy_decode_mentions(
+                    len(words), spans, scores, preds, outside_id, inv
+                ):
+                    cs, ce = toks[ws][1], toks[we - 1][2]
+                    for c in id_cols:
+                        rows[c].append(d[c])
+                    rows["sent_id"].append(0)
+                    rows["start"].append(cs)
+                    rows["end"].append(ce)
+                    rows["surface"].append(text[cs:ce])
+                    rows["label"].append(lbl)
+                    rows["score"].append(sc)
+            yield pd.DataFrame(rows)
+
+    return df.select(*id_cols, text_col).mapInPandas(_extract, schema)
+
+
+def mentions_to_triples(mentions: DataFrame, subj_col: str = "url") -> DataFrame:
+    """A7: mention rows -> distinct (subj, pred, obj) triples with provenance.
+
+    obj = normalized surface until linking assigns a canonical id
+    (link/alias.py replaces it). Dedupe is a partial+final hash aggregate.
+    """
+    triples = mentions.select(
+        F.col(subj_col).cast("string").alias("subj"),
+        F.concat(F.lit("mentions_"), F.lower("label")).alias("pred"),
+        F.regexp_replace(F.lower(F.trim("surface")), r"\s+", " ").alias("obj"),
+        F.col(subj_col).cast("string").alias("url"),
+        "start",
+        "end",
+    )
+    return triples.dropDuplicates(["subj", "pred", "obj"])
