@@ -147,11 +147,20 @@ def q06_strict_eval_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ["l_orderkey", "l_linenumber"]
     # (l_orderkey, l_linenumber) is not unique in the synthetic data —
     # distinct first so INTERSECT/EXCEPT set semantics are well-defined.
-    gold = li.filter(F.col("l_discount") > 0.06).select(*key).distinct()
-    pred = li.filter(F.col("l_tax") > 0.05).select(*key).distinct()
-    tp = gold.intersect(pred).count()
-    fn = gold.exceptAll(pred).count()
-    fp = pred.exceptAll(gold).count()
+    # One full-outer join + one aggregate = a single pass over each side
+    # (vs 3 separate intersect/except jobs rescanning the table).
+    gold = li.filter(F.col("l_discount") > 0.06).select(*key).distinct().withColumn("g", F.lit(1))
+    pred = li.filter(F.col("l_tax") > 0.05).select(*key).distinct().withColumn("p", F.lit(1))
+    row = (
+        gold.join(pred, key, "full_outer")
+        .agg(
+            F.count(F.when(F.col("g").isNotNull() & F.col("p").isNotNull(), 1)).alias("tp"),
+            F.count(F.when(F.col("g").isNotNull() & F.col("p").isNull(), 1)).alias("fn"),
+            F.count(F.when(F.col("g").isNull() & F.col("p").isNotNull(), 1)).alias("fp"),
+        )
+        .first()
+    )
+    tp, fn, fp = row.tp, row.fn, row.fp
     p = tp / (tp + fp) if (tp + fp) else 0.0
     r = tp / (tp + fn) if (tp + fn) else 0.0
     f1 = 2 * p * r / (p + r + 1e-9)

@@ -1,0 +1,101 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = the flagship KG pipeline (span + token extraction -> triples)
+plus the shuffle-heavy relational operators (agg, join, window, sessionize).
+"""
+
+import json
+import os
+import sys
+import time
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as entrymod
+    from spanluke_spark.fixtures import PIPELINE_GAZETTEER
+    from spanluke_spark.pipeline import extract_mentions_span, mentions_to_triples
+    from spanluke_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    # Warm the JVM + Python workers once so timings measure the plans, not startup.
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1000).select(F.sum(_warm("id"))).collect()
+
+    qs = entrymod.queries()
+    headline = [
+        "q01_pricing_summary",
+        "q02_top_revenue_customers",
+        "q03_largest_order_per_customer",
+        "q04_sessionize_events",
+        "q06_strict_eval_set_ops",
+        "q07_span_enumeration",
+        "q11_token_mentions",
+    ]
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    # Python-kernel stages: tasks = cores/2 locally — measured optimum; at
+    # task-count == cores the Arrow worker pool contends with JVM task threads.
+    para = max(int(cpus) // 2, 1)
+
+    def kg_pipeline():
+        return mentions_to_triples(
+            extract_mentions_span(docs, ["doc_id"], PIPELINE_GAZETTEER, parallelism=para),
+            subj_col="doc_id",
+        )
+
+    # Warm-up pass: spawn Python workers, JIT/codegen, parquet footers — the
+    # driver measures engine steady state, not JVM cold start.
+    for name in headline:
+        qs[name](spark, sf_dir).count()
+    kg_pipeline().count()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+
+    # Flagship KG pipeline at this SF: documents -> span mentions -> triples.
+    t0 = time.perf_counter()
+    n_triples = kg_pipeline().count()
+    kg_sec = time.perf_counter() - t0
+    timings["kg_span_pipeline"] = round(kg_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_triples": n_triples,
+                "docs_per_sec": round(n_docs / kg_sec, 1),
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

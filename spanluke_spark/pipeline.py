@@ -29,11 +29,23 @@ def _out_schema(df: DataFrame, id_cols: list[str]) -> str:
     return f"{ids}, {MENTION_COLS}"
 
 
+def repartition_for_extraction(df: DataFrame, id_cols: list[str], parallelism: int | None) -> DataFrame:
+    """Size-balanced partitions for the Python-kernel stage: hash on the doc
+    key (north_star: 'salted, size-balanced partitions by xxhash64(url)').
+    At cluster scale the input's native ~128MB splits already provide this;
+    locally a single small parquet file would otherwise serialize extraction
+    onto one core."""
+    if parallelism is None:
+        return df
+    return df.repartition(parallelism, F.xxhash64(*id_cols))
+
+
 def extract_mentions_token(
     df: DataFrame,
     id_cols: list[str],
     gazetteer: Gazetteer,
     text_col: str = "text",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Token-classification path (M1 + W1): per doc, predict a type per token
     (gazetteer surrogate; torch backend plugs in here), then adjacent-merge
@@ -42,6 +54,7 @@ def extract_mentions_token(
     (executor-local singleton pattern)."""
     gaz_dict = gazetteer.to_broadcastable()
     schema = _out_schema(df, id_cols)
+    df = repartition_for_extraction(df, id_cols, parallelism)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         scorer = GazetteerTokenScorer(Gazetteer.from_broadcastable(gaz_dict))
@@ -77,6 +90,7 @@ def extract_mentions_span(
     text_col: str = "text",
     entities: list[str] | None = None,
     max_length: int = ENTITY_MAX_LENGTH,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Span path (§2.9 + M2 + W2): enumerate spans, score (surrogate), greedy
     non-overlap decode — main.py:344-413 semantics, fused into one kernel."""
@@ -86,6 +100,7 @@ def extract_mentions_span(
     outside_id = enc["O"]
     gaz_dict = gazetteer.to_broadcastable()
     schema = _out_schema(df, id_cols)
+    df = repartition_for_extraction(df, id_cols, parallelism)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         scorer = HashedGazetteerSpanScorer(
