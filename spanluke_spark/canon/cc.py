@@ -1,0 +1,117 @@
+"""Connected components for entity canonicalization (SURVEY.md §4.6).
+
+Hand-rolled alternating large-star/small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) on plain DataFrames — no
+GraphFrames dependency. Converges in O(log^2 n) rounds even on skewed/giant
+components; every round is two hash shuffles. ``localCheckpoint`` per round
+truncates the lineage so plans don't grow unboundedly.
+
+Also ships a pure-Python union-find oracle for tests (SURVEY.md §5.2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star (emit (v, m) for v > u) or small-star (v <= u) round.
+
+    edges: symmetric (u, v) pairs. m = min(N(u) ∪ {u}).
+    """
+    nbr_min = edges.groupBy("u").agg(F.min("v").alias("_mv")).select(
+        "u", F.least(F.col("_mv"), F.col("u")).alias("m")
+    )
+    joined = edges.join(nbr_min, "u")
+    if large:
+        out = joined.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        )
+    else:
+        out = joined.filter(F.col("v") <= F.col("u")).select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        )
+        # keep (u, m) too so u stays attached to its min
+        out = out.unionByName(joined.select(F.col("u").alias("a"), F.col("m").alias("b")))
+    sym = out.filter(F.col("a") != F.col("b"))
+    return (
+        sym.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(sym.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+) -> DataFrame:
+    """edges(src, dst) -> (node, component) with component = min node id.
+
+    Iterates large-star/small-star to fixpoint (checksum-stable edge set),
+    then reads components off the final star edges. Isolated self-loop-only
+    nodes map to themselves.
+    """
+    base = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    nodes = (
+        base.select(F.col("u").alias("node"))
+        .unionByName(base.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    e = (
+        base.filter(F.col("u") != F.col("v"))
+        .unionByName(base.selectExpr("v as u", "u as v").filter(F.col("u") != F.col("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    prev_sig = None
+    for _ in range(max_iter):
+        if e.isEmpty():
+            break
+        e = _star_round(e, large=True)
+        e = _star_round(e, large=False).localCheckpoint(eager=True)
+        sig_row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # modular sum: order-insensitive and overflow-free under ANSI mode
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(2147483647))).alias("h"),
+        ).first()
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # At fixpoint every edge connects a node to its component min.
+    comp = e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("component"))
+    comp = comp.withColumn(
+        "component", F.least(F.col("component"), F.col("node"))
+    )
+    return (
+        nodes.join(comp, "node", "left")
+        .withColumn("component", F.coalesce("component", F.col("node")))
+        .select("node", "component")
+    )
+
+
+def py_union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Oracle: component = min node id, pure-Python union-find."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        for n in (a, b):
+            parent.setdefault(n, n)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # normalize to min-id representative
+    out = {}
+    for n in parent:
+        out[n] = find(n)
+    return out

@@ -1,0 +1,85 @@
+"""The composed KG-construction pipeline (north_rule, end to end):
+
+    pages -> [resume anti-join] -> extract text -> extract mentions
+          -> link (broadcast alias) -> triples -> write partitioned
+          -> lineage rows
+
+One logical plan per run; Catalyst executes it as ~4 stages. The only
+shuffles: extraction repartition (size-balancing), triple dedupe, lineage agg.
+Resume: partitions present in the lineage table are skipped via left_anti —
+re-running after a crash is idempotent per partition.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .etl.extract import extract_text
+from .graph.triples import build_triples
+from .link.alias import link_mentions
+from .ner.scorer import Gazetteer
+from .pipeline import extract_mentions_span
+from .storage.lineage import (
+    append_parquet,
+    lineage_rows,
+    pending_partitions,
+    read_lineage,
+    with_part_key,
+)
+
+
+def run_kg_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    gazetteer: Gazetteer,
+    alias_dict: DataFrame,
+    out_dir: str,
+    run_id: str = "run0",
+    n_buckets: int = 16,
+    parallelism: int | None = None,
+) -> dict:
+    """Execute one (resumable) pass. Returns counters for the processed delta."""
+    triples_path = os.path.join(out_dir, "triples")
+    lineage_path = os.path.join(out_dir, "lineage")
+
+    keyed = with_part_key(pages, "url", n_buckets)
+    lineage = read_lineage(spark, lineage_path)
+    todo = pending_partitions(keyed, lineage)
+
+    # html: binary never survives this projection (column pruning by hand).
+    texted = extract_text(todo)
+    mentions = extract_mentions_span(
+        texted, ["url", "part_key"], gazetteer, parallelism=parallelism
+    )
+    linked = link_mentions(mentions, alias_dict)
+    triples = build_triples(linked)
+
+    # Materialize the full delta BEFORE any append: `todo` lazily re-reads the
+    # lineage table, so counting it after the lineage write would see the new
+    # rows and report an empty delta (and lineage metrics would recompute the
+    # extraction). persist + eager count pins every derived value first.
+    mentions.persist()
+    triples.persist()
+    n_triples = triples.count()
+    n_pages = todo.count()
+    if n_pages:
+        lin = lineage_rows(
+            triples,
+            todo.select("part_key"),
+            mentions.select("part_key"),
+            run_id,
+        ).persist()
+        lin.count()  # eager: computed from pre-append state
+        append_parquet(triples, triples_path, partition_by="part_key")
+        append_parquet(lin, lineage_path)
+        lin.unpersist()
+    mentions.unpersist()
+    triples.unpersist()
+    return {"n_pages": n_pages, "n_triples": n_triples}
+
+
+def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "triples"))

@@ -1,0 +1,79 @@
+"""Full KG pipeline + kill/resume idempotence (SURVEY §5.2.5, north_rule)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spanluke_spark.etl.pages import synthesize_pages
+from spanluke_spark.fixtures import PIPELINE_GAZETTEER
+from spanluke_spark.kg import read_triples, run_kg_pipeline
+from spanluke_spark.storage.lineage import read_lineage, with_part_key
+
+
+@pytest.fixture()
+def alias_df(spark):
+    return spark.createDataFrame(
+        [
+            ("hash join", 10, "Hash Join", "COURT", 0.9),
+            ("table scan", 11, "Table Scan", "STATUTE", 0.9),
+            ("spark", 12, "Apache Spark", "ORG", 0.9),
+        ],
+        "alias string, canonical_id long, canonical_name string, entity_type string, prior double",
+    )
+
+
+def test_kg_pipeline_and_resume(spark, sf_dir, alias_df, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    pages = synthesize_pages(docs)
+    out = str(tmp_path / "kg")
+
+    # --- simulated crash: first run only sees partitions 0..7 of 16
+    keyed = with_part_key(pages, "url", 16)
+    partial_pages = keyed.filter(F.col("part_key") < 8).drop("part_key")
+    r1 = run_kg_pipeline(spark, partial_pages, PIPELINE_GAZETTEER, alias_df, out, run_id="r1")
+    assert r1["n_pages"] > 0
+    lin1 = read_lineage(spark, f"{out}/lineage")
+    done1 = {r.part_key for r in lin1.select("part_key").distinct().collect()}
+    assert done1 and all(k < 8 for k in done1)
+    t1 = read_triples(spark, out)
+    n1 = t1.count()
+
+    # --- resume over the FULL page set: only pending partitions process
+    r2 = run_kg_pipeline(spark, pages, PIPELINE_GAZETTEER, alias_df, out, run_id="r2")
+    lin2 = read_lineage(spark, f"{out}/lineage")
+    # every partition completed exactly once across both runs
+    per_part = lin2.groupBy("part_key").count().collect()
+    assert all(r["count"] == 1 for r in per_part)
+    assert r2["n_pages"] + r1["n_pages"] == pages.count()
+
+    t2 = read_triples(spark, out)
+    # no duplicate triples from the resume (idempotence)
+    assert t2.count() == t2.dropDuplicates(["subj", "pred", "obj", "url"]).count()
+    assert t2.count() > n1
+
+    # --- third run: nothing pending, nothing appended
+    r3 = run_kg_pipeline(spark, pages, PIPELINE_GAZETTEER, alias_df, out, run_id="r3")
+    assert r3["n_pages"] == 0 and r3["n_triples"] == 0
+    assert read_triples(spark, out).count() == t2.count()
+
+    # triples reference real canonical entities for linked labels
+    ent_subjs = {r.subj for r in t2.filter(F.col("subj").startswith("ent:")).collect()}
+    assert "ent:12" in ent_subjs  # spark -> Apache Spark
+
+
+def test_lineage_checksum_stable(spark, sf_dir, alias_df, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    pages = synthesize_pages(docs)
+    outs = []
+    for i, shuffle_parts in enumerate((4, 24)):
+        out = str(tmp_path / f"kg{i}")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_parts))
+        try:
+            run_kg_pipeline(spark, pages, PIPELINE_GAZETTEER, alias_df, out, run_id="x")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+        lin = read_lineage(spark, f"{out}/lineage")
+        outs.append(
+            {r.part_key: (r.n_pages, r.n_mentions, r.n_triples, r.checksum) for r in lin.collect()}
+        )
+    # lineage (incl. content checksums) identical regardless of parallelism
+    assert outs[0] == outs[1]

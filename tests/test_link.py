@@ -1,0 +1,104 @@
+"""Entity linking: broadcast alias join, salted aggregation, ANN rerank."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spanluke_spark.link.alias import link_mentions, normalize_key, salted_count
+from spanluke_spark.link.ann import cosine_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def alias_df(spark):
+    rows = [
+        ("Supreme Court", 1, "Supreme Court of India", "COURT", 0.9),
+        ("supreme  court", 2, "US Supreme Court", "COURT", 0.5),  # same norm key, lower prior
+        ("high court", 3, "High Court", "COURT", 0.8),
+        ("spark", 4, "Apache Spark", "ORG", 0.7),
+        ("spark", 5, "Spark the Person", "OTHER_PERSON", 0.6),
+    ]
+    return spark.createDataFrame(
+        rows, "alias string, canonical_id long, canonical_name string, entity_type string, prior double"
+    )
+
+
+def test_link_mentions(spark, alias_df):
+    mentions = spark.createDataFrame(
+        [
+            ("u1", 0, 0, 13, "Supreme COURT", "COURT", 1.0),
+            ("u1", 0, 20, 25, "spark", "ORG", 1.0),
+            ("u2", 0, 0, 5, "spark", "OTHER_PERSON", 1.0),
+            ("u2", 0, 9, 14, "nomatch", "COURT", 1.0),
+            ("u3", 0, 0, 10, "high court", "JUDGE", 1.0),  # type mismatch -> unlinked
+        ],
+        "url string, sent_id int, start int, end int, surface string, label string, score double",
+    )
+    got = {(r.url, r.start): (r.canonical_id, r.canonical_name) for r in link_mentions(mentions, alias_df).collect()}
+    assert got[("u1", 0)] == (1, "Supreme Court of India")  # higher prior wins
+    assert got[("u1", 20)] == (4, "Apache Spark")  # type-guarded
+    assert got[("u2", 0)] == (5, "Spark the Person")
+    assert got[("u2", 9)] == (None, None)
+    assert got[("u3", 0)] == (None, None)
+    assert len(got) == 5  # ambiguity dedupe keeps exactly one row per mention
+
+
+def test_normalize_key(spark):
+    df = spark.createDataFrame([("  A   b\tC  ",)], "s string")
+    assert df.select(normalize_key("s").alias("k")).first().k == "a b c"
+
+
+def test_salted_count_equals_plain(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plain = {r.event_type: r.n for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    salted = {r.event_type: r.n for r in salted_count(ev, ["event_type"], salt_buckets=8, salt_source="event_id").collect()}
+    assert plain == salted
+
+
+def _np_topk(qs, cs, k):
+    out = {}
+    for qid, qv in qs:
+        sims = []
+        for cid, cv in cs:
+            qn, cn = np.linalg.norm(qv), np.linalg.norm(cv)
+            sims.append((float(np.dot(qv, cv) / (qn * cn)) if qn > 0 and cn > 0 else 0.0, cid))
+        ranked = sorted(sims, key=lambda t: (-t[0], t[1]))[:k]
+        out[qid] = [(cid, round(s, 6)) for s, cid in ranked]
+    return out
+
+
+def test_cosine_topk_vs_numpy(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.limit(10).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    got_rows = cosine_topk(qs, cs, k=5).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r.q_id, r.rank)):
+        got.setdefault(r.q_id, []).append((r.c_id, round(r.cos_sim, 6)))
+    q_np = [(r.q_id, np.array(r.q_vec, dtype=np.float64)) for r in qs.collect()]
+    c_np = [(r.c_id, np.array(r.c_vec, dtype=np.float64)) for r in cs.collect()]
+    expected = _np_topk(q_np, c_np, 5)
+    for qid in expected:
+        assert [c for c, _ in got[qid]] == [c for c, _ in expected[qid]], qid
+        for (c1, s1), (c2, s2) in zip(got[qid], expected[qid]):
+            assert math.isclose(s1, s2, abs_tol=1e-5)
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.limit(20).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    exact = cosine_topk(qs, cs, k=3).collect()
+    approx = lsh_topk(qs, cs, k=3, n_planes=16, n_bands=8).collect()
+    exact_set = {(r.q_id, r.c_id) for r in exact}
+    approx_set = {(r.q_id, r.c_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # self-match (q==c, cos=1) is always in the same bucket, so recall has a
+    # hard floor of 1/3; require meaningfully better.
+    assert recall >= 0.5, recall
+    # every LSH hit must carry the exact cosine (rerank is exact)
+    exact_scores = {(r.q_id, r.c_id): r.cos_sim for r in exact}
+    for r in approx:
+        if (r.q_id, r.c_id) in exact_scores:
+            assert math.isclose(r.cos_sim, exact_scores[(r.q_id, r.c_id)], abs_tol=1e-9)
