@@ -256,6 +256,228 @@ def q11_token_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("doc_id", "start", "end", "label").orderBy("doc_id", "start")
 
 
+def q12_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup family: exact duplicates by normalized content (hash groupBy)."""
+    from spanluke_spark.dedup.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).orderBy("canonical_id")
+
+
+def q13_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup family: word-3-gram Jaccard pairs, shingle-blocked self-join."""
+    from spanluke_spark.dedup.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(docs, threshold=0.05)
+        .select("id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q14_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counts + mean word length per language."""
+    from spanluke_spark.textops.quality import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_m"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_chars_m").alias("total_chars"),
+        )
+        .withColumn(
+            "mean_word_len",
+            (F.col("total_chars") - F.col("total_tokens") + F.col("n_docs")).cast("double")
+            / F.col("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q15_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: per-doc quality features (codegen-only expressions)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_vowels = n_chars - F.length(F.regexp_replace(t, "[aeiou]", ""))
+    n_spaces = n_chars - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars_q"),
+        n_vowels.cast("long").alias("n_vowels"),
+        n_spaces.cast("long").alias("n_spaces"),
+        F.when(n_chars > 0, n_vowels.cast("double") / n_chars).otherwise(0.0).alias("vowel_ratio"),
+    ).orderBy("doc_id")
+
+
+def q16_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: stopword-profile language-ID scores + argmax guess."""
+    from spanluke_spark.textops.quality import lang_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = lang_scores(docs.select("doc_id", "text"))
+    return (
+        scored.groupBy("lang_guess")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("score_en").alias("sum_en"),
+            F.sum("score_de").alias("sum_de"),
+        )
+        .orderBy("lang_guess")
+    )
+
+
+def q17_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup family: MinHash+LSH candidates with exact-Jaccard verify.
+    xxhash64 has no DuckDB twin -> rows-only check here; bit-level behavior
+    is property-tested in tests/test_textops_dedup.py."""
+    from spanluke_spark.dedup.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        minhash_lsh_pairs(docs, verify_threshold=0.05)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q18_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup family: 64-bit SimHash fingerprints (rows-only; see q17 note)."""
+    from spanluke_spark.dedup.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return simhash(docs).orderBy("id")
+
+
+def q19_event_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames: per-user moving sum/avg over the last 5 events."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum("value").over(w).alias("moving_sum"),
+        F.count(F.lit(1)).over(w).alias("n_in_frame"),
+    ).orderBy("user_id", "event_id")
+
+
+def q20_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: ROLLUP aggregation (multi-level totals in one pass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+
+def q21_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: fuzzy-match edge build — levenshtein theta-join on blocked pairs."""
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.select(F.col("c_custkey").alias("k_a"), F.col("c_name").alias("n_a"))
+    b = cust.select(F.col("c_custkey").alias("k_b"), F.col("c_name").alias("n_b"))
+    pairs = (
+        a.join(b, F.col("k_a") < F.col("k_b"))
+        .filter(F.levenshtein("n_a", "n_b") <= 1)
+    )
+    return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def q22_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS): customers having at least one URGENT order."""
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q23_salted_vs_plain_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew handling: salted two-phase aggregation — must equal a plain
+    GROUP BY (the oracle IS the plain form)."""
+    from spanluke_spark.link.alias import salted_count
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_count(ev, ["event_type"], salt_buckets=16, salt_source="event_id").orderBy(
+        "event_type"
+    )
+
+
+def q24_page_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 end-to-end: synthesize pages -> deterministic HTML->text; the
+    oracle recomputes the expected text with pure SQL string ops."""
+    from spanluke_spark.etl.extract import extract_text
+    from spanluke_spark.etl.pages import synthesize_pages
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = synthesize_pages(docs)
+    return extract_text(pages).select("url", "lang", "text").orderBy("url")
+
+
+def q25_linked_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 end-to-end: token mentions -> broadcast alias link -> counts per
+    canonical entity (the full extraction+linking pipeline, SQL-oracled)."""
+    from spanluke_spark.link.alias import link_mentions
+
+    docs = _t(spark, sf_dir, "documents")
+    mentions = extract_mentions_token(docs, ["doc_id"], TOKEN_GAZETTEER)
+    alias_df = spark.createDataFrame(
+        [
+            ("spark", 1, "Apache Spark", "ORG", 0.9),
+            ("customer", 2, "The Customer", "OTHER_PERSON", 0.9),
+            ("window", 3, "Window Fn", "COURT", 0.9),
+        ],
+        "alias string, canonical_id long, canonical_name string, entity_type string, prior double",
+    )
+    linked = link_mentions(mentions, alias_df)
+    return (
+        linked.groupBy("canonical_id", "canonical_name")
+        .agg(F.count(F.lit(1)).alias("n_mentions"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.asc_nulls_first("canonical_id"))
+    )
+
+
+def q26_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization: large-star/small-star CC over the customer-order
+    bipartite graph; closed-form oracle (each order links to one customer)."""
+    from spanluke_spark.canon.cc import connected_components
+
+    orders = _t(spark, sf_dir, "orders")
+    edges = orders.select(
+        F.col("o_custkey").alias("src"), (F.col("o_orderkey") + 10_000_000).alias("dst")
+    )
+    return connected_components(edges).orderBy("node")
+
+
+def q27_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search: brute-force cosine top-3 (rank only, ties by id;
+    scores rounded to 4dp to be engine-stable)."""
+    from spanluke_spark.link.ann import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    out = cosine_topk(qs, cs, k=3)
+    return out.select(
+        "q_id", "c_id", "rank", F.round("cos_sim", 4).alias("cos_r")
+    ).orderBy("q_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -269,12 +491,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q09_corpus_stats": q09_corpus_stats,
         "q10_event_type_distribution": q10_event_type_distribution,
         "q11_token_mentions": q11_token_mentions,
+        "q12_exact_dedup": q12_exact_dedup,
+        "q13_ngram_jaccard": q13_ngram_jaccard,
+        "q14_token_stats": q14_token_stats,
+        "q15_quality_scores": q15_quality_scores,
+        "q16_langid": q16_langid,
+        "q17_minhash_neardup": q17_minhash_neardup,
+        "q18_simhash": q18_simhash,
+        "q19_event_moving_window": q19_event_moving_window,
+        "q20_rollup": q20_rollup,
+        "q21_fuzzy_name_pairs": q21_fuzzy_name_pairs,
+        "q22_semi_join": q22_semi_join,
+        "q23_salted_vs_plain_count": q23_salted_vs_plain_count,
+        "q24_page_extraction": q24_page_extraction,
+        "q25_linked_mention_counts": q25_linked_mention_counts,
+        "q26_connected_components": q26_connected_components,
+        "q27_embedding_topk": q27_embedding_topk,
     }
 
 
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
+
+
+def _langid_sql() -> str:
+    """q16 oracle generated from the same LANG_PROFILES as the Spark side."""
+    from spanluke_spark.textops.quality import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    score_defs = ", ".join(
+        " + ".join(
+            f"((length(p) - length(replace(p, ' {w} ', ''))) // {len(w) + 2})"
+            for w in LANG_PROFILES[lang]
+        )
+        + f" AS score_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    guess = "CASE " + " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+        WITH padded AS (
+            SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+        ), scored AS (
+            SELECT doc_id, {score_defs} FROM padded
+        ), guessed AS (
+            SELECT *, {guess} AS lang_guess FROM scored
+        )
+        SELECT lang_guess, count(*) AS n_docs,
+               CAST(sum(score_en) AS BIGINT) AS sum_en,
+               CAST(sum(score_de) AS BIGINT) AS sum_de
+        FROM guessed GROUP BY lang_guess ORDER BY lang_guess
+    """
+
+
+_LANGID_SQL = _langid_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -434,5 +707,169 @@ def oracle_sql() -> dict[str, str]:
             FROM numbered WHERE pred_type <> 'O'
             GROUP BY doc_id, mention_id, pred_type
             ORDER BY doc_id, start
+        """,
+        "q12_exact_dedup": """
+            SELECT min(doc_id) AS canonical_id, count(*) AS n_copies,
+                   list_sort(list(doc_id)) AS members
+            FROM documents
+            GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+            ORDER BY canonical_id
+        """,
+        "q13_ngram_jaccard": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            s AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+                FROM t WHERE len(toks) >= 3
+            ), e AS (SELECT doc_id, len(sh) AS cnt, unnest(sh) AS shingle FROM s),
+            p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.cnt AS ca, b.cnt AS cb,
+                       count(*) AS n_common
+                FROM e a JOIN e b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b, n_common,
+                   round(n_common::DOUBLE / (ca + cb - n_common), 6) AS jaccard
+            FROM p WHERE n_common::DOUBLE / (ca + cb - n_common) >= 0.05
+            ORDER BY id_a, id_b
+        """,
+        "q14_token_stats": """
+            WITH d AS (
+                SELECT lang, len(string_split(text, ' ')) AS n_tokens,
+                       length(text) AS n_chars_m
+                FROM documents
+            )
+            SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+                   max(n_tokens) AS max_tokens, sum(n_chars_m) AS total_chars,
+                   (sum(n_chars_m) - sum(n_tokens) + count(*))::DOUBLE / sum(n_tokens)
+                   AS mean_word_len
+            FROM d GROUP BY lang ORDER BY lang
+        """,
+        "q15_quality_scores": """
+            SELECT doc_id,
+                   length(text) AS n_chars_q,
+                   length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_vowels,
+                   length(text) - length(replace(text, ' ', '')) AS n_spaces,
+                   CASE WHEN length(text) > 0 THEN
+                     (length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))::DOUBLE
+                     / length(text) ELSE 0.0 END AS vowel_ratio
+            FROM documents WHERE doc_id < 50 ORDER BY doc_id
+        """,
+        "q16_langid": _LANGID_SQL,
+        "q19_event_moving_window": """
+            SELECT user_id, event_id,
+                   sum(value) OVER w AS moving_sum,
+                   count(*) OVER w AS n_in_frame
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, event_id
+        """,
+        "q20_rollup": """
+            SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        "q21_fuzzy_name_pairs": """
+            SELECT count(*) AS n_pairs
+            FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "q22_semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+            ORDER BY c_custkey
+        """,
+        "q23_salted_vs_plain_count": """
+            SELECT event_type, count(*) AS n FROM events
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "q24_page_extraction": """
+            SELECT 'https://example.org/doc/' || doc_id AS url, lang,
+                   'Document ' || doc_id || chr(10) || text || chr(10) || 'crawl footer' AS text
+            FROM documents ORDER BY url
+        """,
+        "q25_linked_mention_counts": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       UNNEST(string_split(text, ' ')) AS token,
+                       UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS pos
+                FROM documents
+            ), typed AS (
+                SELECT doc_id, pos, token,
+                       {TOKEN_GAZETTEER_SQL_CASE} AS pred_type,
+                       CAST(sum(length(token) + 1) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS INT) AS prev_len
+                FROM toks
+            ), offs AS (
+                SELECT doc_id, pos, pred_type,
+                       COALESCE(prev_len, 0) AS start,
+                       COALESCE(prev_len, 0) + length(token) AS "end"
+                FROM typed
+            ), flagged AS (
+                SELECT *, CASE WHEN pred_type <> 'O'
+                                AND (lag(pred_type) OVER w IS NULL OR lag(pred_type) OVER w <> pred_type)
+                          THEN 1 ELSE 0 END AS is_new
+                FROM offs
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), numbered AS (
+                SELECT *, sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mention_id
+                FROM flagged
+            ), mentions AS (
+                SELECT doc_id, CAST(min(start) AS INT) AS start,
+                       CAST(max("end") AS INT) AS "end", pred_type AS label
+                FROM numbered WHERE pred_type <> 'O'
+                GROUP BY doc_id, mention_id, pred_type
+            ), aliases(alias, canonical_id, canonical_name, entity_type) AS (
+                VALUES ('spark', 1, 'Apache Spark', 'ORG'),
+                       ('customer', 2, 'The Customer', 'OTHER_PERSON'),
+                       ('window', 3, 'Window Fn', 'COURT')
+            ), linked AS (
+                SELECT m.doc_id, a.canonical_id, a.canonical_name
+                FROM mentions m
+                JOIN documents d USING (doc_id)
+                LEFT JOIN aliases a
+                  ON regexp_replace(lower(trim(substr(d.text, m.start + 1, m."end" - m.start))),
+                                    '\\s+', ' ', 'g') = a.alias
+                 AND m.label = a.entity_type
+            )
+            SELECT CAST(canonical_id AS BIGINT) AS canonical_id, canonical_name,
+                   count(*) AS n_mentions, count(DISTINCT doc_id) AS n_docs
+            FROM linked GROUP BY 1, 2 ORDER BY canonical_id NULLS FIRST
+        """,
+        "q26_connected_components": """
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS node,
+                            CAST(o_custkey AS BIGINT) AS component
+            FROM orders
+            UNION ALL
+            SELECT CAST(o_orderkey + 10000000 AS BIGINT) AS node,
+                   CAST(o_custkey AS BIGINT) AS component
+            FROM orders
+            ORDER BY node
+        """,
+        "q27_embedding_topk": """
+            WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 20),
+            c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
+            pairs AS (
+                SELECT q_id, c_id,
+                       list_sum(list_transform(range(1, len(q_vec) + 1),
+                           i -> q_vec[i]::DOUBLE * c_vec[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(range(1, len(q_vec) + 1),
+                              i -> q_vec[i]::DOUBLE * q_vec[i]::DOUBLE)))
+                        * sqrt(list_sum(list_transform(range(1, len(c_vec) + 1),
+                              i -> c_vec[i]::DOUBLE * c_vec[i]::DOUBLE)))) AS cos_sim
+                FROM q, c
+            ), ranked AS (
+                SELECT q_id, c_id, cos_sim,
+                       row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+                FROM pairs
+            )
+            SELECT q_id, c_id, CAST(rank AS INT) AS rank, round(cos_sim, 4) AS cos_r
+            FROM ranked WHERE rank <= 3 ORDER BY q_id, rank
         """,
     }

@@ -32,35 +32,28 @@ def build_triples(linked: DataFrame, extra_cols: list[str] | None = None) -> Dat
     extra = extra_cols or [c for c in ("part_key",) if c in linked.columns]
     base = linked.withColumn("subj", subject_expr())
 
-    instance_of = base.select(
-        "subj",
-        F.lit("instance_of").alias("pred"),
-        F.col("label").alias("obj"),
-        "url",
-        "start",
-        "end",
-        *extra,
-    )
-    mentioned_in = base.select(
-        "subj",
-        F.lit("mentioned_in").alias("pred"),
-        F.col("url").alias("obj"),
-        "url",
-        "start",
-        "end",
-        *extra,
-    )
-    same_as = (
-        base.filter(F.col("canonical_id").isNotNull())
-        .select(
+    # ONE pass: per mention, emit all families via explode(array(structs)) —
+    # a union of three selects would re-execute the (expensive) upstream
+    # extraction once per branch unless exchanges happen to be reused.
+    fam = F.array(
+        F.struct(
+            F.col("subj"), F.lit("instance_of").alias("pred"), F.col("label").alias("obj")
+        ),
+        F.struct(
+            F.col("subj"), F.lit("mentioned_in").alias("pred"), F.col("url").alias("obj")
+        ),
+        F.struct(
             F.concat(F.lit("surf:"), normalize_key("surface")).alias("subj"),
             F.lit("same_as").alias("pred"),
-            F.concat(F.lit("ent:"), F.col("canonical_id").cast("string")).alias("obj"),
-            "url",
-            "start",
-            "end",
-            *extra,
-        )
+            F.when(
+                F.col("canonical_id").isNotNull(),
+                F.concat(F.lit("ent:"), F.col("canonical_id").cast("string")),
+            ).alias("obj"),
+        ),
     )
-    triples = instance_of.unionByName(mentioned_in).unionByName(same_as)
+    triples = (
+        base.select(F.explode(fam).alias("t"), "url", "start", "end", *extra)
+        .select("t.subj", "t.pred", "t.obj", "url", "start", "end", *extra)
+        .filter(F.col("obj").isNotNull())  # drops same_as rows for unlinked mentions
+    )
     return triples.dropDuplicates(["subj", "pred", "obj", "url"])

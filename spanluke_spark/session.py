@@ -61,7 +61,9 @@ def get_spark(
         # Deterministic timestamps vs the DuckDB oracle (UTC-naive).
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Local mode = driver-only: a small heap GC-thrashes at full task
+        # width (measured 2-3x slowdowns at 32 concurrent Arrow tasks on 8g).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

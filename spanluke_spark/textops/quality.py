@@ -1,0 +1,126 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+Everything here is expressed JVM-side (pyspark.sql.functions) where possible —
+at 10^12 rows these run inside whole-stage codegen with zero Python — with the
+fingerprint (hash-based) as the one Arrow-kernel exception.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles (top function words). Deterministic,
+# embedded — the n-gram-profile analogue for a no-network environment.
+LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "los", "que"],
+}
+
+
+def occurrences(text: Column, phrase: str) -> Column:
+    """# of occurrences of ``phrase`` via length arithmetic — pure codegen."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(phrase), F.lit(""))))
+        / len(phrase)
+    ).cast("long")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count, JVM-side. Matches Python ``len(t.split())``
+    for single-space-normalized text (the extractor output guarantees this)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+def stopword_score(text: Column, lang: str) -> Column:
+    """Stopword hits per language profile, padded-occurrence counting."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    score = F.lit(0).cast("long")
+    for w in LANG_PROFILES[lang]:
+        score = score + occurrences(padded, f" {w} ")
+    return score
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: per-language stopword score + argmax guess.
+    Deterministic tie-break: higher score wins, then lexicographic language."""
+    out = df
+    for lang in sorted(LANG_PROFILES):
+        out = out.withColumn(f"score_{lang}", stopword_score(F.col(text_col), lang))
+    # argmax via greatest + chained when (stable, SQL-expressible)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in sorted(LANG_PROFILES)])
+    guess = F.lit(None).cast("string")
+    for lang in sorted(LANG_PROFILES, reverse=True):
+        guess = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(guess)
+    return out.withColumn("lang_guess", guess)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality signals: length, token count, mean word length, punctuation
+    ratio, uppercase ratio — all codegen expressions."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    safe = F.when(n_chars > 0, n_chars.cast("double")).otherwise(F.lit(1.0))
+    return df.select(
+        "*",
+        n_chars.cast("long").alias("n_chars_q"),
+        n_tokens.alias("n_tokens"),
+        F.when(n_tokens > 0, (n_chars - n_tokens + 1).cast("double") / n_tokens)
+        .otherwise(F.lit(0.0))
+        .alias("mean_word_len"),
+        (n_punct.cast("double") / safe).alias("punct_ratio"),
+        (n_upper.cast("double") / safe).alias("upper_ratio"),
+    )
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting with a BPE-ish regex (letters runs / short digit groups /
+    single punctuation) — the cheap stand-in for tokenizer-cost estimation."""
+    return df.withColumn(
+        "n_bpe_tokens",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)).cast("long"),
+    )
+
+
+def fingerprint(df: DataFrame, id_cols: list[str], text_col: str = "text") -> DataFrame:
+    """Document fingerprint: polynomial rolling hash over whitespace tokens
+    (order-sensitive, content-defined). Arrow kernel; worker-stable."""
+    ids = ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}" for c in id_cols)
+    schema = f"{ids}, fingerprint long"
+    MOD = (1 << 61) - 1
+    BASE = 1_000_003
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct
+
+        def h64(s: str) -> int:
+            return struct.unpack(
+                "<Q", hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest()
+            )[0]
+
+        for pdf in batches:
+            fps = []
+            for text in pdf[text_col]:
+                acc = 0
+                for tok in (text or "").split():
+                    acc = (acc * BASE + h64(tok)) % MOD
+                fps.append(acc)
+            yield pd.DataFrame({**{c: pdf[c] for c in id_cols}, "fingerprint": fps})
+
+    return df.select(*id_cols, text_col).mapInPandas(_fp, schema)

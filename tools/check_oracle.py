@@ -37,7 +37,9 @@ def norm_cell(v):
 
 def norm_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
+    normed = [tuple(norm_cell(r[i]) for i in idx) for r in rows]
+    # NULL-safe ordering (rollup rows contain None next to strings)
+    return sorted(normed, key=lambda row: tuple((v is None, str(v)) for v in row))
 
 
 def main():
