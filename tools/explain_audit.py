@@ -1,0 +1,100 @@
+"""Physical-plan audit: verify the plans are the plans we want at scale.
+
+Checks (printed as PASS/FAIL lines):
+  1. Parquet scan with filter -> PushedFilters non-empty + pruned ReadSchema.
+  2. Alias link -> BroadcastHashJoin (no shuffle of the mention stream).
+  3. Fused extraction -> exactly one Exchange (the explicit size-balancing
+     repartition) before the Python stage, none after until the dedupe.
+  4. q01 agg -> partial+final hash aggregate (map-side combine present).
+
+Usage: python tools/explain_audit.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    from spanluke_spark.fixtures import PIPELINE_GAZETTEER, TOKEN_GAZETTEER
+    from spanluke_spark.link.alias import link_mentions
+    from spanluke_spark.pipeline import extract_mentions_token
+    from spanluke_spark.session import get_spark
+
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    spark = get_spark(app_name="explain_audit", master="local[4]", shuffle_partitions=8)
+    failures = 0
+
+    def check(name: str, ok: bool, detail: str = "") -> None:
+        nonlocal failures
+        print(f"{'PASS' if ok else 'FAIL'} {name} {detail}")
+        failures += 0 if ok else 1
+
+    # 1. pushdown + column pruning
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    plan = (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .select("l_returnflag", "l_quantity")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    check(
+        "scan_pushdown",
+        "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan,
+    )
+    check(
+        "column_pruning",
+        "l_extendedprice" not in plan.split("ReadSchema")[-1],
+        "(ReadSchema carries only selected+filter columns)",
+    )
+
+    # 2. broadcast link join
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    mentions = extract_mentions_token(docs, ["doc_id"], TOKEN_GAZETTEER)
+    alias_df = spark.createDataFrame(
+        [("spark", 1, "Apache Spark", "ORG", 0.9)],
+        "alias string, canonical_id long, canonical_name string, entity_type string, prior double",
+    )
+    linked_plan = link_mentions(mentions, alias_df)._jdf.queryExecution().executedPlan().toString()
+    check("broadcast_link_join", "BroadcastHashJoin" in linked_plan)
+    check(
+        "no_mention_shuffle_for_link",
+        "Exchange hashpartitioning" not in linked_plan.split("BroadcastHashJoin")[0],
+        "(no hash exchange above the join)",
+    )
+
+    # 3. fused extraction plan shape
+    from spanluke_spark.etl.pages import synthesize_pages
+    from spanluke_spark.pipeline import extract_mentions_from_pages
+
+    pages = synthesize_pages(docs)
+    m = extract_mentions_from_pages(pages, ["url"], PIPELINE_GAZETTEER, parallelism=8)
+    mplan = m._jdf.queryExecution().executedPlan().toString()
+    check(
+        "one_python_stage",
+        mplan.count("MapInPandas") == 1 and mplan.count("ArrowEvalPython") == 0,
+    )
+    check("explicit_repartition", mplan.count("Exchange") == 1)
+
+    # 4. partial aggregation
+    q1 = (
+        li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    check("partial_agg", "partial_sum" in q1 or "HashAggregate(keys=[l_returnflag" in q1)
+
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
