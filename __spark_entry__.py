@@ -478,6 +478,103 @@ def q27_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
+def q28_first_subtoken(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: wordpiece->word alignment — synthesize 2 subtokens per long word
+    relationally, keep the first subtoken per word (posexplode + row_number==1,
+    the exact first-subtoken rule of legal_ner/utils/dataset.py:163-189)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("word_id", "word")
+    )
+    sub_pos = words.select(
+        "doc_id",
+        "word_id",
+        F.posexplode(
+            F.when(
+                F.length("word") > 4,
+                F.array(F.substring("word", 1, 4), F.expr("substring(word, 5)")),
+            ).otherwise(F.array(F.col("word")))
+        ).alias("sub_idx", "subtoken"),
+    )
+    first = sub_pos.filter(F.col("sub_idx") == 0)
+    return (
+        first.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("subtoken")).alias("sum_first_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q29_zip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: prediction<->offset zip join — arrays_zip two parallel arrays and
+    explode (offsets zipped with per-token lengths)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("tokens"),
+    ).select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.col("tokens"),
+                F.transform(F.col("tokens"), lambda t: F.length(t)),
+            )
+        ).alias("z"),
+    )
+    return (
+        toks.select("doc_id", F.col("z.tokens").alias("token"), F.col("z.1").alias("tok_len"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("tok_len").alias("sum_len"))
+        .orderBy("doc_id")
+    )
+
+
+def q30_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 relational argmax: max_by — event_type of the highest event_id per
+    user (unique key -> deterministic)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by("event_type", "event_id").alias("last_event_type"),
+            F.max("event_id").alias("last_event_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q31_union_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: union of mention sets from two extractors (token path merges
+    adjacent same-type runs; span path emits per-hit spans) + distinct."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = extract_mentions_token(docs, ["doc_id"], TOKEN_GAZETTEER).select(
+        "doc_id", "start", "end", "label"
+    )
+    spn = extract_mentions_span(docs, ["doc_id"], TOKEN_GAZETTEER).select(
+        "doc_id", "start", "end", "label"
+    )
+    return (
+        tok.unionByName(spn)
+        .distinct()
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .orderBy("label")
+    )
+
+
+def q32_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: from_json over the events.props JSON column + aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn("k", F.from_json("props", "k int").getField("k"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.max("k").alias("max_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -507,6 +604,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_linked_mention_counts": q25_linked_mention_counts,
         "q26_connected_components": q26_connected_components,
         "q27_embedding_topk": q27_embedding_topk,
+        "q28_first_subtoken": q28_first_subtoken,
+        "q29_zip_join": q29_zip_join,
+        "q30_argmax_per_group": q30_argmax_per_group,
+        "q31_union_mentions": q31_union_mentions,
+        "q32_json_props": q32_json_props,
     }
 
 
@@ -871,5 +973,78 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT q_id, c_id, CAST(rank AS INT) AS rank, round(cos_sim, 4) AS cos_r
             FROM ranked WHERE rank <= 3 ORDER BY q_id, rank
+        """,
+        "q28_first_subtoken": """
+            WITH w AS (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+                FROM documents WHERE doc_id < 100
+            )
+            SELECT doc_id, count(*) AS n_words,
+                   CAST(sum(least(length(word), 4)) AS BIGINT) AS sum_first_len
+            FROM w GROUP BY doc_id ORDER BY doc_id
+        """,
+        "q29_zip_join": """
+            WITH w AS (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+                FROM documents WHERE doc_id < 100
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   CAST(sum(length(token)) AS BIGINT) AS sum_len
+            FROM w GROUP BY doc_id ORDER BY doc_id
+        """,
+        "q30_argmax_per_group": """
+            SELECT user_id, arg_max(event_type, event_id) AS last_event_type,
+                   max(event_id) AS last_event_id
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "q31_union_mentions": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       UNNEST(string_split(text, ' ')) AS token,
+                       UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS pos
+                FROM documents
+            ), typed AS (
+                SELECT doc_id, pos, token,
+                       {TOKEN_GAZETTEER_SQL_CASE} AS pred_type,
+                       CAST(sum(length(token) + 1) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS INT) AS prev_len
+                FROM toks
+            ), offs AS (
+                SELECT doc_id, pos, pred_type,
+                       COALESCE(prev_len, 0) AS start,
+                       COALESCE(prev_len, 0) + length(token) AS "end"
+                FROM typed
+            ), flagged AS (
+                SELECT *, CASE WHEN pred_type <> 'O'
+                                AND (lag(pred_type) OVER w IS NULL OR lag(pred_type) OVER w <> pred_type)
+                          THEN 1 ELSE 0 END AS is_new
+                FROM offs
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), numbered AS (
+                SELECT *, sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mention_id
+                FROM flagged
+            ), token_path AS (
+                SELECT doc_id, CAST(min(start) AS INT) AS start,
+                       CAST(max("end") AS INT) AS "end", pred_type AS label
+                FROM numbered WHERE pred_type <> 'O'
+                GROUP BY doc_id, mention_id, pred_type
+            ), span_path AS (
+                SELECT doc_id, CAST(start AS INT) AS start, CAST("end" AS INT) AS "end",
+                       pred_type AS label
+                FROM offs WHERE pred_type <> 'O'
+            ), unioned AS (
+                SELECT DISTINCT * FROM (
+                    SELECT * FROM token_path UNION ALL SELECT * FROM span_path
+                )
+            )
+            SELECT label, count(*) AS n_mentions FROM unioned GROUP BY label ORDER BY label
+        """,
+        "q32_json_props": """
+            SELECT event_type,
+                   CAST(sum(json_extract(props, '$.k')::INT) AS BIGINT) AS sum_k,
+                   max(json_extract(props, '$.k')::INT) AS max_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
     }

@@ -170,6 +170,46 @@ def convert_documents(docs: DataFrame, anns: DataFrame, doc_key_index: int = 0) 
 
 
 # ---------------------------------------------------------------------------
+# S3/S4: JSONL + Label-Studio prediction sinks
+# ---------------------------------------------------------------------------
+
+
+def write_tokenized_jsonl(converted: DataFrame, path: str) -> None:
+    """S3: word-token JSONL sink — one {"tokens", "ner_tags", "document_id",
+    "sentence_id"} object per line (convert_dataset.py:61-63 shape)."""
+    converted.select("tokens", "ner_tags", "document_id", "sentence_id").write.mode(
+        "overwrite"
+    ).json(path)
+
+
+def to_labelstudio_predictions(mentions: DataFrame, doc_col: str = "doc_id") -> DataFrame:
+    """S4: mention rows -> Label-Studio prediction records, the exact output
+    contract of legal_ner/inference.py:160-175:
+
+        { value: {start, end, text, labels: [label]},
+          id: "<doc>-<j>", from_name: "label", to_name: "text", type: "labels" }
+
+    ``j`` is the mention's rank within its document by (start, end) —
+    deterministic, matching the reference's enumeration order.
+    """
+    w = Window.partitionBy(doc_col).orderBy("start", "end")
+    ranked = mentions.withColumn("_j", F.row_number().over(w) - 1)
+    return ranked.select(
+        F.col(doc_col).alias("doc_id"),
+        F.struct(
+            F.col("start"),
+            F.col("end"),
+            F.col("surface").alias("text"),
+            F.array(F.col("label")).alias("labels"),
+        ).alias("value"),
+        F.concat(F.col(doc_col).cast("string"), F.lit("-"), F.col("_j").cast("string")).alias("id"),
+        F.lit("label").alias("from_name"),
+        F.lit("text").alias("to_name"),
+        F.lit("labels").alias("type"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # J1: match_labels — char->token range alignment (legal_ner/utils/utils.py:11-44)
 # ---------------------------------------------------------------------------
 
