@@ -1,0 +1,108 @@
+"""Entity canonicalization: exact/fuzzy-match edges + connected components
+(north_rule: 'canonicalize'; SURVEY.md §2.3 J9, §4.6).
+
+Works on the distinct entity keys coming out of linking:
+
+1. Nodes: distinct subjects (ent:<id> and surf:<norm>), densely numbered.
+2. Exact edges: same normalization key (e.g. an unlinked surface equal to a
+   canonical name) — equi-join on the key.
+3. Fuzzy edges: blocking on (first char, length bucket) then
+   levenshtein <= threshold — a bounded theta-join, never all-pairs.
+4. Connected components (large-star/small-star) -> canonical_key per cluster:
+   the lexicographically smallest member (deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cc import connected_components
+
+
+def entity_nodes(triples_or_linked: DataFrame, subj_col: str = "subj") -> DataFrame:
+    """Distinct entity keys with dense numeric node ids (zipWithIndex-free:
+    xxhash64 is collision-checked by the dense rank)."""
+    from pyspark.sql import Window
+
+    keys = triples_or_linked.select(F.col(subj_col).alias("key")).distinct()
+    w = Window.orderBy("key")
+    # dense_rank over a global order: acceptable because the ENTITY key space
+    # is orders of magnitude smaller than the page/mention space; for larger
+    # vocabularies swap in monotonically_increasing_id + join.
+    return keys.withColumn("node", F.dense_rank().over(w).cast("long"))
+
+
+def fuzzy_edges(
+    nodes: DataFrame, max_distance: int = 2, strip_prefix: bool = True
+) -> DataFrame:
+    """Candidate same-entity pairs: block on (first letter, length//4), verify
+    with levenshtein <= max_distance. Returns (src, dst) node-id pairs."""
+    base = nodes.withColumn(
+        "name",
+        F.regexp_replace(F.col("key"), r"^(ent|surf):", "") if strip_prefix else F.col("key"),
+    ).withColumn(
+        "block",
+        F.concat(F.substring("name", 1, 1), F.lit("#"), (F.length("name") / 4).cast("int")),
+    )
+    a = base.select(
+        F.col("node").alias("src"), F.col("name").alias("name_a"), "block"
+    )
+    b = base.select(
+        F.col("node").alias("dst"), F.col("name").alias("name_b"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("src") < F.col("dst"))
+        .filter(F.levenshtein("name_a", "name_b") <= max_distance)
+        .select("src", "dst")
+    )
+
+
+def exact_edges(nodes: DataFrame) -> DataFrame:
+    """Same normalized name -> edge (e.g. 'surf:apache spark' vs
+    'ent:12' whose canonical_name normalizes identically is handled upstream;
+    here: identical stripped names across distinct keys)."""
+    named = nodes.withColumn(
+        "name", F.regexp_replace(F.col("key"), r"^(ent|surf):", "")
+    )
+    a = named.select(F.col("node").alias("src"), "name")
+    b = named.select(F.col("node").alias("dst"), "name")
+    return a.join(b, "name").filter(F.col("src") < F.col("dst")).select("src", "dst")
+
+
+def canonicalize_entities(
+    linked_or_triples: DataFrame,
+    subj_col: str = "subj",
+    max_distance: int = 1,
+) -> DataFrame:
+    """subject keys -> (key, canonical_key) via exact+fuzzy edges and CC.
+
+    canonical_key = min key (lexicographic) of each component — stable under
+    any partitioning.
+    """
+    nodes = entity_nodes(linked_or_triples, subj_col).persist()
+    edges = exact_edges(nodes).unionByName(fuzzy_edges(nodes, max_distance))
+    comp = connected_components(edges, "src", "dst")
+    labeled = nodes.join(comp, "node", "left").withColumn(
+        "component", F.coalesce("component", F.col("node"))
+    )
+    reps = (
+        labeled.groupBy("component")
+        .agg(F.min("key").alias("canonical_key"))
+    )
+    out = labeled.join(reps, "component").select("key", "canonical_key")
+    nodes.unpersist()
+    return out
+
+
+def apply_canonicalization(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite triple subjects (and same_as objects) to canonical keys, then
+    re-dedupe. Broadcast the mapping — entity vocab << triple count."""
+    m = F.broadcast(mapping)
+    out = (
+        triples.join(m.withColumnRenamed("key", "subj"), "subj", "left")
+        .withColumn("subj", F.coalesce("canonical_key", F.col("subj")))
+        .drop("canonical_key")
+    )
+    return out.dropDuplicates(["subj", "pred", "obj", "url"])

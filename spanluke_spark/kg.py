@@ -39,6 +39,7 @@ def run_kg_pipeline(
     run_id: str = "run0",
     n_buckets: int = 16,
     parallelism: int | None = None,
+    canonicalize: bool = False,
 ) -> dict:
     """Execute one (resumable) pass. Returns counters for the processed delta."""
     triples_path = os.path.join(out_dir, "triples")
@@ -56,6 +57,11 @@ def run_kg_pipeline(
     )
     linked = link_mentions(mentions, alias_dict)
     triples = build_triples(linked)
+    if canonicalize:
+        from .canon.canonicalize import apply_canonicalization, canonicalize_entities
+
+        mapping = canonicalize_entities(triples)
+        triples = apply_canonicalization(triples, mapping)
 
     # Materialize the full delta BEFORE any append: `todo` lazily re-reads the
     # lineage table, so counting it after the lineage write would see the new
