@@ -33,6 +33,9 @@ from spanluke_spark.pipeline import (  # noqa: E402
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # DuckDB timestamps are UTC-naive; pin the session TZ so timestamp-valued
+    # results hash identically regardless of the caller's session defaults.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
