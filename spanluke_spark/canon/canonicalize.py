@@ -80,9 +80,14 @@ def canonicalize_entities(
 
     canonical_key = min key (lexicographic) of each component — stable under
     any partitioning.
+
+    Only ``surf:`` keys participate in fuzzy/exact matching: ``ent:`` keys
+    were already canonicalized by the alias dictionary, and edit distance on
+    their numeric ids is meaningless (ent:10 ~ ent:12 must NOT merge).
     """
     nodes = entity_nodes(linked_or_triples, subj_col).persist()
-    edges = exact_edges(nodes).unionByName(fuzzy_edges(nodes, max_distance))
+    surf_nodes = nodes.filter(F.col("key").startswith("surf:"))
+    edges = exact_edges(surf_nodes).unionByName(fuzzy_edges(surf_nodes, max_distance))
     comp = connected_components(edges, "src", "dst")
     labeled = nodes.join(comp, "node", "left").withColumn(
         "component", F.coalesce("component", F.col("node"))
