@@ -35,7 +35,9 @@ from spanluke_spark.pipeline import (  # noqa: E402
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # DuckDB timestamps are UTC-naive; pin the session TZ so timestamp-valued
     # results hash identically regardless of the caller's session defaults.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Guarded: an unconditional set() invalidates plan/codegen caches per call.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
