@@ -152,26 +152,26 @@ def q06_strict_eval_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ["l_orderkey", "l_linenumber"]
     # (l_orderkey, l_linenumber) is not unique in the synthetic data —
     # distinct first so INTERSECT/EXCEPT set semantics are well-defined.
-    # One full-outer join + one aggregate = a single pass over each side
-    # (vs 3 separate intersect/except jobs rescanning the table).
+    # Fully lazy: one full-outer join + one aggregate + expression-level
+    # P/R/F1 — no driver action in the query builder (the eager .first()
+    # version here was the slowest headline query in BENCH_r01).
     gold = li.filter(F.col("l_discount") > 0.06).select(*key).distinct().withColumn("g", F.lit(1))
     pred = li.filter(F.col("l_tax") > 0.05).select(*key).distinct().withColumn("p", F.lit(1))
-    row = (
-        gold.join(pred, key, "full_outer")
-        .agg(
-            F.count(F.when(F.col("g").isNotNull() & F.col("p").isNotNull(), 1)).alias("tp"),
-            F.count(F.when(F.col("g").isNotNull() & F.col("p").isNull(), 1)).alias("fn"),
-            F.count(F.when(F.col("g").isNull() & F.col("p").isNotNull(), 1)).alias("fp"),
-        )
-        .first()
+    counts = gold.join(pred, key, "full_outer").agg(
+        F.count(F.when(F.col("g").isNotNull() & F.col("p").isNotNull(), 1)).alias("tp"),
+        F.count(F.when(F.col("g").isNotNull() & F.col("p").isNull(), 1)).alias("fn"),
+        F.count(F.when(F.col("g").isNull() & F.col("p").isNotNull(), 1)).alias("fp"),
     )
-    tp, fn, fp = row.tp, row.fn, row.fp
-    p = tp / (tp + fp) if (tp + fp) else 0.0
-    r = tp / (tp + fn) if (tp + fn) else 0.0
-    f1 = 2 * p * r / (p + r + 1e-9)
-    return spark.createDataFrame(
-        [(tp, fn, fp, p, r, f1)],
-        "tp long, fn long, fp long, precision double, recall double, f1 double",
+    tp, fn, fp = F.col("tp"), F.col("fn"), F.col("fp")
+    prec = F.when(tp + fp == 0, F.lit(0.0)).otherwise(tp.cast("double") / (tp + fp))
+    rec = F.when(tp + fn == 0, F.lit(0.0)).otherwise(tp.cast("double") / (tp + fn))
+    return counts.select(
+        "tp",
+        "fn",
+        "fp",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        (2 * prec * rec / (prec + rec + F.lit(1e-9))).alias("f1"),
     )
 
 
@@ -224,15 +224,22 @@ def q09_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
         .withColumn(
-            "avg_chars", F.col("sum_chars").cast("double") / F.col("n_docs")
+            # round(6) on the derived doubles: the exact-integer sum/sumsq
+            # columns are the real signal; rounding makes the derived values
+            # hash-stable across engine float serializations (q27 pattern).
+            "avg_chars",
+            F.round(F.col("sum_chars").cast("double") / F.col("n_docs"), 6),
         )
         .withColumn(
             "var_pop_chars",
-            (
-                F.col("sumsq_chars").cast("double")
-                - F.col("sum_chars").cast("double") * F.col("sum_chars") / F.col("n_docs")
-            )
-            / F.col("n_docs"),
+            F.round(
+                (
+                    F.col("sumsq_chars").cast("double")
+                    - F.col("sum_chars").cast("double") * F.col("sum_chars") / F.col("n_docs")
+                )
+                / F.col("n_docs"),
+                6,
+            ),
         )
         .orderBy("lang")
     )
@@ -266,7 +273,13 @@ def q12_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spanluke_spark.dedup.dedup import exact_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    return exact_dedup(docs).orderBy("canonical_id")
+    # members joined to a string: the driver's pandas row-canonicalizer can't
+    # sort list-typed cells (CORRECTNESS_r01 q12 err "unhashable type: list").
+    return (
+        exact_dedup(docs)
+        .select("canonical_id", "n_copies", F.array_join("members", ",").alias("members"))
+        .orderBy("canonical_id")
+    )
 
 
 def q13_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,8 +314,11 @@ def q14_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "mean_word_len",
-            (F.col("total_chars") - F.col("total_tokens") + F.col("n_docs")).cast("double")
-            / F.col("total_tokens"),
+            F.round(
+                (F.col("total_chars") - F.col("total_tokens") + F.col("n_docs")).cast("double")
+                / F.col("total_tokens"),
+                6,
+            ),
         )
         .orderBy("lang")
     )
@@ -769,9 +785,9 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_chars * n_chars) AS sumsq_chars,
                    min(n_chars) AS min_chars,
                    max(n_chars) AS max_chars,
-                   CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
-                   (CAST(sum(n_chars * n_chars) AS DOUBLE)
-                    - CAST(sum(n_chars) AS DOUBLE) * sum(n_chars) / count(*)) / count(*)
+                   round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+                   round((CAST(sum(n_chars * n_chars) AS DOUBLE)
+                    - CAST(sum(n_chars) AS DOUBLE) * sum(n_chars) / count(*)) / count(*), 6)
                    AS var_pop_chars
             FROM documents GROUP BY lang ORDER BY lang
         """,
@@ -817,7 +833,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q12_exact_dedup": """
             SELECT min(doc_id) AS canonical_id, count(*) AS n_copies,
-                   list_sort(list(doc_id)) AS members
+                   array_to_string(list_sort(list(doc_id)), ',') AS members
             FROM documents
             GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
             ORDER BY canonical_id
@@ -850,7 +866,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
                    max(n_tokens) AS max_tokens, sum(n_chars_m) AS total_chars,
-                   (sum(n_chars_m) - sum(n_tokens) + count(*))::DOUBLE / sum(n_tokens)
+                   round((sum(n_chars_m) - sum(n_tokens) + count(*))::DOUBLE / sum(n_tokens), 6)
                    AS mean_word_len
             FROM d GROUP BY lang ORDER BY lang
         """,

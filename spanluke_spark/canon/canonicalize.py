@@ -21,16 +21,13 @@ from .cc import connected_components
 
 
 def entity_nodes(triples_or_linked: DataFrame, subj_col: str = "subj") -> DataFrame:
-    """Distinct entity keys with dense numeric node ids (zipWithIndex-free:
-    xxhash64 is collision-checked by the dense rank)."""
-    from pyspark.sql import Window
-
+    """Distinct entity keys with numeric node ids via xxhash64(key) — fully
+    partition-parallel (the earlier dense_rank over a global Window funneled
+    every key through ONE task; at web scale that single Exchange is the
+    bottleneck). Collisions (~n^2/2^64) are asserted against in
+    canonicalize_entities; CC correctness is id-agnostic."""
     keys = triples_or_linked.select(F.col(subj_col).alias("key")).distinct()
-    w = Window.orderBy("key")
-    # dense_rank over a global order: acceptable because the ENTITY key space
-    # is orders of magnitude smaller than the page/mention space; for larger
-    # vocabularies swap in monotonically_increasing_id + join.
-    return keys.withColumn("node", F.dense_rank().over(w).cast("long"))
+    return keys.withColumn("node", F.xxhash64("key"))
 
 
 def fuzzy_edges(
@@ -86,6 +83,15 @@ def canonicalize_entities(
     their numeric ids is meaningless (ent:10 ~ ent:12 must NOT merge).
     """
     nodes = entity_nodes(linked_or_triples, subj_col).persist()
+    # xxhash64 collision assert: node ids must be unique per key (cheap on
+    # the persisted entity vocab; a collision would silently merge clusters).
+    n_keys, n_ids = nodes.agg(
+        F.count(F.lit(1)).alias("k"), F.countDistinct("node").alias("n")
+    ).first()
+    if n_keys != n_ids:
+        raise RuntimeError(
+            f"entity_nodes xxhash64 collision: {n_keys} keys -> {n_ids} ids"
+        )
     surf_nodes = nodes.filter(F.col("key").startswith("surf:"))
     edges = exact_edges(surf_nodes).unionByName(fuzzy_edges(surf_nodes, max_distance))
     comp = connected_components(edges, "src", "dst")

@@ -57,13 +57,17 @@ def strict_prf(gold: DataFrame, pred: DataFrame) -> dict:
     }
 
 
-def nervaluate_counts(gold: DataFrame, pred: DataFrame) -> DataFrame:
-    """COR/INC/PAR/MIS/SPU per regime (strict/exact/partial/ent_type) as one
-    DataFrame — (regime, cor, inc, par, mis, spu, precision, recall, f1)."""
+def _pairings(gold: DataFrame, pred: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The two-stage nervaluate pairing shared by overall and per-tag metrics.
+
+    Stage 1: exact-boundary pairing (unique per side by non-overlap).
+    Stage 2: overlap pairing among the leftovers, deterministic greedy —
+    each pred takes the first overlapping gold by (start, end); each gold
+    keeps the first pred by (start, end).
+    Returns (g, p, exact, paired); exact/paired carry g_label and p_label.
+    """
     g = _prep(gold, "g")
     p = _prep(pred, "p")
-
-    # Stage 1: exact-boundary pairing (unique per side by non-overlap).
     exact = g.join(
         p,
         (F.col("g_doc") == F.col("p_doc"))
@@ -71,9 +75,6 @@ def nervaluate_counts(gold: DataFrame, pred: DataFrame) -> DataFrame:
         & (F.col("g_end") == F.col("p_end")),
     ).select("g_doc", "g_start", "g_end", "g_label", "p_label")
 
-    # Stage 2: overlap pairing among the leftovers, deterministic greedy:
-    # each pred takes the first overlapping gold by (start, end); each gold
-    # keeps the first pred by (start, end).
     g_left = g.join(
         exact.select(
             F.col("g_doc").alias("doc"), F.col("g_start").alias("s"), F.col("g_end").alias("e")
@@ -102,36 +103,157 @@ def nervaluate_counts(gold: DataFrame, pred: DataFrame) -> DataFrame:
         .withColumn("_rg", F.row_number().over(w_gold))
         .filter(F.col("_rg") == 1)
     )
+    return g, p, exact, paired
 
-    n_gold = g.count()
-    n_pred = p.count()
-    exact_match = exact.count()
-    exact_type = exact.filter(F.col("g_label") == F.col("p_label")).count()
-    par_match = paired.count()
-    par_type = paired.filter(F.col("g_label") == F.col("p_label")).count()
 
-    # Regime count vectors (nervaluate semantics):
-    rows = []
-    # strict: COR = boundary+type; INC = boundary pairing w/ wrong type AND
-    # overlap pairings; MIS/SPU = unmatched
-    for regime, cor, inc, par in [
-        ("strict", exact_type, (exact_match - exact_type) + par_match, 0),
-        ("exact", exact_match, par_match, 0),
-        ("partial", exact_match, 0, par_match),
-        ("ent_type", exact_type + par_type, (exact_match - exact_type) + (par_match - par_type), 0),
-    ]:
-        mis = n_gold - exact_match - par_match
-        spu = n_pred - exact_match - par_match
-        act = cor + inc + par + spu
-        pos = cor + inc + par + mis
-        prec = (cor + 0.5 * par) / act if act else 0.0
-        rec = (cor + 0.5 * par) / pos if pos else 0.0
-        f1 = 2 * prec * rec / (prec + rec + 1e-9)
-        rows.append((regime, cor, inc, par, mis, spu, prec, rec, f1))
+def _tag_counts(gold: DataFrame, pred: DataFrame) -> DataFrame:
+    """Per-label pairing counts, one lazy plan:
+    (label, n_gold, n_pred, n_exact, n_exact_type, n_par, n_par_type,
+     n_pred_matched). All regime vectors derive from these by arithmetic."""
+    g, p, exact, paired = _pairings(gold, pred)
+    typed = F.count(F.when(F.col("g_label") == F.col("p_label"), 1))
+    by_gold_exact = exact.groupBy(F.col("g_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_exact"), typed.alias("n_exact_type")
+    )
+    by_gold_par = paired.groupBy(F.col("g_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_par"), typed.alias("n_par_type")
+    )
+    n_gold = g.groupBy(F.col("g_label").alias("label")).agg(F.count(F.lit(1)).alias("n_gold"))
+    n_pred = p.groupBy(F.col("p_label").alias("label")).agg(F.count(F.lit(1)).alias("n_pred"))
+    matched_pred = (
+        exact.select(F.col("p_label").alias("label"))
+        .unionByName(paired.select(F.col("p_label").alias("label")))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_pred_matched"))
+    )
+    out = (
+        n_gold.join(n_pred, "label", "full_outer")
+        .join(by_gold_exact, "label", "full_outer")
+        .join(by_gold_par, "label", "full_outer")
+        .join(matched_pred, "label", "full_outer")
+    )
+    zero = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)  # noqa: E731
+    return out.select(
+        "label",
+        *[
+            zero(c)
+            for c in [
+                "n_gold",
+                "n_pred",
+                "n_exact",
+                "n_exact_type",
+                "n_par",
+                "n_par_type",
+                "n_pred_matched",
+            ]
+        ],
+    )
 
-    spark = gold.sparkSession
-    return spark.createDataFrame(
-        rows,
-        "regime string, cor long, inc long, par long, mis long, spu long, "
-        "precision double, recall double, f1 double",
+
+def _regime_rows(counts: DataFrame, extra_cols: list[str]) -> DataFrame:
+    """Expand pairing counts into the 4 nervaluate regimes with P/R/F1
+    expressions (lazy; formulas per module docstring / main.py:326-342)."""
+    ex, ext, pa, pat = (
+        F.col("n_exact"),
+        F.col("n_exact_type"),
+        F.col("n_par"),
+        F.col("n_par_type"),
+    )
+    mis = (F.col("n_gold") - ex - pa).alias("mis")
+    spu = (F.col("n_pred") - F.col("n_pred_matched")).alias("spu")
+    regimes = {
+        "strict": (ext, (ex - ext) + pa, F.lit(0).cast("long")),
+        "exact": (ex, pa, F.lit(0).cast("long")),
+        "partial": (ex, F.lit(0).cast("long"), pa),
+        "ent_type": (ext + pat, (ex - ext) + (pa - pat), F.lit(0).cast("long")),
+    }
+    parts = []
+    for regime, (cor, inc, par) in regimes.items():
+        base = counts.select(
+            *extra_cols,
+            F.lit(regime).alias("regime"),
+            cor.alias("cor"),
+            inc.alias("inc"),
+            par.alias("par"),
+            mis,
+            spu,
+        )
+        act = F.col("cor") + F.col("inc") + F.col("par") + F.col("spu")
+        pos = F.col("cor") + F.col("inc") + F.col("par") + F.col("mis")
+        num = F.col("cor") + 0.5 * F.col("par")
+        prec = F.when(act == 0, F.lit(0.0)).otherwise(num / act)
+        rec = F.when(pos == 0, F.lit(0.0)).otherwise(num / pos)
+        parts.append(
+            base.select(
+                "*",
+                prec.alias("precision"),
+                rec.alias("recall"),
+                (2 * prec * rec / (prec + rec + F.lit(1e-9))).alias("f1"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def nervaluate_counts(gold: DataFrame, pred: DataFrame) -> DataFrame:
+    """COR/INC/PAR/MIS/SPU per regime (strict/exact/partial/ent_type) as one
+    lazy DataFrame — (regime, cor, inc, par, mis, spu, precision, recall, f1).
+    Zero driver-side actions (the previous version fired six count() jobs
+    recomputing the pairing pipeline; now one aggregate over _tag_counts)."""
+    overall = _tag_counts(gold, pred).agg(
+        *[
+            F.sum(c).alias(c)
+            for c in [
+                "n_gold",
+                "n_pred",
+                "n_exact",
+                "n_exact_type",
+                "n_par",
+                "n_par_type",
+                "n_pred_matched",
+            ]
+        ]
+    )
+    return _regime_rows(overall, [])
+
+
+def nervaluate_per_tag(gold: DataFrame, pred: DataFrame) -> DataFrame:
+    """Per-entity-type nervaluate breakdown — the reference's
+    ``results_per_tag`` (legal_ner/main.py:317-342, consumed at 429-443;
+    tuning.py:282-307): (label, regime, cor, inc, par, mis, spu, precision,
+    recall, f1), one row per (label, regime).
+
+    Attribution convention: COR/INC/PAR/MIS are charged to the GOLD label;
+    SPU (unmatched predictions) to the PREDICTED label. (nervaluate's
+    historical SemEval script charges each spurious against every tag; the
+    gold/pred-label convention here is the one actually used for per-type
+    model grading and keeps per-tag counts summing to the overall counts.)
+    """
+    return _regime_rows(_tag_counts(gold, pred), ["label"])
+
+
+def token_accuracy(
+    gold_tokens: DataFrame, pred_tokens: DataFrame, keys: list[str] = ("doc", "pos")
+) -> DataFrame:
+    """Seqeval-style token-level overall accuracy (legal_ner/main.py:296-302):
+    fraction of token positions whose predicted label equals gold. Lazy
+    single-row DataFrame (n_tokens, n_correct, accuracy)."""
+    keys = list(keys)
+    g = gold_tokens.select(*keys, F.col("label").alias("_g_label"))
+    p = pred_tokens.select(*keys, F.col("label").alias("_p_label"))
+    return (
+        g.join(p, keys, "inner")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("_g_label") == F.col("_p_label"), 1)).alias("n_correct"),
+        )
+        .select(
+            "n_tokens",
+            "n_correct",
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(F.col("n_correct").cast("double") / F.col("n_tokens"))
+            .alias("accuracy"),
+        )
     )

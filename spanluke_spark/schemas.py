@@ -172,7 +172,7 @@ ALIAS_DICT = T.StructType(
 LINEAGE = T.StructType(
     [
         T.StructField("run_id", T.StringType(), False),
-        T.StructField("part_key", T.StringType(), False),
+        T.StructField("part_key", T.IntegerType(), False),
         T.StructField("n_pages", T.LongType(), False),
         T.StructField("n_mentions", T.LongType(), False),
         T.StructField("n_triples", T.LongType(), False),
