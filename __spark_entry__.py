@@ -359,24 +359,26 @@ def q16_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q17_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup family: MinHash+LSH candidates with exact-Jaccard verify.
-    xxhash64 has no DuckDB twin -> rows-only check here; bit-level behavior
-    is property-tested in tests/test_textops_dedup.py."""
+    portable=True swaps xxhash64 for the md5-derived hash whose DuckDB twin
+    is bit-identical — the oracle replays signatures/bands/buckets exactly
+    (the production default stays xxhash64; same code path otherwise)."""
     from spanluke_spark.dedup.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return (
-        minhash_lsh_pairs(docs, verify_threshold=0.05)
+        minhash_lsh_pairs(docs, verify_threshold=0.05, portable=True)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
 
 
 def q18_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup family: 64-bit SimHash fingerprints (rows-only; see q17 note)."""
+    """Dedup family: SimHash fingerprints (portable 60-bit mode — exact
+    DuckDB oracle; production default is 63-bit xxhash64)."""
     from spanluke_spark.dedup.dedup import simhash
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return simhash(docs).orderBy("id")
+    return simhash(docs, portable=True).orderBy("id")
 
 
 def q19_event_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -673,6 +675,67 @@ def _langid_sql() -> str:
 _LANGID_SQL = _langid_sql()
 
 
+def _minhash_sql(num_hashes: int = 32, bands: int = 8, threshold: float = 0.05) -> str:
+    """q17 oracle: replays minhash_lsh_pairs(portable=True) exactly — same
+    universal-hash constants, same polynomial band combiner, same verify."""
+    from spanluke_spark.dedup.dedup import BUCKET_BASE, P31, universal_hash_constants
+
+    consts = universal_hash_constants(num_hashes)
+    mh_defs = ",\n                   ".join(
+        f"min((bh * {a} + {b}) % {P31}) AS mh_{i}" for i, (a, b) in enumerate(consts)
+    )
+    rows = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        expr = "0"
+        for r in range(rows):
+            expr = f"(({expr}) * {BUCKET_BASE} + mh_{b * rows + r}) % {P31}"
+        band_selects.append(f"SELECT id, {b} AS band, {expr} AS bucket FROM sig")
+    bands_sql = "\n            UNION ALL ".join(band_selects)
+    return f"""
+        WITH t AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents),
+        s AS (
+            SELECT id,
+                   list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+            FROM t WHERE len(toks) >= 3
+        ), e AS (SELECT id, unnest(sh) AS shingle FROM s),
+        h AS (SELECT id, (('0x' || substr(md5(shingle),1,15))::BIGINT) % {P31} AS bh FROM e),
+        sig AS (SELECT id, {mh_defs} FROM h GROUP BY id),
+        bb AS ({bands_sql}),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+            WHERE a.id < b.id
+        ),
+        verified AS (
+            SELECT id_a, id_b,
+                   len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+            FROM cand JOIN s sa ON cand.id_a = sa.id JOIN s sb ON cand.id_b = sb.id
+        )
+        SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+        FROM verified WHERE jaccard >= {threshold}
+        ORDER BY id_a, id_b
+    """
+
+
+def _simhash_sql(n_bits: int = 60) -> str:
+    """q18 oracle: replays simhash(portable=True) bit-for-bit."""
+    vote_defs = ",\n                   ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(n_bits)
+    )
+    sim_expr = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(n_bits))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id AS id, unnest(string_split(trim(text), ' ')) AS tok
+            FROM documents WHERE doc_id < 100
+        ), h AS (SELECT id, ('0x' || substr(md5(tok),1,15))::BIGINT AS h FROM toks),
+        votes AS (SELECT id, {vote_defs} FROM h GROUP BY id)
+        SELECT id, CAST({sim_expr} AS BIGINT) AS simhash FROM votes ORDER BY id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": """
@@ -881,6 +944,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id < 50 ORDER BY doc_id
         """,
         "q16_langid": _LANGID_SQL,
+        "q17_minhash_neardup": _minhash_sql(),
+        "q18_simhash": _simhash_sql(),
         "q19_event_moving_window": """
             SELECT user_id, event_id,
                    sum(value) OVER w AS moving_sum,

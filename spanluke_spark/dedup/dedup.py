@@ -19,6 +19,34 @@ def normalize_text(col: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+# ---------------------------------------------------------------------------
+# Hash plumbing: xxhash64 (fast JVM default) vs a portable md5-derived hash
+# whose DuckDB twin is ('0x' || substr(md5(s),1,15))::BIGINT — bit-identical
+# across engines (60-bit, non-negative), enabling exact SQL oracles for the
+# MinHash/SimHash family.
+# ---------------------------------------------------------------------------
+
+P31 = 2147483647  # Mersenne prime 2^31 - 1
+BUCKET_BASE = 1_000_003  # polynomial band combiner (portable mode)
+
+
+def portable_hash64(col: Column) -> Column:
+    """60-bit deterministic hash computable identically in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def universal_hash_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """(a_i, b_i) for the 31-bit universal family h_i(x) = (a_i*x + b_i) mod
+    P31 — derived from fixed multiplicative constants, identical everywhere
+    (shared by the Spark plan and the generated oracle SQL)."""
+    out = []
+    for i in range(num_hashes):
+        a = ((i * 2 + 1) * 0x9E3779B9) % P31 or 1
+        b = (i * 0xC2B2AE3D + 0x165667B1) % P31
+        out.append((a, b))
+    return out
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact duplicates by normalized content: (canonical_id, n_dups, members).
     One partial+final hash aggregate; canonical = min id (deterministic)."""
@@ -82,25 +110,25 @@ def minhash_signature(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 32,
+    portable: bool = False,
 ) -> DataFrame:
-    """MinHash signature per doc: h_i(s) = (a_i * xxhash64(s) + b_i) mod M61,
+    """MinHash signature per doc: h_i(s) = (a_i * base_h(s) + b_i) mod P31,
     min per hash family — all in one exploded aggregate (partial+final min).
-    (a_i, b_i) derive from a fixed seed via xxhash64 of literals: deterministic
-    on every worker, no RNG state."""
+    (a_i, b_i) are fixed constants: deterministic on every worker, no RNG.
+
+    base_h = xxhash64 (default; fastest, JVM codegen) or the portable
+    md5-derived hash (``portable=True``) whose DuckDB twin is exact — used
+    by the correctness oracle. 31-bit universal hashing keeps every
+    intermediate below 2^62 — no ANSI long overflow, still codegen."""
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
     )
-    # 31-bit universal hashing: (a*h + b) mod p with h,a,b < 2^31 keeps every
-    # intermediate below 2^62 — no ANSI long overflow, still JVM codegen.
-    P31 = 2147483647  # Mersenne prime 2^31 - 1
-    base_h = F.pmod(F.xxhash64("shingle"), F.lit(P31))
-    aggs = []
-    for i in range(num_hashes):
-        a = ((i * 2 + 1) * 0x9E3779B9) % P31 or 1
-        b = (i * 0xC2B2AE3D + 0x165667B1) % P31
-        aggs.append(
-            F.min(F.pmod(base_h * F.lit(a) + F.lit(b), F.lit(P31))).alias(f"mh_{i}")
-        )
+    raw = portable_hash64(F.col("shingle")) if portable else F.xxhash64("shingle")
+    base_h = F.pmod(raw, F.lit(P31))
+    aggs = [
+        F.min(F.pmod(base_h * F.lit(a) + F.lit(b), F.lit(P31))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(universal_hash_constants(num_hashes))
+    ]
     return sh.groupBy("id").agg(*aggs)
 
 
@@ -112,20 +140,29 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     verify_threshold: float | None = 0.7,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup candidates; optional exact-Jaccard verify.
 
     Docs agreeing on ALL rows of any band become candidates (equi-join on
-    (band, xxhash64(band rows))) — candidate volume ~ collisions, not |D|^2.
+    (band, bucket)) — candidate volume ~ collisions, not |D|^2. Bucket =
+    xxhash64 of the band's signature rows (default) or a polynomial
+    combiner mod P31 (``portable=True``, SQL-oracle-expressible).
     """
-    sig = minhash_signature(df, id_col, text_col, n, num_hashes)
+    sig = minhash_signature(df, id_col, text_col, n, num_hashes, portable=portable)
     rows_per_band = num_hashes // bands
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-            f"band_{b}"
-        )
-        for b in range(bands)
-    ]
+
+    def band_bucket(b: int) -> Column:
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if not portable:
+            return F.xxhash64(*cols)
+        acc: Column = F.lit(0).cast("long")
+        for c in cols:
+            # acc < 2^31, acc*BASE < 2^51, +mh < 2^51 — overflow-free
+            acc = F.pmod(acc * F.lit(BUCKET_BASE) + c, F.lit(P31))
+        return acc
+
+    band_cols = [band_bucket(b).alias(f"band_{b}") for b in range(bands)]
     banded = sig.select("id", *band_cols)
     stacked = banded.select(
         "id",
@@ -161,23 +198,27 @@ def minhash_lsh_pairs(
     return verified
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over whitespace tokens: per bit, sign of the sum of
-    (+1/-1) votes from each token's xxhash64 — expressed as 64 conditional
-    sums in ONE aggregate (no Python, no explode-per-bit)."""
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", portable: bool = False
+) -> DataFrame:
+    """SimHash over whitespace tokens: per bit, sign of the sum of (+1/-1)
+    votes from each token's hash — expressed as N conditional sums in ONE
+    aggregate (no Python, no explode-per-bit). Default: 63 bits of xxhash64;
+    ``portable=True``: 60 bits of the md5-derived hash (exact DuckDB twin)."""
+    n_bits = 60 if portable else 63
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(F.split(F.trim(text_col), r"\s+")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", portable_hash64(F.col("tok")) if portable else F.xxhash64("tok"))
     # bit test via unsigned shift — a literal 1<<63 would overflow signed long
     bit_aggs = [
         F.sum(
             F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     votes = toks.groupBy("id").agg(*bit_aggs)
     sim = F.lit(0).cast("long")
-    for i in range(63):  # top bit left 0 to stay in signed range
+    for i in range(n_bits):
         sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return votes.select("id", sim.alias("simhash"))
 
