@@ -598,6 +598,51 @@ def q32_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q33_per_tag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 per-entity-type nervaluate breakdown (legal_ner/main.py:317-342):
+    synthetic gold/pred span sets from lineitem — width-1 spans, so the
+    overlap stage is provably empty and every regime is SQL-expressible;
+    the full 4-regime overlap pairing is parity-tested in tests/."""
+    from spanluke_spark.evaluation.metrics import nervaluate_per_tag
+
+    li = _t(spark, sf_dir, "lineitem")
+    gold = (
+        li.filter(F.col("l_discount") > 0.06)
+        .groupBy(F.col("l_orderkey").alias("doc"), F.col("l_linenumber").alias("start"))
+        .agg(F.min("l_returnflag").alias("label"))
+        .select("doc", "start", (F.col("start") + 1).alias("end"), "label")
+    )
+    pred = (
+        li.filter(F.col("l_tax") > 0.05)
+        .groupBy(F.col("l_orderkey").alias("doc"), F.col("l_linenumber").alias("start"))
+        .agg(
+            F.min(
+                F.when(F.col("l_tax") > 0.07, F.col("l_returnflag")).otherwise(F.lit("X"))
+            ).alias("label")
+        )
+        .select("doc", "start", (F.col("start") + 1).alias("end"), "label")
+    )
+    return nervaluate_per_tag(gold, pred).orderBy("label", "regime")
+
+
+def q34_token_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 seqeval-style token-level accuracy (legal_ner/main.py:296-302):
+    fraction of positions whose predicted label equals gold."""
+    from spanluke_spark.evaluation.metrics import token_accuracy
+
+    li = _t(spark, sf_dir, "lineitem")
+    key = [F.col("l_orderkey").alias("doc"), F.col("l_linenumber").alias("pos")]
+    gold = li.groupBy(*key).agg(F.min("l_returnflag").alias("label"))
+    pred = li.groupBy(*key).agg(
+        F.min(
+            F.when(F.col("l_quantity") > 25, F.col("l_returnflag")).otherwise(
+                F.col("l_linestatus")
+            )
+        ).alias("label")
+    )
+    return token_accuracy(gold, pred)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -632,6 +677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_argmax_per_group": q30_argmax_per_group,
         "q31_union_mentions": q31_union_mentions,
         "q32_json_props": q32_json_props,
+        "q33_per_tag_metrics": q33_per_tag_metrics,
+        "q34_token_accuracy": q34_token_accuracy,
     }
 
 
@@ -1132,5 +1179,79 @@ def oracle_sql() -> dict[str, str]:
                    max(json_extract(props, '$.k')::INT) AS max_k,
                    count(*) AS n
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q33_per_tag_metrics": """
+            WITH gold AS (
+                SELECT l_orderkey AS doc, l_linenumber AS start, min(l_returnflag) AS label
+                FROM lineitem WHERE l_discount > 0.06 GROUP BY 1, 2
+            ), pred AS (
+                SELECT l_orderkey AS doc, l_linenumber AS start,
+                       min(CASE WHEN l_tax > 0.07 THEN l_returnflag ELSE 'X' END) AS label
+                FROM lineitem WHERE l_tax > 0.05 GROUP BY 1, 2
+            ), ex AS (
+                SELECT g.label AS g_label, p.label AS p_label
+                FROM gold g JOIN pred p ON g.doc = p.doc AND g.start = p.start
+            ), labels AS (
+                SELECT DISTINCT label FROM (SELECT label FROM gold UNION SELECT label FROM pred)
+            ), cnt_gold AS (SELECT label, count(*) AS n_gold FROM gold GROUP BY label),
+            cnt_pred AS (SELECT label, count(*) AS n_pred FROM pred GROUP BY label),
+            cnt_ex_g AS (
+                SELECT g_label AS label, count(*) AS n_exact,
+                       count(CASE WHEN g_label = p_label THEN 1 END) AS n_exact_type
+                FROM ex GROUP BY g_label
+            ), cnt_ex_p AS (SELECT p_label AS label, count(*) AS n_matched FROM ex GROUP BY p_label),
+            base AS (
+                SELECT l.label,
+                       COALESCE(n_gold, 0) AS n_gold, COALESCE(n_pred, 0) AS n_pred,
+                       COALESCE(n_exact, 0) AS n_exact,
+                       COALESCE(n_exact_type, 0) AS n_exact_type,
+                       COALESCE(n_matched, 0) AS n_matched
+                FROM labels l
+                LEFT JOIN cnt_gold USING (label) LEFT JOIN cnt_pred USING (label)
+                LEFT JOIN cnt_ex_g USING (label) LEFT JOIN cnt_ex_p USING (label)
+            ), regimes AS (
+                SELECT label, 'strict' AS regime, n_exact_type AS cor,
+                       n_exact - n_exact_type AS inc, 0 AS par,
+                       n_gold - n_exact AS mis, n_pred - n_matched AS spu FROM base
+                UNION ALL
+                SELECT label, 'exact', n_exact, 0, 0, n_gold - n_exact, n_pred - n_matched FROM base
+                UNION ALL
+                SELECT label, 'partial', n_exact, 0, 0, n_gold - n_exact, n_pred - n_matched FROM base
+                UNION ALL
+                SELECT label, 'ent_type', n_exact_type, n_exact - n_exact_type, 0,
+                       n_gold - n_exact, n_pred - n_matched FROM base
+            ), pr AS (
+                SELECT label, regime,
+                       CAST(cor AS BIGINT) AS cor, CAST(inc AS BIGINT) AS inc,
+                       CAST(par AS BIGINT) AS par, CAST(mis AS BIGINT) AS mis,
+                       CAST(spu AS BIGINT) AS spu,
+                       CASE WHEN cor + inc + par + spu = 0 THEN 0.0
+                            ELSE (cor + 0.5 * par) / (cor + inc + par + spu) END AS precision,
+                       CASE WHEN cor + inc + par + mis = 0 THEN 0.0
+                            ELSE (cor + 0.5 * par) / (cor + inc + par + mis) END AS recall
+                FROM regimes
+            )
+            SELECT label, regime, cor, inc, par, mis, spu, precision, recall,
+                   2 * precision * recall / (precision + recall + 1e-9) AS f1
+            FROM pr ORDER BY label, regime
+        """,
+        "q34_token_accuracy": """
+            WITH gold AS (
+                SELECT l_orderkey AS doc, l_linenumber AS pos, min(l_returnflag) AS label
+                FROM lineitem GROUP BY 1, 2
+            ), pred AS (
+                SELECT l_orderkey AS doc, l_linenumber AS pos,
+                       min(CASE WHEN l_quantity > 25 THEN l_returnflag ELSE l_linestatus END)
+                       AS label
+                FROM lineitem GROUP BY 1, 2
+            ), j AS (
+                SELECT g.label AS gl, p.label AS pl FROM gold g JOIN pred p USING (doc, pos)
+            )
+            SELECT count(*) AS n_tokens,
+                   count(CASE WHEN gl = pl THEN 1 END) AS n_correct,
+                   CASE WHEN count(*) = 0 THEN 0.0
+                        ELSE count(CASE WHEN gl = pl THEN 1 END)::DOUBLE / count(*) END
+                   AS accuracy
+            FROM j
         """,
     }

@@ -12,9 +12,12 @@ DEV_JSON = "/root/reference/legal_ner/data/NER_DEV/NER_DEV_ALL.json"
 
 
 def test_ener_loader(spark):
-    """Native NDJSON scan of the bundled E-NER split (measured: 9,354/2,339)."""
-    train = spark.read.json(ENER_TRAIN)
-    test = spark.read.json(ENER_TEST)
+    """Native NDJSON scan of the bundled E-NER split (measured: 9,354/2,339)
+    via the package API (etl.ener; reference utils/dataset.py:138-155)."""
+    from spanluke_spark.etl.ener import read_ener
+
+    train = read_ener(spark, ENER_TRAIN)
+    test = read_ener(spark, ENER_TEST)
     assert train.count() == 9354 and test.count() == 2339
     assert {"tokens", "ner_tags"} <= set(train.columns)
     tags = train.select(F.explode("ner_tags").alias("t")).agg(
@@ -25,6 +28,24 @@ def test_ener_loader(spark):
     # every record aligns tokens<->tags
     misaligned = train.filter(F.size("tokens") != F.size("ner_tags")).count()
     assert misaligned == 0
+
+
+def test_ener_token_labels(spark):
+    """BIO vocab lookup (main.py:267-280): id 0 -> 'O', ids map into the
+    deterministic ["O"] + B-* + I-* list; token rows align positionally."""
+    from spanluke_spark.etl.ener import ener_label_list, ener_token_labels, read_ener
+
+    vocab = ener_label_list()
+    assert vocab[0] == "O" and len(vocab) == 15
+    toks = ener_token_labels(read_ener(spark, ENER_TEST).limit(50))
+    rows = toks.collect()
+    assert all(r.label == vocab[r.tag_id] for r in rows)
+    # positions are dense per row_id starting at 0
+    first = toks.groupBy("row_id").agg(
+        F.min("pos").alias("lo"), F.max("pos").alias("hi"), F.count("*").alias("n")
+    )
+    bad = first.filter((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1)).count()
+    assert bad == 0
 
 
 def test_corpus_stats_match_numpy(spark):
