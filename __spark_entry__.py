@@ -643,6 +643,27 @@ def q34_token_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_accuracy(gold, pred)
 
 
+def q35_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 real subword path: greedy longest-match WordPiece over the frozen
+    corpus vocabulary (etl/wordpiece.py; reference dataset.py:163-189) —
+    per-doc subtoken counts + first-subtoken lengths. The oracle replays the
+    same greedy split via a recursive CTE over the same vocabulary."""
+    from spanluke_spark.etl.wordpiece import wordpiece_rows
+    from spanluke_spark.fixtures import WORDPIECE_VOCAB
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sub = wordpiece_rows(docs, ["doc_id"], WORDPIECE_VOCAB)
+    return (
+        sub.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_subtokens"),
+            F.count(F.when(F.col("sub_idx") == 0, 1)).alias("n_words"),
+            F.sum(F.when(F.col("sub_idx") == 0, F.length("subtoken"))).alias("sum_first_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -679,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_json_props": q32_json_props,
         "q33_per_tag_metrics": q33_per_tag_metrics,
         "q34_token_accuracy": q34_token_accuracy,
+        "q35_wordpiece": q35_wordpiece,
     }
 
 
@@ -764,6 +786,44 @@ def _minhash_sql(num_hashes: int = 32, bands: int = 8, threshold: float = 0.05) 
         SELECT id_a, id_b, round(jaccard, 6) AS jaccard
         FROM verified WHERE jaccard >= {threshold}
         ORDER BY id_a, id_b
+    """
+
+
+def _wordpiece_sql() -> str:
+    """q35 oracle: replays the greedy longest-match WordPiece split as a
+    recursive CTE over the same frozen vocabulary (fixtures.WORDPIECE_VOCAB)."""
+    from spanluke_spark.fixtures import WORDPIECE_VOCAB
+
+    def in_list(ln: int) -> str:
+        units = [u for u in WORDPIECE_VOCAB if len(u) == ln]
+        return ", ".join("'" + u.replace("'", "''") + "'" for u in units)
+
+    return f"""
+        WITH RECURSIVE w AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word,
+                   unnest(range(0, len(string_split(text, ' ')))) AS word_id
+            FROM documents WHERE doc_id < 200
+        ), steps AS (
+            SELECT doc_id, word_id, word, 0 AS pos, 0 AS n_sub, 0 AS first_len
+            FROM w
+            UNION ALL
+            SELECT doc_id, word_id, word, pos + st, n_sub + 1,
+                   CASE WHEN n_sub = 0 THEN st ELSE first_len END
+            FROM (
+                SELECT steps.*, CASE
+                    WHEN len(word) - pos >= 4 AND substr(word, pos + 1, 4) IN ({in_list(4)}) THEN 4
+                    WHEN len(word) - pos >= 3 AND substr(word, pos + 1, 3) IN ({in_list(3)}) THEN 3
+                    WHEN len(word) - pos >= 2 AND substr(word, pos + 1, 2) IN ({in_list(2)}) THEN 2
+                    ELSE 1 END AS st
+                FROM steps WHERE pos < len(word)
+            )
+        ), done AS (
+            SELECT doc_id, word_id, n_sub, first_len FROM steps WHERE pos = len(word)
+        )
+        SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n_subtokens,
+               count(*) AS n_words,
+               CAST(sum(first_len) AS BIGINT) AS sum_first_len
+        FROM done GROUP BY doc_id ORDER BY doc_id
     """
 
 
@@ -993,6 +1053,7 @@ def oracle_sql() -> dict[str, str]:
         "q16_langid": _LANGID_SQL,
         "q17_minhash_neardup": _minhash_sql(),
         "q18_simhash": _simhash_sql(),
+        "q35_wordpiece": _wordpiece_sql(),
         "q19_event_moving_window": """
             SELECT user_id, event_id,
                    sum(value) OVER w AS moving_sum,

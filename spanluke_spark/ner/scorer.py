@@ -37,6 +37,18 @@ def normalize_surface(tokens: tuple[str, ...] | list[str]) -> str:
     return " ".join(t.lower() for t in tokens)
 
 
+def py_softmax(xs: list[float]) -> list[float]:
+    """F6: numerically-stable softmax (max-shifted) — the normalization the
+    reference applies to span logits before decode (legal_ner/main.py:356
+    ``softmax(outputs.logits, dim=-1)``)."""
+    import math
+
+    m = max(xs)
+    exps = [math.exp(x - m) for x in xs]
+    s = sum(exps)
+    return [e / s for e in exps]
+
+
 class Gazetteer:
     """Deterministic surface -> entity-type dictionary.
 
@@ -111,6 +123,73 @@ class GazetteerTokenScorer:
                     break
             i += matched if matched else 1
         return out
+
+
+class TorchSpanScorer:
+    """Production span-scorer backend (SURVEY §7.0): the same
+    ``score_sentence`` contract as :class:`HashedGazetteerSpanScorer`, backed
+    by a TorchScript span-classification model (SpanMarker/LUKE-shaped —
+    legal_ner/main.py:344-413 span scoring, inference.py:47-50 argmax).
+
+    torch is imported lazily on first use, so the class is importable and
+    broadcastable in torch-less environments (this sandbox); instantiation
+    is cheap and the model loads once per executor process. ``backend`` is
+    the injection seam: any callable mapping a batch of span surfaces to
+    per-span logit rows — tests plug a deterministic fake through it, and
+    the pipeline functions accept a ``scorer_factory`` so either backend
+    drops into the same fused Arrow kernel.
+    """
+
+    def __init__(
+        self,
+        model_path: str | None,
+        label_to_idx: dict[str, int],
+        outside_id: int = 0,
+        batch_size: int = 128,
+        backend=None,
+    ):
+        self.model_path = model_path
+        self.label_to_idx = label_to_idx
+        self.outside_id = outside_id
+        self.batch_size = batch_size
+        self._backend = backend
+
+    def _load_backend(self):
+        if self._backend is None:
+            try:
+                import torch
+            except ImportError as exc:  # pragma: no cover - torch-less sandbox
+                raise ImportError(
+                    "TorchSpanScorer needs torch (pip install torch) or an "
+                    "injected backend(surfaces) -> logits callable"
+                ) from exc
+            model = torch.jit.load(self.model_path).eval()
+
+            def _backend(surfaces: list[str]) -> list[list[float]]:
+                with torch.no_grad():
+                    return model(surfaces).tolist()
+
+            self._backend = _backend
+        return self._backend
+
+    def score_sentence(
+        self, tokens: list[str], max_length: int = ENTITY_MAX_LENGTH
+    ) -> tuple[list[tuple[int, int]], list[float], list[int]]:
+        """Returns (spans, scores, pred_label_ids) in reference span order —
+        softmax over logits, argmax class, max-prob score (first max wins on
+        ties, matching np.argmax)."""
+        spans = py_enumerate_spans(len(tokens), max_length)
+        backend = self._load_backend()
+        surfaces = [" ".join(tokens[s:e]) for s, e in spans]
+        scores: list[float] = []
+        preds: list[int] = []
+        for i in range(0, len(surfaces), self.batch_size):
+            for logits in backend(surfaces[i : i + self.batch_size]):
+                probs = py_softmax(list(logits))
+                pid = max(range(len(probs)), key=lambda j: (probs[j], -j))
+                preds.append(pid)
+                scores.append(float(probs[pid]))
+        return spans, scores, preds
 
 
 class HashedGazetteerSpanScorer:

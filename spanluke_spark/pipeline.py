@@ -91,9 +91,15 @@ def extract_mentions_span(
     entities: list[str] | None = None,
     max_length: int = ENTITY_MAX_LENGTH,
     parallelism: int | None = None,
+    scorer_factory=None,
 ) -> DataFrame:
-    """Span path (§2.9 + M2 + W2): enumerate spans, score (surrogate), greedy
-    non-overlap decode — main.py:344-413 semantics, fused into one kernel."""
+    """Span path (§2.9 + M2 + W2): enumerate spans, score, greedy non-overlap
+    decode — main.py:344-413 semantics, fused into one kernel.
+
+    ``scorer_factory`` (picklable zero-arg callable returning an object with
+    the ``score_sentence`` contract) swaps the scoring backend — e.g.
+    ``lambda: TorchSpanScorer(path, enc)`` — built once per Arrow batch
+    iterator (executor-local singleton); default is the gazetteer surrogate."""
     entities = entities or LEGALNER_ENTITIES
     enc = encoding_a(entities)
     inv = idx_to_label(enc)
@@ -103,8 +109,10 @@ def extract_mentions_span(
     df = repartition_for_extraction(df, id_cols, parallelism)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        scorer = HashedGazetteerSpanScorer(
-            Gazetteer.from_broadcastable(gaz_dict), enc, outside_id
+        scorer = (
+            scorer_factory()
+            if scorer_factory is not None
+            else HashedGazetteerSpanScorer(Gazetteer.from_broadcastable(gaz_dict), enc, outside_id)
         )
         for pdf in batches:
             rows: dict[str, list] = {c: [] for c in id_cols}
@@ -142,6 +150,7 @@ def extract_mentions_from_pages(
     entities: list[str] | None = None,
     max_length: int = ENTITY_MAX_LENGTH,
     parallelism: int | None = None,
+    scorer_factory=None,
 ) -> DataFrame:
     """Fused hot path: HTML -> text -> tokenize -> span score -> greedy decode
     in ONE Python hop.
@@ -150,6 +159,7 @@ def extract_mentions_from_pages(
     workers and ping-pongs each batch JVM<->Python twice — measured 3-5x
     slower at full core width. The fused kernel touches the binary column once
     and emits only mention rows (html never reaches a shuffle).
+    ``scorer_factory`` swaps the scoring backend (see extract_mentions_span).
     """
     from .etl.extract import py_html_to_text
 
@@ -163,8 +173,10 @@ def extract_mentions_from_pages(
     pages = repartition_for_extraction(pages, id_cols, parallelism)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        scorer = HashedGazetteerSpanScorer(
-            Gazetteer.from_broadcastable(gaz_dict), enc, outside_id
+        scorer = (
+            scorer_factory()
+            if scorer_factory is not None
+            else HashedGazetteerSpanScorer(Gazetteer.from_broadcastable(gaz_dict), enc, outside_id)
         )
         for pdf in batches:
             rows: dict[str, list] = {c: [] for c in id_cols}
