@@ -664,6 +664,37 @@ def q35_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q36_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup family: cosine-threshold embedding near-dup pairs (brute path
+    pinned for the oracle; method='auto' switches to LSH above 50k rows)."""
+    from spanluke_spark.dedup.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return (
+        embedding_neardup_pairs(emb, threshold=0.3, method="brute")
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_r"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q37_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: BPE-ish regex token counting (tokenizer-cost estimate)
+    aggregated per language."""
+    from spanluke_spark.textops.quality import bpe_ish_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        bpe_ish_token_count(docs.select("lang", "text"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_bpe_tokens").alias("total_bpe"),
+            F.max("n_bpe_tokens").alias("max_bpe"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -701,6 +732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_per_tag_metrics": q33_per_tag_metrics,
         "q34_token_accuracy": q34_token_accuracy,
         "q35_wordpiece": q35_wordpiece,
+        "q36_embedding_neardup": q36_embedding_neardup,
+        "q37_bpe_tokens": q37_bpe_tokens,
     }
 
 
@@ -1295,6 +1328,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, regime, cor, inc, par, mis, spu, precision, recall,
                    2 * precision * recall / (precision + recall + 1e-9) AS f1
             FROM pr ORDER BY label, regime
+        """,
+        "q36_embedding_neardup": """
+            WITH e AS (
+                SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+            ), p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_sum(list_transform(range(1, len(a.embedding) + 1),
+                           i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                              i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+                        * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                              i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS cos_sim
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(cos_sim, 6) AS cos_r
+            FROM p WHERE cos_sim >= 0.3 ORDER BY id_a, id_b
+        """,
+        "q37_bpe_tokens": """
+            WITH d AS (
+                SELECT lang,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS n_bpe
+                FROM documents
+            )
+            SELECT lang, CAST(sum(n_bpe) AS BIGINT) AS total_bpe,
+                   CAST(max(n_bpe) AS BIGINT) AS max_bpe, count(*) AS n_docs
+            FROM d GROUP BY lang ORDER BY lang
         """,
         "q34_token_accuracy": """
             WITH gold AS (

@@ -79,15 +79,29 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard, blocked on shared
-    shingles (pairs with zero common shingles never shuffle)."""
-    base = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
-    ).withColumn("sh_count", F.size("sh"))
-    ex = base.select("id", "sh_count", F.explode("sh").alias("shingle"))
-    a = ex.select(F.col("id").alias("id_a"), F.col("sh_count").alias("cnt_a"), "shingle")
-    b = ex.select(F.col("id").alias("id_b"), F.col("sh_count").alias("cnt_b"), "shingle")
+    shingles (pairs with zero common shingles never shuffle).
+
+    ``max_df`` caps shingle document-frequency BEFORE the self-join: one
+    stop-phrase shingle shared by 10^6 docs would otherwise emit ~10^12
+    candidate pairs. Shingles above the cap are dropped from the universe on
+    BOTH the intersection and the per-doc counts, so the result is the exact
+    Jaccard over the df-filtered shingle space (identical to the unfiltered
+    Jaccard whenever no shingle exceeds the cap, e.g. at test SF)."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    if max_df is not None:
+        dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        ex = ex.join(dfreq.filter(F.col("_df") <= max_df).select("shingle"), "shingle")
+    counted = ex.join(
+        ex.groupBy("id").agg(F.count(F.lit(1)).alias("sh_count")), "id"
+    )
+    a = counted.select(F.col("id").alias("id_a"), F.col("sh_count").alias("cnt_a"), "shingle")
+    b = counted.select(F.col("id").alias("id_b"), F.col("sh_count").alias("cnt_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -232,9 +246,25 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    method: str = "auto",
+    brute_limit: int = 50_000,
 ) -> DataFrame:
-    """Cosine-threshold near-dup pairs over an embedding column (brute-force
-    with broadcast; swap in link.ann.lsh_topk for the billion-row path)."""
+    """Cosine-threshold near-dup pairs over an embedding column.
+
+    method="brute": exact all-pairs with a broadcast side — fine for small
+    candidate tables, a scale-killer as a default. method="lsh": banded
+    hyperplane LSH (link.ann.lsh_threshold_pairs) — candidates ~ bucket
+    collisions. method="auto" (default) counts the table once and switches
+    to LSH above ``brute_limit`` rows, so the scale path is the default
+    rather than an opt-in."""
+    if method not in ("auto", "brute", "lsh"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "auto":
+        method = "brute" if emb.count() <= brute_limit else "lsh"
+    if method == "lsh":
+        from ..link.ann import lsh_threshold_pairs
+
+        return lsh_threshold_pairs(emb, id_col, vec_col, threshold)
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), norm.alias("n"))
     a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))

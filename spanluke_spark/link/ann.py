@@ -76,6 +76,60 @@ def _deterministic_planes(dim: int, n_planes: int, seed: str = "spanluke-lsh") -
     return out
 
 
+def _plane_dot(vec: str | F.Column, plane: list[float]) -> F.Column:
+    """Dot of a vector column with a literal hyperplane, dimension-safe:
+    both sides are sliced to min(len(vec), len(plane)) so a non-64-dim
+    embedding degrades to the leading dims instead of NULLing every bit
+    (zip_with pads the shorter array with nulls otherwise)."""
+    p = F.array(*[F.lit(v) for v in plane])
+    n = F.least(F.size(vec) if isinstance(vec, str) else F.size(vec), F.lit(len(plane)))
+    return F.aggregate(
+        F.zip_with(
+            F.slice(vec, F.lit(1), n),
+            F.slice(p, F.lit(1), n),
+            lambda x, y: x.cast("double") * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def hyperplane_signature(
+    df: DataFrame,
+    id_col: str,
+    vec: str,
+    side: str,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-bit random-hyperplane signature split into bands, stacked to
+    (id, _<side>v, _<side>n, band, bucket) rows — the shared LSH front-end
+    for top-k search and threshold near-dup pairing."""
+    planes = _deterministic_planes(dim, n_planes)
+    bits_per_band = n_planes // n_bands
+    sig_bits = [
+        F.when(_plane_dot(vec, plane) >= 0, 1).otherwise(0) for plane in planes
+    ]
+    bands = []
+    for b in range(n_bands):
+        expr = F.lit(0)
+        for i in range(bits_per_band):
+            expr = expr * 2 + sig_bits[b * bits_per_band + i]
+        bands.append(expr.alias(f"_band{b}"))
+    wide = df.select(
+        id_col, F.col(vec).alias(f"_{side}v"), _norm_col(vec).alias(f"_{side}n"), *bands
+    )
+    return wide.select(
+        id_col,
+        f"_{side}v",
+        f"_{side}n",
+        F.posexplode(F.array(*[F.col(f"_band{b}") for b in range(n_bands)])).alias(
+            "band", "bucket"
+        ),
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -86,6 +140,7 @@ def lsh_topk(
     c_id: str = "c_id",
     q_vec: str = "q_vec",
     c_vec: str = "c_vec",
+    dim: int = 64,
 ) -> DataFrame:
     """Random-hyperplane LSH: sign-bit signature split into bands; vectors
     sharing any band bucket become candidate pairs; exact cosine rerank.
@@ -93,34 +148,8 @@ def lsh_topk(
     Recall < 1 by construction (ANN); bucket join is an equi-join on
     (band, bucket) so Catalyst shuffles only colliding pairs.
     """
-    dim = 64  # driver embeddings are dim-64; planes are sliced if shorter
-    planes = _deterministic_planes(dim, n_planes)
-    bits_per_band = n_planes // n_bands
-
-    def signature(df: DataFrame, id_col: str, vec: str, side: str) -> DataFrame:
-        sig_bits = [
-            F.when(_dot(F.col(vec), F.array(*[F.lit(v) for v in plane])) >= 0, 1).otherwise(0)
-            for plane in planes
-        ]
-        bands = []
-        for b in range(n_bands):
-            expr = F.lit(0)
-            for i in range(bits_per_band):
-                expr = expr * 2 + sig_bits[b * bits_per_band + i]
-            bands.append(expr.alias(f"_band{b}"))
-        wide = df.select(id_col, F.col(vec).alias(f"_{side}v"), _norm_col(vec).alias(f"_{side}n"), *bands)
-        stacked = wide.select(
-            id_col,
-            f"_{side}v",
-            f"_{side}n",
-            F.posexplode(F.array(*[F.col(f"_band{b}") for b in range(n_bands)])).alias(
-                "band", "bucket"
-            ),
-        )
-        return stacked
-
-    qs = signature(queries, q_id, q_vec, "q")
-    cs = signature(candidates, c_id, c_vec, "c")
+    qs = hyperplane_signature(queries, q_id, q_vec, "q", n_planes, n_bands, dim)
+    cs = hyperplane_signature(candidates, c_id, c_vec, "c", n_planes, n_bands, dim)
     pairs = (
         qs.join(cs, ["band", "bucket"])
         .select(q_id, c_id, "_qv", "_cv", "_qn", "_cn")
@@ -138,4 +167,43 @@ def lsh_topk(
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(q_id, c_id, "cos_sim", "rank")
+    )
+
+
+def lsh_threshold_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Cosine-threshold near-dup pairs via banded hyperplane LSH — the
+    billion-row path for dedup.embedding_neardup_pairs: candidate volume is
+    bucket collisions, not |D|^2 (approximate: pairs missing every band
+    bucket are not recalled)."""
+    a = hyperplane_signature(emb, id_col, vec_col, "a", n_planes, n_bands, dim).select(
+        F.col(id_col).alias("id_a"), "_av", "_an", "band", "bucket"
+    )
+    b = hyperplane_signature(emb, id_col, vec_col, "b", n_planes, n_bands, dim).select(
+        F.col(id_col).alias("id_b"), "_bv", "_bn", "band", "bucket"
+    )
+    dot = F.aggregate(
+        F.zip_with("_av", "_bv", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "cos_sim",
+            F.when(
+                (F.col("_an") > 0) & (F.col("_bn") > 0), dot / (F.col("_an") * F.col("_bn"))
+            ).otherwise(F.lit(0.0)),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
     )

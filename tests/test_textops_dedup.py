@@ -155,3 +155,82 @@ def test_embedding_neardup(spark, sf_dir):
     }
     for v in range(3):
         assert (v, v + 5000) in pairs or (v + 5000, v) in pairs
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A stop-phrase shingle shared by every doc must not blow up the
+    candidate pair count: with max_df it is dropped from the universe, and
+    the Jaccard is exact over the retained shingle space."""
+    # every doc shares the hot shingle "x y z"; docs 1 and 2 share 3 more
+    common = "x y z"
+    rows = [(1, f"{common} a b c d e"), (2, f"{common} a b c d q")] + [
+        (i, f"{common} u{i} v{i} w{i}") for i in range(3, 40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = ngram_jaccard_pairs(df, threshold=0.01, max_df=5)
+    got = {(r.id_a, r.id_b): r for r in capped.collect()}
+    # without the cap, every one of the 39*38/2 pairs is a candidate via the
+    # hot shingle; with it, only (1,2) survives blocking at all
+    assert set(got) == {(1, 2)}
+    # retained universes: doc1 {a b c, b c d, c d e}-ish minus hot-shingle
+    # prefix overlaps -- compute exactly in python
+    def shingles(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    s1, s2 = shingles(rows[0][1]), shingles(rows[1][1])
+    hot = {s for s in s1 | s2 if s in shingles(rows[2][1])}  # shingles in >5 docs
+    # df of shingles containing the common prefix: appear in all 39 docs only
+    # for "x y z"; mixed ones ("y z a") appear in 2 docs (1 and 2) -> retained
+    all_sh = {}
+    for _, t in rows:
+        for s in shingles(t):
+            all_sh[s] = all_sh.get(s, 0) + 1
+    keep1 = {s for s in s1 if all_sh[s] <= 5}
+    keep2 = {s for s in s2 if all_sh[s] <= 5}
+    inter = keep1 & keep2
+    want_j = len(inter) / len(keep1 | keep2)
+    r = got[(1, 2)]
+    assert r.n_common == len(inter)
+    assert abs(r.jaccard - want_j) < 1e-12
+
+
+def test_embedding_neardup_auto_switches_to_lsh(spark):
+    """method='auto' uses brute under the limit and LSH above it; on planted
+    exact duplicates both paths find the pairs (identical vectors collide in
+    every LSH band)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(30, 64).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(30)]
+    rows += [(100 + i, base[i].tolist()) for i in range(5)]  # planted dups
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planted = {(i, 100 + i) for i in range(5)}
+
+    brute = embedding_neardup_pairs(emb, threshold=0.999, method="brute")
+    got_b = {(r.id_a, r.id_b) for r in brute.collect()}
+    assert planted <= got_b
+
+    lsh = embedding_neardup_pairs(emb, threshold=0.999, method="lsh")
+    got_l = {(r.id_a, r.id_b) for r in lsh.collect()}
+    assert planted <= got_l
+
+    auto_small = embedding_neardup_pairs(emb, threshold=0.999, method="auto", brute_limit=10)
+    assert planted <= {(r.id_a, r.id_b) for r in auto_small.collect()}
+
+
+def test_lsh_threshold_pairs_dim_safety(spark):
+    """Non-64-dim embeddings must not silently degenerate LSH into a single
+    bucket (ADVICE: zip_with null-padding bug): with 32-dim inputs, distinct
+    directions still land in >1 distinct bucket per band."""
+    import numpy as np
+
+    from spanluke_spark.link.ann import hyperplane_signature
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(32).astype("float32").tolist()) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sig = hyperplane_signature(emb, "vec_id", "embedding", "a")
+    n_buckets = sig.select("band", "bucket").distinct().groupBy("band").count().collect()
+    assert all(r["count"] > 1 for r in n_buckets)
