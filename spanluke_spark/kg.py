@@ -24,6 +24,7 @@ from .pipeline import extract_mentions_from_pages
 from .storage.lineage import (
     append_parquet,
     lineage_rows,
+    overwrite_partitions,
     pending_partitions,
     read_lineage,
     with_part_key,
@@ -60,7 +61,18 @@ def run_kg_pipeline(
     if canonicalize:
         from .canon.canonicalize import apply_canonicalization, canonicalize_entities
 
-        mapping = canonicalize_entities(triples)
+        # Canonicalize over the FULL accumulated key space (existing triples
+        # plus this delta), not the delta alone: otherwise a resumed run can
+        # pick a different cluster representative and mix canonical subjects
+        # across runs. For retroactive convergence of already-written rows
+        # (a new run adding a smaller min-key to an old cluster), run
+        # ``recanonicalize`` as a compaction pass.
+        key_space = triples.select("subj")
+        if os.path.exists(triples_path):
+            key_space = key_space.unionByName(
+                spark.read.parquet(triples_path).select("subj")
+            )
+        mapping = canonicalize_entities(key_space)
         triples = apply_canonicalization(triples, mapping)
 
     # Materialize the full delta BEFORE any append: `todo` lazily re-reads the
@@ -79,7 +91,12 @@ def run_kg_pipeline(
             run_id,
         ).persist()
         lin.count()  # eager: computed from pre-append state
-        append_parquet(triples, triples_path, partition_by="part_key")
+        # Data first, via dynamic partition overwrite; lineage second. A
+        # crash between the two leaves committed triples with no lineage
+        # row, and the rerun recomputes those partitions and OVERWRITES the
+        # same part_key directories — no duplicate triples (exactly-once per
+        # partition under crash-rerun; plain append gave only at-least-once).
+        overwrite_partitions(triples, triples_path, "part_key")
         append_parquet(lin, lineage_path)
         lin.unpersist()
     mentions.unpersist()
@@ -89,3 +106,29 @@ def run_kg_pipeline(
 
 def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "triples"))
+
+
+def recanonicalize(spark: SparkSession, out_dir: str) -> int:
+    """Compaction pass: canonicalize over the FULL accumulated triples table
+    and rewrite it, converging subjects that were canonicalized against
+    different (smaller) key spaces in earlier incremental runs. Returns the
+    post-compaction row count. Read-time alternative: apply the mapping in a
+    view instead of rewriting (graph/triples.py does this for dedupe)."""
+    from .canon.canonicalize import apply_canonicalization, canonicalize_entities
+
+    triples_path = os.path.join(out_dir, "triples")
+    triples = spark.read.parquet(triples_path)
+    mapping = canonicalize_entities(triples)
+    out = apply_canonicalization(triples, mapping)
+    # full rewrite: stage in memory is unsafe at scale, so write to a swap
+    # directory and atomically rename (same filesystem).
+    tmp_path = triples_path + "._compact"
+    out.write.mode("overwrite").partitionBy("part_key").parquet(tmp_path)
+    n = spark.read.parquet(tmp_path).count()
+    import shutil
+
+    old_path = triples_path + "._old"
+    os.rename(triples_path, old_path)
+    os.rename(tmp_path, triples_path)
+    shutil.rmtree(old_path)
+    return n

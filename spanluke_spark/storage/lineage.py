@@ -78,3 +78,19 @@ def append_parquet(df: DataFrame, path: str, partition_by: str | None = None) ->
     if partition_by:
         w = w.partitionBy(partition_by)
     w.parquet(path)
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_by: str | list[str]) -> None:
+    """Idempotent per-partition write: dynamic partition overwrite replaces
+    exactly the partitions present in ``df`` and leaves the rest untouched.
+    A crash-rerun of the same delta rewrites the same partitions instead of
+    appending duplicates — the write-side half of the exactly-once-per-
+    partition contract (the read side is the lineage anti-join)."""
+    spark = df.sparkSession
+    cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

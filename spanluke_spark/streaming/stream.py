@@ -58,18 +58,22 @@ def streaming_kg_query(
 ):
     """pages stream -> mentions -> triples, written idempotently per batch.
 
-    foreachBatch gives exactly-once semantics combined with the idempotent
-    (part_key-scoped) append: a replayed epoch rewrites the same rows, and the
-    batch dedupe keeps the table consistent — identical contract to batch
-    resume (SURVEY.md §2.11).
+    Exactly-once per epoch: the sink write is a DYNAMIC PARTITION OVERWRITE
+    keyed by (epoch, part_key), so a foreachBatch epoch replayed after a
+    failure between the write and the checkpoint commit rewrites its own
+    epoch partitions instead of appending duplicates (a plain append gave
+    only at-least-once). Identical contract to batch resume (SURVEY §2.11,
+    storage/lineage.overwrite_partitions).
     """
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..storage.lineage import overwrite_partitions
+
         keyed = with_part_key(batch_df, "url", n_buckets)
         mentions = extract_mentions_from_pages(keyed, ["url", "part_key"], gazetteer)
         linked = link_mentions(mentions, alias_dict)
         triples = build_triples(linked).withColumn("epoch", F.lit(epoch_id))
-        triples.write.mode("append").partitionBy("part_key").parquet(f"{out_dir}/triples")
+        overwrite_partitions(triples, f"{out_dir}/triples", ["epoch", "part_key"])
 
     writer = (
         pages.writeStream.outputMode("update")

@@ -77,3 +77,63 @@ def test_lineage_checksum_stable(spark, sf_dir, alias_df, tmp_path):
         )
     # lineage (incl. content checksums) identical regardless of parallelism
     assert outs[0] == outs[1]
+
+
+def test_crash_between_triples_and_lineage_no_duplicates(
+    spark, sf_dir, alias_df, tmp_path
+):
+    """ADVICE scenario: a crash AFTER the triples write but BEFORE the
+    lineage write must not duplicate triples on rerun — the dynamic
+    partition overwrite rewrites the same part_key directories."""
+    import shutil
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    pages = synthesize_pages(docs)
+    out = str(tmp_path / "kg")
+
+    run_kg_pipeline(spark, pages, PIPELINE_GAZETTEER, alias_df, out, run_id="r1")
+    t1 = read_triples(spark, out)
+    rows1 = sorted(map(tuple, t1.collect()))
+
+    # simulate the torn commit: triples landed, lineage did not
+    shutil.rmtree(f"{out}/lineage")
+
+    run_kg_pipeline(spark, pages, PIPELINE_GAZETTEER, alias_df, out, run_id="r2")
+    t2 = read_triples(spark, out)
+    rows2 = sorted(map(tuple, t2.collect()))
+    assert rows1 == rows2  # byte-identical table, zero duplicates
+
+
+def test_recanonicalize_compaction(spark, sf_dir, alias_df, tmp_path):
+    """Incremental runs canonicalize against the key space known at write
+    time; the compaction pass converges the accumulated table to what a
+    single global canonicalization would produce."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from spanluke_spark.canon.canonicalize import (
+        apply_canonicalization,
+        canonicalize_entities,
+    )
+    from spanluke_spark.kg import recanonicalize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(150)
+    pages = synthesize_pages(docs)
+    out = str(tmp_path / "kg")
+
+    keyed = with_part_key(pages, "url", 16)
+    first = keyed.filter(F.col("part_key") < 8).drop("part_key")
+    run_kg_pipeline(
+        spark, first, PIPELINE_GAZETTEER, alias_df, out, run_id="a", canonicalize=True
+    )
+    run_kg_pipeline(
+        spark, pages, PIPELINE_GAZETTEER, alias_df, out, run_id="b", canonicalize=True
+    )
+
+    n = recanonicalize(spark, out)
+    got = read_triples(spark, out)
+    assert got.count() == n
+
+    # global oracle: canonicalize the compacted table once more -> fixpoint
+    mapping = canonicalize_entities(got)
+    again = apply_canonicalization(got, mapping)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, again.collect()))
