@@ -695,6 +695,34 @@ def q37_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q38_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 completion (legal_ner/utils/count_length.py:20-27 computes the
+    mode): EXACT rank-based median + deterministic mode of doc lengths per
+    language (percentile_approx/F.mode have engine-specific tie behavior;
+    row_number with a full tiebreaker is bit-stable in both engines)."""
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars", "doc_id")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("lang"))
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor(F.col("n") / 2) + 1)
+        )
+        .groupBy("lang")
+        .agg(F.round(F.avg("n_chars"), 6).alias("median_chars"))
+    )
+    counts = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    wm = Window.partitionBy("lang").orderBy(F.desc("c"), "n_chars")
+    mode = (
+        counts.withColumn("r", F.row_number().over(wm))
+        .filter(F.col("r") == 1)
+        .select("lang", F.col("n_chars").alias("mode_chars"))
+    )
+    return med.join(mode, "lang").orderBy("lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -734,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_wordpiece": q35_wordpiece,
         "q36_embedding_neardup": q36_embedding_neardup,
         "q37_bpe_tokens": q37_bpe_tokens,
+        "q38_median_mode": q38_median_mode,
     }
 
 
@@ -1355,6 +1384,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(sum(n_bpe) AS BIGINT) AS total_bpe,
                    CAST(max(n_bpe) AS BIGINT) AS max_bpe, count(*) AS n_docs
             FROM d GROUP BY lang ORDER BY lang
+        """,
+        "q38_median_mode": """
+            WITH ranked AS (
+                SELECT lang, n_chars,
+                       row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM documents
+            ), med AS (
+                SELECT lang, round(avg(n_chars), 6) AS median_chars FROM ranked
+                WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 GROUP BY lang
+            ), cm AS (
+                SELECT lang, n_chars, count(*) AS c FROM documents GROUP BY 1, 2
+            ), md AS (
+                SELECT lang, n_chars AS mode_chars FROM (
+                    SELECT lang, n_chars,
+                           row_number() OVER (PARTITION BY lang ORDER BY c DESC, n_chars) AS r
+                    FROM cm
+                ) WHERE r = 1
+            )
+            SELECT lang, median_chars, mode_chars
+            FROM med JOIN md USING (lang) ORDER BY lang
         """,
         "q34_token_accuracy": """
             WITH gold AS (

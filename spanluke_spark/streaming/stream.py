@@ -48,6 +48,25 @@ def windowed_page_counts(pages: DataFrame, window: str = "1 day", watermark: str
     )
 
 
+def make_batch_processor(
+    gazetteer: Gazetteer, alias_dict: DataFrame, out_dir: str, n_buckets: int = 16
+):
+    """The foreachBatch body as a standalone callable so the epoch-replay
+    idempotence contract is directly testable (call it twice with the same
+    epoch_id — the table must be byte-identical)."""
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..storage.lineage import overwrite_partitions
+
+        keyed = with_part_key(batch_df, "url", n_buckets)
+        mentions = extract_mentions_from_pages(keyed, ["url", "part_key"], gazetteer)
+        linked = link_mentions(mentions, alias_dict)
+        triples = build_triples(linked).withColumn("epoch", F.lit(epoch_id))
+        overwrite_partitions(triples, f"{out_dir}/triples", ["epoch", "part_key"])
+
+    return _process
+
+
 def streaming_kg_query(
     pages: DataFrame,
     gazetteer: Gazetteer,
@@ -65,19 +84,9 @@ def streaming_kg_query(
     only at-least-once). Identical contract to batch resume (SURVEY §2.11,
     storage/lineage.overwrite_partitions).
     """
-
-    def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        from ..storage.lineage import overwrite_partitions
-
-        keyed = with_part_key(batch_df, "url", n_buckets)
-        mentions = extract_mentions_from_pages(keyed, ["url", "part_key"], gazetteer)
-        linked = link_mentions(mentions, alias_dict)
-        triples = build_triples(linked).withColumn("epoch", F.lit(epoch_id))
-        overwrite_partitions(triples, f"{out_dir}/triples", ["epoch", "part_key"])
-
     writer = (
         pages.writeStream.outputMode("update")
-        .foreachBatch(_process)
+        .foreachBatch(make_batch_processor(gazetteer, alias_dict, out_dir, n_buckets))
         .trigger(availableNow=True)
     )
     if checkpoint_dir:

@@ -115,3 +115,31 @@ def test_frame_sample_plan(spark, sf_dir):
     assert {r.media_id for r in rows} == vids
     for r in rows:
         assert r.frame_ts_ms == r.frame_idx * 5000
+
+
+def test_epoch_replay_idempotent(spark, pages_dir, tmp_path):
+    """ADVICE scenario: a foreachBatch epoch replayed after a failure between
+    the sink write and the checkpoint commit must not duplicate triples —
+    the (epoch, part_key) dynamic overwrite rewrites itself."""
+    from spanluke_spark.streaming.stream import make_batch_processor
+
+    alias_df = spark.createDataFrame(
+        [("spark", 12, "Apache Spark", "ORG", 0.9)],
+        "alias string, canonical_id long, canonical_name string, entity_type string, prior double",
+    )
+    out = str(tmp_path / "replay_kg")
+    batch = spark.read.parquet(pages_dir)
+    process = make_batch_processor(PIPELINE_GAZETTEER, alias_df, out)
+
+    process(batch, epoch_id=0)
+    first = sorted(map(tuple, spark.read.parquet(f"{out}/triples").collect()))
+    assert first
+
+    process(batch, epoch_id=0)  # replay the SAME epoch
+    second = sorted(map(tuple, spark.read.parquet(f"{out}/triples").collect()))
+    assert first == second
+
+    process(batch.limit(40), epoch_id=1)  # a new epoch appends its own rows
+    third = spark.read.parquet(f"{out}/triples")
+    assert third.filter(F.col("epoch") == 0).count() == len(first)
+    assert third.filter(F.col("epoch") == 1).count() > 0

@@ -82,6 +82,21 @@ def main() -> None:
     )
     check("explicit_repartition", mplan.count("Exchange") == 1)
 
+    # 3b. canonicalization: no single-partition Exchange (the old global
+    # Window dense_rank forced every entity key through ONE task)
+    from spanluke_spark.canon.canonicalize import canonicalize_entities
+
+    trip = spark.createDataFrame(
+        [(f"surf:entity {i}",) for i in range(50)] + [("ent:1",), ("ent:2",)],
+        "subj string",
+    )
+    cplan = canonicalize_entities(trip)._jdf.queryExecution().executedPlan().toString()
+    check(
+        "canonicalize_no_global_window",
+        "Exchange SinglePartition" not in cplan and "dense_rank" not in cplan,
+        "(entity ids via xxhash64, fully partition-parallel)",
+    )
+
     # 4. partial aggregation
     q1 = (
         li.groupBy("l_returnflag")
