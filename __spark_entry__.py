@@ -406,15 +406,16 @@ def q20_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q21_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J9: fuzzy-match edge build — levenshtein theta-join on blocked pairs."""
+    """J9: fuzzy-match edge build — EXACT levenshtein<=1 pairs via
+    deletion-neighborhood blocking (O(n*len) equi-join keys, identical
+    result to the all-pairs theta-join the oracle runs; the previous
+    unblocked k_a < k_b join was quadratic at scale)."""
+    from spanluke_spark.canon.canonicalize import levenshtein1_pairs
+
     cust = _t(spark, sf_dir, "customer")
-    a = cust.select(F.col("c_custkey").alias("k_a"), F.col("c_name").alias("n_a"))
-    b = cust.select(F.col("c_custkey").alias("k_b"), F.col("c_name").alias("n_b"))
-    pairs = (
-        a.join(b, F.col("k_a") < F.col("k_b"))
-        .filter(F.levenshtein("n_a", "n_b") <= 1)
+    return levenshtein1_pairs(cust, "c_custkey", "c_name").agg(
+        F.count(F.lit(1)).alias("n_pairs")
     )
-    return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
 def q22_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,6 +30,46 @@ def entity_nodes(triples_or_linked: DataFrame, subj_col: str = "subj") -> DataFr
     return keys.withColumn("node", F.xxhash64("key"))
 
 
+def deletion_variants(name: F.Column) -> F.Column:
+    """All strings obtained by deleting one character, plus the string itself
+    — the deletion neighborhood. Two strings are within levenshtein 1 iff
+    their neighborhoods intersect (equality, substitution: delete the same
+    position; insert/delete: one's identity equals the other's deletion), so
+    an equi-join on variants is EXACT blocking for distance <= 1."""
+    idx = F.sequence(F.lit(1), F.length(name))
+    dels = F.transform(
+        idx,
+        lambda i: F.concat(
+            name.substr(F.lit(1), i - 1),
+            name.substr(i + 1, F.length(name) - i),
+        ),
+    )
+    return F.array_distinct(F.array_union(dels, F.array(name)))
+
+
+def levenshtein1_pairs(
+    df: DataFrame, id_col: str, name_col: str
+) -> DataFrame:
+    """Exact levenshtein<=1 pairs via deletion-neighborhood blocking:
+    O(n * len) join keys instead of the O(n^2) all-pairs theta-join, with
+    identical results (the neighborhood join is lossless for distance 1;
+    the final levenshtein filter removes the few false candidates).
+    Returns (id_a, name_a, id_b, name_b)."""
+    v = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("nm"))
+    variants = v.select(
+        "id", "nm", F.explode(deletion_variants(F.col("nm"))).alias("var")
+    )
+    a = variants.select(F.col("id").alias("id_a"), F.col("nm").alias("name_a"), "var")
+    b = variants.select(F.col("id").alias("id_b"), F.col("nm").alias("name_b"), "var")
+    cand = (
+        a.join(b, "var")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "name_a", "id_b", "name_b")
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("name_a", "name_b") <= 1)
+
+
 def fuzzy_edges(
     nodes: DataFrame, max_distance: int = 2, strip_prefix: bool = True
 ) -> DataFrame:
@@ -93,7 +133,17 @@ def canonicalize_entities(
             f"entity_nodes xxhash64 collision: {n_keys} keys -> {n_ids} ids"
         )
     surf_nodes = nodes.filter(F.col("key").startswith("surf:"))
-    edges = exact_edges(surf_nodes).unionByName(fuzzy_edges(surf_nodes, max_distance))
+    if max_distance == 1:
+        # exact lossless blocking (no first-char/length-bucket misses)
+        named = surf_nodes.withColumn(
+            "name", F.regexp_replace(F.col("key"), r"^(ent|surf):", "")
+        )
+        fz = levenshtein1_pairs(named, "node", "name").select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+    else:
+        fz = fuzzy_edges(surf_nodes, max_distance)
+    edges = exact_edges(surf_nodes).unionByName(fz)
     comp = connected_components(edges, "src", "dst")
     labeled = nodes.join(comp, "node", "left").withColumn(
         "component", F.coalesce("component", F.col("node"))

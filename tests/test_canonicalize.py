@@ -54,3 +54,39 @@ def test_apply_canonicalization_rewrites_and_dedupes(spark):
     assert subs == {"surf:sparc"}  # lexicographic min of {spark, sparc}
     # (u1) rows merge into one per (subj,pred,obj,url)
     assert len(out) == 2
+
+
+def test_levenshtein1_pairs_exact_blocking(spark):
+    """Deletion-neighborhood blocking is LOSSLESS for distance<=1 — including
+    first-character edits and length+-1 pairs the (first char, length bucket)
+    blocking missed — and equals the brute-force all-pairs result."""
+    from spanluke_spark.canon.canonicalize import levenshtein1_pairs
+
+    names = [
+        (1, "spark"), (2, "spork"),      # substitution mid-word
+        (3, "park"),                     # deletion of first char of spark
+        (4, "sparkk"),                   # insertion at end
+        (5, "apark"),                    # first-char substitution
+        (6, "totally different"),
+        (7, "spark"),                    # exact duplicate string, new id
+    ]
+    df = spark.createDataFrame(names, "id long, name string")
+    got = {(r.id_a, r.id_b) for r in levenshtein1_pairs(df, "id", "name").collect()}
+
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {
+        (i, j)
+        for (i, a), (j, b) in itertools.combinations(names, 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want
+    assert (1, 3) in want and (1, 5) in want  # the cases first-char blocking misses
