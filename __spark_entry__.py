@@ -724,6 +724,36 @@ def q38_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(mode, "lang").orderBy("lang")
 
 
+def q39_media_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: synthesize media -> aspect-preserving
+    resize (dims JVM-side, pixel step a deterministic fake through the real
+    Arrow hop) -> video frame-sampling plan -> per-kind aggregates. The
+    oracle recomputes dims/frame counts in closed form."""
+    from spanluke_spark.multimodal.media import (
+        frame_sample_plan,
+        resize_media,
+        synthesize_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    resized = resize_media(media).select("media_id", "kind", "new_w", "new_h")
+    frames = frame_sample_plan(media).groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    joined = resized.join(frames, "media_id", "left").fillna({"n_frames": 0})
+    return (
+        joined.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("new_w").alias("sum_w"),
+            F.sum("new_h").alias("sum_h"),
+            F.sum("n_frames").alias("total_frames"),
+        )
+        .orderBy("kind")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -764,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_embedding_neardup": q36_embedding_neardup,
         "q37_bpe_tokens": q37_bpe_tokens,
         "q38_median_mode": q38_median_mode,
+        "q39_media_plan": q39_media_plan,
     }
 
 
@@ -1406,6 +1437,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, median_chars, mode_chars
             FROM med JOIN md USING (lang) ORDER BY lang
+        """,
+        "q39_media_plan": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                            ELSE 'video' END AS kind,
+                       CAST(n_chars % 640 + 1 AS INT) AS width,
+                       CAST(n_chars % 480 + 1 AS INT) AS height,
+                       n_chars * 100 AS duration_ms
+                FROM documents
+            ), r AS (
+                SELECT kind,
+                       greatest(CAST(floor(width * least(256.0 / width, 256.0 / height, 1.0))
+                                AS BIGINT), 1) AS new_w,
+                       greatest(CAST(floor(height * least(256.0 / width, 256.0 / height, 1.0))
+                                AS BIGINT), 1) AS new_h,
+                       CASE WHEN kind = 'video'
+                            THEN greatest(CAST(floor(duration_ms / 1000.0) AS BIGINT) - 1, 0) + 1
+                            ELSE 0 END AS n_frames
+                FROM m
+            )
+            SELECT kind, count(*) AS n_media,
+                   CAST(sum(new_w) AS BIGINT) AS sum_w,
+                   CAST(sum(new_h) AS BIGINT) AS sum_h,
+                   CAST(sum(n_frames) AS BIGINT) AS total_frames
+            FROM r GROUP BY kind ORDER BY kind
         """,
         "q34_token_accuracy": """
             WITH gold AS (

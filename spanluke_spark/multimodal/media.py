@@ -87,6 +87,56 @@ def extract_media_features(
     return media.select("media_id", "kind", "payload").mapInPandas(_extract, schema)
 
 
+def resize_media(
+    media: DataFrame,
+    max_w: int = 256,
+    max_h: int = 256,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Resize planning + (stubbed) pixel work, split the right way for scale:
+    the TARGET-DIMENSION arithmetic (aspect-preserving fit into max_w x max_h,
+    never upscaled) is pure JVM codegen — no bytes move for it — while the
+    pixel resample itself is the per-batch codec step (deterministic fake
+    here; the production codec swaps in behind the same signature).
+    Output: media columns + (new_w, new_h, resized: binary)."""
+    scale = F.least(
+        F.lit(float(max_w)) / F.col("width"),
+        F.lit(float(max_h)) / F.col("height"),
+        F.lit(1.0),
+    )
+    dims = media.select(
+        "media_id",
+        "kind",
+        "payload",
+        "width",
+        "height",
+        F.greatest(F.floor(F.col("width") * scale), F.lit(1)).cast("int").alias("new_w"),
+        F.greatest(F.floor(F.col("height") * scale), F.lit(1)).cast("int").alias("new_h"),
+    )
+    schema = (
+        "media_id long, kind string, width int, height int, "
+        "new_w int, new_h int, resized binary"
+    )
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload, w, h in zip(pdf["payload"], pdf["new_w"], pdf["new_h"]):
+                if not deterministic_fake:
+                    _decode_image_real(payload)  # raises: codec not shipped
+                # fake resample: first new_w*new_h bytes of a blake2b stream
+                seed = (bytes(payload) if payload is not None else b"") + struct.pack(
+                    "<II", int(w), int(h)
+                )
+                n = min(int(w) * int(h), 64)
+                out.append(hashlib.blake2b(seed, digest_size=max(n, 1)).digest())
+            res = pdf[["media_id", "kind", "width", "height", "new_w", "new_h"]].copy()
+            res["resized"] = out
+            yield res
+
+    return dims.mapInPandas(_resample, schema)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms) —
     relational explode over the duration; the decode of each frame is the

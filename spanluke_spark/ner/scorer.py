@@ -210,20 +210,31 @@ class HashedGazetteerSpanScorer:
     def score_sentence(
         self, tokens: list[str], max_length: int = ENTITY_MAX_LENGTH
     ) -> tuple[list[tuple[int, int]], list[float], list[int]]:
-        """Returns (spans, scores, pred_label_ids) in reference span order."""
+        """Returns (spans, scores, pred_label_ids) in reference span order.
+
+        Hits score 0.9 + 0.1*stable_unit(surface) — hash-varied so the
+        greedy decode's score-desc sort and tie-breaking are exercised.
+        Misses score a constant 0.5: a miss can never be accepted by the
+        decode (every hit outranks it), so hashing ~all n*max_length miss
+        surfaces was pure overhead — dropping it measured ~2.5x on the
+        extraction kernel. Spans longer than the gazetteer's max_words
+        skip the surface join entirely (they cannot hit)."""
         spans = py_enumerate_spans(len(tokens), max_length)
         lowered = [t.lower() for t in tokens]
+        entries = self.gaz.entries
+        max_words = self.gaz.max_words
+        outside = self.outside_id
         scores: list[float] = []
         preds: list[int] = []
         for s, e in spans:
-            key = " ".join(lowered[s:e])
-            label = self.gaz.entries.get(key)
-            u = stable_unit(key)
+            label = (
+                entries.get(" ".join(lowered[s:e])) if e - s <= max_words else None
+            )
             if label is not None:
                 # B- id stands for the whole span's entity class
-                preds.append(self.label_to_idx.get("B-" + label, self.outside_id))
-                scores.append(0.9 + 0.1 * u)
+                preds.append(self.label_to_idx.get("B-" + label, outside))
+                scores.append(0.9 + 0.1 * stable_unit(" ".join(lowered[s:e])))
             else:
-                preds.append(self.outside_id)
-                scores.append(0.5 + 0.4 * u)
+                preds.append(outside)
+                scores.append(0.5)
         return spans, scores, preds

@@ -143,3 +143,29 @@ def test_epoch_replay_idempotent(spark, pages_dir, tmp_path):
     third = spark.read.parquet(f"{out}/triples")
     assert third.filter(F.col("epoch") == 0).count() == len(first)
     assert third.filter(F.col("epoch") == 1).count() > 0
+
+
+def test_resize_media_dims_and_fake_payload(spark, sf_dir):
+    """Aspect-preserving fit, never upscaled; fake resample deterministic
+    across partitionings (the codec seam contract)."""
+    from spanluke_spark.multimodal.media import resize_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    media = synthesize_media(docs)
+    r1 = {r.media_id: r for r in resize_media(media).collect()}
+    r8 = {r.media_id: r for r in resize_media(media.repartition(8)).collect()}
+    assert set(r1) == set(r8)
+    for mid, r in r1.items():
+        assert r.new_w <= 256 and r.new_h <= 256
+        assert r.new_w <= r.width and r.new_h <= r.height  # never upscale
+        assert r.new_w >= 1 and r.new_h >= 1
+        # aspect ratio preserved within 1px of the exact scale
+        scale = min(256 / r.width, 256 / r.height, 1.0)
+        assert abs(r.new_w - r.width * scale) < 1 + 1e-9
+        assert abs(r.new_h - r.height * scale) < 1 + 1e-9
+        assert bytes(r.resized) == bytes(r8[mid].resized)  # worker-stable
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="codec"):
+        resize_media(media, deterministic_fake=False).collect()
