@@ -58,6 +58,31 @@ def write_table(
     w.parquet(ref)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (Spark-native bucketing; Iceberg's
+    bucket(n, col) transform is the catalog twin). Joins and aggregations
+    keyed on ``bucket_cols`` between tables bucketed the same way run
+    SHUFFLE-FREE — at 100 TB this removes the dominant exchange from every
+    repeated fact-fact join. Pair with sortBy for merge-join-ready buckets."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.read.table(table)
+
+
 def prune_scan(pages: DataFrame, langs: list[str] | None = None, since_ts: str | None = None) -> DataFrame:
     """P8: pruning predicates expressed so they push down to the scan
     (Iceberg partition pruning / parquet row-group skipping). Verify with
