@@ -754,6 +754,35 @@ def q39_media_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 Structured Streaming through a REAL readStream->writeStream run:
+    synthesize pages (deterministic warc_ts = 1700000000 + doc_id*60),
+    stream them with availableNow, watermarked 1-day tumbling windows per
+    lang into a memory sink. The oracle computes the same epoch-aligned
+    windows in closed form. Necessarily eager (a stream must execute), so
+    it is NOT part of the bench headline set."""
+    import tempfile
+
+    from spanluke_spark.etl.pages import synthesize_pages
+    from spanluke_spark.streaming.stream import read_page_stream, windowed_page_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="q40_pages_")
+    synthesize_pages(docs).write.mode("overwrite").parquet(tmp)
+    agg = windowed_page_counts(read_page_stream(spark, tmp), window="1 day", watermark="1 hour")
+    name = "q40_counts_" + os.path.basename(tmp).rsplit("_", 1)[-1]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).orderBy("window_start", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -795,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_bpe_tokens": q37_bpe_tokens,
         "q38_median_mode": q38_median_mode,
         "q39_media_plan": q39_media_plan,
+        "q40_streaming_counts": q40_streaming_counts,
     }
 
 
@@ -1463,6 +1493,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(new_h) AS BIGINT) AS sum_h,
                    CAST(sum(n_frames) AS BIGINT) AS total_frames
             FROM r GROUP BY kind ORDER BY kind
+        """,
+        "q40_streaming_counts": """
+            WITH p AS (
+                SELECT (1700000000 + doc_id * 60) AS sec, lang FROM documents
+            ), w AS (
+                SELECT (sec // 86400) * 86400 AS ws, lang FROM p
+            )
+            SELECT epoch_ms(ws * 1000) AS window_start,
+                   epoch_ms((ws + 86400) * 1000) AS window_end,
+                   lang, count(*) AS n_pages
+            FROM w GROUP BY 1, 2, 3 ORDER BY window_start, lang
         """,
         "q34_token_accuracy": """
             WITH gold AS (
