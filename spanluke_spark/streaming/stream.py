@@ -48,6 +48,32 @@ def windowed_page_counts(pages: DataFrame, window: str = "1 day", watermark: str
     )
 
 
+def stateful_lang_totals(pages: DataFrame):
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    cumulative page count per language, state carried ACROSS micro-batches
+    (the building block for streaming dedupe counters / quota enforcement).
+    Emits one updated (lang, n_pages) row per group per batch; the latest
+    row per lang is the running total. Checkpointed group state — recovery
+    resumes the count, unlike a stateless per-batch aggregate."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _update(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"lang": [key[0]], "n_pages": [total]})
+
+    return pages.groupBy("lang").applyInPandasWithState(
+        _update,
+        outputStructType="lang string, n_pages long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def make_batch_processor(
     gazetteer: Gazetteer, alias_dict: DataFrame, out_dir: str, n_buckets: int = 16
 ):

@@ -169,3 +169,42 @@ def test_resize_media_dims_and_fake_payload(spark, sf_dir):
 
     with _pytest.raises(Exception, match="codec"):
         resize_media(media, deterministic_fake=False).collect()
+
+
+def test_stateful_lang_totals_across_microbatches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState carries state ACROSS micro-batches: with
+    maxFilesPerTrigger=1 each file is its own batch, and the final running
+    total per language equals the batch groupBy count."""
+    from spanluke_spark.streaming.stream import read_page_stream, stateful_lang_totals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    path = str(tmp_path / "staged_pages")
+    synthesize_pages(docs).repartition(5).write.parquet(path)  # 5 files
+
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).option("maxFilesPerTrigger", 1).parquet(path)
+    q = (
+        stateful_lang_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_totals")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = len(q.recentProgress)
+    q.stop()
+    assert n_batches >= 5  # state really crossed batch boundaries
+
+    got_rows = spark.table("stateful_totals").collect()
+    # running totals are nondecreasing per lang; the max is the final state
+    got = {}
+    for r in got_rows:
+        got[r.lang] = max(got.get(r.lang, 0), r.n_pages)
+    want = {
+        r.lang: r.n
+        for r in synthesize_pages(docs).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
