@@ -170,6 +170,81 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize candidates into n_cells
+    cells (nearest of n_cells deterministic centroids by dot product), probe
+    the query's n_probe nearest cells, exact cosine rerank inside them.
+
+    Centroids are the n_cells candidates with the smallest xxhash64(id) — a
+    stable pseudo-random sample, no RNG state (collected once; n_cells rows
+    is driver-trivial). Search cost ~ |C| * n_probe / n_cells per query;
+    recall < 1 by construction (a neighbor quantized into an unprobed cell
+    is missed) — the IVF twin of the LSH path, trading one tiny driver
+    action for tunable probe-based recall.
+    """
+    cents = (
+        candidates.select(c_id, c_vec)
+        .orderBy(F.xxhash64(c_id), c_id)
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [list(r[1]) for r in cents]
+
+    def nearest_cell(vec: str) -> F.Column:
+        dots = [_plane_dot(vec, c) for c in centroids]
+        best = F.greatest(*dots) if len(dots) > 1 else dots[0]
+        cell = F.lit(len(dots) - 1)
+        for i in range(len(dots) - 2, -1, -1):  # lowest index wins ties
+            cell = F.when(dots[i] == best, F.lit(i)).otherwise(cell)
+        return cell
+
+    def probe_cells(vec: str) -> F.Column:
+        scored = F.array(
+            *[
+                F.struct(_plane_dot(vec, c).alias("d"), F.lit(i).alias("cell"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+        top = F.slice(F.sort_array(scored, asc=False), 1, n_probe)
+        return F.transform(top, lambda s: s.getField("cell"))
+
+    cs = candidates.select(
+        c_id,
+        F.col(c_vec).alias("_cv"),
+        _norm_col(c_vec).alias("_cn"),
+        nearest_cell(c_vec).alias("cell"),
+    )
+    qs = queries.select(
+        q_id,
+        F.col(q_vec).alias("_qv"),
+        _norm_col(q_vec).alias("_qn"),
+        F.explode(probe_cells(q_vec)).alias("cell"),
+    )
+    pairs = qs.join(cs, "cell").withColumn(
+        "cos_sim",
+        F.when(
+            (F.col("_qn") > 0) & (F.col("_cn") > 0),
+            _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+        ).otherwise(F.lit(0.0)),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "cos_sim", "rank")
+    )
+
+
 def lsh_threshold_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

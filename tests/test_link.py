@@ -102,3 +102,30 @@ def test_lsh_topk_recall(spark, sf_dir):
     for r in approx:
         if (r.q_id, r.c_id) in exact_scores:
             assert math.isclose(r.cos_sim, exact_scores[(r.q_id, r.c_id)], abs_tol=1e-9)
+
+
+def test_ivf_topk_recall_and_consistency(spark, sf_dir):
+    """IVF ANN: a planted duplicate quantizes into the query's top probe cell
+    (identical vector -> identical nearest centroid), so recall@1 = 1; and
+    every IVF hit matches the exact cosine the brute-force path computes."""
+    from spanluke_spark.link.ann import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+    cands = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    # queries = exact copies of 10 candidates, new ids
+    qs = (
+        emb.filter(F.col("vec_id") < 10)
+        .select((F.col("vec_id") + 100000).alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    ivf = ivf_topk(qs, cands, k=3, n_cells=8, n_probe=2)
+    got = {(r.q_id, r.rank): (r.c_id, round(r.cos_sim, 6)) for r in ivf.collect()}
+    # rank 1 must be the planted duplicate with cosine ~1
+    for q in range(10):
+        c_id, cos = got[(q + 100000, 1)]
+        assert c_id == q and abs(cos - 1.0) < 1e-6
+    # IVF scores agree with brute-force exact cosine for the same pairs
+    brute = cosine_topk(qs, cands, k=50)
+    exact = {(r.q_id, r.c_id): round(r.cos_sim, 6) for r in brute.collect()}
+    for (q, _), (c, cos) in got.items():
+        if (q, c) in exact:
+            assert abs(exact[(q, c)] - cos) < 1e-9
