@@ -77,19 +77,29 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q02_top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7-shape: broadcast dim joins + agg + deterministic top-k."""
+    """J7-shape: broadcast dim joins + agg + deterministic top-k.
+
+    Pre-aggregates lineitem to one row per order BEFORE the join: 4x fewer
+    rows through the orderkey shuffle, and n_orders becomes a plain count
+    instead of countDistinct's expand — the classic partial-agg-below-join
+    rewrite; results identical (each order contributes exactly once)."""
     li, orders, cust = (
         _t(spark, sf_dir, "lineitem"),
         _t(spark, sf_dir, "orders"),
         _t(spark, sf_dir, "customer"),
     )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("order_rev")
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            # round(6): the regrouped summation (per-order partials) is not
+            # bit-identical to the oracle's flat sum — same q09/q14 pattern
+            F.round(F.sum("order_rev"), 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(10)
@@ -982,10 +992,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_returnflag, l_linestatus
         """,
         "q02_top_revenue_customers": """
+            WITH po AS (
+                SELECT l_orderkey,
+                       sum(l_extendedprice * (1 - l_discount)) AS order_rev
+                FROM lineitem GROUP BY l_orderkey
+            )
             SELECT c_custkey, c_name,
-                   sum(l_extendedprice * (1 - l_discount)) AS revenue,
-                   count(DISTINCT o_orderkey) AS n_orders
-            FROM lineitem
+                   round(sum(order_rev), 6) AS revenue,
+                   count(*) AS n_orders
+            FROM po
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             GROUP BY c_custkey, c_name
