@@ -47,17 +47,30 @@ def universal_hash_constants(num_hashes: int) -> list[tuple[int, int]]:
     return out
 
 
-def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", by_hash: bool = False
+) -> DataFrame:
     """Exact duplicates by normalized content: (canonical_id, n_dups, members).
-    One partial+final hash aggregate; canonical = min id (deterministic)."""
+    One partial+final hash aggregate; canonical = min id (deterministic).
+
+    ``by_hash=True`` groups on (length, xxhash64) of the normalized text
+    instead of the text itself — the 100 TB mode: the shuffle carries 16
+    bytes per row instead of the whole corpus. A cross-document collision
+    needs identical 64-bit hash AND identical length (~n^2/2^64 at equal
+    length); acceptable for dedup, use the default for adjudication."""
+    key = normalize_text(F.col(text_col))
+    if by_hash:
+        key_cols = [F.length(key).alias("_len"), F.xxhash64(key).alias("_h")]
+    else:
+        key_cols = [key.alias("_norm")]
     return (
-        df.groupBy(normalize_text(F.col(text_col)).alias("_norm"))
+        df.groupBy(*key_cols)
         .agg(
             F.min(id_col).alias("canonical_id"),
             F.count(F.lit(1)).alias("n_copies"),
             F.sort_array(F.collect_list(id_col)).alias("members"),
         )
-        .drop("_norm")
+        .drop("_norm", "_len", "_h")
     )
 
 

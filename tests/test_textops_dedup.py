@@ -234,3 +234,15 @@ def test_lsh_threshold_pairs_dim_safety(spark):
     sig = hyperplane_signature(emb, "vec_id", "embedding", "a")
     n_buckets = sig.select("band", "bucket").distinct().groupBy("band").count().collect()
     assert all(r["count"] > 1 for r in n_buckets)
+
+
+def test_exact_dedup_by_hash_equals_text_mode(spark, sf_dir):
+    """Scale mode (16-byte shuffle key) must produce the identical dedup
+    result as full-text grouping on real data."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {(r.canonical_id, r.n_copies, tuple(r.members)) for r in exact_dedup(docs).collect()}
+    b = {
+        (r.canonical_id, r.n_copies, tuple(r.members))
+        for r in exact_dedup(docs, by_hash=True).collect()
+    }
+    assert a == b and len(a) > 0
