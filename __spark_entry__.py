@@ -764,6 +764,27 @@ def q39_media_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q41_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation gate end-to-end: filter_quality (length window + punct/upper
+    caps + lang allowlist, all codegen) -> per-lang survivor stats."""
+    from spanluke_spark.textops.quality import filter_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = filter_quality(
+        docs, min_tokens=30, max_tokens=150, max_punct_ratio=0.05,
+        max_upper_ratio=0.2, langs=["en", "de"],
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum(F.length("text")).alias("sum_chars_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 Structured Streaming through a REAL readStream->writeStream run:
     synthesize pages (deterministic warc_ts = 1700000000 + doc_id*60),
@@ -835,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_median_mode": q38_median_mode,
         "q39_media_plan": q39_media_plan,
         "q40_streaming_counts": q40_streaming_counts,
+        "q41_quality_filter": q41_quality_filter,
     }
 
 
@@ -1508,6 +1530,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(new_h) AS BIGINT) AS sum_h,
                    CAST(sum(n_frames) AS BIGINT) AS total_frames
             FROM r GROUP BY kind ORDER BY kind
+        """,
+        "q41_quality_filter": """
+            WITH d AS (
+                SELECT lang, doc_id, length(text) AS nc,
+                       len(string_split(text, ' ')) AS nt,
+                       length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS np,
+                       length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS nu
+                FROM documents
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(nc) AS BIGINT) AS sum_chars_kept
+            FROM d
+            WHERE lang IN ('en', 'de') AND nt >= 30 AND nt <= 150
+              AND np::DOUBLE / (CASE WHEN nc > 0 THEN nc ELSE 1 END) <= 0.05
+              AND nu::DOUBLE / (CASE WHEN nc > 0 THEN nc ELSE 1 END) <= 0.2
+            GROUP BY lang ORDER BY lang
         """,
         "q40_streaming_counts": """
             WITH p AS (

@@ -85,6 +85,37 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def filter_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int | None = None,
+    max_punct_ratio: float = 0.2,
+    max_upper_ratio: float = 0.5,
+    langs: list[str] | None = None,
+    lang_col: str = "lang",
+) -> DataFrame:
+    """One-call curation filter: the standard pre-training document gate
+    (length window, punctuation/uppercase caps, language allowlist) as pure
+    codegen predicates — Catalyst pushes the lang allowlist to the scan and
+    fuses the rest into one WholeStageCodegen filter, so the gate costs one
+    pass and prunes before any shuffle."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    safe = F.when(n_chars > 0, n_chars.cast("double")).otherwise(F.lit(1.0))
+    cond = (n_tokens >= min_tokens) & (n_punct / safe <= max_punct_ratio) & (
+        n_upper / safe <= max_upper_ratio
+    )
+    if max_tokens is not None:
+        cond = cond & (n_tokens <= max_tokens)
+    if langs:
+        cond = F.col(lang_col).isin(langs) & cond
+    return df.filter(cond)
+
+
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
 
 
