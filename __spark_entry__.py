@@ -785,6 +785,74 @@ def q41_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q42_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing end-to-end: plant a deterministic email/phone/IP per doc
+    (the synthetic corpus has none), redact with pure-codegen regexps, return
+    the redacted text + per-category counts. The oracle replays the exact
+    regexes in DuckDB (shared Java/RE2 subset)."""
+    from spanluke_spark.textops.pii import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ph 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+    return redact_pii(planted).select(
+        "doc_id", "text_redacted", "n_email", "n_phone", "n_ipv4", "n_pii"
+    ).orderBy("doc_id")
+
+
+def q43_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals, computed shuffle-free with
+    array higher-order functions; the oracle recomputes them relationally
+    (unnest -> group) in DuckDB."""
+    from spanluke_spark.textops.quality import repetition_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_features(docs).select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        "top_word_count",
+        "n_bigrams",
+        "top_bigram_count",
+        "top_word_frac",
+        "top_bigram_frac",
+    ).orderBy("doc_id")
+
+
+def q44_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL normalization + per-registered-domain curation stats over a
+    deterministically synthesized url column (sources x tlds x subdomains)."""
+    from spanluke_spark.textops.urls import host_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    sub = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW."))
+        .when(F.col("doc_id") % 3 == 1, F.lit("news."))
+        .otherwise(F.lit(""))
+    )
+    tld = F.when(F.col("doc_id") % 2 == 0, F.lit("org")).otherwise(F.lit("com"))
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), sub, F.col("source"), F.lit("site."), tld,
+            F.lit("/p/"), F.col("doc_id").cast("string"),
+            F.lit("?utm_source=feed#frag"),
+        ).alias("url"),
+        "text",
+    )
+    return host_stats(pages).orderBy("registered_domain")
+
+
 def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 Structured Streaming through a REAL readStream->writeStream run:
     synthesize pages (deterministic warc_ts = 1700000000 + doc_id*60),
@@ -857,6 +925,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_media_plan": q39_media_plan,
         "q40_streaming_counts": q40_streaming_counts,
         "q41_quality_filter": q41_quality_filter,
+        "q42_pii_redaction": q42_pii_redaction,
+        "q43_repetition": q43_repetition,
+        "q44_host_stats": q44_host_stats,
     }
 
 
@@ -1577,5 +1648,90 @@ def oracle_sql() -> dict[str, str]:
                         ELSE count(CASE WHEN gl = pl THEN 1 END)::DOUBLE / count(*) END
                    AS accuracy
             FROM j
+        """,
+        "q42_pii_redaction": """
+            WITH planted AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id || '@example.com ph 555-123-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' ip 10.0.' || (doc_id % 200) || '.1' AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
+                   AS text_redacted,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(text, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS n_phone,
+                   len(regexp_extract_all(text,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   + len(regexp_extract_all(text, '\\b\\d{3}-\\d{3}-\\d{4}\\b'))
+                   + len(regexp_extract_all(text,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_pii
+            FROM planted ORDER BY doc_id
+        """,
+        "q43_repetition": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            ), uni AS (
+                SELECT doc_id, wd, count(*) AS c
+                FROM (SELECT doc_id, unnest(l) AS wd FROM w) GROUP BY 1, 2
+            ), bi AS (
+                SELECT doc_id, bg, count(*) AS c
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(generate_series(1, len(l) - 1),
+                                                 i -> l[i] || ' ' || l[i + 1])) AS bg
+                    FROM w
+                ) GROUP BY 1, 2
+            ), ua AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                       count(*) AS n_distinct_words, max(c) AS top_word_count
+                FROM uni GROUP BY 1
+            ), ba AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                       max(c) AS top_bigram_count
+                FROM bi GROUP BY 1
+            )
+            SELECT ua.doc_id, n_words, n_distinct_words, top_word_count,
+                   coalesce(n_bigrams, 0) AS n_bigrams,
+                   coalesce(top_bigram_count, 0) AS top_bigram_count,
+                   round(top_word_count::DOUBLE / n_words, 6) AS top_word_frac,
+                   CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
+                        ELSE round(top_bigram_count::DOUBLE / n_bigrams, 6) END
+                   AS top_bigram_frac
+            FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id ORDER BY ua.doc_id
+        """,
+        "q44_host_stats": """
+            WITH pages AS (
+                SELECT 'https://'
+                       || CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+                               WHEN doc_id % 3 = 1 THEN 'news.' ELSE '' END
+                       || source || 'site.'
+                       || CASE WHEN doc_id % 2 = 0 THEN 'org' ELSE 'com' END
+                       || '/p/' || doc_id || '?utm_source=feed#frag' AS url,
+                       text
+                FROM documents
+            ), n AS (
+                SELECT lower(regexp_extract(url,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host, text
+                FROM pages
+            ), r AS (
+                SELECT CASE WHEN len(string_split(host, '.')) >= 2
+                            THEN array_to_string(string_split(host, '.')[-2:], '.')
+                            ELSE host END AS registered_domain,
+                       host, text
+                FROM n
+            )
+            SELECT registered_domain, count(*) AS n_pages,
+                   count(DISTINCT host) AS n_hosts,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_text_chars,
+                   round(avg(length(text)), 6) AS avg_text_chars
+            FROM r GROUP BY 1 ORDER BY 1
         """,
     }

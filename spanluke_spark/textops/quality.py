@@ -128,6 +128,64 @@ def bpe_ish_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _top_run_count(arr: Column) -> Column:
+    """Max multiplicity of any element in ``arr``: sort, then a single
+    aggregate() pass tracking (prev, run, best). Higher-order function —
+    runs per-row inside the JVM with zero shuffle and zero Python."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(F.sort_array(arr), init, step, lambda acc: acc["best"])
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1: repetitious
+    documents are low-quality training data): word count, distinct-word
+    count, top-word multiplicity, bigram count, top-bigram multiplicity,
+    plus derived ratios.
+
+    Scale design: everything is a per-row array expression (split /
+    array_distinct / zip_with / aggregate) — at 10^12 docs this is a single
+    scan-project with NO shuffle, unlike the naive explode->groupBy(doc,word)
+    formulation which shuffles every token.
+    """
+    t = F.col(text_col)
+    words = F.split(t, " ")
+    n = F.size(words)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(words, 1, n - 1),
+            F.slice(words, F.lit(2), n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bg = F.size(bigrams)
+    top_w = _top_run_count(words)
+    top_bg = F.when(n_bg > 0, _top_run_count(bigrams)).otherwise(F.lit(0).cast("long"))
+    return df.select(
+        "*",
+        n.cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct_words"),
+        top_w.alias("top_word_count"),
+        n_bg.cast("long").alias("n_bigrams"),
+        top_bg.alias("top_bigram_count"),
+        F.round(top_w.cast("double") / n, 6).alias("top_word_frac"),
+        F.round(
+            F.when(n_bg > 0, top_bg.cast("double") / n_bg).otherwise(F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
 def fingerprint(df: DataFrame, id_cols: list[str], text_col: str = "text") -> DataFrame:
     """Document fingerprint: polynomial rolling hash over whitespace tokens
     (order-sensitive, content-defined). Arrow kernel; worker-stable."""
