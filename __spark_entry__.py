@@ -853,6 +853,47 @@ def q44_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_stats(pages).orderBy("registered_domain")
 
 
+def q45_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivor selection end-to-end: MinHash-LSH candidate pairs
+    (portable hash, exact SQL twin) -> connected components -> keep min-id
+    doc per cluster. The oracle replays the pairs then closes them with a
+    recursive CTE."""
+    from spanluke_spark.dedup.dedup import dedup_keep, minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, verify_threshold=0.05, portable=True)
+    return dedup_keep(docs, pairs).select("doc_id", "lang").orderBy("doc_id")
+
+
+def q46_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quota sampling + train/val/test hash split (portable
+    md5 unit hash, identical across engines/reruns); per (lang, split)
+    survivor counts + id checksum."""
+    from spanluke_spark.textops.sampling import hash_split, stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        docs, {"en": 0.5, "de": 0.25, "fr": 0.1, "es": 0.75}, salt="q46"
+    )
+    out = hash_split(sampled, {"train": 0.8, "val": 0.1, "test": 0.1}, salt="q46s")
+    return (
+        out.groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("sum_ids"))
+        .orderBy("lang", "split")
+    )
+
+
+def q47_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (chunked packer, 2048-token budget)
+    within (lang, hash-shard) streams; per-sequence fill stats."""
+    from spanluke_spark.textops.packing import pack_sequences, pack_stats, with_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    sharded = with_shards(docs, 4)
+    packed = pack_sequences(sharded, budget=2048, part_cols=["lang", "shard"])
+    return pack_stats(packed, ["lang", "shard"]).orderBy("lang", "shard", "seq_id")
+
+
 def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 Structured Streaming through a REAL readStream->writeStream run:
     synthesize pages (deterministic warc_ts = 1700000000 + doc_id*60),
@@ -928,6 +969,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_pii_redaction": q42_pii_redaction,
         "q43_repetition": q43_repetition,
         "q44_host_stats": q44_host_stats,
+        "q45_dedup_keep": q45_dedup_keep,
+        "q46_stratified_sample": q46_stratified_sample,
+        "q47_pack_sequences": q47_pack_sequences,
     }
 
 
@@ -1733,5 +1777,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(text)) AS BIGINT) AS sum_text_chars,
                    round(avg(length(text)), 6) AS avg_text_chars
             FROM r GROUP BY 1 ORDER BY 1
+        """,
+        "q45_dedup_keep": f"""
+            WITH RECURSIVE pairs AS ({_minhash_sql()}),
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b AS u, id_a AS v FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT u AS node FROM edges),
+            reach AS (
+                SELECT node, node AS r FROM nodes
+                UNION
+                SELECT e.u AS node, reach.r FROM edges e JOIN reach ON e.v = reach.node
+            ),
+            comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+            losers AS (SELECT node FROM comp WHERE node <> component)
+            SELECT d.doc_id, d.lang FROM documents d
+            WHERE d.doc_id NOT IN (SELECT node FROM losers)
+            ORDER BY d.doc_id
+        """,
+        "q46_stratified_sample": """
+            WITH u AS (
+                SELECT doc_id, lang,
+                       (('0x' || substr(md5('q46:' || doc_id), 1, 15))::BIGINT
+                        % 1000000) / 1000000.0 AS u1,
+                       (('0x' || substr(md5('q46s:' || doc_id), 1, 15))::BIGINT
+                        % 1000000) / 1000000.0 AS u2
+                FROM documents
+            ), s AS (
+                SELECT doc_id, lang, u2 FROM u
+                WHERE u1 < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                                     WHEN 'fr' THEN 0.1 WHEN 'es' THEN 0.75
+                                     ELSE 0.0 END
+            ), sp AS (
+                SELECT doc_id, lang,
+                       CASE WHEN u2 < 0.1 THEN 'test'
+                            WHEN u2 < 0.9 THEN 'train'
+                            ELSE 'val' END AS split
+                FROM s
+            )
+            SELECT lang, split, count(*) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM sp GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q47_pack_sequences": """
+            WITH sh AS (
+                SELECT doc_id, lang,
+                       CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                             % 4) AS INT) AS shard,
+                       len(string_split(text, ' ')) AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT lang, shard, doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY lang, shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cum_before
+                FROM sh
+            )
+            SELECT lang, shard, CAST(FLOOR(cum_before / 2048) AS BIGINT) AS seq_id,
+                   count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+            FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
     }

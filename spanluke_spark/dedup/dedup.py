@@ -299,3 +299,30 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def dedup_keep(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Survivor selection: given near-duplicate candidate ``pairs`` (from
+    minhash_lsh_pairs / simhash / embedding_neardup_pairs), cluster them with
+    connected components and keep exactly one document per cluster — the one
+    with the minimum id (deterministic). Docs in no pair survive untouched.
+
+    Scale shape: CC runs only over the PAIRS graph (tiny relative to the
+    corpus — collisions, not documents), and the final pass is a left_anti
+    join of the corpus against the loser set, which Spark/AQE broadcast when
+    small. No full-corpus shuffle beyond what the pair generator already did.
+    """
+    from ..canon.cc import connected_components
+
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    cc = connected_components(edges)
+    losers = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
