@@ -107,6 +107,32 @@ def main() -> None:
     )
     check("partial_agg", "partial_sum" in q1 or "HashAggregate(keys=[l_returnflag" in q1)
 
+    # 5. curation ops stay shuffle-free / Python-free where promised
+    from spanluke_spark.textops.pii import redact_pii
+    from spanluke_spark.textops.quality import repetition_features
+    from spanluke_spark.textops.sampling import stratified_sample
+
+    rplan = repetition_features(docs)._jdf.queryExecution().executedPlan().toString()
+    check(
+        "repetition_no_shuffle_no_python",
+        "Exchange" not in rplan and "Python" not in rplan,
+        "(HOF aggregate per row, single scan-project)",
+    )
+    pplan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
+    check("pii_no_shuffle_no_python", "Exchange" not in pplan and "Python" not in pplan)
+    splan = (
+        stratified_sample(docs, {"en": 0.5})
+        .select("doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    check(
+        "sample_is_scan_filter",
+        "Exchange" not in splan and "Python" not in splan,
+        "(deterministic hash filter fused into the scan stage)",
+    )
+
     spark.stop()
     sys.exit(1 if failures else 0)
 
