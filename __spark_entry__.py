@@ -894,6 +894,58 @@ def q47_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_stats(packed, ["lang", "shard"]).orderBy("lang", "shard", "seq_id")
 
 
+def q48_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state (dropDuplicatesWithinWatermark
+    on the 16-byte content key): pages + planted re-crawls (same text, +30 s,
+    doc_id%5==0) stream through; survivors per lang must equal the distinct
+    corpus. Necessarily eager (a stream must execute) — not in the bench set."""
+    import tempfile
+
+    from spanluke_spark.etl.pages import synthesize_pages
+    from spanluke_spark.streaming.stream import read_page_stream, streaming_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = synthesize_pages(docs)
+    recrawls = synthesize_pages(
+        docs.filter(F.col("doc_id") % 5 == 0)
+    ).withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 30 SECONDS")).withColumn(
+        "url", F.concat(F.col("url"), F.lit("?recrawl=1"))
+    )
+    tmp = tempfile.mkdtemp(prefix="q48_pages_")
+    pages.unionByName(recrawls).write.mode("overwrite").parquet(tmp)
+    # text is NULL in synthesized pages until extraction; dedup on extracted text
+    from spanluke_spark.etl.extract import extract_text
+
+    stream = extract_text(read_page_stream(spark, tmp))
+    deduped = streaming_dedup(stream, watermark="1 day")
+    name = "q48_dedup_" + os.path.basename(tmp).rsplit("_", 1)[-1]
+    q = (
+        deduped.select("url", "lang")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .orderBy("lang")
+    )
+
+
+def q49_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (CCNet perplexity-filter stand-in): corpus
+    vocab pass + broadcast-join scoring pass, mean bits/token per doc."""
+    from spanluke_spark.textops.lm_score import unigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_lm_scores(docs).orderBy("doc_id")
+
+
 def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 Structured Streaming through a REAL readStream->writeStream run:
     synthesize pages (deterministic warc_ts = 1700000000 + doc_id*60),
@@ -972,6 +1024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_dedup_keep": q45_dedup_keep,
         "q46_stratified_sample": q46_stratified_sample,
         "q47_pack_sequences": q47_pack_sequences,
+        "q48_streaming_dedup": q48_streaming_dedup,
+        "q49_lm_score": q49_lm_score,
     }
 
 
@@ -1839,5 +1893,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, shard, CAST(FLOOR(cum_before / 2048) AS BIGINT) AS seq_id,
                    count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
             FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q48_streaming_dedup": """
+            SELECT lang, count(*) AS n_pages
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "q49_lm_score": """
+            WITH words AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+            ), vocab AS (
+                SELECT w, count(*) AS c FROM words GROUP BY 1
+            ), stats AS (
+                SELECT CAST(sum(c) AS DOUBLE) AS total, count(*) AS v FROM vocab
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(-log2((c + 0.5) / (total + 0.5 * (v + 1)))), 6)
+                   AS bits_per_token
+            FROM words JOIN vocab USING (w), stats
+            GROUP BY doc_id ORDER BY doc_id
         """,
     }

@@ -118,3 +118,31 @@ def streaming_kg_query(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer
+
+
+def streaming_dedup(
+    pages: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "warc_ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-crawled pages whose dedup key was
+    already seen, with BOUNDED state — dropDuplicatesWithinWatermark keeps a
+    key in the state store only until the watermark passes it, so state size
+    tracks the watermark window, not the whole history (the only viable shape
+    at 10^12 pages; plain dropDuplicates on a stream grows state forever).
+
+    Default key: content hash + length of the extracted text (the streaming
+    twin of dedup.exact_dedup(by_hash=True)) — 16 bytes of state per page.
+    """
+    if key_cols is None:
+        norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        pages = pages.withColumn("_dk_h", F.xxhash64(norm)).withColumn(
+            "_dk_len", F.length(norm)
+        )
+        key_cols = ["_dk_h", "_dk_len"]
+    return (
+        pages.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
+        .drop("_dk_h", "_dk_len")
+    )
