@@ -89,6 +89,34 @@ def main() -> None:
     timings["kg_span_pipeline"] = round(kg_sec, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Curation-op family (training-data pipeline): timed separately so the
+    # headline total stays comparable across rounds. min-of-2 (they're cheap).
+    from spanluke_spark.dedup.dedup import dedup_keep, minhash_lsh_pairs
+
+    def dedup_keep_production(spark, sf_dir):
+        # q45's operator on the PRODUCTION hash path (xxhash64, not the
+        # md5-portable mode the DuckDB oracle needs)
+        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return dedup_keep(d, minhash_lsh_pairs(d, verify_threshold=0.05))
+
+    curation = [
+        ("q43_repetition", qs["q43_repetition"]),
+        ("q45_dedup_keep_prod", dedup_keep_production),
+        ("q46_stratified_sample", qs["q46_stratified_sample"]),
+        ("q47_pack_sequences", qs["q47_pack_sequences"]),
+        ("q49_lm_score", qs["q49_lm_score"]),
+    ]
+    curation_timings: dict[str, float] = {}
+    for name, fn in curation:
+        fn(spark, sf_dir).count()  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        curation_timings[name] = round(best, 3)
+
     print(
         json.dumps(
             {
@@ -100,6 +128,8 @@ def main() -> None:
                 "n_triples": n_triples,
                 "docs_per_sec": round(n_docs / kg_sec, 1),
                 "cpus": int(cpus),
+                "curation_queries": curation_timings,
+                "curation_total": round(sum(curation_timings.values()), 3),
             }
         )
     )

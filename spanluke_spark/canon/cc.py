@@ -66,18 +66,23 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    prev_sig = None
-    for _ in range(max_iter):
-        if e.isEmpty():
-            break
-        e = _star_round(e, large=True)
-        e = _star_round(e, large=False).localCheckpoint(eager=True)
-        sig_row = e.agg(
+    def signature(df: DataFrame) -> tuple:
+        row = df.agg(
             F.count(F.lit(1)).alias("n"),
             # modular sum: order-insensitive and overflow-free under ANSI mode
             F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(2147483647))).alias("h"),
         ).first()
-        sig = (sig_row["n"], sig_row["h"])
+        return (row["n"], row["h"])
+
+    # One action per round: the checksum agg doubles as the emptiness check
+    # (n == 0), so no separate isEmpty() job.
+    prev_sig = signature(e)
+    for _ in range(max_iter):
+        if prev_sig[0] == 0:
+            break
+        e = _star_round(e, large=True)
+        e = _star_round(e, large=False).localCheckpoint(eager=True)
+        sig = signature(e)
         if sig == prev_sig:
             break
         prev_sig = sig

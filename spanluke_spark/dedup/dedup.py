@@ -151,12 +151,15 @@ def minhash_signature(
         F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
     )
     raw = portable_hash64(F.col("shingle")) if portable else F.xxhash64("shingle")
-    base_h = F.pmod(raw, F.lit(P31))
+    # Materialize the base hash in the projection BELOW the aggregate: agg
+    # functions get no cross-function subexpression elimination, so an
+    # xxhash64/md5 referenced inside all 32 min()s would run 32x per shingle.
+    hashed = sh.select("id", F.pmod(raw, F.lit(P31)).alias("_bh"))
     aggs = [
-        F.min(F.pmod(base_h * F.lit(a) + F.lit(b), F.lit(P31))).alias(f"mh_{i}")
+        F.min(F.pmod(F.col("_bh") * F.lit(a) + F.lit(b), F.lit(P31))).alias(f"mh_{i}")
         for i, (a, b) in enumerate(universal_hash_constants(num_hashes))
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(

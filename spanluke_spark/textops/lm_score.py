@@ -21,11 +21,17 @@ def unigram_lm_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: float = 0.5,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """(id, n_tokens, bits_per_token): mean -log2 p(w) under the corpus
     unigram LM with add-k smoothing over V+1 outcomes (unseen mass finite).
     High bits_per_token = improbable text (gibberish / wrong language);
-    low = repetitive/templated — both ends are curation-filter targets."""
+    low = repetitive/templated — both ends are curation-filter targets.
+
+    ``broadcast_vocab``: a curated vocab (cap via min-count or top-N before
+    calling) broadcasts fine; the RAW web vocab at 10^12 docs is
+    100M+ distinct tokens — pass False there and the score join becomes an
+    ordinary shuffle join on the word key (both sides already exploded)."""
     words = df.select(F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("w"))
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     stats = vocab.agg(
@@ -33,8 +39,9 @@ def unigram_lm_scores(
     )
     denom = F.col("total") + F.lit(k) * (F.col("v") + 1)
     bits = -F.log2((F.col("c") + F.lit(k)) / denom)
+    vocab_side = F.broadcast(vocab) if broadcast_vocab else vocab
     return (
-        words.join(F.broadcast(vocab), "w")
+        words.join(vocab_side, "w")
         .crossJoin(F.broadcast(stats))
         .groupBy("id")
         .agg(
