@@ -93,3 +93,54 @@ def prune_scan(pages: DataFrame, langs: list[str] | None = None, since_ts: str |
     if since_ts:
         out = out.filter(F.col("warc_ts") >= since_ts)
     return out
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_by: str,
+    target_rows_per_file: int = 1_000_000,
+    partitions: list | None = None,
+) -> dict:
+    """Small-file compaction for an append-accumulated partitioned table —
+    the standing operational task at 10^12 rows, where per-epoch/per-delta
+    appends leave thousands of tiny files per partition and scan task count
+    explodes (Iceberg twin: rewrite_data_files).
+
+    Rewrites each partition into at most ceil(rows/target) files: rows are
+    assigned a deterministic file slot (hash mod n_files per partition), one
+    shuffle keyed by (partition, slot) co-locates each output file's rows,
+    and the write is a dynamic partition overwrite — idempotent, untouched
+    partitions keep their files. ``partitions`` restricts the pass (compact
+    only what lineage says changed). The planner collect() is one row per
+    partition — bounded by the bucket count, not the data.
+
+    Returns {"partitions": n, "rows": n} for the compacted slice.
+    """
+    df = spark.read.parquet(path)
+    if partitions is not None:
+        df = df.filter(F.col(partition_by).isin(partitions))
+
+    counts = {
+        r[partition_by]: r["n"]
+        for r in df.groupBy(partition_by).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        return {"partitions": 0, "rows": 0}
+
+    n_files = F.lit(1)
+    for part, n in counts.items():
+        n_files = F.when(
+            F.col(partition_by) == part,
+            F.lit(max(1, -(-n // target_rows_per_file))),
+        ).otherwise(n_files)
+    slot = F.pmod(F.xxhash64(*df.columns), n_files)
+    compacted = (
+        df.withColumn("_slot", slot)
+        .repartition(F.col(partition_by), F.col("_slot"))
+        .drop("_slot")
+    )
+    from .lineage import overwrite_partitions
+
+    overwrite_partitions(compacted, path, partition_by)
+    return {"partitions": len(counts), "rows": sum(counts.values())}
