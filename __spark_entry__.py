@@ -946,6 +946,33 @@ def q49_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_lm_scores(docs).orderBy("doc_id")
 
 
+def q50_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: quality gate -> MinHash-LSH dedup survivors ->
+    deterministic stratified sample, one lazy composition; the oracle replays
+    every stage (filter predicates, signature/band/bucket, recursive-CTE
+    closure, unit-hash sampling) in a single SQL statement."""
+    from spanluke_spark.textops.curate import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    out = curate(
+        docs,
+        min_tokens=30,
+        max_tokens=150,
+        max_punct_ratio=0.05,
+        max_upper_ratio=0.2,
+        langs=["en", "de"],
+        dedup_threshold=0.05,
+        sample_rates={"en": 0.6, "de": 0.5},
+        salt="q50",
+        portable=True,
+    )
+    return (
+        out.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("sum_ids"))
+        .orderBy("lang")
+    )
+
+
 def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 Structured Streaming through a REAL readStream->writeStream run:
     synthesize pages (deterministic warc_ts = 1700000000 + doc_id*60),
@@ -1026,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_pack_sequences": q47_pack_sequences,
         "q48_streaming_dedup": q48_streaming_dedup,
         "q49_lm_score": q49_lm_score,
+        "q50_curation_pipeline": q50_curation_pipeline,
     }
 
 
@@ -1069,9 +1097,16 @@ def _langid_sql() -> str:
 _LANGID_SQL = _langid_sql()
 
 
-def _minhash_sql(num_hashes: int = 32, bands: int = 8, threshold: float = 0.05) -> str:
+def _minhash_sql(
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.05,
+    source: str = "documents",
+) -> str:
     """q17 oracle: replays minhash_lsh_pairs(portable=True) exactly — same
-    universal-hash constants, same polynomial band combiner, same verify."""
+    universal-hash constants, same polynomial band combiner, same verify.
+    ``source``: table name or parenthesized subquery supplying (doc_id, text)
+    — q50 runs the replay over the quality-filtered set."""
     from spanluke_spark.dedup.dedup import BUCKET_BASE, P31, universal_hash_constants
 
     consts = universal_hash_constants(num_hashes)
@@ -1087,7 +1122,7 @@ def _minhash_sql(num_hashes: int = 32, bands: int = 8, threshold: float = 0.05) 
         band_selects.append(f"SELECT id, {b} AS band, {expr} AS bucket FROM sig")
     bands_sql = "\n            UNION ALL ".join(band_selects)
     return f"""
-        WITH t AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents),
+        WITH t AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM {source}),
         s AS (
             SELECT id,
                    list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
@@ -1911,5 +1946,42 @@ def oracle_sql() -> dict[str, str]:
                    AS bits_per_token
             FROM words JOIN vocab USING (w), stats
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "q50_curation_pipeline": f"""
+            WITH RECURSIVE filtered AS (
+                SELECT doc_id, text, lang FROM (
+                    SELECT doc_id, text, lang, length(text) AS nc,
+                           len(string_split(text, ' ')) AS nt,
+                           length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS np,
+                           length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS nu
+                    FROM documents
+                )
+                WHERE lang IN ('en', 'de') AND nt >= 30 AND nt <= 150
+                  AND np::DOUBLE / (CASE WHEN nc > 0 THEN nc ELSE 1 END) <= 0.05
+                  AND nu::DOUBLE / (CASE WHEN nc > 0 THEN nc ELSE 1 END) <= 0.2
+            ),
+            pairs AS ({_minhash_sql(source="filtered")}),
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b AS u, id_a AS v FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT u AS node FROM edges),
+            reach AS (
+                SELECT node, node AS r FROM nodes
+                UNION
+                SELECT e.u AS node, reach.r FROM edges e JOIN reach ON e.v = reach.node
+            ),
+            comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+            losers AS (SELECT node FROM comp WHERE node <> component),
+            sampled AS (
+                SELECT doc_id, lang FROM filtered
+                WHERE doc_id NOT IN (SELECT node FROM losers)
+                  AND (('0x' || substr(md5('q50:' || doc_id), 1, 15))::BIGINT
+                       % 1000000) / 1000000.0
+                      < CASE lang WHEN 'en' THEN 0.6 WHEN 'de' THEN 0.5 ELSE 0.0 END
+            )
+            SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM sampled GROUP BY 1 ORDER BY 1
         """,
     }

@@ -1,0 +1,63 @@
+"""One-call curation pipeline: the standard pre-training document flow
+(quality gate -> near-dup removal -> quota sampling) composed from the
+individual operators, all lazy — a user gets the whole 100 TB curation pass
+as a single DataFrame expression.
+
+Stage shapes: the quality gate is a codegen filter fused into the scan; the
+dedup stage shuffles only shingle/bucket keys (LSH) plus the tiny pair graph
+(CC); sampling is another scan-fused filter. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..dedup.dedup import dedup_keep, minhash_lsh_pairs
+from .quality import filter_quality
+from .sampling import stratified_sample
+
+
+def curate(
+    df: DataFrame,
+    *,
+    min_tokens: int = 5,
+    max_tokens: int | None = None,
+    max_punct_ratio: float = 0.2,
+    max_upper_ratio: float = 0.5,
+    langs: list[str] | None = None,
+    dedup_threshold: float | None = 0.05,
+    sample_rates: dict[str, float] | None = None,
+    salt: str = "curate",
+    portable: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """documents -> curated survivors.
+
+    1. filter_quality: length window + punct/upper caps + lang allowlist.
+    2. MinHash-LSH near-dup clusters -> keep min-id doc per cluster
+       (skipped when ``dedup_threshold`` is None).
+    3. deterministic stratified sampling by ``sample_rates`` (skipped when
+       None) — reproducible across reruns/engines (portable hash).
+    """
+    kept = filter_quality(
+        df,
+        text_col=text_col,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        max_punct_ratio=max_punct_ratio,
+        max_upper_ratio=max_upper_ratio,
+        langs=langs,
+    )
+    if dedup_threshold is not None:
+        pairs = minhash_lsh_pairs(
+            kept,
+            id_col=id_col,
+            text_col=text_col,
+            verify_threshold=dedup_threshold,
+            portable=portable,
+        )
+        kept = dedup_keep(kept, pairs, id_col=id_col)
+    if sample_rates is not None:
+        kept = stratified_sample(kept, sample_rates, id_col=id_col, salt=salt)
+    return kept
