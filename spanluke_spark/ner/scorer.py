@@ -206,6 +206,49 @@ class HashedGazetteerSpanScorer:
         self.gaz = gazetteer
         self.label_to_idx = label_to_idx
         self.outside_id = outside_id
+        # word trie over gazetteer surfaces for score_hits:
+        # node = {word: [label_or_None, children]}
+        root: dict = {}
+        for surf, label in gazetteer.entries.items():
+            children = root
+            cell: list | None = None
+            for w in surf.split(" "):
+                cell = children.setdefault(w, [None, {}])
+                children = cell[1]
+            assert cell is not None
+            cell[0] = label
+        self._trie = root
+
+    def score_hits(
+        self, tokens: list[str], max_length: int = ENTITY_MAX_LENGTH
+    ) -> tuple[list[tuple[int, int]], list[float], list[int]]:
+        """Fast path: ONLY gazetteer-hit spans, in reference enumeration
+        order — equivalent input to the greedy decode, because (a) misses
+        carry pred=outside and are skipped unconditionally, and (b) Python's
+        stable sort ties equal scores by list order, which filtering
+        preserves. Walks a word trie from each start instead of enumerating
+        all n*max_length spans: O(n) dict probes + rare deeper walks."""
+        lowered = [t.lower() for t in tokens]
+        n = len(lowered)
+        depth_cap = min(self.gaz.max_words, max_length)
+        trie = self._trie
+        spans: list[tuple[int, int]] = []
+        scores: list[float] = []
+        preds: list[int] = []
+        for s in range(n):
+            node = trie
+            e = s
+            while e < n and e - s < depth_cap:
+                nxt = node.get(lowered[e])
+                if nxt is None:
+                    break
+                label, node = nxt
+                e += 1
+                if label is not None:
+                    spans.append((s, e))
+                    preds.append(self.label_to_idx.get("B-" + label, self.outside_id))
+                    scores.append(0.9 + 0.1 * stable_unit(" ".join(lowered[s:e])))
+        return spans, scores, preds
 
     def score_sentence(
         self, tokens: list[str], max_length: int = ENTITY_MAX_LENGTH

@@ -114,6 +114,11 @@ def extract_mentions_span(
             if scorer_factory is not None
             else HashedGazetteerSpanScorer(Gazetteer.from_broadcastable(gaz_dict), enc, outside_id)
         )
+        # hits-only fast path when the scorer offers it (gazetteer surrogate:
+        # misses can never be accepted by the decode, so skipping them is
+        # output-identical — see score_hits); a real model scorer without it
+        # goes through the full score_sentence contract.
+        score = getattr(scorer, "score_hits", scorer.score_sentence)
         for pdf in batches:
             rows: dict[str, list] = {c: [] for c in id_cols}
             rows.update(
@@ -124,7 +129,7 @@ def extract_mentions_span(
                 text = d.get(text_col) or ""
                 toks = py_tokenize_offsets(text)
                 words = [t for t, _, _ in toks]
-                spans, scores, preds = scorer.score_sentence(words, max_length)
+                spans, scores, preds = score(words, max_length)
                 for ws, we, lbl, sc in py_greedy_decode_mentions(
                     len(words), spans, scores, preds, outside_id, inv
                 ):
@@ -178,6 +183,7 @@ def extract_mentions_from_pages(
             if scorer_factory is not None
             else HashedGazetteerSpanScorer(Gazetteer.from_broadcastable(gaz_dict), enc, outside_id)
         )
+        score = getattr(scorer, "score_hits", scorer.score_sentence)
         for pdf in batches:
             rows: dict[str, list] = {c: [] for c in id_cols}
             rows.update(
@@ -188,7 +194,7 @@ def extract_mentions_from_pages(
                 text = py_html_to_text(d.get(html_col))
                 toks = py_tokenize_offsets(text)
                 words = [t for t, _, _ in toks]
-                spans, scores, preds = scorer.score_sentence(words, max_length)
+                spans, scores, preds = score(words, max_length)
                 for ws, we, lbl, sc in py_greedy_decode_mentions(
                     len(words), spans, scores, preds, outside_id, inv
                 ):

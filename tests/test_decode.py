@@ -95,3 +95,34 @@ def test_greedy_decode_spark_vs_python(spark):
         exp_set = [(ws, we, lbl, round(sc, 6)) for ws, we, lbl, sc in exp]
         mine = by_doc.get(doc, [])
         assert sorted(mine) == sorted(exp_set), (doc, mine, exp_set)
+
+
+def test_score_hits_decode_equivalent_to_full_enumeration(spark):
+    """The hits-only fast path must produce EXACTLY the decode output of the
+    full span enumeration, including tie order, on randomized docs."""
+    import random
+
+    from spanluke_spark.fixtures import PIPELINE_GAZETTEER
+    from spanluke_spark.ner.decode import py_greedy_decode_mentions
+    from spanluke_spark.ner.scorer import Gazetteer, HashedGazetteerSpanScorer
+    from spanluke_spark.schemas import LEGALNER_ENTITIES, encoding_a, idx_to_label
+
+    enc = encoding_a(LEGALNER_ENTITIES)
+    inv = idx_to_label(enc)
+    outside = enc["O"]
+    gaz = Gazetteer.from_broadcastable(PIPELINE_GAZETTEER.to_broadcastable())
+    scorer = HashedGazetteerSpanScorer(gaz, enc, outside)
+
+    vocab = list({w for surf in gaz.entries for w in surf.split(" ")}) + [
+        "filler", "words", "here", "and", "there", "Hash", "JOIN",
+    ]
+    rng = random.Random(42)
+    for trial in range(50):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 40))]
+        full = py_greedy_decode_mentions(
+            len(words), *scorer.score_sentence(words), outside, inv
+        )
+        fast = py_greedy_decode_mentions(
+            len(words), *scorer.score_hits(words), outside, inv
+        )
+        assert fast == full, (trial, words)
