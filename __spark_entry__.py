@@ -973,6 +973,40 @@ def q50_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q51_robust_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault-tolerant JSONL scan: write a feed where every doc_id%10==3 line
+    is torn mid-record, PERMISSIVE-read it in one pass, report per-lang good
+    counts plus the quarantined-line count. Necessarily eager (writes a temp
+    feed) — not in the bench headline set."""
+    import tempfile
+
+    from spanluke_spark.etl.robust import read_jsonl_robust
+
+    docs = _t(spark, sf_dir, "documents")
+    line = F.when(
+        F.col("doc_id") % 10 == 3,
+        # torn record: valid prefix, truncated before close
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string"), F.lit(', "lang": "')),
+    ).otherwise(F.to_json(F.struct("doc_id", "lang", "n_chars")))
+    tmp = tempfile.mkdtemp(prefix="q51_feed_")
+    docs.select(line.alias("value")).coalesce(4).write.mode("overwrite").text(tmp)
+
+    good, quarantine = read_jsonl_robust(
+        spark, tmp, "doc_id long, lang string, n_chars long"
+    )
+    per_lang = good.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("sum_ids")
+    )
+    bad = quarantine.agg(
+        F.lit("__quarantined__").alias("lang"),
+        F.count(F.lit(1)).alias("n_docs"),
+        # references a data column (torn rows parse to null -> 0) so the
+        # plan is not corrupt-column-only (see etl/robust.py)
+        F.sum(F.coalesce(F.col("doc_id"), F.lit(0))).alias("sum_ids"),
+    )
+    return per_lang.unionByName(bad).orderBy("lang")
+
+
 def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 Structured Streaming through a REAL readStream->writeStream run:
     synthesize pages (deterministic warc_ts = 1700000000 + doc_id*60),
@@ -1054,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_streaming_dedup": q48_streaming_dedup,
         "q49_lm_score": q49_lm_score,
         "q50_curation_pipeline": q50_curation_pipeline,
+        "q51_robust_ingest": q51_robust_ingest,
     }
 
 
@@ -1983,5 +2018,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
             FROM sampled GROUP BY 1 ORDER BY 1
+        """,
+        "q51_robust_ingest": """
+            SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM documents WHERE doc_id % 10 <> 3 GROUP BY lang
+            UNION ALL
+            SELECT '__quarantined__' AS lang, count(*) AS n_docs,
+                   CAST(0 AS BIGINT) AS sum_ids
+            FROM documents WHERE doc_id % 10 = 3
+            ORDER BY lang
         """,
     }
