@@ -153,6 +153,13 @@ def canonicalize_entities(
         .agg(F.min("key").alias("canonical_key"))
     )
     out = labeled.join(reps, "component").select("key", "canonical_key")
+    # Truncate the mapping's lineage BEFORE releasing the nodes cache: the
+    # mapping is consumed by several downstream actions (apply + counts +
+    # writes), and without this every one of them would re-derive
+    # entity_nodes -> the full upstream extraction. The mapping is one row
+    # per distinct entity key — the canonical vocabulary — so materializing
+    # it is cheap at any corpus size.
+    out = out.localCheckpoint(eager=True)
     nodes.unpersist()
     return out
 
