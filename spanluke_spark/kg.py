@@ -50,6 +50,15 @@ def run_kg_pipeline(
     lineage = read_lineage(spark, lineage_path)
     todo = pending_partitions(keyed, lineage)
 
+    # Empty-delta short circuit: a fully-resumed run must cost one anti-join
+    # scan (no Python stage, no canonicalization over the accumulated table,
+    # no writes). Counting BEFORE any write is safe — the stale-read hazard
+    # the later todo.count() comment describes only exists after the lineage
+    # append.
+    n_pages = todo.count()
+    if n_pages == 0:
+        return {"n_pages": 0, "n_triples": 0}
+
     # Fused single Python hop: html -> text -> mentions (html binary never
     # reaches a shuffle; chaining separate extract/score hops measured 3-5x
     # slower at full core width).
@@ -82,7 +91,6 @@ def run_kg_pipeline(
     mentions.persist()
     triples.persist()
     n_triples = triples.count()
-    n_pages = todo.count()
     if n_pages:
         lin = lineage_rows(
             triples,
