@@ -80,14 +80,27 @@ def append_parquet(df: DataFrame, path: str, partition_by: str | None = None) ->
     w.parquet(path)
 
 
-def overwrite_partitions(df: DataFrame, path: str, partition_by: str | list[str]) -> None:
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str],
+    coalesce_output: bool = True,
+) -> None:
     """Idempotent per-partition write: dynamic partition overwrite replaces
     exactly the partitions present in ``df`` and leaves the rest untouched.
     A crash-rerun of the same delta rewrites the same partitions instead of
     appending duplicates — the write-side half of the exactly-once-per-
-    partition contract (the read side is the lineage anti-join)."""
+    partition contract (the read side is the lineage anti-join).
+
+    ``coalesce_output`` (default): shuffle on the partition columns first so
+    each directory is written by ONE task — one file per partition instead
+    of (tasks x partitions) shards. Right-sized when a partition's delta
+    fits a task (the triples/lineage case); pass False for fatter deltas
+    and let storage.tables.compact_partitions resize later."""
     spark = df.sparkSession
     cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    if coalesce_output:
+        df = df.repartition(*[F.col(c) for c in cols])
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
