@@ -1007,6 +1007,27 @@ def q51_robust_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_lang.unionByName(bad).orderBy("lang")
 
 
+def q52_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (128-token windows, 16 overlap) — per-row
+    explode/slice, no shuffle; oracle replays with generate_series + list
+    slicing."""
+    from spanluke_spark.textops.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=128, overlap=16).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+def q53_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 characteristic terms per doc (smoothed idf, deterministic
+    tie-break); oracle recomputes tf/df/idf/rank relationally."""
+    from spanluke_spark.textops.tfidf import tfidf_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_topk(docs, k=5).orderBy("doc_id", "rank")
+
+
 def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 Structured Streaming through a REAL readStream->writeStream run:
     synthesize pages (deterministic warc_ts = 1700000000 + doc_id*60),
@@ -1089,6 +1110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_lm_score": q49_lm_score,
         "q50_curation_pipeline": q50_curation_pipeline,
         "q51_robust_ingest": q51_robust_ingest,
+        "q52_chunking": q52_chunking,
+        "q53_tfidf_topk": q53_tfidf_topk,
     }
 
 
@@ -2027,5 +2050,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS sum_ids
             FROM documents WHERE doc_id % 10 = 3
             ORDER BY lang
+        """,
+        "q52_chunking": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks,
+                       len(string_split(text, ' ')) AS n
+                FROM documents
+            ), c AS (
+                SELECT doc_id, toks,
+                       CASE WHEN n <= 128 THEN 1
+                            ELSE CAST(floor((n - 128 + 112 - 1) / 112.0) AS BIGINT) + 1
+                       END AS n_chunks
+                FROM t
+            ), e AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(0, CAST(n_chunks - 1 AS BIGINT)))
+                       AS chunk_id
+                FROM c
+            )
+            SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+                   CAST(chunk_id * 112 AS BIGINT) AS chunk_start,
+                   CAST(len(toks[chunk_id * 112 + 1 : chunk_id * 112 + 128]) AS BIGINT)
+                   AS n_chunk_tokens,
+                   array_to_string(toks[chunk_id * 112 + 1 : chunk_id * 112 + 128], ' ')
+                   AS chunk_text
+            FROM e ORDER BY doc_id, chunk_id
+        """,
+        "q53_tfidf_topk": """
+            WITH words AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+            ), tf AS (
+                SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2
+            ), dfreq AS (
+                SELECT w, count(*) AS df FROM tf GROUP BY 1
+            ), nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.w, tf.tf,
+                       round(tf.tf * (ln((n + 1)::DOUBLE / (df + 1)) + 1.0), 6)
+                       AS score
+                FROM tf JOIN dfreq USING (w), nd
+            ), ranked AS (
+                SELECT doc_id, w, tf, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, w ASC) AS rank
+                FROM scored
+            )
+            SELECT doc_id, CAST(rank AS INT) AS rank, w AS term, tf, score
+            FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank
         """,
     }
