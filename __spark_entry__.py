@@ -1028,6 +1028,16 @@ def q53_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(docs, k=5).orderBy("doc_id", "rank")
 
 
+def q54_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids + mean cosine-to-centroid, fully
+    relational (posexplode -> dim-wise agg -> join-back); the oracle zips
+    parallel unnests in DuckDB."""
+    from spanluke_spark.link.ann import label_centroids_cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_centroids_cosine(emb).orderBy("label")
+
+
 def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 Structured Streaming through a REAL readStream->writeStream run:
     synthesize pages (deterministic warc_ts = 1700000000 + doc_id*60),
@@ -1112,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_robust_ingest": q51_robust_ingest,
         "q52_chunking": q52_chunking,
         "q53_tfidf_topk": q53_tfidf_topk,
+        "q54_label_centroids": q54_label_centroids,
     }
 
 
@@ -2097,5 +2108,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(rank AS INT) AS rank, w AS term, tf, score
             FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank
+        """,
+        "q54_label_centroids": """
+            WITH pos AS (
+                SELECT vec_id AS vid, label AS lbl,
+                       unnest(generate_series(0, len(embedding) - 1)) AS pos,
+                       unnest(embedding) AS v
+                FROM embeddings
+            ), cent AS (
+                SELECT lbl, pos, avg(v) AS c FROM pos GROUP BY 1, 2
+            ), per_vec AS (
+                SELECT vid, pos.lbl AS lbl,
+                       sum(v * c) AS dot,
+                       sqrt(sum(v * v)) AS nv,
+                       sqrt(sum(c * c)) AS nc
+                FROM pos JOIN cent ON pos.lbl = cent.lbl AND pos.pos = cent.pos
+                GROUP BY 1, 2
+            )
+            SELECT lbl AS label, count(*) AS n_vecs,
+                   round(avg(CASE WHEN nv > 0 AND nc > 0
+                                  THEN dot / (nv * nc) ELSE 0.0 END), 6)
+                   AS avg_cos
+            FROM per_vec GROUP BY 1 ORDER BY 1
         """,
     }

@@ -282,3 +282,48 @@ def lsh_threshold_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def label_centroids_cosine(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid quality: (label, n_vecs, avg_cos) where avg_cos is
+    the mean cosine of each vector to its label centroid — the class-
+    prototype / k-means-E-step building block, done RELATIONALLY:
+
+      posexplode -> (label, dim) avg  = centroid, one partial+final agg
+      join back on (label, dim)       = per-element products
+      groupBy vec                     = dot and norms in one agg
+      groupBy label                   = the report
+
+    No vectors are ever rebuilt driver-side; every step is a hash agg or an
+    equi-join, so the plan scales with rows x dims, not with k or |D|^2.
+    """
+    pos = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lbl"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    cent = pos.groupBy("lbl", "pos").agg(F.avg("v").alias("c"))
+    per_vec = (
+        pos.join(cent, ["lbl", "pos"])
+        .groupBy("vid", "lbl")
+        .agg(
+            F.sum(F.col("v") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv"),
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"),
+        )
+    )
+    cos = F.when(
+        (F.col("nv") > 0) & (F.col("nc") > 0), F.col("dot") / (F.col("nv") * F.col("nc"))
+    ).otherwise(F.lit(0.0))
+    return (
+        per_vec.groupBy(F.col("lbl").alias(label_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(cos), 6).alias("avg_cos"),
+        )
+    )

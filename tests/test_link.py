@@ -129,3 +129,28 @@ def test_ivf_topk_recall_and_consistency(spark, sf_dir):
     for (q, _), (c, cos) in got.items():
         if (q, c) in exact:
             assert abs(exact[(q, c)] - cos) < 1e-9
+
+
+def test_label_centroids_cosine_numpy_parity(spark):
+    import numpy as np
+
+    from spanluke_spark.link.ann import label_centroids_cosine
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(60):
+        label = i % 3
+        base = np.zeros(8); base[label] = 3.0
+        vec = (base + rng.randn(8) * 0.3).astype("float32")
+        rows.append((i, [float(x) for x in vec], label))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["label"]: r for r in label_centroids_cosine(df).collect()}
+
+    vecs = {lbl: np.array([v for _, v, l in rows if l == lbl], dtype="float64")
+            for lbl in (0, 1, 2)}
+    for lbl, m in vecs.items():
+        c = m.mean(axis=0)
+        cos = (m @ c) / (np.linalg.norm(m, axis=1) * np.linalg.norm(c))
+        assert got[lbl]["n_vecs"] == len(m)
+        assert abs(got[lbl]["avg_cos"] - round(float(cos.mean()), 6)) < 1e-5
+        assert got[lbl]["avg_cos"] > 0.8  # tight clusters by construction
