@@ -1038,6 +1038,15 @@ def q54_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids_cosine(emb).orderBy("label")
 
 
+def q55_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed k-means (2 Lloyd rounds, k=4, lowest-id
+    seeds); the oracle unrolls both iterations in SQL."""
+    from spanluke_spark.link.kmeans import kmeans_assignments
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assignments(emb, k=4, iters=2).orderBy("vec_id")
+
+
 def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 Structured Streaming through a REAL readStream->writeStream run:
     synthesize pages (deterministic warc_ts = 1700000000 + doc_id*60),
@@ -1123,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_chunking": q52_chunking,
         "q53_tfidf_topk": q53_tfidf_topk,
         "q54_label_centroids": q54_label_centroids,
+        "q55_kmeans": q55_kmeans,
     }
 
 
@@ -1216,6 +1226,44 @@ def _minhash_sql(
         FROM verified WHERE jaccard >= {threshold}
         ORDER BY id_a, id_b
     """
+
+
+def _kmeans_sql(k: int = 4, iters: int = 2) -> str:
+    """q55 oracle: Lloyd's unrolled — seeds = k lowest-id vectors, each
+    round = distance join + rank-1 assignment + dim-wise centroid avg."""
+    sql = f"""
+        WITH pos AS (
+            SELECT vec_id AS vid,
+                   unnest(generate_series(0, len(embedding) - 1)) AS pos,
+                   unnest(embedding)::DOUBLE AS v
+            FROM embeddings
+        ), seeds AS (
+            SELECT vid, CAST(row_number() OVER (ORDER BY vid) - 1 AS INT) AS cid
+            FROM (SELECT DISTINCT vid FROM pos ORDER BY vid LIMIT {k})
+        ), cent0 AS (
+            SELECT s.cid, p.pos, p.v AS c FROM pos p JOIN seeds s ON p.vid = s.vid
+        )"""
+    for i in range(iters):
+        sql += f""", d{i} AS (
+            SELECT p.vid, c.cid, round(sum((p.v - c.c) * (p.v - c.c)), 6) AS d2
+            FROM pos p JOIN cent{i} c ON p.pos = c.pos
+            GROUP BY 1, 2
+        ), a{i} AS (
+            SELECT vid, cid FROM (
+                SELECT vid, cid,
+                       row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+                FROM d{i}
+            ) WHERE rn = 1
+        )"""
+        if i < iters - 1:
+            sql += f""", cent{i + 1} AS (
+            SELECT a.cid, p.pos, avg(p.v) AS c
+            FROM pos p JOIN a{i} a ON p.vid = a.vid
+            GROUP BY 1, 2
+        )"""
+    sql += f"""
+        SELECT vid AS vec_id, cid AS cluster FROM a{iters - 1} ORDER BY vec_id"""
+    return sql
 
 
 def _wordpiece_sql() -> str:
@@ -2131,4 +2179,5 @@ def oracle_sql() -> dict[str, str]:
                    AS avg_cos
             FROM per_vec GROUP BY 1 ORDER BY 1
         """,
+        "q55_kmeans": _kmeans_sql(),
     }
