@@ -43,13 +43,25 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """edges(src, dst) -> (node, component) with component = min node id.
 
     Iterates large-star/small-star to fixpoint (checksum-stable edge set),
     then reads components off the final star edges. Isolated self-loop-only
     nodes map to themselves.
+
+    Hybrid execution (same idea as Spark's broadcast-join threshold): an
+    edge set at or below ``driver_threshold`` is collected and resolved with
+    union-find on the driver — each star round costs several full Spark jobs,
+    which dwarfs a tiny graph. Dedup/canonicalization pair graphs are usually
+    exactly that: collision-sized, not corpus-sized. Above the threshold the
+    distributed alternating-star algorithm runs unchanged; 0 disables the
+    driver path.
     """
     base = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
@@ -65,6 +77,24 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    if driver_threshold:
+        # limit()+count probes size without a full count of a huge graph
+        probe = e.limit(driver_threshold + 1).count()
+        if probe <= driver_threshold:
+            spark = edges.sparkSession
+            pairs = [(r["u"], r["v"]) for r in e.collect()]
+            comp = py_union_find(pairs)
+            if not comp:
+                return nodes.select("node", F.col("node").alias("component"))
+            mapping = spark.createDataFrame(
+                list(comp.items()), "node long, component long"
+            )
+            return (
+                nodes.join(mapping, "node", "left")
+                .withColumn("component", F.coalesce("component", F.col("node")))
+                .select("node", "component")
+            )
 
     def signature(df: DataFrame) -> tuple:
         row = df.agg(

@@ -6,12 +6,19 @@ from spanluke_spark.canon.cc import connected_components, py_union_find
 
 
 def _check(spark, edges):
+    """Both execution paths must agree with the union-find oracle: the
+    driver-side hybrid (default threshold) AND the distributed alternating-
+    star algorithm (driver_threshold=0 forces it)."""
     expected = py_union_find(edges)
     df = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
     if not edges:
         df = df.limit(0)
-    got = {r.node: r.component for r in connected_components(df).collect()}
-    assert got == expected, (sorted(got.items())[:10], sorted(expected.items())[:10])
+    for thr in (100_000, 0):
+        got = {
+            r.node: r.component
+            for r in connected_components(df, driver_threshold=thr).collect()
+        }
+        assert got == expected, (thr, sorted(got.items())[:10], sorted(expected.items())[:10])
 
 
 def test_cc_shapes(spark):
