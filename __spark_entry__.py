@@ -1047,6 +1047,33 @@ def q55_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assignments(emb, k=4, iters=2).orderBy("vec_id")
 
 
+def q56_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-crawl dedup: two deltas (doc_id < 250, then the rest) flow
+    through incremental_dedup with a stored signature index; planted dup
+    groups (every 3 docs share the leader's text) span the split. The oracle
+    computes the ONE-SHOT batch survivors — incremental == batch is the
+    operator's contract."""
+    from spanluke_spark.dedup.incremental import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    leaders = docs.select(
+        F.col("doc_id").alias("lid"), F.col("text").alias("ltext")
+    )
+    base = (
+        docs.join(leaders, (F.col("doc_id") - F.col("doc_id") % 3) == F.col("lid"))
+        .select("doc_id", F.col("ltext").alias("text"), "lang")
+    )
+    run1 = base.filter(F.col("doc_id") < 250)
+    run2 = base.filter(F.col("doc_id") >= 250)
+    k1, idx = incremental_dedup(run1, None, threshold=0.5, portable=True)
+    k2, _ = incremental_dedup(run2, idx, threshold=0.5, portable=True)
+    return (
+        k1.select("doc_id", "lang")
+        .unionByName(k2.select("doc_id", "lang"))
+        .orderBy("doc_id")
+    )
+
+
 def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 Structured Streaming through a REAL readStream->writeStream run:
     synthesize pages (deterministic warc_ts = 1700000000 + doc_id*60),
@@ -1133,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_tfidf_topk": q53_tfidf_topk,
         "q54_label_centroids": q54_label_centroids,
         "q55_kmeans": q55_kmeans,
+        "q56_incremental_dedup": q56_incremental_dedup,
     }
 
 
@@ -1264,6 +1292,77 @@ def _kmeans_sql(k: int = 4, iters: int = 2) -> str:
     sql += f"""
         SELECT vid AS vec_id, cid AS cluster FROM a{iters - 1} ORDER BY vec_id"""
     return sql
+
+
+def _incremental_dedup_sql(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    """q56 oracle: ONE-SHOT batch survivors under the estimated-Jaccard pair
+    rule (fraction of agreeing minhash components >= threshold) over the
+    planted-dup corpus — the contract incremental_dedup must reproduce."""
+    from spanluke_spark.dedup.dedup import BUCKET_BASE, P31, universal_hash_constants
+
+    consts = universal_hash_constants(num_hashes)
+    mh_defs = ",\n                   ".join(
+        f"min((bh * {a} + {b}) % {P31}) AS mh_{i}" for i, (a, b) in enumerate(consts)
+    )
+    rows = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        expr = "0"
+        for r in range(rows):
+            expr = f"(({expr}) * {BUCKET_BASE} + mh_{b * rows + r}) % {P31}"
+        band_selects.append(f"SELECT id, {b} AS band, {expr} AS bucket FROM sig")
+    bands_sql = "\n            UNION ALL ".join(band_selects)
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+        WITH RECURSIVE base AS (
+            SELECT d.doc_id, l.text, d.lang
+            FROM documents d
+            JOIN documents l ON l.doc_id = d.doc_id - (d.doc_id % 3)
+        ),
+        t AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM base),
+        s AS (
+            SELECT id,
+                   list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+            FROM t WHERE len(toks) >= 3
+        ), e AS (SELECT id, unnest(sh) AS shingle FROM s),
+        h AS (SELECT id, (('0x' || substr(md5(shingle),1,15))::BIGINT) % {P31} AS bh FROM e),
+        sig AS (SELECT id, {mh_defs} FROM h GROUP BY id),
+        bb AS ({bands_sql}),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+            WHERE a.id < b.id
+        ),
+        est AS (
+            SELECT id_a, id_b
+            FROM cand JOIN sig sa ON cand.id_a = sa.id JOIN sig sb ON cand.id_b = sb.id
+            WHERE ({agree}) / {num_hashes}.0 >= {threshold}
+        ),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM est
+            UNION SELECT id_b AS u, id_a AS v FROM est
+        ),
+        nodes AS (SELECT DISTINCT u AS node FROM edges),
+        reach AS (
+            SELECT node, node AS r FROM nodes
+            UNION
+            SELECT e2.u AS node, reach.r FROM edges e2 JOIN reach ON e2.v = reach.node
+        ),
+        comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        allmem AS (
+            SELECT sig.id AS node, coalesce(comp.component, sig.id) AS comp
+            FROM sig LEFT JOIN comp ON sig.id = comp.node
+        ),
+        keepers AS (SELECT min(node) AS id FROM allmem GROUP BY comp)
+        SELECT b.doc_id, b.lang FROM base b
+        WHERE b.doc_id IN (SELECT id FROM keepers)
+           OR b.doc_id NOT IN (SELECT id FROM sig)
+        ORDER BY b.doc_id
+    """
 
 
 def _wordpiece_sql() -> str:
@@ -2180,4 +2279,5 @@ def oracle_sql() -> dict[str, str]:
             FROM per_vec GROUP BY 1 ORDER BY 1
         """,
         "q55_kmeans": _kmeans_sql(),
+        "q56_incremental_dedup": _incremental_dedup_sql(),
     }
