@@ -38,11 +38,13 @@ def _band_cols(num_hashes: int, bands: int, portable: bool) -> list[Column]:
 
 
 def _stack(sig: DataFrame, num_hashes: int, bands: int, portable: bool) -> DataFrame:
-    banded = sig.select("id", *[F.col(f"mh_{i}") for i in range(num_hashes)],
-                        *_band_cols(num_hashes, bands, portable))
+    """(id, band, bucket) only — the band self/cross join must NOT carry the
+    full signature through its exchange (8 bands would duplicate every
+    signature 8x in the shuffle); signatures re-join on the candidate pairs,
+    which are collision-sized."""
+    banded = sig.select("id", *_band_cols(num_hashes, bands, portable))
     return banded.select(
         "id",
-        *[F.col(f"mh_{i}") for i in range(num_hashes)],
         F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
             "band", "bucket"
         ),
@@ -83,19 +85,23 @@ def estimated_pairs(
     ``anti_symmetric`` keeps id_a < id_b (for self-joins)."""
     sa = _stack(sig_a, num_hashes, bands, portable)
     sb = _stack(sig_b, num_hashes, bands, portable)
-    a = sa.select(F.col("id").alias("id_a"), "band", "bucket",
-                  *[F.col(f"mh_{i}").alias(f"a_mh_{i}") for i in range(num_hashes)])
-    b = sb.select(F.col("id").alias("id_b"), "band", "bucket",
-                  *[F.col(f"mh_{i}").alias(f"b_mh_{i}") for i in range(num_hashes)])
-    j = a.join(b, ["band", "bucket"])
+    j = sa.select(F.col("id").alias("id_a"), "band", "bucket").join(
+        sb.select(F.col("id").alias("id_b"), "band", "bucket"), ["band", "bucket"]
+    )
     if anti_symmetric:
         j = j.filter(F.col("id_a") < F.col("id_b"))
     else:
         j = j.filter(F.col("id_a") != F.col("id_b"))
+    cand = j.select("id_a", "id_b").distinct()
+    a_sig = sig_a.select(F.col("id").alias("id_a"),
+                         *[F.col(f"mh_{i}").alias(f"a_mh_{i}") for i in range(num_hashes)])
+    b_sig = sig_b.select(F.col("id").alias("id_b"),
+                         *[F.col(f"mh_{i}").alias(f"b_mh_{i}") for i in range(num_hashes)])
     return (
-        j.select("id_a", "id_b", _est_jaccard(num_hashes))
+        cand.join(a_sig, "id_a")
+        .join(b_sig, "id_b")
+        .select("id_a", "id_b", _est_jaccard(num_hashes))
         .filter(F.col("est_jaccard") >= threshold)
-        .distinct()
     )
 
 
