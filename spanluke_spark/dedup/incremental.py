@@ -11,7 +11,13 @@ only ``num_hashes`` longs per kept doc, not shingle sets.
 Incremental == batch: when ids are assigned in arrival order (earlier run
 => smaller id), running deltas through ``incremental_dedup`` yields exactly
 the survivors of the one-shot ``dedup_keep`` under the same estimated-
-Jaccard pair rule — the property the tests and the q56 oracle pin down.
+Jaccard pair rule — PROVIDED clusters that span deltas are cliques under
+the pair rule (near-copies of a common ancestor, the overwhelmingly common
+case). The one divergence is inherent to append-only dedup: a LATER
+arrival that chains two EARLIER survivors (edges to both, no edge between
+them) merges their batch components retroactively, but shipped survivors
+cannot be unshipped — incremental keeps both and drops the newcomer. The
+tests and the q56 oracle pin down the equality on clique-structured dups.
 """
 
 from __future__ import annotations

@@ -146,3 +146,49 @@ def streaming_dedup(
         .dropDuplicatesWithinWatermark(key_cols)
         .drop("_dk_h", "_dk_len")
     )
+
+
+def make_incremental_dedup_processor(
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+):
+    """foreachBatch body: NEAR-dup dedup across the whole stream history via
+    the signature index (dedup/incremental.py) — the streaming twin of
+    continuous-crawl dedup. State = parquet signature index rows tagged with
+    the epoch that admitted them.
+
+    Exactly-once under epoch replay: each call reads only index rows with
+    epoch < epoch_id (a replayed epoch never sees its own partial output),
+    and both sinks (kept docs, index delta) are dynamic partition overwrites
+    keyed by epoch — the replay rewrites its own partitions bit-identically.
+    """
+    import os
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..dedup.incremental import incremental_dedup
+        from ..storage.lineage import overwrite_partitions
+
+        spark = batch_df.sparkSession
+        idx_path = os.path.join(out_dir, "sig_index")
+        index = None
+        if os.path.exists(idx_path):
+            prior = spark.read.parquet(idx_path).filter(F.col("epoch") < epoch_id)
+            index = prior.drop("epoch")
+        kept, new_index = incremental_dedup(
+            batch_df, index, id_col=id_col, text_col=text_col, threshold=threshold
+        )
+        delta = (
+            new_index
+            if index is None
+            else new_index.join(index.select("id"), "id", "left_anti")
+        )
+        overwrite_partitions(
+            kept.withColumn("epoch", F.lit(epoch_id)), os.path.join(out_dir, "kept"), "epoch"
+        )
+        overwrite_partitions(
+            delta.withColumn("epoch", F.lit(epoch_id)), idx_path, "epoch"
+        )
+
+    return _process
