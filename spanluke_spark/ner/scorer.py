@@ -92,6 +92,22 @@ class Gazetteer:
         return cls(d["entries"], d["max_words"])
 
 
+def build_word_trie(entries: dict[str, str]) -> dict:
+    """Word-level trie over gazetteer surfaces: node = {word: [label_or_None,
+    children]}. Shared by the token scorer (longest-match walk) and the span
+    scorer's hits-only fast path."""
+    root: dict = {}
+    for surf, label in entries.items():
+        children = root
+        cell: list | None = None
+        for w in surf.split(" "):
+            cell = children.setdefault(w, [None, {}])
+            children = cell[1]
+        assert cell is not None
+        cell[0] = label
+    return root
+
+
 class GazetteerTokenScorer:
     """Token-classification surrogate (operator M1).
 
@@ -103,25 +119,39 @@ class GazetteerTokenScorer:
 
     def __init__(self, gazetteer: Gazetteer):
         self.gaz = gazetteer
+        self._trie = build_word_trie(gazetteer.entries)
 
     def predict_types(self, tokens: list[str]) -> list[str]:
         """Entity TYPE per token (already B/I-stripped, as consumed by the
-        adjacent-merge decode at inference.py:55)."""
+        adjacent-merge decode at inference.py:55). Longest match at each
+        position, then advance past it — implemented as a single word-trie
+        walk per position (the naive longest-first probe rebuilt
+        O(max_words) join strings per token; the trie does dict probes
+        only, and most positions die at depth 1)."""
         n = len(tokens)
         out = ["O"] * n
         lowered = [t.lower() for t in tokens]
+        max_words = self.gaz.max_words
+        trie = self._trie
         i = 0
         while i < n:
-            matched = 0
-            for ln in range(min(self.gaz.max_words, n - i), 0, -1):
-                key = " ".join(lowered[i : i + ln])
-                label = self.gaz.entries.get(key)
-                if label is not None:
-                    for j in range(i, i + ln):
-                        out[j] = label
-                    matched = ln
+            node = trie
+            best_len, best_label = 0, None
+            e = i
+            while e < n and e - i < max_words:
+                nxt = node.get(lowered[e])
+                if nxt is None:
                     break
-            i += matched if matched else 1
+                label, node = nxt
+                e += 1
+                if label is not None:
+                    best_len, best_label = e - i, label
+            if best_len:
+                for j in range(i, i + best_len):
+                    out[j] = best_label
+                i += best_len
+            else:
+                i += 1
         return out
 
 
@@ -206,18 +236,7 @@ class HashedGazetteerSpanScorer:
         self.gaz = gazetteer
         self.label_to_idx = label_to_idx
         self.outside_id = outside_id
-        # word trie over gazetteer surfaces for score_hits:
-        # node = {word: [label_or_None, children]}
-        root: dict = {}
-        for surf, label in gazetteer.entries.items():
-            children = root
-            cell: list | None = None
-            for w in surf.split(" "):
-                cell = children.setdefault(w, [None, {}])
-                children = cell[1]
-            assert cell is not None
-            cell[0] = label
-        self._trie = root
+        self._trie = build_word_trie(gazetteer.entries)
 
     def score_hits(
         self, tokens: list[str], max_length: int = ENTITY_MAX_LENGTH
