@@ -1074,6 +1074,18 @@ def q56_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q57_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic over orders.o_custkey: top-10 heavy keys
+    + summary row (distinct keys, rows, max/avg skew ratio), measured via
+    the salted two-phase count."""
+    from spanluke_spark.link.alias import skew_report
+
+    orders = _t(spark, sf_dir, "orders")
+    return skew_report(orders, ["o_custkey"], top_n=10).orderBy(
+        F.desc("n"), "key"
+    )
+
+
 def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 Structured Streaming through a REAL readStream->writeStream run:
     synthesize pages (deterministic warc_ts = 1700000000 + doc_id*60),
@@ -1161,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_label_centroids": q54_label_centroids,
         "q55_kmeans": q55_kmeans,
         "q56_incremental_dedup": q56_incremental_dedup,
+        "q57_skew_report": q57_skew_report,
     }
 
 
@@ -2280,4 +2293,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q55_kmeans": _kmeans_sql(),
         "q56_incremental_dedup": _incremental_dedup_sql(),
+        "q57_skew_report": """
+            WITH counts AS (
+                SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1
+            ), top AS (
+                SELECT CAST(o_custkey AS VARCHAR) AS key, n,
+                       CAST(NULL AS DOUBLE) AS skew_ratio
+                FROM counts ORDER BY n DESC, o_custkey LIMIT 10
+            ), stats AS (
+                SELECT '__stats__' AS key, CAST(sum(n) AS BIGINT) AS n,
+                       round(max(n)::DOUBLE / avg(n), 6) AS skew_ratio
+                FROM counts
+            )
+            SELECT * FROM (SELECT * FROM top UNION ALL SELECT * FROM stats)
+            ORDER BY n DESC, key
+        """,
     }

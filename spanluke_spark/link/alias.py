@@ -80,3 +80,36 @@ def salted_count(
     ).alias("_salt")
     partial = df.groupBy(*key_cols, salt_col).agg(F.count(F.lit(1)).alias("_partial"))
     return partial.groupBy(*key_cols).agg(F.sum("_partial").alias("n"))
+
+
+def skew_report(
+    df: DataFrame, key_cols: list[str], top_n: int = 10, salt_buckets: int = 16
+) -> DataFrame:
+    """Shuffle-key skew diagnostic — the measurement you run BEFORE choosing
+    salting/AQE knobs for a join or agg keyed on ``key_cols``.
+
+    One row per top-N heaviest key plus a '__stats__' summary row carrying
+    distinct-key count, total rows, max/avg frequency and the skew ratio
+    (max/avg — >~ salt_buckets means one reducer holds many buckets' worth).
+    Built on the salted two-phase count so measuring a hot key does not
+    itself hot-spot a reducer.
+    """
+    counts = salted_count(df, key_cols, salt_buckets=salt_buckets)
+    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    top = (
+        counts.orderBy(F.desc("n"), *key_cols)
+        .limit(top_n)
+        .select(key_str.alias("key"), F.col("n"), F.lit(None).cast("double").alias("skew_ratio"))
+    )
+    stats = counts.agg(
+        F.lit("__stats__").alias("key"),
+        F.count(F.lit(1)).alias("n_distinct_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_freq"),
+        F.avg("n").alias("avg_freq"),
+    ).select(
+        "key",
+        F.col("n_rows").alias("n"),
+        F.round(F.col("max_freq") / F.col("avg_freq"), 6).alias("skew_ratio"),
+    )
+    return top.unionByName(stats)

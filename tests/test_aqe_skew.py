@@ -42,3 +42,17 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_skew_report_flags_hot_key(spark):
+    from spanluke_spark.link.alias import skew_report
+
+    rows = [(1, i) for i in range(900)] + [(k, 0) for k in range(2, 102)]
+    df = spark.createDataFrame(rows, "key long, payload long")
+    rep = {r["key"]: r for r in skew_report(df, ["key"], top_n=3).collect()}
+    assert rep["1"]["n"] == 900
+    stats = rep["__stats__"]
+    assert stats["n"] == 1000
+    # 101 keys, avg ~9.9, max 900 -> ratio ~90.9
+    assert 85 < stats["skew_ratio"] < 95
+    assert len(rep) == 4  # top 3 + stats
