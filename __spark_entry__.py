@@ -1086,6 +1086,48 @@ def q57_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _linked_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic link-graph fixture: page u<doc_id> anchors to
+    u<(id*7+3)%500> and u<(id*13+11)%500> inside templated HTML."""
+    docs = _t(spark, sf_dir, "documents")
+    a = (F.col("doc_id") * 7 + 3) % 500
+    b = (F.col("doc_id") * 13 + 11) % 500
+    html = F.concat(
+        F.lit('<html><body><a href="u'), a.cast("string"),
+        F.lit('">x</a><p>'), F.col("text"),
+        F.lit('</p><a href="u'), b.cast("string"),
+        F.lit('">y</a></body></html>'),
+    ).cast("binary")
+    return docs.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        html.alias("html"),
+    )
+
+
+def q58_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph extraction: href targets out of raw HTML binary, pure
+    codegen; oracle recomputes the closed-form targets."""
+    from spanluke_spark.graph.links import extract_links
+
+    pages = _linked_pages(spark, sf_dir)
+    return extract_links(pages).orderBy("src", "dst")
+
+
+def q59_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational PageRank (2 power iterations, d=0.85, dangling-mass
+    correction) over the extracted link graph; the oracle unrolls both
+    iterations in SQL."""
+    from spanluke_spark.graph.links import extract_links
+    from spanluke_spark.graph.pagerank import pagerank
+
+    edges = extract_links(_linked_pages(spark, sf_dir))
+    return (
+        pagerank(edges, iters=2)
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy("node")
+    )
+
+
 def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 Structured Streaming through a REAL readStream->writeStream run:
     synthesize pages (deterministic warc_ts = 1700000000 + doc_id*60),
@@ -1174,6 +1216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_kmeans": q55_kmeans,
         "q56_incremental_dedup": q56_incremental_dedup,
         "q57_skew_report": q57_skew_report,
+        "q58_extract_links": q58_extract_links,
+        "q59_pagerank": q59_pagerank,
     }
 
 
@@ -1376,6 +1420,55 @@ def _incremental_dedup_sql(num_hashes: int = 32, bands: int = 8, threshold: floa
            OR b.doc_id NOT IN (SELECT id FROM sig)
         ORDER BY b.doc_id
     """
+
+
+_LINK_EDGES_SQL = """
+            SELECT 'u' || doc_id AS src, 'u' || ((doc_id * 7 + 3) % 500) AS dst
+            FROM documents
+            UNION ALL
+            SELECT 'u' || doc_id AS src, 'u' || ((doc_id * 13 + 11) % 500) AS dst
+            FROM documents
+"""
+
+
+def _pagerank_sql(iters: int = 2, damping: float = 0.85) -> str:
+    """q59 oracle: power iteration unrolled — per round, dangling mass +
+    inflow join + rank update, mirroring graph/pagerank.py expression order."""
+    d = damping
+    sql = f"""
+        WITH e AS ({_LINK_EDGES_SQL}),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+            )
+        ),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"""
+    for i in range(iters):
+        sql += f""",
+        d{i} AS (
+            SELECT coalesce(sum(rank), 0.0) AS m
+            FROM r{i} LEFT JOIN outdeg ON r{i}.node = outdeg.src
+            WHERE outdeg.outdeg IS NULL
+        ),
+        c{i} AS (
+            SELECT e.dst AS node, sum(r{i}.rank / outdeg.outdeg) AS inflow
+            FROM e JOIN r{i} ON e.src = r{i}.node
+                   JOIN outdeg ON e.src = outdeg.src
+            GROUP BY 1
+        ),
+        r{i + 1} AS (
+            SELECT n2.node,
+                   ((1 - {d}) / nn.n + {d} * d{i}.m / nn.n)
+                   + {d} * coalesce(c{i}.inflow, 0.0) AS rank
+            FROM nodes n2
+            CROSS JOIN nn CROSS JOIN d{i}
+            LEFT JOIN c{i} ON n2.node = c{i}.node
+        )"""
+    sql += f"""
+        SELECT node, round(rank, 6) AS rank FROM r{iters} ORDER BY node"""
+    return sql
 
 
 def _wordpiece_sql() -> str:
@@ -2308,4 +2401,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (SELECT * FROM top UNION ALL SELECT * FROM stats)
             ORDER BY n DESC, key
         """,
+        "q58_extract_links": f"""
+            SELECT src, dst FROM ({_LINK_EDGES_SQL}) ORDER BY src, dst
+        """,
+        "q59_pagerank": _pagerank_sql(),
     }

@@ -1,0 +1,73 @@
+"""Relational PageRank — power iteration as join + aggregate, the canonical
+web-scale iterative algorithm over the extracted link graph (links.py).
+
+Per round: one broadcastable join of ranks onto edges, one hash agg by dst
+(map-side partial), plus a tiny dangling-mass aggregate; localCheckpoint
+truncates lineage so the plan stays flat across iterations (same discipline
+as canon/cc.py and link/kmeans.py). Deterministic: no RNG, fixed iteration
+count, stable initial rank 1/N.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 2,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """edges(src, dst) -> (node, rank) after ``iters`` power iterations.
+
+    rank'(v) = (1-d)/N + d * (sum_{u->v} rank(u)/outdeg(u) + dangling/N)
+    where dangling = total rank of nodes with no out-edges (their mass
+    redistributes uniformly — the standard correction). Parallel edges
+    carry proportional weight.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_total = nodes.count()  # one scalar; the iteration stays lazy per round
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_total))
+    for _ in range(iters):
+        with_deg = ranks.join(outdeg, ranks.node == outdeg.src, "left").select(
+            "node", "rank", "outdeg"
+        )
+        dangling = (
+            with_deg.filter(F.col("outdeg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .first()["m"]
+        )
+        contrib = (
+            e.join(
+                with_deg.filter(F.col("outdeg").isNotNull()).select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("outdeg")).alias("share"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("inflow"))
+        )
+        base = (1.0 - damping) / n_total + damping * dangling / n_total
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
