@@ -1128,6 +1128,26 @@ def q59_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q60_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark lacks natively): each click joined to
+    the user's most recent purchase at or before it — union+window
+    composition verified against DuckDB's NATIVE ASOF JOIN."""
+    from spanluke_spark.etl.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(
+        clicks, purchases, on="user_id", value_cols=["purchase_value"]
+    ).orderBy("event_id")
+
+
 def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 Structured Streaming through a REAL readStream->writeStream run:
     synthesize pages (deterministic warc_ts = 1700000000 + doc_id*60),
@@ -1218,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_skew_report": q57_skew_report,
         "q58_extract_links": q58_extract_links,
         "q59_pagerank": q59_pagerank,
+        "q60_asof_join": q60_asof_join,
     }
 
 
@@ -2405,4 +2426,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst FROM ({_LINK_EDGES_SQL}) ORDER BY src, dst
         """,
         "q59_pagerank": _pagerank_sql(),
+        "q60_asof_join": """
+            WITH clicks AS (
+                SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ), purchases AS (
+                SELECT user_id, ts, max(value) AS purchase_value
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT c.event_id, c.user_id, c.ts,
+                   p.ts AS right_ts, p.purchase_value AS right_purchase_value
+            FROM clicks c
+            ASOF LEFT JOIN purchases p
+                 ON c.user_id = p.user_id AND c.ts >= p.ts
+            ORDER BY c.event_id
+        """,
     }

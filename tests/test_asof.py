@@ -1,0 +1,57 @@
+"""As-of join vs a pure-Python oracle: inclusivity, no-match, tolerance."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from spanluke_spark.etl.asof import asof_join
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def _left(spark):
+    rows = [(1, 7, _ts(5)), (2, 7, _ts(10)), (3, 7, _ts(2)), (4, 9, _ts(8)), (5, 8, _ts(1))]
+    return spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+
+
+def _right(spark):
+    rows = [(7, _ts(2), 100.0), (7, _ts(9), 200.0), (9, _ts(8), 300.0), (9, _ts(20), 400.0)]
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, v double")
+
+
+def test_asof_join_matches_python_oracle(spark):
+    got = {
+        r["event_id"]: (r["right_ts"], r["right_v"])
+        for r in asof_join(_left(spark), _right(spark), on="user_id").collect()
+    }
+    assert got[1] == (_ts(2), 100.0)   # latest right at/before 5 is ts=2
+    assert got[2] == (_ts(9), 200.0)
+    assert got[3] == (_ts(2), 100.0)   # INCLUSIVE: right at exactly left.ts
+    assert got[4] == (_ts(8), 300.0)   # inclusive equal-ts for user 9 too
+    assert got[5] == (None, None)      # user 8 has no rights
+
+
+def test_asof_join_tolerance(spark):
+    got = {
+        r["event_id"]: (r["right_ts"], r["right_v"])
+        for r in asof_join(
+            _left(spark), _right(spark), on="user_id", tolerance="2 MINUTES"
+        ).collect()
+    }
+    assert got[1] == (None, None)      # ts=2 is 3 min before 5 -> stale
+    assert got[2] == (_ts(9), 200.0)   # 1 min gap -> within tolerance
+    assert got[3] == (_ts(2), 100.0)   # 0 gap
+    assert got[5] == (None, None)
+
+
+def test_asof_join_preserves_left_columns_and_count(spark):
+    base = _left(spark)
+    left = base.withColumn("payload", base.event_id * 10)
+    out = asof_join(left, _right(spark), on="user_id")
+    assert out.count() == 5
+    assert set(out.columns) == {"event_id", "user_id", "ts", "payload", "right_ts", "right_v"}
+    assert {r["payload"] for r in out.collect()} == {10, 20, 30, 40, 50}
