@@ -1148,6 +1148,33 @@ def q60_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q61_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: events joined to a value-band dimension on
+    lo <= value < hi. The band table is broadcast-sized, so Catalyst plans a
+    BroadcastNestedLoopJoin with the range predicate pushed into it — the
+    standard shape for banding/bucketing dimensions at any fact-table
+    scale."""
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("tiny", 0.0, 10.0), ("small", 10.0, 50.0), ("mid", 50.0, 150.0),
+         ("large", 150.0, 300.0), ("huge", 300.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    joined = ev.join(
+        F.broadcast(bands),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.sum("event_id").alias("sum_ids"),
+        )
+        .orderBy("band")
+    )
+
+
 def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 Structured Streaming through a REAL readStream->writeStream run:
     synthesize pages (deterministic warc_ts = 1700000000 + doc_id*60),
@@ -1239,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_extract_links": q58_extract_links,
         "q59_pagerank": q59_pagerank,
         "q60_asof_join": q60_asof_join,
+        "q61_range_join": q61_range_join,
     }
 
 
@@ -2439,5 +2467,19 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN purchases p
                  ON c.user_id = p.user_id AND c.ts >= p.ts
             ORDER BY c.event_id
+        """,
+        "q61_range_join": """
+            WITH bands AS (
+                SELECT * FROM (VALUES
+                    ('tiny', 0.0, 10.0), ('small', 10.0, 50.0),
+                    ('mid', 50.0, 150.0), ('large', 150.0, 300.0),
+                    ('huge', 300.0, 1000000000.0)
+                ) AS t(band, lo, hi)
+            )
+            SELECT band, count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value,
+                   CAST(sum(event_id) AS BIGINT) AS sum_ids
+            FROM events JOIN bands ON value >= lo AND value < hi
+            GROUP BY band ORDER BY band
         """,
     }
