@@ -43,10 +43,11 @@ def pagerank(
         with_deg = ranks.join(outdeg, ranks.node == outdeg.src, "left").select(
             "node", "rank", "outdeg"
         )
-        dangling = (
-            with_deg.filter(F.col("outdeg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .first()["m"]
+        # dangling mass stays IN the plan as a broadcast 1-row aggregate —
+        # no driver action per round; the only action is the round-closing
+        # localCheckpoint that truncates lineage.
+        dangling = with_deg.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")
         )
         contrib = (
             e.join(
@@ -59,15 +60,14 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("share").alias("inflow"))
         )
-        base = (1.0 - damping) / n_total + damping * dangling / n_total
+        rank_expr = (
+            F.lit((1.0 - damping) / n_total)
+            + F.lit(damping) * F.col("m") / F.lit(float(n_total))
+        ) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
         ranks = (
             nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias(
-                    "rank"
-                ),
-            )
+            .crossJoin(F.broadcast(dangling))
+            .select("node", rank_expr.alias("rank"))
             .localCheckpoint(eager=True)
         )
     return ranks
