@@ -1175,6 +1175,32 @@ def q61_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q62_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup: events bucketed to (day, hour) chunks,
+    then ROLLUP(day, hour, event_type) produces the continuous-aggregate
+    hierarchy (hourly / daily / grand totals) in ONE pass — the Spark twin
+    of a TimescaleDB time_bucket + rollup cascade."""
+    ev = _t(spark, sf_dir, "events")
+    bucketed = ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+        "value",
+    )
+    return (
+        bucketed.rollup("day", "hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy(
+            F.col("day").asc_nulls_first(),
+            F.col("hour").asc_nulls_first(),
+            F.col("event_type").asc_nulls_first(),
+        )
+    )
+
+
 def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 Structured Streaming through a REAL readStream->writeStream run:
     synthesize pages (deterministic warc_ts = 1700000000 + doc_id*60),
@@ -1267,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_pagerank": q59_pagerank,
         "q60_asof_join": q60_asof_join,
         "q61_range_join": q61_range_join,
+        "q62_hypertable_rollup": q62_hypertable_rollup,
     }
 
 
@@ -2481,5 +2508,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(event_id) AS BIGINT) AS sum_ids
             FROM events JOIN bands ON value >= lo AND value < hi
             GROUP BY band ORDER BY band
+        """,
+        "q62_hypertable_rollup": """
+            WITH b AS (
+                SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       date_trunc('hour', ts) AS hour,
+                       event_type, value
+                FROM events
+            )
+            SELECT day, hour, event_type, count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM b GROUP BY ROLLUP (day, hour, event_type)
+            ORDER BY day NULLS FIRST, hour NULLS FIRST, event_type NULLS FIRST
         """,
     }
