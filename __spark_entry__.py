@@ -1201,6 +1201,19 @@ def q62_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q63_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch per lang over document words (k=64), alongside
+    the exact distinct count — both deterministic (portable hash), both
+    replayed exactly by the oracle (unlike engine-specific HLLs)."""
+    from spanluke_spark.textops.sketch import kmv_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select("lang", F.explode(F.split("text", " ")).alias("w"))
+    sketch = kmv_distinct(words, "lang", F.col("w"), k=64)
+    exact = words.groupBy("lang").agg(F.countDistinct("w").alias("n_exact"))
+    return sketch.join(exact, "lang").orderBy("lang")
+
+
 def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 Structured Streaming through a REAL readStream->writeStream run:
     synthesize pages (deterministic warc_ts = 1700000000 + doc_id*60),
@@ -1294,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_asof_join": q60_asof_join,
         "q61_range_join": q61_range_join,
         "q62_hypertable_rollup": q62_hypertable_rollup,
+        "q63_kmv_sketch": q63_kmv_sketch,
     }
 
 
@@ -2520,5 +2534,28 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM b GROUP BY ROLLUP (day, hour, event_type)
             ORDER BY day NULLS FIRST, hour NULLS FIRST, event_type NULLS FIRST
+        """,
+        "q63_kmv_sketch": """
+            WITH words AS (
+                SELECT DISTINCT lang AS g,
+                       ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+                FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+            ), topk AS (
+                SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+                FROM words
+            ), agg AS (
+                SELECT g AS lang, count(*) AS n_kept, max(h) AS kth_min
+                FROM topk WHERE rn <= 64 GROUP BY g
+            ), exact AS (
+                SELECT lang, count(DISTINCT w) AS n_exact
+                FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+                GROUP BY lang
+            )
+            SELECT a.lang, n_kept, kth_min,
+                   round(CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+                              ELSE 63 / (kth_min / 1152921504606846976.0) END, 6)
+                   AS kmv_estimate,
+                   n_exact
+            FROM agg a JOIN exact USING (lang) ORDER BY a.lang
         """,
     }

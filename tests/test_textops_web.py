@@ -130,3 +130,19 @@ def test_host_stats(spark):
     assert got["x.org"]["sum_text_chars"] == 12
     assert abs(got["x.org"]["avg_text_chars"] - 4.0) < 1e-9
     assert got["y.com"]["n_pages"] == 1
+
+
+def test_kmv_sketch_estimates_large_cardinalities(spark):
+    """Exact below k; within ~3/sqrt(k) relative error above k."""
+    from spanluke_spark.textops.sketch import kmv_distinct
+
+    small = [("s", f"w{i % 40}") for i in range(500)]      # 40 distinct < k
+    big = [("b", f"x{i}") for i in range(20000)]           # 20k distinct >> k
+    df = spark.createDataFrame(small + big, "g string, w string")
+    got = {r["g"]: r for r in kmv_distinct(df, "g", F.col("w"), k=64).collect()}
+    assert got["s"]["kmv_estimate"] == 40.0                # exact branch
+    est = got["b"]["kmv_estimate"]
+    assert abs(est - 20000) / 20000 < 3 / (64 ** 0.5), est # ~<38% rel err
+    # determinism
+    again = {r["g"]: r["kmv_estimate"] for r in kmv_distinct(df, "g", F.col("w"), k=64).collect()}
+    assert again == {g: r["kmv_estimate"] for g, r in got.items()}
