@@ -1728,8 +1728,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q09_corpus_stats": """
             SELECT lang, count(*) AS n_docs,
-                   sum(n_chars) AS sum_chars,
-                   sum(n_chars * n_chars) AS sumsq_chars,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(n_chars * n_chars) AS BIGINT) AS sumsq_chars,
                    min(n_chars) AS min_chars,
                    max(n_chars) AS max_chars,
                    round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
@@ -1811,8 +1811,8 @@ def oracle_sql() -> dict[str, str]:
                        length(text) AS n_chars_m
                 FROM documents
             )
-            SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
-                   max(n_tokens) AS max_tokens, sum(n_chars_m) AS total_chars,
+            SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   max(n_tokens) AS max_tokens, CAST(sum(n_chars_m) AS BIGINT) AS total_chars,
                    round((sum(n_chars_m) - sum(n_tokens) + count(*))::DOUBLE / sum(n_tokens), 6)
                    AS mean_word_len
             FROM d GROUP BY lang ORDER BY lang
@@ -2202,23 +2202,35 @@ def oracle_sql() -> dict[str, str]:
                        || ' ip 10.0.' || (doc_id % 200) || '.1' AS text
                 FROM documents
             )
+            , staged AS (
+                -- progressive counting: pattern i measured AFTER replacements
+                -- 0..i-1 (same order the substitutions run), so overlapping
+                -- matches are never double-counted
+                SELECT doc_id, text AS s0,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS s1
+                FROM planted
+            ), staged2 AS (
+                SELECT *, regexp_replace(s1, '\\b\\d{3}-\\d{3}-\\d{4}\\b',
+                                         '<PHONE>', 'g') AS s2
+                FROM staged
+            )
             SELECT doc_id,
-                   regexp_replace(regexp_replace(regexp_replace(text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                       '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+                   regexp_replace(s2,
                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
                    AS text_redacted,
-                   len(regexp_extract_all(text,
+                   len(regexp_extract_all(s0,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
-                   len(regexp_extract_all(text, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS n_phone,
-                   len(regexp_extract_all(text,
+                   len(regexp_extract_all(s1, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS n_phone,
+                   len(regexp_extract_all(s2,
                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
-                   len(regexp_extract_all(text,
+                   len(regexp_extract_all(s0,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
-                   + len(regexp_extract_all(text, '\\b\\d{3}-\\d{3}-\\d{4}\\b'))
-                   + len(regexp_extract_all(text,
+                   + len(regexp_extract_all(s1, '\\b\\d{3}-\\d{3}-\\d{4}\\b'))
+                   + len(regexp_extract_all(s2,
                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_pii
-            FROM planted ORDER BY doc_id
+            FROM staged2 ORDER BY doc_id
         """,
         "q43_repetition": """
             WITH w AS (

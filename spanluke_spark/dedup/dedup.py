@@ -278,11 +278,14 @@ def embedding_neardup_pairs(
     hyperplane LSH (link.ann.lsh_threshold_pairs) — candidates ~ bucket
     collisions. method="auto" (default) counts the table once and switches
     to LSH above ``brute_limit`` rows, so the scale path is the default
-    rather than an opt-in."""
+    rather than an opt-in. The size probe is limit(brute_limit+1).count()
+    — same pattern as canon.cc — which short-circuits after scanning at
+    most brute_limit+1 rows instead of a full count of a 100 TB table."""
     if method not in ("auto", "brute", "lsh"):
         raise ValueError(f"unknown method {method!r}")
     if method == "auto":
-        method = "brute" if emb.count() <= brute_limit else "lsh"
+        probe = emb.limit(brute_limit + 1).count()
+        method = "brute" if probe <= brute_limit else "lsh"
     if method == "lsh":
         from ..link.ann import lsh_threshold_pairs
 

@@ -85,10 +85,14 @@ def estimated_pairs(
     threshold: float = 0.5,
     portable: bool = False,
     anti_symmetric: bool = True,
+    keep_equal: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, est_jaccard): banded-LSH candidates between two
     signature sets whose estimated Jaccard clears ``threshold``.
-    ``anti_symmetric`` keeps id_a < id_b (for self-joins)."""
+    ``anti_symmetric`` keeps id_a < id_b (for self-joins); ``keep_equal``
+    (cross-set only) treats id_a == id_b as a valid pair — required when a
+    re-crawled document can arrive under the SAME id it was indexed with,
+    so it still collides with its own stored signature."""
     sa = _stack(sig_a, num_hashes, bands, portable)
     sb = _stack(sig_b, num_hashes, bands, portable)
     j = sa.select(F.col("id").alias("id_a"), "band", "bucket").join(
@@ -96,7 +100,7 @@ def estimated_pairs(
     )
     if anti_symmetric:
         j = j.filter(F.col("id_a") < F.col("id_b"))
-    else:
+    elif not keep_equal:
         j = j.filter(F.col("id_a") != F.col("id_b"))
     cand = j.select("id_a", "id_b").distinct()
     a_sig = sig_a.select(F.col("id").alias("id_a"),
@@ -149,9 +153,12 @@ def incremental_dedup(
     )
 
     if index is not None:
+        # keep_equal: a re-crawl re-ingested under its ORIGINAL id must hit
+        # its own stored signature (est_jaccard 1.0), else the duplicate
+        # survives and its signature lands in the index twice.
         cross = estimated_pairs(
             index, sig_new, num_hashes, bands, threshold, portable,
-            anti_symmetric=False,
+            anti_symmetric=False, keep_equal=True,
         )
         hits = cross.select(F.col("id_b").alias("id")).distinct()
         bad_comps = membership.join(hits, "id", "left_semi").select("comp").distinct()

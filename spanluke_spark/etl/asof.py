@@ -32,21 +32,29 @@ def asof_join(
     e.g. '1 hour') nulls matches older than left.ts - tolerance.
     """
     value_cols = value_cols or [c for c in right.columns if c not in (on, ts_col)]
+    # Carry (ts, value_cols) as ONE struct with one last(ignorenulls): the
+    # struct is non-null whenever a right row exists, so a genuinely-NULL
+    # value column rides along with its own row's ts instead of being
+    # skipped in favor of an older non-null value (native ASOF semantics:
+    # all right_* fields come from the same matched row).
+    r_struct = F.struct(
+        F.col(ts_col).alias("ts"), *[F.col(c).alias(c) for c in value_cols]
+    )
     l_marked = left.select(
         F.col(on),
         F.col(ts_col),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
-        F.lit(None).cast("timestamp").alias("_r_ts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(
+            right.select(r_struct.alias("_r")).schema["_r"].dataType
+        ).alias("_r"),
     )
     r_marked = right.select(
         F.col(on),
         F.col(ts_col),
         F.lit(0).alias("_side"),
         F.lit(None).cast(l_marked.schema["_l"].dataType).alias("_l"),
-        F.col(ts_col).alias("_r_ts"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        r_struct.alias("_r"),
     )
     w = (
         Window.partitionBy(on)
@@ -54,15 +62,12 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_marked.unionByName(r_marked).select(
-        "*",
-        F.last("_r_ts", ignorenulls=True).over(w).alias("right_ts"),
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"right_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_m")
     )
     out = carried.filter(F.col("_side") == 1).select(
-        F.col("_l.*"), "right_ts", *[F.col(f"right_{c}") for c in value_cols]
+        F.col("_l.*"),
+        F.col("_m.ts").alias("right_ts"),
+        *[F.col(f"_m.{c}").alias(f"right_{c}") for c in value_cols],
     )
     if tolerance is not None:
         stale = F.col("right_ts") < F.col(ts_col) - F.expr(f"INTERVAL {tolerance}")

@@ -52,9 +52,12 @@ def _safe_count(df: DataFrame, skip: tuple[str, ...]) -> int:
     data_cols = [c for c in df.columns if c not in skip]
     if not data_cols:
         return df.count()
+    # pmod keeps each term < 2^31 so the LongType partial sums can never
+    # overflow (ANSI mode would raise ARITHMETIC_OVERFLOW on raw 64-bit
+    # hashes after a handful of rows — same guard as canon/cc.py checksum).
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64(F.col(data_cols[0]))).alias("_keep"),
+        F.sum(F.pmod(F.xxhash64(F.col(data_cols[0])), F.lit(2147483647))).alias("_keep"),
     ).first()
     return row["n"]
 

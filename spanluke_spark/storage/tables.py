@@ -128,19 +128,28 @@ def compact_partitions(
     if not counts:
         return {"partitions": 0, "rows": 0}
 
+    files_per_part = {
+        part: max(1, -(-n // target_rows_per_file)) for part, n in counts.items()
+    }
     n_files = F.lit(1)
-    for part, n in counts.items():
-        n_files = F.when(
-            F.col(partition_by) == part,
-            F.lit(max(1, -(-n // target_rows_per_file))),
-        ).otherwise(n_files)
+    for part, nf in files_per_part.items():
+        n_files = F.when(F.col(partition_by) == part, F.lit(nf)).otherwise(n_files)
     slot = F.pmod(F.xxhash64(*df.columns), n_files)
+    # Explicit numPartitions (= total desired files): REPARTITION_BY_NUM is
+    # honored by AQE, whereas an un-numbered repartition gets coalesced back
+    # to few tasks on small deltas — which would collapse fat partitions to
+    # one file/task again.
+    total_files = sum(files_per_part.values())
     compacted = (
         df.withColumn("_slot", slot)
-        .repartition(F.col(partition_by), F.col("_slot"))
+        .repartition(total_files, F.col(partition_by), F.col("_slot"))
         .drop("_slot")
     )
     from .lineage import overwrite_partitions
 
-    overwrite_partitions(compacted, path, partition_by)
+    # coalesce_output=False: the (partition, _slot) repartition above already
+    # fixed the file layout at ceil(rows/target) files per partition; the
+    # default re-repartition on the partition column alone would collapse each
+    # partition back to one task/file (OOM + straggler on fat partitions).
+    overwrite_partitions(compacted, path, partition_by, coalesce_output=False)
     return {"partitions": len(counts), "rows": sum(counts.values())}

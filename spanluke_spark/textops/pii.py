@@ -34,18 +34,20 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds ``text_redacted`` plus per-category hit counts (``n_email``,
     ``n_phone``, ``n_ipv4``) and a total ``n_pii``.
 
-    Counts are measured on the ORIGINAL text per pattern; because the
-    patterns are disjoint on well-formed input (see ordering note in
-    PII_PATTERNS) the counts equal the number of substitutions performed.
+    Pattern i is counted on the text AFTER replacements 0..i-1 — the same
+    progressive order the substitutions run in — so an overlapping match a
+    later pattern would re-find (e.g. a phone-shaped local part inside an
+    already-consumed email) is not double-counted, and ``n_pii`` equals the
+    number of substitutions actually performed in ``text_redacted``.
     """
-    t = F.col(text_col)
-    counts = {
-        name: F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long")
-        for name, pat, _ in PII_PATTERNS
-    }
+    stage = F.col(text_col)
+    counts: dict[str, Column] = {}
+    for name, pat, repl in PII_PATTERNS:
+        counts[name] = F.size(F.regexp_extract_all(stage, F.lit(pat), 0)).cast("long")
+        stage = F.regexp_replace(stage, pat, repl)
     return df.select(
         "*",
-        redacted(t).alias("text_redacted"),
+        redacted(F.col(text_col)).alias("text_redacted"),
         *[c.alias(f"n_{name}") for name, c in counts.items()],
     ).withColumn(
         "n_pii", sum(F.col(f"n_{name}") for name, _, _ in PII_PATTERNS).cast("long")

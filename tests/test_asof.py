@@ -55,3 +55,19 @@ def test_asof_join_preserves_left_columns_and_count(spark):
     assert out.count() == 5
     assert set(out.columns) == {"event_id", "user_id", "ts", "payload", "right_ts", "right_v"}
     assert {r["payload"] for r in out.collect()} == {10, 20, 30, 40, 50}
+
+
+def test_asof_join_null_right_value_comes_from_matched_row(spark):
+    """Native ASOF semantics: when the matched right row's value is NULL, the
+    join returns that NULL — it must not reach back to an older non-null
+    value, and right_ts/right_v must come from the SAME right row."""
+    left = spark.createDataFrame(
+        [(1, 7, _ts(10))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(7, _ts(2), 100.0), (7, _ts(9), None)],
+        "user_id long, ts timestamp, v double",
+    )
+    row = asof_join(left, right, on="user_id").collect()[0]
+    assert row["right_ts"] == _ts(9)
+    assert row["right_v"] is None

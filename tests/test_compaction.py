@@ -66,3 +66,26 @@ def test_compact_partitions_subset_leaves_others_alone(spark):
         assert spark.read.parquet(tmp).count() == 120
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_compact_partitions_multiple_files_per_fat_partition(spark):
+    """target_rows_per_file small enough to require >1 file per partition:
+    the (partition, _slot) layout must survive the write — a collapse to one
+    task/file per partition (the old coalesce_output=True path) would OOM on
+    a fat partition at scale."""
+    tmp = tempfile.mkdtemp(prefix="compact_fat_")
+    try:
+        spark.range(0, 600).select(
+            F.col("id"), (F.col("id") % 2).cast("int").alias("pk")
+        ).write.mode("overwrite").partitionBy("pk").parquet(tmp)
+        before_rows = sorted(r["id"] for r in spark.read.parquet(tmp).collect())
+
+        # 300 rows/partition, target 30 -> 10 slots per partition
+        stats = compact_partitions(spark, tmp, "pk", target_rows_per_file=30)
+        assert stats == {"partitions": 2, "rows": 600}
+        for part in ("pk=0", "pk=1"):
+            n = len(_files(tmp, part))
+            assert 1 < n <= 10, (part, n)
+        assert sorted(r["id"] for r in spark.read.parquet(tmp).collect()) == before_rows
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

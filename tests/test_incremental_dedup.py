@@ -77,3 +77,18 @@ def test_incremental_short_docs_always_survive(spark):
     # 1, 2, 3 have <3 tokens -> no shingles -> no signature -> all kept
     assert ids == [1, 2, 3, 4]
     assert sorted(r["id"] for r in index.select("id").collect()) == [4]
+
+
+def test_recrawl_same_id_hits_own_signature(spark):
+    """A re-crawled doc re-ingested under its ORIGINAL id must collide with
+    its own stored signature (est_jaccard 1.0): the duplicate is dropped and
+    the index keeps exactly one signature per id."""
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    first = spark.createDataFrame([(10, text)], "doc_id long, text string")
+    kept1, index = incremental_dedup(first, None, threshold=0.5)
+    assert [r["doc_id"] for r in kept1.collect()] == [10]
+
+    recrawl = spark.createDataFrame([(10, text)], "doc_id long, text string")
+    kept2, index2 = incremental_dedup(recrawl, index, threshold=0.5)
+    assert kept2.count() == 0
+    assert [r["id"] for r in index2.select("id").collect()] == [10]

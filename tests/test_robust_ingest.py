@@ -48,3 +48,18 @@ def test_robust_all_good_has_empty_quarantine(spark):
         assert quarantine_count(quarantine) == 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_split_counts_no_overflow_on_many_rows(spark):
+    """The keep-alive aggregate sums hashed data values; raw 64-bit hash
+    partial sums overflow LongType within a handful of rows and throw under
+    ANSI mode — the pmod guard must make counting safe at any row count."""
+    tmp = tempfile.mkdtemp(prefix="robust_big_")
+    try:
+        with open(os.path.join(tmp, "feed.jsonl"), "w") as f:
+            for i in range(2000):
+                f.write('{"doc_id": %d, "lang": "en", "n": %d}\n' % (i, i * 3))
+        good, quarantine = read_jsonl_robust(spark, tmp, SCHEMA)
+        assert split_counts(good, quarantine) == (2000, 0)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

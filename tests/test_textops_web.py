@@ -17,7 +17,9 @@ def _py_redact(text: str) -> tuple[str, dict[str, int]]:
     counts = {}
     out = text
     for name, pat, repl in PII_PATTERNS:
-        counts[name] = len(re.findall(pat, text))
+        # progressive: pattern i counted AFTER replacements 0..i-1, matching
+        # redact_pii — overlapping matches are not double-counted.
+        counts[name] = len(re.findall(pat, out))
         out = re.sub(pat, repl, out)
     return out, counts
 
