@@ -202,29 +202,48 @@ def q07_span_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q08_phrase_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2/J7-lite: gazetteer phrase occurrence counts via length arithmetic
-    (JVM-side, no UDF)."""
-    docs = _t(spark, sf_dir, "documents")
-    phrases = ["hash join", "table scan", "sort merge"]
-    out = None
-    for ph in phrases:
-        cnt = (
-            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(ph), F.lit(""))))
-            / len(ph)
-        ).cast("long")
-        one = docs.select(F.lit(ph).alias("phrase"), cnt.alias("n")).groupBy("phrase").agg(
-            F.sum("n").alias("occurrences")
-        )
-        out = one if out is None else out.unionByName(one)
-    return out.orderBy("phrase")
-
-
 def q09_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: corpus statistics with exact-integer-derived moments (deterministic
-    across engines; numpy-std semantics = population, ddof=0)."""
+    across engines; numpy-std semantics = population, ddof=0), plus EXACT
+    rank-based median and deterministic mode (absorbs the former
+    q38_median_mode; legal_ner/utils/count_length.py:20-27 computes the mode).
+
+    Median/mode derive from the per-(lang, n_chars) VALUE-COUNT table: a
+    map-side-combinable groupBy shrinks the corpus to (langs x distinct
+    lengths) rows BEFORE any window runs, so the per-lang windows see a few
+    thousand rows even at 10^12 docs — no single-task-per-lang row skew."""
     docs = _t(spark, sf_dir, "documents")
-    return (
+    counts = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("lang"))
+    )
+    # value at rank p = smallest n_chars whose cumulative count reaches p;
+    # median = mean of the values at the two middle ranks (exact, any parity)
+    v1 = (
+        cum.filter(F.col("cum") >= F.floor((F.col("n") + 1) / 2))
+        .groupBy("lang")
+        .agg(F.min("n_chars").alias("m1"))
+    )
+    v2 = (
+        cum.filter(F.col("cum") >= F.floor(F.col("n") / 2) + 1)
+        .groupBy("lang")
+        .agg(F.min("n_chars").alias("m2"))
+    )
+    med = v1.join(v2, "lang").select(
+        "lang", F.round((F.col("m1") + F.col("m2")) / 2.0, 6).alias("median_chars")
+    )
+    wm = Window.partitionBy("lang").orderBy(F.desc("c"), "n_chars")
+    mode = (
+        counts.withColumn("r", F.row_number().over(wm))
+        .filter(F.col("r") == 1)
+        .select("lang", F.col("n_chars").alias("mode_chars"))
+    )
+    base = (
         docs.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -251,22 +270,8 @@ def q09_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         )
-        .orderBy("lang")
     )
-
-
-def q10_event_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5: distribution counting + distinct users per event type."""
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
-            F.sum("value").alias("sum_value"),
-        )
-        .orderBy("event_type")
-    )
+    return base.join(med, "lang").join(mode, "lang").orderBy("lang")
 
 
 def q11_token_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,22 +339,6 @@ def q14_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q15_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text analysis: per-doc quality features (codegen-only expressions)."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    t = F.col("text")
-    n_chars = F.length(t)
-    n_vowels = n_chars - F.length(F.regexp_replace(t, "[aeiou]", ""))
-    n_spaces = n_chars - F.length(F.replace(t, F.lit(" "), F.lit("")))
-    return docs.select(
-        "doc_id",
-        n_chars.cast("long").alias("n_chars_q"),
-        n_vowels.cast("long").alias("n_vowels"),
-        n_spaces.cast("long").alias("n_spaces"),
-        F.when(n_chars > 0, n_vowels.cast("double") / n_chars).otherwise(0.0).alias("vowel_ratio"),
-    ).orderBy("doc_id")
-
-
 def q16_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: stopword-profile language-ID scores + argmax guess."""
     from spanluke_spark.textops.quality import lang_scores
@@ -391,30 +380,6 @@ def q18_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, portable=True).orderBy("id")
 
 
-def q19_event_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window frames: per-user moving sum/avg over the last 5 events."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.sum("value").over(w).alias("moving_sum"),
-        F.count(F.lit(1)).over(w).alias("n_in_frame"),
-    ).orderBy("user_id", "event_id")
-
-
-def q20_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouping sets: ROLLUP aggregation (multi-level totals in one pass)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
-        .orderBy(
-            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
-        )
-    )
-
-
 def q21_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9: fuzzy-match edge build — EXACT levenshtein<=1 pairs via
     deletion-neighborhood blocking (O(n*len) equi-join keys, identical
@@ -425,28 +390,6 @@ def q21_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     return levenshtein1_pairs(cust, "c_custkey", "c_name").agg(
         F.count(F.lit(1)).alias("n_pairs")
-    )
-
-
-def q22_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi join (EXISTS): customers having at least one URGENT order."""
-    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
-    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
-    return (
-        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
-    )
-
-
-def q23_salted_vs_plain_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew handling: salted two-phase aggregation — must equal a plain
-    GROUP BY (the oracle IS the plain form)."""
-    from spanluke_spark.link.alias import salted_count
-
-    ev = _t(spark, sf_dir, "events")
-    return salted_count(ev, ["event_type"], salt_buckets=16, salt_source="event_id").orderBy(
-        "event_type"
     )
 
 
@@ -510,35 +453,6 @@ def q27_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "q_id", "c_id", "rank", F.round("cos_sim", 4).alias("cos_r")
     ).orderBy("q_id", "rank")
-
-
-def q28_first_subtoken(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3: wordpiece->word alignment — synthesize 2 subtokens per long word
-    relationally, keep the first subtoken per word (posexplode + row_number==1,
-    the exact first-subtoken rule of legal_ner/utils/dataset.py:163-189)."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    words = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("word_id", "word")
-    )
-    sub_pos = words.select(
-        "doc_id",
-        "word_id",
-        F.posexplode(
-            F.when(
-                F.length("word") > 4,
-                F.array(F.substring("word", 1, 4), F.expr("substring(word, 5)")),
-            ).otherwise(F.array(F.col("word")))
-        ).alias("sub_idx", "subtoken"),
-    )
-    first = sub_pos.filter(F.col("sub_idx") == 0)
-    return (
-        first.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum(F.length("subtoken")).alias("sum_first_len"),
-        )
-        .orderBy("doc_id")
-    )
 
 
 def q29_zip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -636,24 +550,6 @@ def q33_per_tag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nervaluate_per_tag(gold, pred).orderBy("label", "regime")
 
 
-def q34_token_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 seqeval-style token-level accuracy (legal_ner/main.py:296-302):
-    fraction of positions whose predicted label equals gold."""
-    from spanluke_spark.evaluation.metrics import token_accuracy
-
-    li = _t(spark, sf_dir, "lineitem")
-    key = [F.col("l_orderkey").alias("doc"), F.col("l_linenumber").alias("pos")]
-    gold = li.groupBy(*key).agg(F.min("l_returnflag").alias("label"))
-    pred = li.groupBy(*key).agg(
-        F.min(
-            F.when(F.col("l_quantity") > 25, F.col("l_returnflag")).otherwise(
-                F.col("l_linestatus")
-            )
-        ).alias("label")
-    )
-    return token_accuracy(gold, pred)
-
-
 def q35_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 real subword path: greedy longest-match WordPiece over the frozen
     corpus vocabulary (etl/wordpiece.py; reference dataset.py:163-189) —
@@ -704,34 +600,6 @@ def q37_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
-
-
-def q38_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 completion (legal_ner/utils/count_length.py:20-27 computes the
-    mode): EXACT rank-based median + deterministic mode of doc lengths per
-    language (percentile_approx/F.mode have engine-specific tie behavior;
-    row_number with a full tiebreaker is bit-stable in both engines)."""
-    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars", "doc_id")
-    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    ranked = docs.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("lang"))
-    )
-    med = (
-        ranked.filter(
-            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
-            | (F.col("rn") == F.floor(F.col("n") / 2) + 1)
-        )
-        .groupBy("lang")
-        .agg(F.round(F.avg("n_chars"), 6).alias("median_chars"))
-    )
-    counts = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
-    wm = Window.partitionBy("lang").orderBy(F.desc("c"), "n_chars")
-    mode = (
-        counts.withColumn("r", F.row_number().over(wm))
-        .filter(F.col("r") == 1)
-        .select("lang", F.col("n_chars").alias("mode_chars"))
-    )
-    return med.join(mode, "lang").orderBy("lang")
 
 
 def q39_media_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1244,45 +1112,39 @@ def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries — sized to the driver's correctness window so EVERY
+    registered operator gets a per-round driver row (r02 checked the first 50
+    of 63). Thirteen redundant queries were retired; each one's operator
+    remains covered by a surviving query (mapping in COVERAGE.md): q01-q03
+    (relational aggs/top-k, still benched directly), q08->q11, q10->q16,
+    q15->q41, q19->q04, q20->q62, q22->q05/q45, q23->q57, q28->q35,
+    q34->q06/q33, q38 merged INTO q09."""
     return {
-        "q01_pricing_summary": q01_pricing_summary,
-        "q02_top_revenue_customers": q02_top_revenue_customers,
-        "q03_largest_order_per_customer": q03_largest_order_per_customer,
         "q04_sessionize_events": q04_sessionize_events,
         "q05_resume_anti_join": q05_resume_anti_join,
         "q06_strict_eval_set_ops": q06_strict_eval_set_ops,
         "q07_span_enumeration": q07_span_enumeration,
-        "q08_phrase_occurrences": q08_phrase_occurrences,
         "q09_corpus_stats": q09_corpus_stats,
-        "q10_event_type_distribution": q10_event_type_distribution,
         "q11_token_mentions": q11_token_mentions,
         "q12_exact_dedup": q12_exact_dedup,
         "q13_ngram_jaccard": q13_ngram_jaccard,
         "q14_token_stats": q14_token_stats,
-        "q15_quality_scores": q15_quality_scores,
         "q16_langid": q16_langid,
         "q17_minhash_neardup": q17_minhash_neardup,
         "q18_simhash": q18_simhash,
-        "q19_event_moving_window": q19_event_moving_window,
-        "q20_rollup": q20_rollup,
         "q21_fuzzy_name_pairs": q21_fuzzy_name_pairs,
-        "q22_semi_join": q22_semi_join,
-        "q23_salted_vs_plain_count": q23_salted_vs_plain_count,
         "q24_page_extraction": q24_page_extraction,
         "q25_linked_mention_counts": q25_linked_mention_counts,
         "q26_connected_components": q26_connected_components,
         "q27_embedding_topk": q27_embedding_topk,
-        "q28_first_subtoken": q28_first_subtoken,
         "q29_zip_join": q29_zip_join,
         "q30_argmax_per_group": q30_argmax_per_group,
         "q31_union_mentions": q31_union_mentions,
         "q32_json_props": q32_json_props,
         "q33_per_tag_metrics": q33_per_tag_metrics,
-        "q34_token_accuracy": q34_token_accuracy,
         "q35_wordpiece": q35_wordpiece,
         "q36_embedding_neardup": q36_embedding_neardup,
         "q37_bpe_tokens": q37_bpe_tokens,
-        "q38_median_mode": q38_median_mode,
         "q39_media_plan": q39_media_plan,
         "q40_streaming_counts": q40_streaming_counts,
         "q41_quality_filter": q41_quality_filter,
@@ -1617,44 +1479,6 @@ def _simhash_sql(n_bits: int = 60) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "q01_pricing_summary": """
-            SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity) AS sum_qty,
-                   sum(l_extendedprice) AS sum_base_price,
-                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-                   sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-                   count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-            GROUP BY l_returnflag, l_linestatus
-            ORDER BY l_returnflag, l_linestatus
-        """,
-        "q02_top_revenue_customers": """
-            WITH po AS (
-                SELECT l_orderkey,
-                       sum(l_extendedprice * (1 - l_discount)) AS order_rev
-                FROM lineitem GROUP BY l_orderkey
-            )
-            SELECT c_custkey, c_name,
-                   round(sum(order_rev), 6) AS revenue,
-                   count(*) AS n_orders
-            FROM po
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            GROUP BY c_custkey, c_name
-            ORDER BY revenue DESC, c_custkey
-            LIMIT 10
-        """,
-        "q03_largest_order_per_customer": """
-            SELECT o_custkey, o_orderkey, o_totalprice
-            FROM (
-                SELECT o_custkey, o_orderkey, o_totalprice,
-                       row_number() OVER (PARTITION BY o_custkey
-                                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
-                FROM orders
-            ) WHERE rn = 1
-            ORDER BY o_custkey
-        """,
         "q04_sessionize_events": """
             WITH flagged AS (
                 SELECT user_id, ts, event_id,
@@ -1719,30 +1543,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(span_idx * w_start) AS BIGINT) AS checksum
             FROM ranked GROUP BY doc_id ORDER BY doc_id
         """,
-        "q08_phrase_occurrences": """
-            SELECT phrase,
-                   CAST(sum((length(text) - length(replace(text, phrase, ''))) // length(phrase)) AS BIGINT)
-                   AS occurrences
-            FROM documents, (SELECT UNNEST(['hash join', 'table scan', 'sort merge']) AS phrase)
-            GROUP BY phrase ORDER BY phrase
-        """,
         "q09_corpus_stats": """
-            SELECT lang, count(*) AS n_docs,
-                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-                   CAST(sum(n_chars * n_chars) AS BIGINT) AS sumsq_chars,
-                   min(n_chars) AS min_chars,
-                   max(n_chars) AS max_chars,
-                   round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
-                   round((CAST(sum(n_chars * n_chars) AS DOUBLE)
-                    - CAST(sum(n_chars) AS DOUBLE) * sum(n_chars) / count(*)) / count(*), 6)
-                   AS var_pop_chars
-            FROM documents GROUP BY lang ORDER BY lang
-        """,
-        "q10_event_type_distribution": """
-            SELECT event_type, count(*) AS n_events,
-                   count(DISTINCT user_id) AS n_users,
-                   sum(value) AS sum_value
-            FROM events GROUP BY event_type ORDER BY event_type
+            WITH counts AS (
+                SELECT lang, n_chars, count(*) AS c FROM documents GROUP BY 1, 2
+            ), cum AS (
+                SELECT lang, n_chars, c,
+                       sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                       sum(c) OVER (PARTITION BY lang) AS n
+                FROM counts
+            ), med AS (
+                SELECT a.lang, round((a.m1 + b.m2) / 2.0, 6) AS median_chars
+                FROM (SELECT lang, min(n_chars) AS m1 FROM cum
+                      WHERE cum >= floor((n + 1) / 2.0) GROUP BY lang) a
+                JOIN (SELECT lang, min(n_chars) AS m2 FROM cum
+                      WHERE cum >= floor(n / 2.0) + 1 GROUP BY lang) b USING (lang)
+            ), md AS (
+                SELECT lang, n_chars AS mode_chars FROM (
+                    SELECT lang, n_chars,
+                           row_number() OVER (PARTITION BY lang
+                                ORDER BY c DESC, n_chars) AS r
+                    FROM counts) WHERE r = 1
+            ), base AS (
+                SELECT lang, count(*) AS n_docs,
+                       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                       CAST(sum(n_chars * n_chars) AS BIGINT) AS sumsq_chars,
+                       min(n_chars) AS min_chars,
+                       max(n_chars) AS max_chars,
+                       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+                       round((CAST(sum(n_chars * n_chars) AS DOUBLE)
+                        - CAST(sum(n_chars) AS DOUBLE) * sum(n_chars) / count(*)) / count(*), 6)
+                       AS var_pop_chars
+                FROM documents GROUP BY lang
+            )
+            SELECT base.*, med.median_chars, md.mode_chars
+            FROM base JOIN med USING (lang) JOIN md USING (lang)
+            ORDER BY lang
         """,
         "q11_token_mentions": f"""
             WITH toks AS (
@@ -1817,49 +1653,14 @@ def oracle_sql() -> dict[str, str]:
                    AS mean_word_len
             FROM d GROUP BY lang ORDER BY lang
         """,
-        "q15_quality_scores": """
-            SELECT doc_id,
-                   length(text) AS n_chars_q,
-                   length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_vowels,
-                   length(text) - length(replace(text, ' ', '')) AS n_spaces,
-                   CASE WHEN length(text) > 0 THEN
-                     (length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))::DOUBLE
-                     / length(text) ELSE 0.0 END AS vowel_ratio
-            FROM documents WHERE doc_id < 50 ORDER BY doc_id
-        """,
         "q16_langid": _LANGID_SQL,
         "q17_minhash_neardup": _minhash_sql(),
         "q18_simhash": _simhash_sql(),
         "q35_wordpiece": _wordpiece_sql(),
-        "q19_event_moving_window": """
-            SELECT user_id, event_id,
-                   sum(value) OVER w AS moving_sum,
-                   count(*) OVER w AS n_in_frame
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-            ORDER BY user_id, event_id
-        """,
-        "q20_rollup": """
-            SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
-            FROM lineitem
-            GROUP BY ROLLUP(l_returnflag, l_linestatus)
-            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
-        """,
         "q21_fuzzy_name_pairs": """
             SELECT count(*) AS n_pairs
             FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
             WHERE levenshtein(a.c_name, b.c_name) <= 1
-        """,
-        "q22_semi_join": """
-            SELECT c_custkey, c_name FROM customer
-            WHERE EXISTS (SELECT 1 FROM orders
-                          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
-            ORDER BY c_custkey
-        """,
-        "q23_salted_vs_plain_count": """
-            SELECT event_type, count(*) AS n FROM events
-            GROUP BY event_type ORDER BY event_type
         """,
         "q24_page_extraction": """
             SELECT 'https://example.org/doc/' || doc_id AS url, lang,
@@ -1944,15 +1745,6 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT q_id, c_id, CAST(rank AS INT) AS rank, round(cos_sim, 4) AS cos_r
             FROM ranked WHERE rank <= 3 ORDER BY q_id, rank
-        """,
-        "q28_first_subtoken": """
-            WITH w AS (
-                SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
-                FROM documents WHERE doc_id < 100
-            )
-            SELECT doc_id, count(*) AS n_words,
-                   CAST(sum(least(length(word), 4)) AS BIGINT) AS sum_first_len
-            FROM w GROUP BY doc_id ORDER BY doc_id
         """,
         "q29_zip_join": """
             WITH w AS (
@@ -2100,27 +1892,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(n_bpe) AS BIGINT) AS max_bpe, count(*) AS n_docs
             FROM d GROUP BY lang ORDER BY lang
         """,
-        "q38_median_mode": """
-            WITH ranked AS (
-                SELECT lang, n_chars,
-                       row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
-                       count(*) OVER (PARTITION BY lang) AS n
-                FROM documents
-            ), med AS (
-                SELECT lang, round(avg(n_chars), 6) AS median_chars FROM ranked
-                WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 GROUP BY lang
-            ), cm AS (
-                SELECT lang, n_chars, count(*) AS c FROM documents GROUP BY 1, 2
-            ), md AS (
-                SELECT lang, n_chars AS mode_chars FROM (
-                    SELECT lang, n_chars,
-                           row_number() OVER (PARTITION BY lang ORDER BY c DESC, n_chars) AS r
-                    FROM cm
-                ) WHERE r = 1
-            )
-            SELECT lang, median_chars, mode_chars
-            FROM med JOIN md USING (lang) ORDER BY lang
-        """,
         "q39_media_plan": """
             WITH m AS (
                 SELECT doc_id AS media_id,
@@ -2174,25 +1945,6 @@ def oracle_sql() -> dict[str, str]:
                    epoch_ms((ws + 86400) * 1000) AS window_end,
                    lang, count(*) AS n_pages
             FROM w GROUP BY 1, 2, 3 ORDER BY window_start, lang
-        """,
-        "q34_token_accuracy": """
-            WITH gold AS (
-                SELECT l_orderkey AS doc, l_linenumber AS pos, min(l_returnflag) AS label
-                FROM lineitem GROUP BY 1, 2
-            ), pred AS (
-                SELECT l_orderkey AS doc, l_linenumber AS pos,
-                       min(CASE WHEN l_quantity > 25 THEN l_returnflag ELSE l_linestatus END)
-                       AS label
-                FROM lineitem GROUP BY 1, 2
-            ), j AS (
-                SELECT g.label AS gl, p.label AS pl FROM gold g JOIN pred p USING (doc, pos)
-            )
-            SELECT count(*) AS n_tokens,
-                   count(CASE WHEN gl = pl THEN 1 END) AS n_correct,
-                   CASE WHEN count(*) = 0 THEN 0.0
-                        ELSE count(CASE WHEN gl = pl THEN 1 END)::DOUBLE / count(*) END
-                   AS accuracy
-            FROM j
         """,
         "q42_pii_redaction": """
             WITH planted AS (

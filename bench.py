@@ -38,6 +38,12 @@ def main() -> None:
     spark.range(1000).select(F.sum(_warm("id"))).collect()
 
     qs = entrymod.queries()
+
+    def q(name):
+        # q01-q03 were retired from the 50-entry driver registry but stay
+        # benched: resolve them as module attributes.
+        return qs.get(name) or getattr(entrymod, name)
+
     headline = [
         "q01_pricing_summary",
         "q02_top_revenue_customers",
@@ -63,30 +69,32 @@ def main() -> None:
     # Warm-up pass: spawn Python workers, JIT/codegen, parquet footers — the
     # driver measures engine steady state, not JVM cold start.
     for name in headline:
-        qs[name](spark, sf_dir).count()
+        q(name)(spark, sf_dir).count()
     kg_pipeline().count()
 
-    # min-of-3 per query: damps hypervisor load noise (the sandbox host is
-    # oversubscribed — BASELINE.md "hardware_ceiling"); min is the standard
-    # noise-robust point estimate for a deterministic workload.
-    REPS = 3
-    timings: dict[str, float] = {}
-    for name in headline:
-        best = float("inf")
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            n = qs[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-            assert n >= 0
-        timings[name] = round(best, 3)
-
-    # Flagship KG pipeline at this SF: documents -> span mentions -> triples.
-    kg_sec = float("inf")
+    # INTERLEAVED min-of-4 (bench/scaling.py discipline): each rep cycles
+    # through every query before the next rep starts, so slow hypervisor
+    # drift hits all queries equally instead of biasing whichever query ran
+    # while the host was loaded. min = noise-robust point estimate for a
+    # deterministic workload; spread (max-min over reps) is reported so a
+    # drifting host is visible in the number itself.
+    REPS = 4
+    samples: dict[str, list[float]] = {name: [] for name in headline}
+    samples["kg_span_pipeline"] = []
+    n_triples = 0
     for _ in range(REPS):
+        for name in headline:
+            t0 = time.perf_counter()
+            n = q(name)(spark, sf_dir).count()
+            samples[name].append(time.perf_counter() - t0)
+            assert n >= 0
         t0 = time.perf_counter()
         n_triples = kg_pipeline().count()
-        kg_sec = min(kg_sec, time.perf_counter() - t0)
-    timings["kg_span_pipeline"] = round(kg_sec, 3)
+        samples["kg_span_pipeline"].append(time.perf_counter() - t0)
+
+    timings = {name: round(min(s), 3) for name, s in samples.items()}
+    spread = {name: round(max(s) - min(s), 3) for name, s in samples.items()}
+    kg_sec = min(samples["kg_span_pipeline"])
 
     total = round(sum(timings.values()), 3)
 
@@ -107,15 +115,15 @@ def main() -> None:
         ("q47_pack_sequences", qs["q47_pack_sequences"]),
         ("q49_lm_score", qs["q49_lm_score"]),
     ]
-    curation_timings: dict[str, float] = {}
-    for name, fn in curation:
+    for _, fn in curation:
         fn(spark, sf_dir).count()  # warm
-        best = float("inf")
-        for _ in range(2):
+    cur_samples: dict[str, list[float]] = {name: [] for name, _ in curation}
+    for _ in range(3):  # interleaved, same discipline as headline
+        for name, fn in curation:
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        curation_timings[name] = round(best, 3)
+            cur_samples[name].append(time.perf_counter() - t0)
+    curation_timings = {n: round(min(s), 3) for n, s in cur_samples.items()}
 
     print(
         json.dumps(
@@ -124,6 +132,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "reps": REPS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_triples": n_triples,
                 "docs_per_sec": round(n_docs / kg_sec, 1),
