@@ -585,13 +585,16 @@ def q36_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q37_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text analysis: BPE-ish regex token counting (tokenizer-cost estimate)
-    aggregated per language."""
-    from spanluke_spark.textops.quality import bpe_ish_token_count
+    """Text analysis: REAL byte-level-BPE token counting (frozen merges
+    table, GPT-2-style alphabet — etl/bpe.py; replaces the regex estimate).
+    The DuckDB oracle replays the identical merges as a rank-ordered
+    replace() chain over sentinel-delimited symbols, so merge-order parity
+    is driver-checked, not just pytest-checked."""
+    from spanluke_spark.etl.bpe import bpe_token_count
 
     docs = _t(spark, sf_dir, "documents")
     return (
-        bpe_ish_token_count(docs.select("lang", "text"))
+        bpe_token_count(docs.select("lang", "text"))
         .groupBy("lang")
         .agg(
             F.sum("n_bpe_tokens").alias("total_bpe"),
@@ -1461,6 +1464,62 @@ def _wordpiece_sql() -> str:
     """
 
 
+def _bpe_sql() -> str:
+    """q37 oracle: replays the FROZEN byte-level-BPE merges table
+    (etl/bpe_merges.txt) exactly. Key equivalence (proven in
+    tests/test_bpe.py over the whole corpus): applying merges sequentially
+    in rank order — each as a left-to-right replace over a
+    sentinel-delimited symbol string — produces the same segmentation as
+    the lowest-rank-first priority loop. Symbols are delimited by DOUBLE
+    U+001F so each replace keeps one sentinel on each side for the
+    neighboring pair (a run 'a a a a' collapses correctly in one pass)."""
+    from spanluke_spark.etl.bpe import PRETOKEN_RE, load_merges
+
+    sep = "\x1f"
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    expr = "s"
+    ctes = []
+    merges = load_merges()
+    for i in range(0, len(merges), 16):
+        for a, b in merges[i : i + 16]:
+            expr = (
+                f"replace({expr}, {q(sep + a + sep + sep + b + sep)}, "
+                f"{q(sep + a + b + sep)})"
+            )
+        ctes.append(f"m{len(ctes)} AS (SELECT lang, doc_id, {expr} AS s "
+                    f"FROM {'init' if not ctes else f'm{len(ctes)-1}'})")
+        expr = "s"
+    last = f"m{len(ctes)-1}" if ctes else "init"
+    cte_sql = (",\n            ".join(ctes) + ",") if ctes else ""
+    return f"""
+        WITH pt AS (
+            SELECT lang, doc_id,
+                   unnest(regexp_extract_all(text, {q(PRETOKEN_RE)})) AS p
+            FROM documents
+        ), init AS (
+            SELECT lang, doc_id,
+                   {q(sep + sep)} || regexp_replace(replace(p, ' ', 'Ġ'),
+                        '(.)', {q(chr(92) + '1' + sep + sep)}, 'g') AS s
+            FROM pt
+        ),
+            {cte_sql}
+        per_doc AS (
+            SELECT doc_id, sum(len(list_filter(string_split(s, {q(sep + sep)}),
+                                               x -> x <> ''))) AS n_bpe
+            FROM {last} GROUP BY doc_id
+        ), d AS (
+            SELECT d0.lang, coalesce(pd.n_bpe, 0) AS n_bpe
+            FROM documents d0 LEFT JOIN per_doc pd ON d0.doc_id = pd.doc_id
+        )
+        SELECT lang, CAST(sum(n_bpe) AS BIGINT) AS total_bpe,
+               CAST(max(n_bpe) AS BIGINT) AS max_bpe, count(*) AS n_docs
+        FROM d GROUP BY lang ORDER BY lang
+    """
+
+
 def _simhash_sql(n_bits: int = 60) -> str:
     """q18 oracle: replays simhash(portable=True) bit-for-bit."""
     vote_defs = ",\n                   ".join(
@@ -1881,17 +1940,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(cos_sim, 6) AS cos_r
             FROM p WHERE cos_sim >= 0.3 ORDER BY id_a, id_b
         """,
-        "q37_bpe_tokens": """
-            WITH d AS (
-                SELECT lang,
-                       len(regexp_extract_all(text,
-                           '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS n_bpe
-                FROM documents
-            )
-            SELECT lang, CAST(sum(n_bpe) AS BIGINT) AS total_bpe,
-                   CAST(max(n_bpe) AS BIGINT) AS max_bpe, count(*) AS n_docs
-            FROM d GROUP BY lang ORDER BY lang
-        """,
+        "q37_bpe_tokens": _bpe_sql(),
         "q39_media_plan": """
             WITH m AS (
                 SELECT doc_id AS media_id,

@@ -1,0 +1,246 @@
+"""Byte-level BPE tokenization (GPT-2 family) with first-subtoken label
+alignment — the real analog of the reference's RobertaTokenizerFast
+(legal_ner/utils/dataset.py:163-189 tokenizes with a byte-level-BPE
+tokenizer; requirements.txt pins transformers), sibling of
+``etl/wordpiece.py``.
+
+The three moving parts, all deterministic and engine-replayable:
+
+1. **Byte→unicode alphabet** (public GPT-2 ``bytes_to_unicode`` scheme):
+   printable latin-1 bytes map to themselves, everything else shifts into
+   U+0100.. so every byte is a visible character (space -> 'Ġ'). Reversible,
+   so detokenization is exact byte round-trip.
+2. **Pre-tokenization**: ``PRETOKEN_RE`` splits text into word-ish chunks
+   that BPE never merges across. The full GPT-2 pattern needs negative
+   lookahead + unicode categories (the ``regex`` package, absent here), so
+   this is the documented ASCII subset of it — identical in Python ``re``,
+   Java regex (Spark) and RE2 (DuckDB), which keeps the q37 oracle exact.
+3. **Merges**: a frozen ranked merge table (``bpe_merges.txt``, trained by
+   ``train_bpe_merges`` — greedy highest-count pair, lexicographic
+   tie-break, so training is bit-deterministic). ``py_bpe`` applies them
+   with the standard lowest-rank-first loop.
+
+Equivalence used by the DuckDB oracle: because merges are learned greedily,
+applying them **sequentially in rank order** (each merge replacing all its
+adjacent occurrences left-to-right, repeated to fixpoint) yields the same
+segmentation as the priority loop — which a SQL engine can replay as a
+chain of ``replace()`` calls over a sentinel-delimited symbol string. The
+pytest parity suite pins Spark == py_bpe == that sequential formulation.
+
+Alignment mirrors dataset.py:163-189: pre-token index = word id; the first
+subtoken of each word carries the word's label; continuations get the label
+(label_all_tokens) or -100.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections.abc import Iterator
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ASCII subset of the GPT-2 pre-tokenizer (see module docstring, point 2):
+# optional leading space glued to a letter-run / digit-run / punct-run;
+# bare space runs otherwise.
+PRETOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| +"
+
+MERGES_PATH = os.path.join(os.path.dirname(__file__), "bpe_merges.txt")
+IGNORE_INDEX = -100
+
+
+@lru_cache(maxsize=1)
+def bytes_to_unicode() -> dict[int, str]:
+    """The public GPT-2 byte->unicode table: visible latin-1 bytes identity,
+    the rest mapped to U+0100+i in order (0x20 -> 'Ġ', 0x0A -> 'Ċ', ...)."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAD))
+        + list(range(0xAE, 0x100))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+@lru_cache(maxsize=1)
+def unicode_to_bytes() -> dict[str, int]:
+    return {v: k for k, v in bytes_to_unicode().items()}
+
+
+def to_unicode(pretoken: str) -> str:
+    b2u = bytes_to_unicode()
+    return "".join(b2u[b] for b in pretoken.encode("utf-8"))
+
+
+def from_unicode(token: str) -> str:
+    u2b = unicode_to_bytes()
+    return bytes(u2b[c] for c in token).decode("utf-8", errors="replace")
+
+
+def py_pretokenize(text: str) -> list[str]:
+    return re.findall(PRETOKEN_RE, text)
+
+
+def py_bpe(unicode_pretoken: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Standard BPE: repeatedly merge the lowest-rank adjacent pair."""
+    syms = list(unicode_pretoken)
+    while len(syms) > 1:
+        pairs = [(syms[i], syms[i + 1]) for i in range(len(syms) - 1)]
+        best = min(pairs, key=lambda p: ranks.get(p, float("inf")))
+        if best not in ranks:
+            break
+        merged: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
+                merged.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                merged.append(syms[i])
+                i += 1
+        syms = merged
+    return syms
+
+
+def py_tokenize(text: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    out: list[str] = []
+    for pt in py_pretokenize(text):
+        out.extend(py_bpe(to_unicode(pt), ranks))
+    return out
+
+
+def train_bpe_merges(texts: list[str], num_merges: int = 200) -> list[tuple[str, str]]:
+    """Deterministic greedy BPE training: at each step merge the
+    highest-count adjacent pair over the pretoken frequency table;
+    ties break on the lexicographically smallest pair."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for pt in py_pretokenize(t):
+            words[tuple(to_unicode(pt))] += 1
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair_counts: Counter = Counter()
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                pair_counts[(syms[i], syms[i + 1])] += c
+        if not pair_counts:
+            break
+        best_count = max(pair_counts.values())
+        if best_count < 2:
+            break
+        best = min(p for p, c in pair_counts.items() if c == best_count)
+        merges.append(best)
+        new_words = Counter()
+        for syms, c in words.items():
+            merged: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
+                    merged.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            new_words[tuple(merged)] += c
+        words = new_words
+    return merges
+
+
+def save_merges(merges: list[tuple[str, str]], path: str = MERGES_PATH) -> None:
+    with open(path, "w", encoding="utf-8") as f:
+        for a, b in merges:
+            f.write(f"{a}\t{b}\n")
+
+
+@lru_cache(maxsize=4)
+def load_merges(path: str = MERGES_PATH) -> tuple[tuple[str, str], ...]:
+    with open(path, encoding="utf-8") as f:
+        return tuple(
+            (a, b) for a, b in (line.rstrip("\n").split("\t") for line in f if line.strip())
+        )
+
+
+def merge_ranks(merges: tuple[tuple[str, str], ...] | None = None) -> dict:
+    merges = merges if merges is not None else load_merges()
+    return {pair: i for i, pair in enumerate(merges)}
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    key_cols: list[str],
+    text_col: str = "text",
+    merges_path: str = MERGES_PATH,
+) -> DataFrame:
+    """-> key_cols + word_id + token_id + token (+ is_first flag).
+
+    One Arrow-batched mapInPandas pass; the frozen merges table rides to
+    executors via closure capture (a few KB — no broadcast machinery
+    needed). Pre-token index = word id, exactly the HF word_ids() contract
+    the reference aligns labels with (dataset.py:170-186)."""
+    merges = load_merges(merges_path)
+    schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in key_cols
+    ) + ", word_id int, token_id int, token string, is_first boolean"
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ranks = {pair: i for i, pair in enumerate(merges)}
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                tid = 0
+                for wid, pt in enumerate(py_pretokenize(r[text_col] or "")):
+                    for j, tok in enumerate(py_bpe(to_unicode(pt), ranks)):
+                        rows.append(
+                            tuple(r[c] for c in key_cols) + (wid, tid, tok, j == 0)
+                        )
+                        tid += 1
+            yield pd.DataFrame(
+                rows,
+                columns=key_cols + ["word_id", "token_id", "token", "is_first"],
+            )
+
+    return df.select(*key_cols, text_col).mapInPandas(_gen, schema)
+
+
+def bpe_token_count(
+    df: DataFrame, text_col: str = "text", merges_path: str = MERGES_PATH
+) -> DataFrame:
+    """Adds ``n_bpe_tokens``: REAL byte-level-BPE token count (replaces the
+    regex estimate ``textops.quality.bpe_ish_token_count``). Vectorized
+    pandas UDF — one Python stage, no shuffle."""
+    merges = load_merges(merges_path)
+
+    @F.pandas_udf("long")
+    def _count(s: pd.Series) -> pd.Series:
+        ranks = {pair: i for i, pair in enumerate(merges)}
+        return s.map(lambda t: len(py_tokenize(t or "", ranks)))
+
+    return df.withColumn("n_bpe_tokens", _count(F.col(text_col)))
+
+
+def align_labels_bpe(
+    tokens: DataFrame,
+    word_labels: DataFrame,
+    key_cols: list[str],
+    label_all_tokens: bool = True,
+) -> DataFrame:
+    """First-subtoken alignment over ``bpe_tokenize`` output, mirroring
+    dataset.py:170-186: join word-level labels on (key, word_id); the first
+    subtoken always gets the word label; continuations get the word label
+    (label_all_tokens=True, the reference's effective behavior) or -100."""
+    joined = tokens.join(word_labels, [*key_cols, "word_id"], "left")
+    lbl = F.coalesce(F.col("label_id"), F.lit(IGNORE_INDEX))
+    if not label_all_tokens:
+        lbl = F.when(F.col("is_first"), lbl).otherwise(F.lit(IGNORE_INDEX))
+    return joined.withColumn("label_id", lbl.cast("int"))

@@ -1,0 +1,139 @@
+"""Byte-level BPE: merge-order parity, round-trip, Spark==Python, alignment.
+
+Pins the three-way agreement the q37 oracle relies on: the priority-loop
+tokenizer (py_bpe), the rank-order sequential formulation (what DuckDB
+replays as a replace() chain), and the Spark mapInPandas path.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from spanluke_spark.etl.bpe import (
+    bpe_token_count,
+    bpe_tokenize,
+    align_labels_bpe,
+    from_unicode,
+    load_merges,
+    merge_ranks,
+    py_bpe,
+    py_pretokenize,
+    py_tokenize,
+    to_unicode,
+    train_bpe_merges,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _corpus_texts(limit=80):
+    return [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id LIMIT {limit}"
+        ).fetchall()
+    ]
+
+
+def _seq_bpe(u: str, merges) -> list[str]:
+    """Rank-order sequential application — the oracle's formulation."""
+    syms = list(u)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_sequential_equals_priority_on_corpus():
+    merges = load_merges()
+    ranks = merge_ranks(merges)
+    n = 0
+    for t in _corpus_texts():
+        for pt in py_pretokenize(t):
+            u = to_unicode(pt)
+            assert py_bpe(u, ranks) == _seq_bpe(u, merges), pt
+            n += 1
+    assert n > 500
+
+
+def test_roundtrip_detokenization():
+    ranks = merge_ranks()
+    for t in _corpus_texts(20) + ["", "a", "  spaced  out ", "mix3d 42 w0rds!?"]:
+        toks = py_tokenize(t, ranks)
+        assert "".join(from_unicode(x) for x in toks) == t
+
+
+def test_training_is_deterministic_and_matches_frozen_file():
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert train_bpe_merges(texts, num_merges=200) == list(load_merges())
+
+
+def test_spark_tokenize_matches_python(spark):
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    got = {}
+    for r in bpe_tokenize(docs, ["doc_id"]).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["token_id"], r["word_id"], r["token"], r["is_first"])
+        )
+    ranks = merge_ranks()
+    for r in docs.collect():
+        exp = []
+        tid = 0
+        for wid, pt in enumerate(py_pretokenize(r["text"])):
+            for j, tok in enumerate(py_bpe(to_unicode(pt), ranks)):
+                exp.append((tid, wid, tok, j == 0))
+                tid += 1
+        assert sorted(got.get(r["doc_id"], [])) == exp, r["doc_id"]
+
+
+def test_token_count_column_matches_python(spark):
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    ranks = merge_ranks()
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_count(docs).collect()}
+    for r in docs.collect():
+        assert got[r["doc_id"]] == len(py_tokenize(r["text"], ranks))
+
+
+def test_first_subtoken_alignment(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta")], "doc_id long, text string"
+    )
+    toks = bpe_tokenize(docs, ["doc_id"])
+    # word-level labels: word 0 -> 7, word 1 -> 9
+    labels = spark.createDataFrame(
+        [(1, 0, 7), (1, 1, 9)], "doc_id long, word_id int, label_id int"
+    )
+    strict = align_labels_bpe(toks, labels, ["doc_id"], label_all_tokens=False)
+    rows = sorted(
+        (r["token_id"], r["is_first"], r["label_id"]) for r in strict.collect()
+    )
+    # exactly one first subtoken per word carries the label; others -100
+    firsts = [lab for _, is_first, lab in rows if is_first]
+    conts = [lab for _, is_first, lab in rows if not is_first]
+    assert sorted(firsts) == [7, 9]
+    assert all(lab == -100 for lab in conts)
+    # label_all_tokens=True: every subtoken of word 0 gets 7, of word 1 gets 9
+    all_tok = align_labels_bpe(toks, labels, ["doc_id"], label_all_tokens=True)
+    for r in all_tok.collect():
+        assert r["label_id"] == (7 if r["word_id"] == 0 else 9)
