@@ -155,6 +155,83 @@ class GazetteerTokenScorer:
         return out
 
 
+def export_numpy_model(
+    gazetteer: "Gazetteer",
+    label_to_idx: dict[str, int],
+    path: str,
+    outside_id: int = 0,
+) -> str:
+    """Distill a scorer into a REAL on-disk model artifact (.npz): sorted
+    surface-hash keys -> (label id, hit logit). The logit is chosen so the
+    softmax argmax probability equals the surrogate's hit score exactly up
+    to float64 round-trip — p = 0.9 + 0.1*stable_unit(surface), logit =
+    ln((K-1)p/(1-p)) with all other classes at 0 — so a pipeline run
+    through the file-loading backend is decode-identical to the surrogate
+    (same preds, same score ordering). This is the sandbox twin of shipping
+    TorchScript weights: same lazy once-per-executor load path."""
+    import math
+
+    import numpy as np
+
+    n_classes = max(label_to_idx.values()) + 1
+    keys, labels, logits = [], [], []
+    for surf, lbl in gazetteer.entries.items():
+        p = 0.9 + 0.1 * stable_unit(surf)
+        keys.append(stable_hash64(surf))
+        labels.append(label_to_idx.get("B-" + lbl, outside_id))
+        logits.append(math.log((n_classes - 1) * p / (1.0 - p)))
+    order = np.argsort(np.asarray(keys, dtype=np.uint64), kind="stable")
+    np.savez(
+        path,
+        keys=np.asarray(keys, dtype=np.uint64)[order],
+        labels=np.asarray(labels, dtype=np.int32)[order],
+        logits=np.asarray(logits, dtype=np.float64)[order],
+        n_classes=np.int64(n_classes),
+        outside_id=np.int64(outside_id),
+        # miss prob 0.5 at the outside class, like the surrogate
+        miss_logit=np.float64(math.log(n_classes - 1.0)),
+        max_words=np.int64(gazetteer.max_words),
+    )
+    return path
+
+
+class NumpyLogitBackend:
+    """File-loading backend for :class:`TorchSpanScorer`: surfaces ->
+    logit rows from an ``export_numpy_model`` .npz. Picklable (holds only
+    the path); arrays load lazily ONCE per executor process on first call —
+    the exact load discipline the torch branch uses."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._m = None
+
+    def __call__(self, surfaces: list[str]) -> list[list[float]]:
+        import numpy as np
+
+        if self._m is None:
+            z = np.load(self.path)
+            self._m = (
+                z["keys"],
+                z["labels"],
+                z["logits"],
+                int(z["n_classes"]),
+                int(z["outside_id"]),
+                float(z["miss_logit"]),
+            )
+        keys, labels, logits, n_classes, outside_id, miss_logit = self._m
+        out = []
+        for s in surfaces:
+            h = np.uint64(stable_hash64(normalize_surface(s.split())))
+            i = int(np.searchsorted(keys, h))
+            row = [0.0] * n_classes
+            if i < len(keys) and keys[i] == h:
+                row[int(labels[i])] = float(logits[i])
+            else:
+                row[outside_id] = miss_logit
+            out.append(row)
+        return out
+
+
 class TorchSpanScorer:
     """Production span-scorer backend (SURVEY §7.0): the same
     ``score_sentence`` contract as :class:`HashedGazetteerSpanScorer`, backed
@@ -185,6 +262,11 @@ class TorchSpanScorer:
         self._backend = backend
 
     def _load_backend(self):
+        if self._backend is None and str(self.model_path).endswith(".npz"):
+            # numpy artifact (export_numpy_model): torch-free file-loading
+            # branch — same lazy once-per-executor discipline, testable in
+            # this sandbox with a real model file.
+            self._backend = NumpyLogitBackend(self.model_path)
         if self._backend is None:
             try:
                 import torch

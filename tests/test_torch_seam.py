@@ -92,3 +92,53 @@ def test_pipeline_pluggability(spark):
     m = got[0]
     assert (m.doc_id, m.surface, m.label) == (1, "spark", "ORG")
     assert m.score > 0.9
+
+
+def test_npz_model_file_pipeline_decode_identical(spark):
+    """Closes the _load_backend branch with a REAL model artifact: distill
+    the LegalNER dev gazetteer into an .npz (export_numpy_model), let
+    TorchSpanScorer LOAD it from disk (no injected backend), run the full
+    fused pipeline on the dev split, and require decode-identical mentions
+    vs the surrogate pipeline — same spans, same labels, same ordering
+    decisions on overlaps."""
+    import json
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spanluke_spark.ner.scorer import Gazetteer, export_numpy_model
+    from spanluke_spark.schemas import LEGALNER_ENTITIES
+
+    data = json.load(open("/root/reference/legal_ner/data/NER_DEV/NER_DEV_ALL.json"))
+    docs, anns = [], []
+    for i, item in enumerate(data[:200]):
+        docs.append((str(i), item["data"]["text"]))
+        for r in item["annotations"][0]["result"]:
+            v = r["value"]
+            anns.append((v["text"], v["labels"][0]))
+    gaz = Gazetteer.from_annotations(anns)
+    enc = encoding_a(LEGALNER_ENTITIES)
+    outside_id = enc["O"]
+    path = tempfile.mktemp(suffix=".npz")
+    export_numpy_model(gaz, enc, path, outside_id)
+
+    df = spark.createDataFrame(docs, "doc_id string, text string").repartition(8)
+
+    def factory(p=path, e=dict(enc), o=outside_id):
+        from spanluke_spark.ner.scorer import TorchSpanScorer as TS
+
+        return TS(p, e, o)
+
+    surrogate = extract_mentions_span(df, ["doc_id"], gaz)
+    from_file = extract_mentions_span(df, ["doc_id"], gaz, scorer_factory=factory)
+
+    key = lambda r: (r["doc_id"], r["start"], r["end"], r["label"], r["surface"])
+    a = sorted(key(r) for r in surrogate.collect())
+    b = sorted(key(r) for r in from_file.collect())
+    assert len(a) > 200
+    assert a == b
+
+    # and the file-backend scores reproduce the surrogate's hit scores
+    sa = {key(r): r["score"] for r in surrogate.collect()}
+    sb = {key(r): r["score"] for r in from_file.collect()}
+    assert all(abs(sa[k] - sb[k]) < 1e-9 for k in sa)
