@@ -48,6 +48,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     driver_threshold: int = 100_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """edges(src, dst) -> (node, component) with component = min node id.
 
@@ -62,6 +63,11 @@ def connected_components(
     exactly that: collision-sized, not corpus-sized. Above the threshold the
     distributed alternating-star algorithm runs unchanged; 0 disables the
     driver path.
+
+    ``stats`` (optional dict) is filled in-place with convergence evidence:
+    {"mode": "driver"|"distributed", "rounds": k, "edges_initial": n,
+    "edges_final": n} — the giant-component stress test asserts the round
+    count stays O(log^2 n) (tests/test_cc_stress.py).
     """
     base = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
@@ -82,6 +88,8 @@ def connected_components(
         # limit()+count probes size without a full count of a huge graph
         probe = e.limit(driver_threshold + 1).count()
         if probe <= driver_threshold:
+            if stats is not None:
+                stats.update(mode="driver", rounds=0, edges_initial=probe)
             spark = edges.sparkSession
             pairs = [(r["u"], r["v"]) for r in e.collect()]
             comp = py_union_find(pairs)
@@ -107,15 +115,25 @@ def connected_components(
     # One action per round: the checksum agg doubles as the emptiness check
     # (n == 0), so no separate isEmpty() job.
     prev_sig = signature(e)
+    rounds = 0
+    edges_initial = prev_sig[0]
     for _ in range(max_iter):
         if prev_sig[0] == 0:
             break
         e = _star_round(e, large=True)
         e = _star_round(e, large=False).localCheckpoint(eager=True)
+        rounds += 1
         sig = signature(e)
         if sig == prev_sig:
             break
         prev_sig = sig
+    if stats is not None:
+        stats.update(
+            mode="distributed",
+            rounds=rounds,
+            edges_initial=edges_initial,
+            edges_final=prev_sig[0],
+        )
 
     # At fixpoint every edge connects a node to its component min.
     comp = e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("component"))
