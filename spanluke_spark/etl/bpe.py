@@ -165,10 +165,19 @@ def save_merges(merges: list[tuple[str, str]], path: str = MERGES_PATH) -> None:
 
 @lru_cache(maxsize=4)
 def load_merges(path: str = MERGES_PATH) -> tuple[tuple[str, str], ...]:
+    """Reads the frozen merges table. Accepts both this repo's tab-separated
+    format and the published GPT-2/HF ``merges.txt`` format (space-separated
+    pairs, optional ``#version`` header) — so a user can point MERGES_PATH at
+    a real published tokenizer's merges file unchanged."""
+    out: list[tuple[str, str]] = []
     with open(path, encoding="utf-8") as f:
-        return tuple(
-            (a, b) for a, b in (line.rstrip("\n").split("\t") for line in f if line.strip())
-        )
+        for line in f:
+            line = line.rstrip("\n")
+            if not line.strip() or line.startswith("#"):
+                continue
+            a, b = line.split("\t") if "\t" in line else line.split(" ", 1)
+            out.append((a, b))
+    return tuple(out)
 
 
 def merge_ranks(merges: tuple[tuple[str, str], ...] | None = None) -> dict:

@@ -137,3 +137,11 @@ def test_first_subtoken_alignment(spark):
     all_tok = align_labels_bpe(toks, labels, ["doc_id"], label_all_tokens=True)
     for r in all_tok.collect():
         assert r["label_id"] == (7 if r["word_id"] == 0 else 9)
+
+
+def test_load_merges_accepts_hf_format(tmp_path):
+    """The published GPT-2/HF merges.txt format (space-separated pairs,
+    #version header) loads identically to the repo's tab format."""
+    p = tmp_path / "merges.txt"
+    p.write_text("#version: 0.2\nĠ s\ne r\nĠa b\n", encoding="utf-8")
+    assert load_merges(str(p)) == (("Ġ", "s"), ("e", "r"), ("Ġa", "b"))

@@ -133,6 +133,22 @@ def main() -> None:
         "(deterministic hash filter fused into the scan stage)",
     )
 
+    # 12. real-BPE token counting: exactly one Arrow Python stage fused onto
+    # the scan, zero shuffles before the per-doc count exists
+    from spanluke_spark.etl.bpe import bpe_token_count
+
+    bplan = (
+        bpe_token_count(docs.select("lang", "text"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    check(
+        "bpe_count_single_python_stage",
+        bplan.count("ArrowEvalPython") == 1 and "Exchange" not in bplan,
+        "(vectorized pandas UDF on the scan, shuffle-free)",
+    )
+
     spark.stop()
     sys.exit(1 if failures else 0)
 
