@@ -82,8 +82,22 @@ def to_unicode(pretoken: str) -> str:
 
 
 def from_unicode(token: str) -> str:
+    """Single-token display form. A multi-byte UTF-8 codepoint can be SPLIT
+    across token boundaries (BPE merges bytes, not codepoints), so a lone
+    token may hold a partial sequence — rendered with U+FFFD here. For exact
+    reconstruction always use :func:`detokenize`, which concatenates the
+    byte stream before decoding once."""
     u2b = unicode_to_bytes()
     return bytes(u2b[c] for c in token).decode("utf-8", errors="replace")
+
+
+def detokenize(tokens: list[str]) -> str:
+    """Exact inverse of tokenization for ANY input: map every alphabet char
+    of every token back to its byte, then UTF-8-decode the whole stream once
+    (the standard byte-level-BPE decode — per-token decoding would tear
+    codepoints whose bytes BPE distributed across two tokens)."""
+    u2b = unicode_to_bytes()
+    return bytes(u2b[c] for tok in tokens for c in tok).decode("utf-8")
 
 
 def py_pretokenize(text: str) -> list[str]:

@@ -14,6 +14,7 @@ from spanluke_spark.etl.bpe import (
     bpe_token_count,
     bpe_tokenize,
     align_labels_bpe,
+    detokenize,
     from_unicode,
     load_merges,
     merge_ranks,
@@ -68,6 +69,8 @@ def test_roundtrip_detokenization():
     ranks = merge_ranks()
     for t in _corpus_texts(20) + ["", "a", "  spaced  out ", "mix3d 42 w0rds!?"]:
         toks = py_tokenize(t, ranks)
+        assert detokenize(toks) == t
+        # ASCII-only corpus: per-token decode agrees with the stream decode
         assert "".join(from_unicode(x) for x in toks) == t
 
 
@@ -145,3 +148,32 @@ def test_load_merges_accepts_hf_format(tmp_path):
     p = tmp_path / "merges.txt"
     p.write_text("#version: 0.2\nĠ s\ne r\nĠa b\n", encoding="utf-8")
     assert load_merges(str(p)) == (("Ġ", "s"), ("e", "r"), ("Ġa", "b"))
+
+
+def test_roundtrip_arbitrary_unicode_hypothesis():
+    """Byte-level alphabet covers ALL of UTF-8: any text round-trips through
+    tokenize/detokenize exactly, including non-ASCII (which the ASCII
+    pre-tokenizer lumps into punct-runs — still lossless)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ranks = merge_ranks()
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=80))
+    def check(t):
+        toks = py_tokenize(t, ranks)
+        assert detokenize(toks) == t
+        # pretokens partition the text exactly
+        assert "".join(py_pretokenize(t)) == t
+
+    check()
+
+
+def test_byte_unicode_bijection():
+    b2u = __import__(
+        "spanluke_spark.etl.bpe", fromlist=["bytes_to_unicode"]
+    ).bytes_to_unicode()
+    assert len(b2u) == 256 and len(set(b2u.values())) == 256
+    assert b2u[ord(" ")] == "Ġ" and b2u[ord("\n")] == "Ċ"
+    assert b2u[ord("A")] == "A"
