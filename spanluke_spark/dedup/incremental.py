@@ -173,5 +173,13 @@ def incremental_dedup(
         keep_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
     ).unionByName(no_sig)
     kept_sig = sig_new.join(keep_ids, "id", "left_semi")
-    new_index = kept_sig if index is None else index.unionByName(kept_sig)
+    if index is None:
+        new_index = kept_sig
+    else:
+        # upsert: a re-crawled id whose CHANGED text survives dedup replaces
+        # its stored signature (anti-join out the stale row) — the index
+        # holds exactly one signature per id, ever.
+        new_index = index.join(kept_sig.select("id"), "id", "left_anti").unionByName(
+            kept_sig
+        )
     return kept, new_index

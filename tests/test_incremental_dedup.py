@@ -92,3 +92,23 @@ def test_recrawl_same_id_hits_own_signature(spark):
     kept2, index2 = incremental_dedup(recrawl, index, threshold=0.5)
     assert kept2.count() == 0
     assert [r["id"] for r in index2.select("id").collect()] == [10]
+
+
+def test_recrawl_changed_text_replaces_index_signature(spark):
+    """A re-crawled id whose text CHANGED enough to survive dedup replaces
+    its stored signature (upsert) — the index never holds two rows for one
+    id, and future deltas dedup against the NEW content."""
+    old = "alpha beta gamma delta epsilon zeta eta theta"
+    new = "one two three four five six seven eight nine ten"
+    first = spark.createDataFrame([(10, old)], "doc_id long, text string")
+    _, index = incremental_dedup(first, None, threshold=0.5)
+
+    recrawl = spark.createDataFrame([(10, new)], "doc_id long, text string")
+    kept, index2 = incremental_dedup(recrawl, index, threshold=0.5)
+    assert [r["doc_id"] for r in kept.collect()] == [10]
+    assert index2.filter(F.col("id") == 10).count() == 1
+
+    # a later exact copy of the NEW text (different id) is now caught
+    third = spark.createDataFrame([(11, new)], "doc_id long, text string")
+    kept3, _ = incremental_dedup(third, index2, threshold=0.5)
+    assert kept3.count() == 0
