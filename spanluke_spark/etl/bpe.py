@@ -132,6 +132,34 @@ def py_tokenize(text: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return out
 
 
+class CachedBPE:
+    """Per-executor BPE with a bounded pretoken cache — web text repeats its
+    vocabulary constantly (Zipf), so almost every pretoken after warmup is a
+    dict hit instead of a merge loop. Cache evicts wholesale at ``cap``
+    (simple and branch-free; a 64k-entry cache covers any realistic batch
+    vocabulary). This is what the Spark kernels use; ``py_bpe`` stays the
+    uncached ground-truth for parity tests."""
+
+    def __init__(self, ranks: dict[tuple[str, str], int], cap: int = 65536):
+        self.ranks = ranks
+        self.cap = cap
+        self._cache: dict[str, list[str]] = {}
+
+    def pretoken(self, pt: str) -> list[str]:
+        hit = self._cache.get(pt)
+        if hit is None:
+            if len(self._cache) >= self.cap:
+                self._cache.clear()
+            hit = self._cache[pt] = py_bpe(to_unicode(pt), self.ranks)
+        return hit
+
+    def tokenize(self, text: str) -> list[str]:
+        out: list[str] = []
+        for pt in py_pretokenize(text):
+            out.extend(self.pretoken(pt))
+        return out
+
+
 def train_bpe_merges(texts: list[str], num_merges: int = 200) -> list[tuple[str, str]]:
     """Deterministic greedy BPE training: at each step merge the
     highest-count adjacent pair over the pretoken frequency table;
@@ -217,13 +245,13 @@ def bpe_tokenize(
     ) + ", word_id int, token_id int, token string, is_first boolean"
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ranks = {pair: i for i, pair in enumerate(merges)}
+        bpe = CachedBPE({pair: i for i, pair in enumerate(merges)})
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 tid = 0
                 for wid, pt in enumerate(py_pretokenize(r[text_col] or "")):
-                    for j, tok in enumerate(py_bpe(to_unicode(pt), ranks)):
+                    for j, tok in enumerate(bpe.pretoken(pt)):
                         rows.append(
                             tuple(r[c] for c in key_cols) + (wid, tid, tok, j == 0)
                         )
@@ -246,8 +274,8 @@ def bpe_token_count(
 
     @F.pandas_udf("long")
     def _count(s: pd.Series) -> pd.Series:
-        ranks = {pair: i for i, pair in enumerate(merges)}
-        return s.map(lambda t: len(py_tokenize(t or "", ranks)))
+        bpe = CachedBPE({pair: i for i, pair in enumerate(merges)})
+        return s.map(lambda t: len(bpe.tokenize(t or "")))
 
     return df.withColumn("n_bpe_tokens", _count(F.col(text_col)))
 

@@ -121,7 +121,10 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
 
 def bpe_ish_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting with a BPE-ish regex (letters runs / short digit groups /
-    single punctuation) — the cheap stand-in for tokenizer-cost estimation."""
+    single punctuation) — the cheap JVM-side ESTIMATOR for quality filters
+    and budget planning (pure codegen, no Python stage). For exact counts
+    under a frozen merges table use ``etl.bpe.bpe_token_count`` (real
+    byte-level BPE, one Arrow stage) — that is what q37 measures."""
     return df.withColumn(
         "n_bpe_tokens",
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)).cast("long"),

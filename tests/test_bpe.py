@@ -177,3 +177,12 @@ def test_byte_unicode_bijection():
     assert len(b2u) == 256 and len(set(b2u.values())) == 256
     assert b2u[ord(" ")] == "Ġ" and b2u[ord("\n")] == "Ċ"
     assert b2u[ord("A")] == "A"
+
+
+def test_cached_bpe_matches_uncached():
+    from spanluke_spark.etl.bpe import CachedBPE
+
+    ranks = merge_ranks()
+    bpe = CachedBPE(ranks, cap=8)  # tiny cap exercises eviction
+    for t in _corpus_texts(30):
+        assert bpe.tokenize(t) == py_tokenize(t, ranks)
