@@ -72,17 +72,18 @@ def connected_components(
     base = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
-    nodes = (
-        base.select(F.col("u").alias("node"))
-        .unionByName(base.select(F.col("v").alias("node")))
-        .distinct()
-    )
-    e = (
-        base.filter(F.col("u") != F.col("v"))
-        .unionByName(base.selectExpr("v as u", "u as v").filter(F.col("u") != F.col("v")))
+    # ONE checkpoint feeds both the node universe and the working edge set:
+    # deriving nodes from the raw input would re-evaluate the whole upstream
+    # pair-generation pipeline a second time (measured ~2x the q45 dedup
+    # block). The symmetric union keeps self-loop rows so isolated
+    # self-loop-only nodes still appear as u.
+    sym_all = (
+        base.unionByName(base.selectExpr("v as u", "u as v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    nodes = sym_all.select(F.col("u").alias("node")).distinct()
+    e = sym_all.filter(F.col("u") != F.col("v"))
 
     if driver_threshold:
         # limit()+count probes size without a full count of a huge graph
