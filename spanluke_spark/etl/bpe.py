@@ -199,6 +199,107 @@ def train_bpe_merges(texts: list[str], num_merges: int = 200) -> list[tuple[str,
     return merges
 
 
+def train_bpe_merges_spark(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 200,
+    min_count: int = 2,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Distributed BPE training — learn the merges table ON the cluster,
+    bit-identical to the driver-side ``train_bpe_merges`` (same greedy
+    highest-count pair, same lexicographic tie-break; pinned by parity test).
+
+    Scale shape: the working state is the PRETOKEN VOCABULARY table
+    (pretoken-symbol-array, corpus count) — a groupBy that collapses a
+    10^12-doc corpus to its distinct pretokens (Zipf: ~10^7-10^8 rows) once,
+    up front. Each merge round is then two small jobs over the vocab table:
+    (1) adjacent-pair counts weighted by word count -> the single best pair
+    reaches the driver (one row, not the table); (2) the merge applied to
+    every symbol array via one ``F.aggregate`` fold (left-to-right
+    non-overlapping, carry/lookahead in the accumulator — pure JVM, no
+    Python). ``localCheckpoint`` every ``checkpoint_every`` rounds truncates
+    the growing fold lineage. Python appears exactly once, in the initial
+    byte-alphabet split (vectorized pandas UDF)."""
+
+    @F.pandas_udf("array<string>")
+    def _to_syms(s: pd.Series) -> pd.Series:
+        return s.map(lambda pt: list(to_unicode(pt)))
+
+    vocab = (
+        df.select(
+            F.explode(F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_RE), 0)).alias(
+                "pt"
+            )
+        )
+        .groupBy("pt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(_to_syms("pt").alias("syms"), "c")
+        .localCheckpoint(eager=True)
+    )
+
+    sep = "\x00"  # never in the byte alphabet
+    merges: list[tuple[str, str]] = []
+    for round_no in range(num_merges):
+        pairs = vocab.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, F.greatest(F.size("syms") - 1, F.lit(0))),
+                    F.slice("syms", 2, F.greatest(F.size("syms") - 1, F.lit(0))),
+                    lambda a, b: F.concat(a, F.lit(sep), b),
+                )
+            ).alias("pair"),
+            "c",
+        ).groupBy("pair").agg(F.sum("c").alias("n"))
+        best = pairs.orderBy(F.desc("n"), F.asc("pair")).limit(1).collect()
+        if not best or best[0]["n"] < min_count:
+            break
+        a, b = best[0]["pair"].split(sep)
+        merges.append((a, b))
+
+        # left-to-right non-overlapping merge of (a, b) as a single fold:
+        # carry holds the previous unmerged symbol ('' = empty carry).
+        init = F.struct(
+            F.array().cast("array<string>").alias("out"), F.lit("").alias("carry")
+        )
+        la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+
+        def step(acc, x):
+            merged = (acc["carry"] == la) & (x == lb)
+            return F.when(
+                acc["carry"] == "",
+                F.struct(acc["out"].alias("out"), x.alias("carry")),
+            ).otherwise(
+                F.when(
+                    merged,
+                    F.struct(
+                        F.concat(acc["out"], F.array(lab)).alias("out"),
+                        F.lit("").alias("carry"),
+                    ),
+                ).otherwise(
+                    F.struct(
+                        F.concat(acc["out"], F.array(acc["carry"])).alias("out"),
+                        x.alias("carry"),
+                    )
+                )
+            )
+
+        vocab = vocab.select(
+            F.aggregate(
+                "syms",
+                init,
+                step,
+                lambda acc: F.when(acc["carry"] == "", acc["out"]).otherwise(
+                    F.concat(acc["out"], F.array(acc["carry"]))
+                ),
+            ).alias("syms"),
+            "c",
+        )
+        if (round_no + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return merges
+
+
 def save_merges(merges: list[tuple[str, str]], path: str = MERGES_PATH) -> None:
     with open(path, "w", encoding="utf-8") as f:
         for a, b in merges:

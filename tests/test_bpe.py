@@ -186,3 +186,25 @@ def test_cached_bpe_matches_uncached():
     bpe = CachedBPE(ranks, cap=8)  # tiny cap exercises eviction
     for t in _corpus_texts(30):
         assert bpe.tokenize(t) == py_tokenize(t, ranks)
+
+
+def test_spark_bpe_training_matches_driver_trainer(spark):
+    """Distributed BPE training == the driver-side trainer, bit-identical:
+    same greedy pair choice, same lexicographic tie-break, same stop rule."""
+    from spanluke_spark.etl.bpe import train_bpe_merges_spark
+
+    texts = _corpus_texts(120)
+    expected = train_bpe_merges(texts, num_merges=30)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = train_bpe_merges_spark(df, num_merges=30)
+    assert got == expected[: len(got)] and len(got) == 30
+
+
+def test_spark_bpe_training_small_corpus_to_exhaustion(spark):
+    from spanluke_spark.etl.bpe import train_bpe_merges_spark
+
+    texts = ["low lower lowest low low", "new newer newest new newer"]
+    expected = train_bpe_merges(texts, num_merges=50)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = train_bpe_merges_spark(df, num_merges=50)
+    assert got == expected  # both stop at the same min-count boundary
