@@ -71,3 +71,51 @@ def test_asof_join_null_right_value_comes_from_matched_row(spark):
     row = asof_join(left, right, on="user_id").collect()[0]
     assert row["right_ts"] == _ts(9)
     assert row["right_v"] is None
+
+
+def test_asof_join_hypothesis_random_vs_python_oracle(spark):
+    """Property: for random (key, ts) data the window formulation equals the
+    brute-force per-row max-right-at-or-before lookup, including NULL value
+    rows and duplicate-free gold construction."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 40)),
+            min_size=1, max_size=12, unique=True,
+        ),
+        st.lists(
+            st.tuples(
+                st.integers(0, 3),
+                st.integers(0, 40),
+                st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False, width=32)),
+            ),
+            max_size=12,
+            unique_by=lambda r: (r[0], r[1]),
+        ),
+    )
+    def check(lrows, rrows):
+        left = spark.createDataFrame(
+            [(i, k, _ts(t)) for i, (k, t) in enumerate(lrows)],
+            "event_id long, user_id long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [(k, _ts(t), v) for (k, t, v) in rrows] or [(99, _ts(0), 0.0)],
+            "user_id long, ts timestamp, v double",
+        )
+        got = {
+            r["event_id"]: (r["right_ts"], r["right_v"])
+            for r in asof_join(left, right, on="user_id").collect()
+        }
+        rr = rrows or [(99, 0, 0.0)]
+        for i, (k, t) in enumerate(lrows):
+            cands = [(rt, v) for (rk, rt, v) in rr if rk == k and rt <= t]
+            want = max(cands, key=lambda c: c[0]) if cands else None
+            if want is None:
+                assert got[i] == (None, None), (i, got[i])
+            else:
+                assert got[i] == (_ts(want[0]), want[1]), (i, got[i], want)
+
+    check()
