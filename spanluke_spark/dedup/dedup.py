@@ -263,6 +263,56 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs within ``max_distance`` bits — the SCALE
+    path for SimHash (the bare fingerprint needs an all-pairs XOR).
+
+    Pigeonhole blocking: the fingerprint is split into ``max_distance + 1``
+    bit-bands; two fingerprints differing in <= max_distance bits must agree
+    EXACTLY on at least one band (k differences cannot touch k+1 bands), so
+    candidates are an equi-join on (band_index, band_bits) — zero false
+    negatives, candidate volume ~ band collisions, never |D|^2. A final
+    bit_count XOR filter removes the false positives. Same shape as the
+    MinHash banded join, so the same AQE skew handling covers hot bands."""
+    n_bits = 60 if portable else 63
+    bands = max_distance + 1
+    width = -(-n_bits // bands)  # ceil: last band may be narrower
+    fp = simhash(df, id_col, text_col, portable=portable)
+
+    def band_bits(i: int) -> Column:
+        lo = i * width
+        w = min(width, n_bits - lo)
+        mask = (1 << w) - 1
+        return F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(F.lit(mask))
+
+    stacked = fp.select(
+        "id",
+        "simhash",
+        F.posexplode(F.array(*[band_bits(i) for i in range(bands)])).alias(
+            "band", "bits"
+        ),
+    )
+    a = stacked.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("fp_a"), "band", "bits"
+    )
+    b = stacked.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("fp_b"), "band", "bits"
+    )
+    return (
+        a.join(b, ["band", "bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("fp_a"), F.col("fp_b")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_distance)
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -246,3 +246,38 @@ def test_exact_dedup_by_hash_equals_text_mode(spark, sf_dir):
         for r in exact_dedup(docs, by_hash=True).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_simhash_neardup_pairs_equals_bruteforce(spark):
+    """Pigeonhole-banded Hamming search == brute-force all-pairs XOR: the
+    blocking may not drop any true pair (k diffs can't touch k+1 bands) and
+    the verify filter kills every false positive."""
+    from spanluke_spark.dedup.dedup import simhash, simhash_neardup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = []
+    for i in range(40):
+        words = base.split()
+        # small perturbations -> clusters of close fingerprints
+        if i % 4 == 1:
+            words[i % len(words)] = f"x{i}"
+        elif i % 4 == 2:
+            words = words + [f"extra{i % 3}"]
+        elif i % 4 == 3:
+            words = words[1:]
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    K = 6
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_neardup_pairs(df, max_distance=K).collect()
+    )
+    fps = {r["id"]: r["simhash"] for r in simhash(df).collect()}
+    want = sorted(
+        (i, j, bin((fps[i] ^ fps[j]) & ((1 << 63) - 1)).count("1"))
+        for i in fps
+        for j in fps
+        if i < j and bin((fps[i] ^ fps[j]) & ((1 << 63) - 1)).count("1") <= K
+    )
+    assert got == want and len(want) > 0
