@@ -1,10 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schemas, partitioning, Arrow batch shape, UDF
-signatures) is real and tested; the codec step is STUBBED — this container
-ships no image/audio libraries, so decoding is either a clearly-marked
-NotImplementedError (strict mode) or a deterministic fake (test mode). The
-production deployment swaps `_decode_image_real` in behind the same signature.
+signatures) is real and tested. The decode step is REAL for PPM and 24-bit
+BMP — pure-numpy codecs in `multimodal/codecs.py`, no libraries needed —
+so pixel decode, nearest-neighbor resize, and pixel-statistics features run
+genuinely in this container. Compressed formats (JPEG/PNG) and audio/video
+dispatch to PIL/ffmpeg when installed and raise a clearly-marked
+NotImplementedError otherwise; `deterministic_fake=True` (default) keeps
+the hash-derived fake for library-free fixtures of arbitrary formats.
 """
 
 from __future__ import annotations
@@ -35,12 +38,14 @@ FEATURE_DIM = 16
 
 
 def _decode_image_real(payload: bytes) -> "object":
-    """Production decode hook (PIL/libvips/ffmpeg live here on a real
-    cluster). Deliberately unimplemented in this container."""
-    raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use deterministic_fake=True or deploy with the codec wheel"
-    )
+    """Production decode hook. REAL for PPM/BMP (pure-numpy codecs, no
+    libraries needed — multimodal/codecs.py); other formats dispatch to PIL
+    when installed and raise the documented NotImplementedError otherwise."""
+    from .codecs import decode_image
+
+    if payload is None:
+        raise NotImplementedError("NULL payload has no decodable image")
+    return decode_image(bytes(payload))
 
 
 def _fake_features(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
@@ -67,6 +72,8 @@ def extract_media_features(
     schema = f"media_id long, kind string, n_bytes long, features array<float>"
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import image_features
+
         for pdf in batches:
             feats, sizes = [], []
             for payload in pdf["payload"]:
@@ -74,7 +81,10 @@ def extract_media_features(
                 if deterministic_fake:
                     feats.append(_fake_features(payload, dim))
                 else:
-                    _decode_image_real(payload)  # raises: codec not shipped
+                    # REAL pixel features for decodable payloads (PPM/BMP
+                    # native, PIL formats when installed); undecodable bytes
+                    # raise the documented NotImplementedError
+                    feats.append(image_features(_decode_image_real(payload), dim))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -119,11 +129,17 @@ def resize_media(
     )
 
     def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import encode_ppm, resize_nearest
+
         for pdf in batches:
             out = []
             for payload, w, h in zip(pdf["payload"], pdf["new_w"], pdf["new_h"]):
                 if not deterministic_fake:
-                    _decode_image_real(payload)  # raises: codec not shipped
+                    # REAL resample: decode (PPM/BMP native), deterministic
+                    # nearest-neighbor, re-encode as PPM
+                    arr = _decode_image_real(payload)
+                    out.append(encode_ppm(resize_nearest(arr, int(w), int(h))))
+                    continue
                 # fake resample: first new_w*new_h bytes of a blake2b stream
                 seed = (bytes(payload) if payload is not None else b"") + struct.pack(
                     "<II", int(w), int(h)
