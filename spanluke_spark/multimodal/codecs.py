@@ -1,11 +1,13 @@
-"""REAL image codecs with zero library dependencies: PPM (P6) and BMP
-(24-bit uncompressed) are plain headers over raw pixels, decodable with
-numpy alone — so the multimodal decode step is genuinely real for these
-formats even in this codec-less container. Compressed formats (JPEG/PNG)
-dispatch to PIL when it exists and raise the documented NotImplementedError
-otherwise; the magic-byte dispatch is the production seam.
+"""REAL media codecs with zero library dependencies: PPM (P6), BMP (24-bit
+uncompressed) and WAV (PCM) are plain headers over raw samples, decodable
+with struct+numpy alone — so the multimodal decode step is genuinely real
+for these formats even in this codec-less container. Compressed formats
+(JPEG/PNG/MP3/...) dispatch to PIL/etc. when installed and raise the
+documented NotImplementedError otherwise; the magic-byte dispatch
+(``media_features``) is the production seam.
 
-All arrays are HxWx3 uint8 RGB.
+Image arrays are HxWx3 uint8 RGB; audio is (frames, channels) float64 in
+[-1, 1].
 """
 
 from __future__ import annotations
@@ -143,3 +145,82 @@ def image_features(arr: np.ndarray, dim: int = 16) -> list[float]:
     out.extend((hist / max(lum.size, 1)).tolist())
     out = out[:dim]
     return out + [0.0] * (dim - len(out))
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE with uncompressed PCM (8/16/32-bit int) -> (sample_rate,
+    samples as float64 in [-1, 1], shape (n_frames, n_channels)). Pure
+    struct/numpy — no audio library required."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, n = 12, len(payload)
+    fmt = None
+    data = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = struct.unpack_from("<I", payload, i + 4)[0]
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_format != 1:
+        raise ValueError(f"only PCM WAV supported (format={audio_format})")
+    if bits == 8:  # unsigned
+        a = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif bits == 16:
+        a = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 32:
+        a = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    frames = len(a) // channels
+    return rate, a[: frames * channels].reshape(frames, channels)
+
+
+def encode_wav(rate: int, samples: np.ndarray) -> bytes:
+    """16-bit PCM encoder — for fixtures/round-trip tests."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    pcm = np.clip(samples, -1.0, 1.0 - 1.0 / 32768)
+    data = (pcm * 32768.0).astype("<i2").tobytes()
+    ch = samples.shape[1]
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def audio_features(rate: int, samples: np.ndarray, dim: int = 16) -> list[float]:
+    """Real signal features, fixed ``dim``: duration (s), n_channels, RMS,
+    peak, zero-crossing rate (first channel), then an 8-bin |amplitude|
+    histogram — padded/truncated to ``dim``."""
+    mono = samples[:, 0] if samples.size else np.zeros(1)
+    zc = float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8))))) if len(mono) > 1 else 0.0
+    out = [
+        float(len(samples) / rate) if rate else 0.0,
+        float(samples.shape[1] if samples.ndim == 2 else 1),
+        float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0,
+        float(np.max(np.abs(samples))) if samples.size else 0.0,
+        zc,
+    ]
+    hist, _ = np.histogram(np.abs(mono), bins=8, range=(0.0, 1.0))
+    out.extend((hist / max(len(mono), 1)).tolist())
+    out = out[:dim]
+    return out + [0.0] * (dim - len(out))
+
+
+def media_features(payload: bytes, dim: int = 16) -> list[float]:
+    """Kind dispatch by magic bytes: RIFF/WAVE -> real audio features,
+    else the image path (PPM/BMP native, PIL-gated otherwise)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        rate, samples = decode_wav(payload)
+        return audio_features(rate, samples, dim)
+    return image_features(decode_image(payload), dim)

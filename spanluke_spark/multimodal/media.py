@@ -72,7 +72,7 @@ def extract_media_features(
     schema = f"media_id long, kind string, n_bytes long, features array<float>"
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .codecs import image_features
+        from .codecs import media_features
 
         for pdf in batches:
             feats, sizes = [], []
@@ -80,11 +80,13 @@ def extract_media_features(
                 sizes.append(len(payload) if payload is not None else 0)
                 if deterministic_fake:
                     feats.append(_fake_features(payload, dim))
+                elif payload is None:
+                    raise NotImplementedError("NULL payload has no decodable media")
                 else:
-                    # REAL pixel features for decodable payloads (PPM/BMP
-                    # native, PIL formats when installed); undecodable bytes
-                    # raise the documented NotImplementedError
-                    feats.append(image_features(_decode_image_real(payload), dim))
+                    # REAL features for decodable payloads (PPM/BMP pixels +
+                    # WAV/PCM audio native; PIL formats when installed);
+                    # undecodable bytes raise the documented error
+                    feats.append(media_features(bytes(payload), dim))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
