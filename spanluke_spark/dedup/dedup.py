@@ -283,7 +283,10 @@ def simhash_neardup_pairs(
     n_bits = 60 if portable else 63
     bands = max_distance + 1
     width = -(-n_bits // bands)  # ceil: last band may be narrower
-    fp = simhash(df, id_col, text_col, portable=portable)
+    # The expensive simhash lineage (explode + 60-odd conditional-sum aggs)
+    # feeds both sides of the self-join below — materialize it once so it
+    # executes once, not twice (same pattern as canon/cc.py).
+    fp = simhash(df, id_col, text_col, portable=portable).localCheckpoint(eager=True)
 
     def band_bits(i: int) -> Column:
         lo = i * width

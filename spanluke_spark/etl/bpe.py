@@ -311,15 +311,27 @@ def load_merges(path: str = MERGES_PATH) -> tuple[tuple[str, str], ...]:
     """Reads the frozen merges table. Accepts both this repo's tab-separated
     format and the published GPT-2/HF ``merges.txt`` format (space-separated
     pairs, optional ``#version`` header) — so a user can point MERGES_PATH at
-    a real published tokenizer's merges file unchanged."""
+    a real published tokenizer's merges file unchanged.
+
+    Only a leading ``#version`` line (or a first line starting with ``#``
+    that does not parse as a pair) is treated as a header: ``#`` is a real
+    printable byte-alphabet symbol, so published GPT-2/HF merges files
+    contain genuine merges like ``# #`` and ``## #`` that must NOT be
+    skipped — dropping them would silently shift every subsequent rank."""
     out: list[tuple[str, str]] = []
     with open(path, encoding="utf-8") as f:
-        for line in f:
+        for lineno, line in enumerate(f):
             line = line.rstrip("\n")
-            if not line.strip() or line.startswith("#"):
+            if not line.strip():
                 continue
-            a, b = line.split("\t") if "\t" in line else line.split(" ", 1)
-            out.append((a, b))
+            if lineno == 0 and line.startswith("#version"):
+                continue
+            parts = line.split("\t") if "\t" in line else line.split(" ")
+            if len(parts) != 2:
+                if lineno == 0 and line.startswith("#"):
+                    continue  # non-standard comment header
+                raise ValueError(f"{path}:{lineno + 1}: not a merge pair: {line!r}")
+            out.append((parts[0], parts[1]))
     return tuple(out)
 
 

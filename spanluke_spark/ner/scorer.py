@@ -176,7 +176,9 @@ def export_numpy_model(
     n_classes = max(label_to_idx.values()) + 1
     keys, labels, logits = [], [], []
     for surf, lbl in gazetteer.entries.items():
-        p = 0.9 + 0.1 * stable_unit(surf)
+        # stable_unit is float32-rounded, so p can hit exactly 1.0 and blow
+        # up the logit — clamp just below 1.
+        p = min(0.9 + 0.1 * stable_unit(surf), 1.0 - 1e-9)
         keys.append(stable_hash64(surf))
         labels.append(label_to_idx.get("B-" + lbl, outside_id))
         logits.append(math.log((n_classes - 1) * p / (1.0 - p)))
