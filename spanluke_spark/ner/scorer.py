@@ -234,6 +234,135 @@ class NumpyLogitBackend:
         return out
 
 
+class NumpyLinearBackend:
+    """Backend for a TRAINED hashed-feature linear model (ner/train.py):
+    (surface, context) -> logits = sum_j W[feature_j] + b. Picklable (path
+    only); weights + the baked-in train-split gazetteer load lazily once per
+    executor process. The featurizer version inside the artifact is asserted
+    at load so train/infer can never drift silently."""
+
+    wants_context = True
+
+    def __init__(self, path: str):
+        self.path = path
+        self._m = None
+
+    def __call__(self, surfaces: list[str], contexts=None) -> list[list[float]]:
+        import json as _json
+
+        import numpy as np
+
+        from .features import FEATURIZER_VERSION, span_feature_indices
+
+        if self._m is None:
+            z = np.load(self.path)
+            got = str(z["featurizer"])
+            if got != FEATURIZER_VERSION:
+                raise ValueError(
+                    f"model {self.path} built with featurizer {got!r}, "
+                    f"runtime has {FEATURIZER_VERSION!r}"
+                )
+            gaz = _json.loads(str(z["gaz_json"])) if "gaz_json" in z.files else {}
+            self._m = (
+                z["W"].astype(np.float32),
+                z["b"].astype(np.float64),
+                int(z["dim"]),
+                gaz,
+            )
+        W, b, dim, gaz = self._m
+        if contexts is None:
+            contexts = [((), ())] * len(surfaces)
+        idxs = []
+        for s, (left, right) in zip(surfaces, contexts):
+            lowered = [t.lower() for t in s.split()]
+            idxs.append(
+                span_feature_indices(
+                    s, dim, left, right,
+                    gaz.get(" ".join(lowered)) if lowered else None,
+                )
+            )
+        starts = np.zeros(len(idxs), dtype=np.int64)
+        for i in range(1, len(idxs)):
+            starts[i] = starts[i - 1] + len(idxs[i - 1])
+        flat = np.fromiter(
+            (j for f in idxs for j in f), dtype=np.int64, count=int(starts[-1]) + len(idxs[-1])
+        )
+        # featurizer always emits >=1 index, so no empty reduceat segment
+        sums = np.add.reduceat(W[flat], starts, axis=0) + b
+        return sums.tolist()
+
+
+class LinearTokenScorer:
+    """TRAINED token-classification backend (ner/train.py
+    ``train_legalner_token_model``): the ``predict_types`` contract of
+    :class:`GazetteerTokenScorer`, so it drops into
+    ``extract_mentions_token``'s adjacent-merge decode unchanged
+    (inference.py:47-55 semantics: argmax tag, strip B-/I-, merge runs).
+
+    Picklable (path only); weights + the baked-in train gazetteer load
+    lazily once per executor process."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._m = None
+
+    def _load(self):
+        import json as _json
+
+        import numpy as np
+
+        from .features import FEATURIZER_VERSION, derive_word_labels
+
+        if self._m is None:
+            z = np.load(self.path)
+            got = str(z["featurizer"])
+            if got != FEATURIZER_VERSION:
+                raise ValueError(
+                    f"model {self.path} built with featurizer {got!r}, "
+                    f"runtime has {FEATURIZER_VERSION!r}"
+                )
+            label_to_idx = _json.loads(str(z["labels_json"]))
+            gaz_entries = _json.loads(str(z["gaz_json"]))
+            gaz = Gazetteer(gaz_entries, max_words=int(z["gaz_max_words"]))
+            self._m = (
+                z["W"].astype(np.float32),
+                z["b"].astype(np.float64),
+                int(z["dim"]),
+                {v: k for k, v in label_to_idx.items()},
+                GazetteerTokenScorer(gaz),
+                derive_word_labels(gaz_entries),
+            )
+        return self._m
+
+    def predict_types(self, tokens: list[str]) -> list[str]:
+        import numpy as np
+
+        from .features import token_feature_indices
+
+        if not tokens:
+            return []
+        W, b, dim, idx_to_lbl, gts, word_labels = self._load()
+        lowered = [t.lower() for t in tokens]
+        gaz_types = gts.predict_types(tokens)
+        idxs = [
+            token_feature_indices(tokens, lowered, i, gaz_types, word_labels, dim)
+            for i in range(len(tokens))
+        ]
+        starts = np.zeros(len(idxs), dtype=np.int64)
+        for i in range(1, len(idxs)):
+            starts[i] = starts[i - 1] + len(idxs[i - 1])
+        flat = np.fromiter(
+            (j for f in idxs for j in f), dtype=np.int64, count=int(starts[-1]) + len(idxs[-1])
+        )
+        logits = np.add.reduceat(W[flat], starts, axis=0) + b
+        preds = logits.argmax(axis=1)  # first max wins, like np.argmax/reference
+        out = []
+        for pid in preds:
+            lbl = idx_to_lbl.get(int(pid), "O")
+            out.append(lbl.split("-")[-1] if lbl != "O" else "O")
+        return out
+
+
 class TorchSpanScorer:
     """Production span-scorer backend (SURVEY §7.0): the same
     ``score_sentence`` contract as :class:`HashedGazetteerSpanScorer`, backed
@@ -265,10 +394,20 @@ class TorchSpanScorer:
 
     def _load_backend(self):
         if self._backend is None and str(self.model_path).endswith(".npz"):
-            # numpy artifact (export_numpy_model): torch-free file-loading
-            # branch — same lazy once-per-executor discipline, testable in
-            # this sandbox with a real model file.
-            self._backend = NumpyLogitBackend(self.model_path)
+            # numpy artifact: torch-free file-loading branch — same lazy
+            # once-per-executor discipline, testable in this sandbox with a
+            # real model file. kind="linear" (a TRAINED hashed-feature model
+            # from ner/train.py) dispatches to the linear backend; the
+            # gazetteer-distilled lookup table keeps the logit backend.
+            import numpy as np
+
+            with np.load(self.model_path) as z:
+                is_linear = "kind" in z.files and str(z["kind"]) == "linear"
+            self._backend = (
+                NumpyLinearBackend(self.model_path)
+                if is_linear
+                else NumpyLogitBackend(self.model_path)
+            )
         if self._backend is None:
             try:
                 import torch
@@ -295,10 +434,21 @@ class TorchSpanScorer:
         spans = py_enumerate_spans(len(tokens), max_length)
         backend = self._load_backend()
         surfaces = [" ".join(tokens[s:e]) for s, e in spans]
+        contexts = None
+        if getattr(backend, "wants_context", False):
+            from .features import span_context
+
+            contexts = [span_context(tokens, s, e) for s, e in spans]
         scores: list[float] = []
         preds: list[int] = []
         for i in range(0, len(surfaces), self.batch_size):
-            for logits in backend(surfaces[i : i + self.batch_size]):
+            batch = surfaces[i : i + self.batch_size]
+            rows = (
+                backend(batch, contexts[i : i + self.batch_size])
+                if contexts is not None
+                else backend(batch)
+            )
+            for logits in rows:
                 probs = py_softmax(list(logits))
                 pid = max(range(len(probs)), key=lambda j: (probs[j], -j))
                 preds.append(pid)

@@ -43,21 +43,30 @@ def repartition_for_extraction(df: DataFrame, id_cols: list[str], parallelism: i
 def extract_mentions_token(
     df: DataFrame,
     id_cols: list[str],
-    gazetteer: Gazetteer,
+    gazetteer: Gazetteer | None,
     text_col: str = "text",
     parallelism: int | None = None,
+    scorer_factory=None,
 ) -> DataFrame:
     """Token-classification path (M1 + W1): per doc, predict a type per token
-    (gazetteer surrogate; torch backend plugs in here), then adjacent-merge
-    into char-span mentions — the exact inference.py:35-81 algorithm,
-    distributed. Scorer state is rebuilt once per Arrow batch iterator
-    (executor-local singleton pattern)."""
-    gaz_dict = gazetteer.to_broadcastable()
+    (gazetteer surrogate by default), then adjacent-merge into char-span
+    mentions — the exact inference.py:35-81 algorithm, distributed.
+    ``scorer_factory`` (picklable zero-arg callable returning an object with
+    the ``predict_types`` contract — e.g. a trained
+    ``lambda: LinearTokenScorer(npz_path)``) swaps the backend; scorer state
+    is rebuilt once per Arrow batch iterator (executor-local singleton)."""
+    if gazetteer is None and scorer_factory is None:
+        raise ValueError("need a gazetteer (surrogate) or a scorer_factory")
+    gaz_dict = gazetteer.to_broadcastable() if gazetteer is not None else None
     schema = _out_schema(df, id_cols)
     df = repartition_for_extraction(df, id_cols, parallelism)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        scorer = GazetteerTokenScorer(Gazetteer.from_broadcastable(gaz_dict))
+        scorer = (
+            scorer_factory()
+            if scorer_factory is not None
+            else GazetteerTokenScorer(Gazetteer.from_broadcastable(gaz_dict))
+        )
         for pdf in batches:
             rows: dict[str, list] = {c: [] for c in id_cols}
             rows.update(
@@ -104,7 +113,9 @@ def extract_mentions_span(
     enc = encoding_a(entities)
     inv = idx_to_label(enc)
     outside_id = enc["O"]
-    gaz_dict = gazetteer.to_broadcastable()
+    if gazetteer is None and scorer_factory is None:
+        raise ValueError("need a gazetteer (surrogate) or a scorer_factory")
+    gaz_dict = gazetteer.to_broadcastable() if gazetteer is not None else None
     schema = _out_schema(df, id_cols)
     df = repartition_for_extraction(df, id_cols, parallelism)
 
@@ -172,7 +183,9 @@ def extract_mentions_from_pages(
     enc = encoding_a(entities)
     inv = idx_to_label(enc)
     outside_id = enc["O"]
-    gaz_dict = gazetteer.to_broadcastable()
+    if gazetteer is None and scorer_factory is None:
+        raise ValueError("need a gazetteer (surrogate) or a scorer_factory")
+    gaz_dict = gazetteer.to_broadcastable() if gazetteer is not None else None
     ids = ", ".join(f"`{c}` {pages.schema[c].dataType.simpleString()}" for c in id_cols)
     schema = f"{ids}, {MENTION_COLS}"
     pages = repartition_for_extraction(pages, id_cols, parallelism)
