@@ -100,22 +100,198 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + data
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(payload: bytes):
+    i = 8
+    while i + 8 <= len(payload):
+        size = struct.unpack_from(">I", payload, i)[0]
+        cid = payload[i + 4 : i + 8]
+        yield cid, payload[i + 8 : i + 8 + size]
+        i += 12 + size  # len + id + data + crc
+        if cid == b"IEND":
+            break
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Per-scanline unfilter (PNG spec §9): each row leads with a filter
+    byte 0-4. None/Sub/Up vectorize (Sub is a per-lane cumsum); Average and
+    Paeth carry an in-row left dependency, so those rows fall back to a
+    byte loop — encoders choose filters per row, and the common rows stay
+    on the fast path."""
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int32)
+        if ft == 0:
+            rec = cur
+        elif ft == 1:  # Sub: recon[i] = cur[i] + recon[i-bpp] -> lane cumsum
+            rec = cur.copy()
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(cur[lane::bpp]) % 256
+        elif ft == 2:  # Up
+            rec = (cur + prev) % 256
+        elif ft in (3, 4):  # Average / Paeth: sequential left dependency
+            rec = np.zeros(stride, dtype=np.int32)
+            pv = prev.astype(np.int32)
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                b = int(pv[i])
+                if ft == 3:
+                    rec[i] = (cur[i] + (a + b) // 2) % 256
+                else:
+                    c = int(pv[i - bpp]) if i >= bpp else 0
+                    rec[i] = (cur[i] + _paeth(a, b, c)) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = out[y]
+    return out
+
+
+def _unpack_subbyte(row_bytes: np.ndarray, depth: int, w: int) -> np.ndarray:
+    """1/2/4-bit samples (big-endian within each byte) -> one value per
+    pixel, first ``w`` kept (rows are padded to whole bytes)."""
+    bits = np.unpackbits(row_bytes, axis=1)
+    per = bits.reshape(row_bytes.shape[0], -1, depth)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    return (per * weights).sum(axis=2)[:, :w]
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> HxWx3 uint8 RGB, pure stdlib-zlib + numpy (no PIL).
+
+    Supported: bit depths 1/2/4/8, color types 0 (gray), 2 (RGB),
+    3 (palette), 4 (gray+alpha), 6 (RGBA) — alpha is dropped, not
+    composited. 16-bit and Adam7-interlaced images raise (rare on the web;
+    the PIL path covers them when the codec wheel ships)."""
+    import zlib
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    for cid, body in _png_chunks(payload):
+        if cid == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif cid == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif cid == b"IDAT":
+            idat.extend(body)
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("unsupported PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {ctype}")
+    if depth == 16 or (depth != 8 and ctype in (2, 4, 6)):
+        raise ValueError(f"unsupported PNG bit depth {depth} for color type {ctype}")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = (w * channels * depth + 7) // 8
+    bpp = max(1, channels * depth // 8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    rows = _png_unfilter(raw, h, stride, bpp)
+    if depth < 8:
+        samples = _unpack_subbyte(rows, depth, w)  # (h, w), ctype 0 or 3
+    else:
+        samples = rows.reshape(h, w, channels) if channels > 1 else rows[:, :w]
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        return plte[samples].copy()
+    if ctype == 0:
+        scale = 255 // ((1 << depth) - 1) if depth < 8 else 1
+        g = (samples * scale).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if ctype == 4:
+        g = samples[:, :, 0]
+        return np.repeat(g[:, :, None], 3, axis=2).copy()
+    return samples[:, :, :3].copy()  # ctype 2 or 6
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
+    """8-bit RGB PNG encoder (single IDAT). ``filter_type`` applies one
+    filter (0-4) to every scanline — besides producing fixtures, this lets
+    tests drive every decode unfilter path."""
+    import zlib
+
+    arr = np.ascontiguousarray(arr.astype(np.uint8))
+    h, w = arr.shape[:2]
+    flat = arr.reshape(h, w * 3).astype(np.int32)
+    prev = np.zeros(w * 3, dtype=np.int32)
+    body = bytearray()
+    for y in range(h):
+        cur = flat[y]
+        left = np.concatenate([np.zeros(3, dtype=np.int32), cur[:-3]])
+        upleft = np.concatenate([np.zeros(3, dtype=np.int32), prev[:-3]])
+        if filter_type == 0:
+            out = cur
+        elif filter_type == 1:
+            out = cur - left
+        elif filter_type == 2:
+            out = cur - prev
+        elif filter_type == 3:
+            out = cur - (left + prev) // 2
+        elif filter_type == 4:
+            out = cur.copy()
+            for i in range(w * 3):
+                out[i] = cur[i] - _paeth(int(left[i]), int(prev[i]), int(upleft[i]))
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        body.append(filter_type)
+        body.extend((out % 256).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + cid + data
+            + struct.pack(">I", zlib.crc32(cid + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(body), level))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-byte dispatch: PPM/BMP decode natively (numpy only); anything
-    else tries PIL and raises the documented NotImplementedError when no
-    codec library is shipped."""
+    """Magic-byte dispatch: PPM/BMP/PNG decode natively (numpy + stdlib
+    zlib only); anything else (JPEG, WebP, ...) tries PIL and raises the
+    documented NotImplementedError when no codec library is shipped."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == PNG_MAGIC:
+        return decode_png(payload)
     try:
         import io
 
         from PIL import Image  # noqa: PLC0415
     except ImportError as exc:
         raise NotImplementedError(
-            "payload is not PPM/BMP and no codec library (PIL) is available "
-            "in this environment; deploy with the codec wheel"
+            "payload is not PPM/BMP/PNG and no codec library (PIL) is "
+            "available in this environment; deploy with the codec wheel"
         ) from exc
     return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
 

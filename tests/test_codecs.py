@@ -130,3 +130,133 @@ def test_real_audio_features_through_spark(spark):
     )
     got = extract_media_features(media, deterministic_fake=False).collect()[0]
     assert np.allclose(got["features"], audio_features(*decode_wav(payload)), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# PNG (pure numpy + stdlib zlib — VERDICT r3 action item 2)
+# ---------------------------------------------------------------------------
+
+def _png_chunk(cid: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + cid + data
+        + struct.pack(">I", zlib.crc32(cid + data) & 0xFFFFFFFF)
+    )
+
+
+def _raw_png(w, h, depth, ctype, scanlines: bytes, plte: bytes | None = None) -> bytes:
+    import struct
+    import zlib
+
+    from spanluke_spark.multimodal.codecs import PNG_MAGIC
+
+    out = PNG_MAGIC + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    )
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    return out + _png_chunk(b"IDAT", zlib.compress(scanlines)) + _png_chunk(b"IEND", b"")
+
+
+def test_png_roundtrip_every_filter_type():
+    from spanluke_spark.multimodal.codecs import decode_png, encode_png
+
+    a = _img(7, 5)  # odd width exercises bpp offsets
+    for ft in range(5):
+        got = decode_png(encode_png(a, filter_type=ft))
+        assert np.array_equal(got, a), f"filter {ft}"
+
+
+def test_png_idat_split_across_chunks():
+    import zlib
+
+    from spanluke_spark.multimodal.codecs import PNG_MAGIC, decode_png, encode_png
+
+    a = _img(4, 4)
+    whole = encode_png(a)
+    # re-split the IDAT payload into two chunks
+    import struct
+
+    body = bytearray()
+    i = 8
+    parts = {}
+    while i + 8 <= len(whole):
+        size = struct.unpack_from(">I", whole, i)[0]
+        cid = whole[i + 4 : i + 8]
+        parts[cid] = whole[i + 8 : i + 8 + size]
+        i += 12 + size
+    mid = len(parts[b"IDAT"]) // 2
+    rebuilt = (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", parts[b"IHDR"])
+        + _png_chunk(b"IDAT", parts[b"IDAT"][:mid])
+        + _png_chunk(b"IDAT", parts[b"IDAT"][mid:])
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(rebuilt), a)
+
+
+def test_png_grayscale_palette_and_alpha():
+    from spanluke_spark.multimodal.codecs import decode_png
+
+    # 8-bit grayscale, 2x2, filter 0 per row
+    g = _raw_png(2, 2, 8, 0, b"\x00\x10\x80" + b"\x00\xff\x00")
+    got = decode_png(g)
+    assert got.shape == (2, 2, 3)
+    assert np.array_equal(got[:, :, 0], np.array([[0x10, 0x80], [0xFF, 0x00]]))
+    assert np.array_equal(got[:, :, 0], got[:, :, 2])
+
+    # 2-bit palette, 3x2: indices 0..3 into a 4-color palette
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    # rows: idx (0,1,2) -> bits 00 01 10 xx -> byte 0b000110xx; (3,0,1) -> 0b110001xx
+    sl = bytes([0, 0b00011000]) + bytes([0, 0b11000100])
+    got = decode_png(_raw_png(3, 2, 2, 3, sl, plte=plte))
+    exp = np.array(
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255]], [[9, 9, 9], [255, 0, 0], [0, 255, 0]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(got, exp)
+
+    # gray+alpha (ctype 4): alpha dropped
+    ga = _raw_png(2, 1, 8, 4, b"\x00\x40\xff\xc0\x00")
+    got = decode_png(ga)
+    assert np.array_equal(got[0, :, 0], np.array([0x40, 0xC0]))
+
+    # RGBA (ctype 6): alpha dropped
+    rgba = _raw_png(1, 1, 8, 6, b"\x00\x01\x02\x03\x7f")
+    assert np.array_equal(decode_png(rgba)[0, 0], np.array([1, 2, 3]))
+
+
+def test_png_unsupported_variants_raise():
+    import pytest
+
+    from spanluke_spark.multimodal.codecs import decode_png
+
+    with pytest.raises(ValueError, match="interlaced"):
+        import struct
+
+        from spanluke_spark.multimodal.codecs import PNG_MAGIC
+
+        bad = PNG_MAGIC + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
+        ) + _png_chunk(b"IDAT", b"x") + _png_chunk(b"IEND", b"")
+        decode_png(bad)
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(_raw_png(1, 1, 16, 2, b"\x00\x00\x00\x00\x00\x00\x00"))
+
+
+def test_png_features_through_spark(spark):
+    """PNG payloads through the real distributed media kernel: features from
+    decoded PNG == features from the same pixels as BMP."""
+    from spanluke_spark.multimodal.codecs import encode_png
+
+    imgs = [_img(6, 4), _img(5, 7), _img(3, 3)]
+    rows = [(i, "image", bytearray(encode_png(a, filter_type=i % 5))) for i, a in enumerate(imgs)]
+    rows += [(100 + i, "image", bytearray(encode_bmp(a))) for i, a in enumerate(imgs)]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary").repartition(4)
+    feats = {r.media_id: r.features for r in extract_media_features(df, deterministic_fake=False).collect()}
+    for i in range(len(imgs)):
+        assert feats[i] == pytest.approx(feats[100 + i], abs=0), i
+        assert feats[i] == pytest.approx(image_features(imgs[i]), rel=1e-5, abs=1e-7), i
