@@ -199,12 +199,59 @@ def train_bpe_merges(texts: list[str], num_merges: int = 200) -> list[tuple[str,
     return merges
 
 
+def _disjoint_merge_batch(
+    cands: list[tuple[str, int]],
+    sep: str,
+    min_count: int,
+    truncated: bool,
+) -> list[tuple[str, str]]:
+    """Longest batch of merges provably order-identical to sequential BPE.
+
+    Scan candidates in (count desc, pair lex asc) order, keeping pairs whose
+    symbols are disjoint from every pair already kept; stop at the first
+    interacting candidate. Then keep only the prefix with count STRICTLY
+    above ``n*`` — the first interacting candidate's count (or the last
+    collected count if the list was truncated, or min_count-1 otherwise).
+
+    Why this is bit-identical to one-merge-at-a-time: applying a merge
+    (a, b) never increases any existing pair's count, leaves counts of
+    symbol-disjoint pairs unchanged, and every NEWLY-created pair contains
+    the merged symbol, with count bounded by some existing pair involving a
+    or b — an *interacting* pair, which by the stop rule ranks below, and by
+    the strict n* cut counts below, every kept candidate. So after applying
+    kept merge i, the sequential trainer's next argmax is exactly kept merge
+    i+1. The first candidate alone is always safe (plain sequential step).
+    """
+    selected: list[tuple[str, str]] = []
+    counts: list[int] = []
+    used: set[str] = set()
+    n_star = (cands[-1][1] if truncated else min_count - 1) if cands else 0
+    for pair, n in cands:
+        a, b = pair.split(sep)
+        if a in used or b in used:
+            n_star = n
+            break
+        selected.append((a, b))
+        counts.append(n)
+        used.add(a)
+        used.add(b)
+    keep = 0
+    for i, n in enumerate(counts):
+        if i == 0 or n > n_star:
+            keep = i + 1
+        else:
+            break
+    return selected[:keep]
+
+
 def train_bpe_merges_spark(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 200,
     min_count: int = 2,
     checkpoint_every: int = 8,
+    batch_top_k: int = 256,
+    stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Distributed BPE training — learn the merges table ON the cluster,
     bit-identical to the driver-side ``train_bpe_merges`` (same greedy
@@ -213,13 +260,16 @@ def train_bpe_merges_spark(
     Scale shape: the working state is the PRETOKEN VOCABULARY table
     (pretoken-symbol-array, corpus count) — a groupBy that collapses a
     10^12-doc corpus to its distinct pretokens (Zipf: ~10^7-10^8 rows) once,
-    up front. Each merge round is then two small jobs over the vocab table:
-    (1) adjacent-pair counts weighted by word count -> the single best pair
-    reaches the driver (one row, not the table); (2) the merge applied to
-    every symbol array via one ``F.aggregate`` fold (left-to-right
-    non-overlapping, carry/lookahead in the accumulator — pure JVM, no
-    Python). ``localCheckpoint`` every ``checkpoint_every`` rounds truncates
-    the growing fold lineage. Python appears exactly once, in the initial
+    up front. Each ROUND is then two small jobs over the vocab table:
+    (1) adjacent-pair counts -> the top ``batch_top_k`` rows reach the
+    driver, where ``_disjoint_merge_batch`` picks the longest run of merges
+    provably identical to one-at-a-time selection; (2) ALL of them applied
+    to every symbol array in ONE ``F.aggregate`` fold (left-to-right
+    non-overlapping, carry + map lookup in the accumulator — pure JVM, no
+    Python). A 50k-merge vocabulary therefore costs hundreds of rounds, not
+    50k sequential jobs (the round count is returned via ``stats``).
+    ``localCheckpoint`` every ``checkpoint_every`` rounds truncates the
+    growing fold lineage. Python appears exactly once, in the initial
     byte-alphabet split (vectorized pandas UDF)."""
 
     @F.pandas_udf("array<string>")
@@ -240,7 +290,8 @@ def train_bpe_merges_spark(
 
     sep = "\x00"  # never in the byte alphabet
     merges: list[tuple[str, str]] = []
-    for round_no in range(num_merges):
+    rounds = 0
+    while len(merges) < num_merges:
         pairs = vocab.select(
             F.explode(
                 F.zip_with(
@@ -251,29 +302,38 @@ def train_bpe_merges_spark(
             ).alias("pair"),
             "c",
         ).groupBy("pair").agg(F.sum("c").alias("n"))
-        best = pairs.orderBy(F.desc("n"), F.asc("pair")).limit(1).collect()
-        if not best or best[0]["n"] < min_count:
+        top = pairs.orderBy(F.desc("n"), F.asc("pair")).limit(batch_top_k).collect()
+        rounds += 1
+        if not top or top[0]["n"] < min_count:
             break
-        a, b = best[0]["pair"].split(sep)
-        merges.append((a, b))
+        cands = [(r["pair"], int(r["n"])) for r in top if r["n"] >= min_count]
+        batch = _disjoint_merge_batch(
+            cands, sep, min_count, truncated=len(top) == batch_top_k
+        )[: num_merges - len(merges)]
+        merges.extend(batch)
 
-        # left-to-right non-overlapping merge of (a, b) as a single fold:
-        # carry holds the previous unmerged symbol ('' = empty carry).
+        # ONE left-to-right non-overlapping fold applying the whole batch:
+        # carry holds the previous unmerged symbol ('' = empty carry); the
+        # batch rides as a tiny literal map (carry+sep+x -> merged symbol).
+        # Batch merges are pairwise symbol-disjoint, so simultaneous
+        # application equals sequential application.
+        mmap = F.create_map(
+            *[F.lit(v) for a, b in batch for v in (a + sep + b, a + b)]
+        )
         init = F.struct(
             F.array().cast("array<string>").alias("out"), F.lit("").alias("carry")
         )
-        la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
 
         def step(acc, x):
-            merged = (acc["carry"] == la) & (x == lb)
+            merged = mmap[F.concat(acc["carry"], F.lit(sep), x)]
             return F.when(
                 acc["carry"] == "",
                 F.struct(acc["out"].alias("out"), x.alias("carry")),
             ).otherwise(
                 F.when(
-                    merged,
+                    merged.isNotNull(),
                     F.struct(
-                        F.concat(acc["out"], F.array(lab)).alias("out"),
+                        F.concat(acc["out"], F.array(merged)).alias("out"),
                         F.lit("").alias("carry"),
                     ),
                 ).otherwise(
@@ -295,8 +355,11 @@ def train_bpe_merges_spark(
             ).alias("syms"),
             "c",
         )
-        if (round_no + 1) % checkpoint_every == 0:
+        if rounds % checkpoint_every == 0:
             vocab = vocab.localCheckpoint(eager=True)
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["merges"] = len(merges)
     return merges
 
 

@@ -208,3 +208,23 @@ def test_spark_bpe_training_small_corpus_to_exhaustion(spark):
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     got = train_bpe_merges_spark(df, num_merges=50)
     assert got == expected  # both stop at the same min-count boundary
+
+
+def test_spark_bpe_batched_trainer_round_count(spark):
+    """The batched trainer learns the fixture vocabulary in FAR fewer
+    driver round-trips than one-merge-per-job (r3 'What's wrong' item 1),
+    while staying bit-identical to the sequential driver trainer (asserted
+    by test_spark_bpe_training_matches_driver_trainer)."""
+    from spanluke_spark.etl.bpe import train_bpe_merges, train_bpe_merges_spark
+
+    texts = [
+        "the cat sat on the mat and the dog sat on the log",
+        "low lower lowest newer newest wider widest",
+        "a batter better butter bitter matters the most",
+    ] * 4
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    stats = {}
+    got = train_bpe_merges_spark(df, num_merges=40, stats=stats)
+    assert got == train_bpe_merges(texts, num_merges=40)
+    assert stats["merges"] == len(got)
+    assert stats["rounds"] < len(got), stats  # strictly batched, not 1/job
