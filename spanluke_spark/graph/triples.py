@@ -56,4 +56,13 @@ def build_triples(linked: DataFrame, extra_cols: list[str] | None = None) -> Dat
         .select("t.subj", "t.pred", "t.obj", "url", "start", "end", *extra)
         .filter(F.col("obj").isNotNull())  # drops same_as rows for unlinked mentions
     )
-    return triples.dropDuplicates(["subj", "pred", "obj", "url"])
+    # Deterministic dedupe: keep the SMALLEST (start, end) provenance per
+    # (subj, pred, obj, url) — dropDuplicates keeps an arbitrary duplicate,
+    # which made surviving offsets (and any metric derived from the written
+    # files, e.g. lineage's distinct-mention-site count) vary with task
+    # scheduling.
+    return (
+        triples.groupBy("subj", "pred", "obj", "url", *extra)
+        .agg(F.min(F.struct("start", "end")).alias("_se"))
+        .select("subj", "pred", "obj", "url", "_se.start", "_se.end", *extra)
+    )

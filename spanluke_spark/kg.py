@@ -23,7 +23,7 @@ from .ner.scorer import Gazetteer
 from .pipeline import extract_mentions_from_pages
 from .storage.lineage import (
     append_parquet,
-    lineage_rows,
+    lineage_rows_from_written,
     overwrite_partitions,
     pending_partitions,
     read_lineage,
@@ -50,14 +50,18 @@ def run_kg_pipeline(
     lineage = read_lineage(spark, lineage_path)
     todo = pending_partitions(keyed, lineage)
 
-    # Empty-delta short circuit: a fully-resumed run must cost one anti-join
-    # scan (no Python stage, no canonicalization over the accumulated table,
-    # no writes). Counting BEFORE any write is safe — the stale-read hazard
-    # the later todo.count() comment describes only exists after the lineage
-    # append.
-    n_pages = todo.count()
+    # Per-partition page counts, frozen on the driver BEFORE any write
+    # (<= n_buckets rows): one column-pruned anti-join scan that doubles as
+    # the empty-delta short circuit. Freezing now also sidesteps the
+    # stale-read hazard (`todo` lazily re-reads the lineage table, so any
+    # post-append recomputation would see an empty delta).
+    part_pages = [
+        (r["part_key"], r["n"])
+        for r in todo.groupBy("part_key").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    n_pages = sum(n for _, n in part_pages)
     if n_pages == 0:
-        return {"n_pages": 0, "n_triples": 0}
+        return {"n_pages": 0, "n_triples": 0, "n_mentions": 0}
 
     # Fused single Python hop: html -> text -> mentions (html binary never
     # reaches a shuffle; chaining separate extract/score hops measured 3-5x
@@ -65,51 +69,68 @@ def run_kg_pipeline(
     mentions = extract_mentions_from_pages(
         todo, ["url", "part_key"], gazetteer, parallelism=parallelism
     )
+    from pyspark.sql import Observation
+
+    obs = Observation(f"kg_mentions_{run_id}")
+    mentions = mentions.observe(obs, F.count(F.lit(1)).alias("n_mentions"))
     linked = link_mentions(mentions, alias_dict)
     triples = build_triples(linked)
+
+    # NO persists anywhere below: the delta materializes to STORAGE exactly
+    # once (persisting every mention/triple of a 100 TB delta, even
+    # MEMORY_AND_DISK, was the r3 scale complaint), and every derived value
+    # — lineage metrics included — is computed from the written files.
     if canonicalize:
         from .canon.canonicalize import apply_canonicalization, canonicalize_entities
 
+        # The iterative canonicalization would re-execute the extraction
+        # lineage many times, so spill the raw delta to a SIBLING staging
+        # dir first (one extraction pass), canonicalize from the read-back.
         # Canonicalize over the FULL accumulated key space (existing triples
-        # plus this delta), not the delta alone: otherwise a resumed run can
-        # pick a different cluster representative and mix canonical subjects
-        # across runs. For retroactive convergence of already-written rows
-        # (a new run adding a smaller min-key to an old cluster), run
+        # plus this delta): a delta-only key space can pick a different
+        # cluster representative per run and mix canonical subjects. For
+        # retroactive convergence of already-written rows run
         # ``recanonicalize`` as a compaction pass.
-        key_space = triples.select("subj")
+        staging = os.path.join(out_dir, "_staging_triples")
+        triples.write.mode("overwrite").parquet(staging)  # extraction runs here
+        delta = spark.read.parquet(staging)
+        key_space = delta.select("subj")
         if os.path.exists(triples_path):
             key_space = key_space.unionByName(
                 spark.read.parquet(triples_path).select("subj")
             )
         mapping = canonicalize_entities(key_space)
-        triples = apply_canonicalization(triples, mapping)
+        triples = apply_canonicalization(delta, mapping)
 
-    # Materialize the full delta BEFORE any append: `todo` lazily re-reads the
-    # lineage table, so counting it after the lineage write would see the new
-    # rows and report an empty delta (and lineage metrics would recompute the
-    # extraction). persist + eager count pins every derived value first.
-    mentions.persist()
-    triples.persist()
-    n_triples = triples.count()
-    if n_pages:
-        lin = lineage_rows(
-            triples,
-            todo.select("part_key"),
-            mentions.select("part_key"),
-            run_id,
-        ).persist()
-        lin.count()  # eager: computed from pre-append state
-        # Data first, via dynamic partition overwrite; lineage second. A
-        # crash between the two leaves committed triples with no lineage
-        # row, and the rerun recomputes those partitions and OVERWRITES the
-        # same part_key directories — no duplicate triples (exactly-once per
-        # partition under crash-rerun; plain append gave only at-least-once).
-        overwrite_partitions(triples, triples_path, "part_key")
-        append_parquet(lin, lineage_path)
-        lin.unpersist()
-    mentions.unpersist()
-    triples.unpersist()
-    return {"n_pages": n_pages, "n_triples": n_triples}
+    # Data first, via dynamic partition overwrite; lineage second. A crash
+    # between the two leaves committed triples with no lineage row, and the
+    # rerun recomputes those partitions and OVERWRITES the same part_key
+    # directories — no duplicate triples (exactly-once per partition under
+    # crash-rerun; plain append gave only at-least-once).
+    overwrite_partitions(triples, triples_path, "part_key")
+    if canonicalize:
+        import shutil
+
+        shutil.rmtree(os.path.join(out_dir, "_staging_triples"), ignore_errors=True)
+
+    # Lineage from the WRITTEN files (read-back aggregate) + the frozen page
+    # counts; collected to the driver (<= n_buckets rows) so the append
+    # can't observe post-write state shifting under it.
+    lin_rows = lineage_rows_from_written(
+        spark, triples_path, part_pages, run_id
+    ).collect()
+    n_triples = sum(r["n_triples"] for r in lin_rows)
+    append_parquet(
+        spark.createDataFrame(lin_rows, read_lineage(spark, lineage_path).schema),
+        lineage_path,
+    )
+    return {
+        "n_pages": n_pages,
+        "n_triples": n_triples,
+        # exact pre-dedupe mention count, observed during the single
+        # extraction pass (no extra job)
+        "n_mentions": int(obs.get["n_mentions"]),
+    }
 
 
 def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -73,6 +73,48 @@ def lineage_rows(
     )
 
 
+def lineage_rows_from_written(
+    spark: SparkSession,
+    triples_path: str,
+    part_pages: list[tuple[int, int]],
+    run_id: str,
+) -> DataFrame:
+    """A8 derived from the WRITTEN triples files (read-back aggregate) —
+    the scale-safe replacement for persisting the full delta: n_pages comes
+    from the driver-frozen per-partition counts captured BEFORE any write
+    (one small collect, <= n_buckets rows); n_triples/checksum/n_mentions
+    are aggregated from the files the run just committed, so lineage always
+    describes exactly what is on disk. ``n_mentions`` counts DISTINCT
+    mention sites (url, start, end) surviving triple dedupe — deterministic
+    because build_triples keeps the minimal offsets per triple."""
+    parts = [int(pk) for pk, _ in part_pages]
+    agg = (
+        spark.read.parquet(triples_path)
+        .filter(F.col("part_key").isin(parts))
+        .groupBy("part_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            # modular sum of row hashes: order-insensitive, overflow-free
+            F.sum(
+                F.pmod(F.xxhash64("subj", "pred", "obj"), F.lit(2147483647))
+            ).alias("checksum"),
+            F.countDistinct("url", "start", "end").alias("n_mentions"),
+        )
+    )
+    p = spark.createDataFrame(
+        [(int(pk), int(n)) for pk, n in part_pages], "part_key int, n_pages long"
+    )
+    return p.join(agg, "part_key", "left").select(
+        F.lit(run_id).alias("run_id"),
+        "part_key",
+        "n_pages",
+        F.coalesce("n_mentions", F.lit(0)).alias("n_mentions"),
+        F.coalesce("n_triples", F.lit(0)).alias("n_triples"),
+        F.coalesce("checksum", F.lit(0)).alias("checksum"),
+        F.current_timestamp().alias("completed_at"),
+    )
+
+
 def append_parquet(df: DataFrame, path: str, partition_by: str | None = None) -> None:
     w = df.write.mode("append")
     if partition_by:
