@@ -15,15 +15,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+def _star_round(
+    edges: DataFrame,
+    large: bool,
+    hot: list[int] | None = None,
+    salt: int = 16,
+) -> DataFrame:
     """One large-star (emit (v, m) for v > u) or small-star (v <= u) round.
 
     edges: symmetric (u, v) pairs. m = min(N(u) ∪ {u}).
+
+    Skew: the neighbor-min ``groupBy`` itself is safe at any degree — min is
+    algebraic, so Catalyst's map-side partial aggregation caps reduce input
+    per key at #map-partitions rows. The hot spot is the JOIN back onto the
+    edges: a hub's entire adjacency hashes to ONE join task. When ``hot``
+    (hub node ids from the per-round degree probe) is non-empty, those
+    keys' edges join on (u, xxhash64(v) % salt) against their nbr_min rows
+    replicated ``salt`` times — a hub's rows spread across ``salt`` tasks —
+    while every cold key takes the plain join untouched.
     """
     nbr_min = edges.groupBy("u").agg(F.min("v").alias("_mv")).select(
         "u", F.least(F.col("_mv"), F.col("u")).alias("m")
     )
-    joined = edges.join(nbr_min, "u")
+    if hot:
+        hot_col = F.col("u").isin([int(h) for h in hot])
+        nbr_rep = nbr_min.filter(hot_col).select(
+            "u", "m", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_s")
+        )
+        joined_hot = (
+            edges.filter(hot_col)
+            .withColumn("_s", F.pmod(F.xxhash64("v"), F.lit(salt)).cast("int"))
+            .join(nbr_rep, ["u", "_s"])
+            .drop("_s")
+        )
+        joined = (
+            edges.filter(~hot_col).join(nbr_min.filter(~hot_col), "u")
+            .unionByName(joined_hot)
+        )
+    else:
+        joined = edges.join(nbr_min, "u")
     if large:
         out = joined.filter(F.col("v") > F.col("u")).select(
             F.col("v").alias("a"), F.col("m").alias("b")
@@ -48,6 +78,8 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     driver_threshold: int = 100_000,
+    skew_degree_threshold: int = 500_000,
+    skew_salt: int = 16,
     stats: dict | None = None,
 ) -> DataFrame:
     """edges(src, dst) -> (node, component) with component = min node id.
@@ -113,16 +145,40 @@ def connected_components(
         ).first()
         return (row["n"], row["h"])
 
+    def hot_keys(df: DataFrame) -> list[int]:
+        """Per-round hub probe: node ids whose degree exceeds
+        skew_degree_threshold (top 1000 — beyond that the cold path still
+        works, just unsalted). Re-probed every round because star
+        contraction MOVES the hub: the component min accumulates the
+        collapsed component's adjacency, so a round-0 snapshot goes stale.
+        One small two-stage agg job per round; threshold 0 disables."""
+        if not skew_degree_threshold:
+            return []
+        rows = (
+            df.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") > skew_degree_threshold)
+            .orderBy(F.desc("d"))
+            .limit(1000)
+            .collect()
+        )
+        return [int(r["u"]) for r in rows]
+
     # One action per round: the checksum agg doubles as the emptiness check
     # (n == 0), so no separate isEmpty() job.
     prev_sig = signature(e)
     rounds = 0
     edges_initial = prev_sig[0]
+    ever_salted = False
     for _ in range(max_iter):
         if prev_sig[0] == 0:
             break
-        e = _star_round(e, large=True)
-        e = _star_round(e, large=False).localCheckpoint(eager=True)
+        hot = hot_keys(e)
+        ever_salted = ever_salted or bool(hot)
+        e = _star_round(e, large=True, hot=hot, salt=skew_salt)
+        e = _star_round(e, large=False, hot=hot, salt=skew_salt).localCheckpoint(
+            eager=True
+        )
         rounds += 1
         sig = signature(e)
         if sig == prev_sig:
@@ -134,6 +190,7 @@ def connected_components(
             rounds=rounds,
             edges_initial=edges_initial,
             edges_final=prev_sig[0],
+            salted=ever_salted,
         )
 
     # At fixpoint every edge connects a node to its component min.

@@ -85,3 +85,40 @@ def test_giant_component_converges_in_log_rounds(spark):
         f"'edges_final': {stats['edges_final']}, 'wall_sec': {wall:.1f}, "
         f"'hub_degree': {N_SPOKES}, 'giant_fraction': 0.5}}"
     )
+
+
+def test_megahub_triggers_salted_star_rounds(spark):
+    """r3 action item 7: a 1.2M-degree hub (above skew_degree_threshold)
+    must flip the star rounds onto the salted replicate join, converge, and
+    produce correct components. The spread assertion pins the salting math:
+    the hub's join input per (u, salt) group is ~degree/salt, so no single
+    task ever receives the whole adjacency."""
+    hub_degree = 1_200_000
+    stats: dict = {}
+    hub = spark.range(1, hub_degree + 1).select(
+        F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
+    )
+    # a few chains so the graph isn't ONLY the star
+    chains = spark.range(hub_degree + 1, hub_degree + 5_000).filter(
+        (F.col("id") - (hub_degree + 1)) % 50 != 49
+    ).select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    edges = hub.unionByName(chains)
+
+    comp = connected_components(edges, stats=stats)
+    assert stats["mode"] == "distributed"
+    assert stats["salted"] is True, stats
+    assert 1 <= stats["rounds"] <= 20, stats
+    bad = comp.filter((F.col("node") <= hub_degree) & (F.col("component") != 0)).count()
+    assert bad == 0
+
+    # salting spread: max join-group size for the hub under salt=16
+    sym = edges.selectExpr("src as u", "dst as v").unionByName(
+        edges.selectExpr("dst as u", "src as v")
+    )
+    max_group = (
+        sym.groupBy("u", F.pmod(F.xxhash64("v"), F.lit(16)).alias("s"))
+        .count()
+        .agg(F.max("count").alias("m"))
+        .first()["m"]
+    )
+    assert max_group <= hub_degree // 8, max_group  # ~degree/16, never whole
