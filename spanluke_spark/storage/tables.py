@@ -38,18 +38,46 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
     return spark.read.parquet(ref)
 
 
+def iceberg_partition_spec(
+    bucket_col: str | None = None,
+    n_buckets: int = 64,
+    day_col: str | None = None,
+) -> list:
+    """The north-star partition transforms as DataFrameWriterV2 arguments:
+    ``bucket(n_buckets, url)`` (+ optional ``days(warc_ts)``) — Iceberg's
+    native transforms, so the catalog prunes on them without a derived
+    column. The parquet fallback computes the identical layout explicitly
+    (storage.lineage.with_part_key)."""
+    from pyspark.sql.functions import partitioning
+
+    spec = []
+    if bucket_col:
+        spec.append(partitioning.bucket(n_buckets, bucket_col))
+    if day_col:
+        spec.append(partitioning.days(day_col))
+    return spec
+
+
 def write_table(
     df: DataFrame,
     ref: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    partition_transforms: list | None = None,
 ) -> None:
-    """Partitioned write; identical partition columns on either backend."""
+    """Partitioned write; identical partition layout on either backend.
+
+    Catalog branch contract (pinned by tests/test_iceberg_seam.py with a
+    recording fake, since no Iceberg runtime jar ships in this sandbox):
+    ``df.writeTo(ref)`` + ``partitionedBy(*partition_transforms)`` on table
+    (re)creation, then ``append()`` / ``createOrReplace()`` by mode."""
     if _is_catalog_ref(ref):
         writer = df.writeTo(ref)
         if mode == "append":
             writer.append()
         else:
+            if partition_transforms:
+                writer = writer.partitionedBy(*partition_transforms)
             writer.createOrReplace()
         return
     w = df.write.mode(mode)
