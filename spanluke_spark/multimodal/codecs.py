@@ -1,10 +1,13 @@
 """REAL media codecs with zero library dependencies: PPM (P6), BMP (24-bit
-uncompressed) and WAV (PCM) are plain headers over raw samples, decodable
-with struct+numpy alone — so the multimodal decode step is genuinely real
-for these formats even in this codec-less container. Compressed formats
-(JPEG/PNG/MP3/...) dispatch to PIL/etc. when installed and raise the
-documented NotImplementedError otherwise; the magic-byte dispatch
-(``media_features``) is the production seam.
+uncompressed) and WAV (PCM) are plain headers over raw samples; PNG decodes
+via stdlib zlib + per-scanline unfilter; baseline JPEG decodes via the full
+public pipeline (Huffman entropy decode, dequantize, IDCT, chroma
+upsample — ``multimodal/jpeg.py``). So the multimodal decode step is
+genuinely real for the dominant web image formats even in this codec-less
+container. Remaining compressed formats (progressive JPEG, WebP, MP3, ...)
+dispatch to PIL/etc. when installed and raise the documented
+NotImplementedError otherwise; the magic-byte dispatch (``media_features``)
+is the production seam.
 
 Image arrays are HxWx3 uint8 RGB; audio is (frames, channels) float64 in
 [-1, 1].
@@ -275,15 +278,25 @@ def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-byte dispatch: PPM/BMP/PNG decode natively (numpy + stdlib
-    zlib only); anything else (JPEG, WebP, ...) tries PIL and raises the
-    documented NotImplementedError when no codec library is shipped."""
+    """Magic-byte dispatch: PPM/BMP/PNG/baseline-JPEG decode natively
+    (numpy + stdlib zlib only); anything else (WebP, progressive JPEG, ...)
+    tries PIL and raises the documented NotImplementedError when no codec
+    library is shipped."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == PNG_MAGIC:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(payload)
+        except ValueError:
+            # outside the native baseline scope (progressive, CMYK, ...):
+            # fall through to the PIL path / documented gate below
+            pass
     try:
         import io
 
