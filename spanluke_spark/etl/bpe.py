@@ -221,20 +221,42 @@ def _disjoint_merge_batch(
     the strict n* cut counts below, every kept candidate. So after applying
     kept merge i, the sequential trainer's next argmax is exactly kept merge
     i+1. The first candidate alone is always safe (plain sequential step).
+
+    One gap in that argument is closed by an explicit guard: "never
+    increases any existing pair's count" fails if a candidate contains the
+    CONCATENATED string a+b of an earlier kept merge (or a kept symbol) as
+    one of its own symbols — applying (a, b) then mints new copies of that
+    string, so the later pair's stale rank could understate it (and in the
+    s == kept-symbol case, the sequential trainer could even re-merge an
+    already-applied pair between recounts). That state needs the pair
+    (a, b) to have positive count while the string a+b already exists as a
+    symbol via a different merge path, which a randomized search over 8k
+    adversarial corpora never reached from a char-level start — but the
+    batch cut enforces it anyway: candidates touching any kept pair's
+    produced string (or producing a kept symbol) end the batch exactly like
+    a shared-symbol interaction. Costs nothing when unreachable; keeps the
+    bit-identity claim unconditional.
     """
     selected: list[tuple[str, str]] = []
     counts: list[int] = []
     used: set[str] = set()
+    produced: set[str] = set()
     n_star = (cands[-1][1] if truncated else min_count - 1) if cands else 0
     for pair, n in cands:
         a, b = pair.split(sep)
-        if a in used or b in used:
+        ab = a + b
+        if (
+            a in used or b in used
+            or a in produced or b in produced
+            or ab in used or ab in produced
+        ):
             n_star = n
             break
         selected.append((a, b))
         counts.append(n)
         used.add(a)
         used.add(b)
+        produced.add(ab)
     keep = 0
     for i, n in enumerate(counts):
         if i == 0 or n > n_star:

@@ -228,3 +228,25 @@ def test_spark_bpe_batched_trainer_round_count(spark):
     assert got == train_bpe_merges(texts, num_merges=40)
     assert stats["merges"] == len(got)
     assert stats["rounds"] < len(got), stats  # strictly batched, not 1/job
+
+
+def test_disjoint_batch_guards_produced_strings():
+    """The batch cut must treat a candidate touching the CONCATENATION of a
+    kept pair (or producing a kept symbol) as interacting: applying the kept
+    merge mints new copies of that string, so the later candidate's stale
+    rank could understate it. Unreachable from a char-level start in an 8k-
+    corpus randomized search, but enforced unconditionally."""
+    from spanluke_spark.etl.bpe import _disjoint_merge_batch
+
+    sep = "\x00"
+    # candidate 2 contains kept 1's produced string "ab" -> batch must stop
+    cands = [(f"a{sep}b", 100), (f"ab{sep}c", 90), (f"d{sep}e", 80)]
+    assert _disjoint_merge_batch(cands, sep, 2, truncated=False) == [("a", "b")]
+    # candidate 2 PRODUCES kept 1's left symbol "x" (a+b == x) -> stop too
+    cands = [(f"xy{sep}z", 100), (f"x{sep}y", 90), (f"d{sep}e", 80)]
+    assert _disjoint_merge_batch(cands, sep, 2, truncated=False) == [("xy", "z")]
+    # plain disjoint candidates still batch together
+    cands = [(f"a{sep}b", 100), (f"c{sep}d", 90), (f"e{sep}f", 80)]
+    assert _disjoint_merge_batch(cands, sep, 2, truncated=False) == [
+        ("a", "b"), ("c", "d"), ("e", "f"),
+    ]
