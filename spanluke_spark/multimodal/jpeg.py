@@ -277,8 +277,23 @@ def _split_entropy(payload: bytes, i: int) -> tuple[list[bytes], int]:
     return segments, i
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> HxWx3 uint8 RGB (grayscale replicated)."""
+MAX_PIXELS = 1 << 24  # 16.7 MP: allocation guard against corrupt SOF dims
+
+
+def decode_jpeg(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
+    """Baseline JPEG bytes -> HxWx3 uint8 RGB (grayscale replicated).
+
+    Every corrupt-input failure mode surfaces as ValueError (fuzzed over
+    truncation / byte-flip / splice corruption): a crawl-scale decoder must
+    fail cleanly per record, and ``max_pixels`` rejects corrupt headers
+    that would otherwise request multi-GB coefficient allocations."""
+    try:
+        return _decode_jpeg(payload, max_pixels)
+    except (struct.error, IndexError, KeyError, OverflowError, MemoryError) as exc:
+        raise ValueError(f"corrupt JPEG: {type(exc).__name__}: {exc}") from exc
+
+
+def _decode_jpeg(payload: bytes, max_pixels: int) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -313,10 +328,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             precision, h, w, ncomp = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if precision != 8:
                 raise ValueError("only 8-bit JPEG supported")
+            if not (0 < h and 0 < w) or h * w > max_pixels:
+                raise ValueError(f"JPEG dimensions {w}x{h} outside sane bounds")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq2 = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 0x0F, tq2))
+                ch, cv = hv >> 4, hv & 0x0F
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError(f"bad sampling factors {ch}x{cv}")
+                comps.append((cid, ch, cv, tq2))
             frame = (h, w, comps)
         elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline (SOF0/SOF1) JPEG supported")

@@ -62,17 +62,36 @@ def _fake_features(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float]
 
 
 def extract_media_features(
-    media: DataFrame, deterministic_fake: bool = True, dim: int = FEATURE_DIM
+    media: DataFrame,
+    deterministic_fake: bool = True,
+    dim: int = FEATURE_DIM,
+    on_error: str = "raise",
 ) -> DataFrame:
     """(media) -> (media_id, kind, n_bytes, features: array<float>).
 
     mapInPandas over Arrow batches: binary payloads never materialize as Spark
     rows beyond this hop. Swap the fake for the real codec in production.
+
+    ``on_error``: ``"raise"`` fails the task on the first undecodable payload
+    (the strict default — right for tests and for surfacing a missing codec
+    wheel); ``"null"`` emits NULL features for that record and keeps going —
+    the crawl-scale policy, where a handful of corrupt images must not kill
+    a 100 TB job (count failures with ``features IS NULL``).
     """
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     schema = f"media_id long, kind string, n_bytes long, features array<float>"
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .codecs import media_features
+
+        def real(payload):
+            if payload is None:
+                raise NotImplementedError("NULL payload has no decodable media")
+            # REAL features for decodable payloads (PPM/BMP/PNG/baseline-JPEG
+            # pixels + WAV/PCM audio native; PIL formats when installed);
+            # undecodable bytes raise the documented error
+            return media_features(bytes(payload), dim)
 
         for pdf in batches:
             feats, sizes = [], []
@@ -80,13 +99,13 @@ def extract_media_features(
                 sizes.append(len(payload) if payload is not None else 0)
                 if deterministic_fake:
                     feats.append(_fake_features(payload, dim))
-                elif payload is None:
-                    raise NotImplementedError("NULL payload has no decodable media")
+                elif on_error == "null":
+                    try:
+                        feats.append(real(payload))
+                    except (ValueError, NotImplementedError):
+                        feats.append(None)
                 else:
-                    # REAL features for decodable payloads (PPM/BMP pixels +
-                    # WAV/PCM audio native; PIL formats when installed);
-                    # undecodable bytes raise the documented error
-                    feats.append(media_features(bytes(payload), dim))
+                    feats.append(real(payload))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -176,3 +176,62 @@ def test_jpeg_features_through_spark(spark):
     for i, a in enumerate(imgs):
         want = image_features(decode_jpeg(bytes(rows[i][2])))
         assert feats[i] == pytest.approx(want, rel=1e-6, abs=1e-7), i
+
+
+def test_corrupt_inputs_always_valueerror():
+    """A crawl-scale decoder must fail cleanly per record: every corruption
+    mode (truncation, byte flips, garbage splices) surfaces as ValueError,
+    never KeyError/IndexError/struct.error — and corrupt SOF dimensions are
+    rejected before they can request giant allocations."""
+    import random
+    import struct as _struct
+
+    img = _smooth(24, 16)
+    good = encode_jpeg(img, quality=85)
+    rng = random.Random(7)
+    for trial in range(300):
+        b = bytearray(good)
+        mode = trial % 3
+        if mode == 0:
+            b = b[: rng.randint(2, len(b) - 1)]
+        elif mode == 1:
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        else:
+            i = rng.randrange(len(b))
+            b[i:i] = bytes(rng.randrange(256) for _ in range(rng.randint(1, 16)))
+        try:
+            decode_jpeg(bytes(b))
+        except ValueError:
+            pass  # the only acceptable failure mode
+
+    # oversized declared dimensions rejected up front (allocation guard)
+    b = bytearray(good)
+    i = bytes(b).index(b"\xff\xc0")
+    _struct.pack_into(">HH", b, i + 5, 60000, 60000)
+    with pytest.raises(ValueError, match="bounds"):
+        decode_jpeg(bytes(b))
+
+
+def test_on_error_null_skips_corrupt_records(spark):
+    """Crawl policy: on_error='null' turns undecodable payloads into NULL
+    features instead of failing the job; good records still decode for real."""
+    from spanluke_spark.multimodal.codecs import image_features
+    from spanluke_spark.multimodal.media import extract_media_features
+
+    img = _smooth(10, 8)
+    rows = [
+        (0, "image", bytearray(encode_jpeg(img, quality=90))),
+        (1, "image", bytearray(b"\xff\xd8\xff\xe0corrupt garbage")),
+        (2, "image", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {
+        r.media_id: r.features
+        for r in extract_media_features(df, deterministic_fake=False, on_error="null").collect()
+    }
+    assert got[1] is None and got[2] is None
+    assert got[0] == pytest.approx(image_features(decode_jpeg(bytes(rows[0][2]))), rel=1e-6)
+    # strict default still raises on the corrupt record
+    with pytest.raises(Exception):
+        extract_media_features(df, deterministic_fake=False).collect()
