@@ -172,13 +172,42 @@ def _unpack_subbyte(row_bytes: np.ndarray, depth: int, w: int) -> np.ndarray:
     return (per * weights).sum(axis=2)[:, :w]
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _decode_png_pass(
+    raw: np.ndarray, off: int, w_p: int, h_p: int, channels: int, depth: int
+) -> tuple[np.ndarray, int]:
+    """One (sub-)image of filtered scanlines starting at ``off`` ->
+    ((h_p, w_p, channels) uint8 samples, next offset). 16-bit samples are
+    reduced to their high byte (the standard 8-bit approximation)."""
+    stride = (w_p * channels * depth + 7) // 8
+    bpp = max(1, channels * depth // 8)
+    need = h_p * (stride + 1)
+    chunk = raw[off : off + need]
+    if chunk.size != need:
+        raise ValueError("PNG raster size mismatch")
+    rows = _png_unfilter(chunk, h_p, stride, bpp)
+    if depth < 8:
+        samples = _unpack_subbyte(rows, depth, w_p)[:, :, None].astype(np.uint8)
+    elif depth == 8:
+        samples = rows.reshape(h_p, w_p, channels)
+    else:  # 16-bit big-endian: high byte
+        samples = rows.reshape(h_p, w_p, channels, 2)[:, :, :, 0]
+    return samples, off + need
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG -> HxWx3 uint8 RGB, pure stdlib-zlib + numpy (no PIL).
 
-    Supported: bit depths 1/2/4/8, color types 0 (gray), 2 (RGB),
-    3 (palette), 4 (gray+alpha), 6 (RGBA) — alpha is dropped, not
-    composited. 16-bit and Adam7-interlaced images raise (rare on the web;
-    the PIL path covers them when the codec wheel ships)."""
+    Supported: bit depths 1/2/4/8/16 (16-bit reduced to the high byte),
+    color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) —
+    alpha is dropped, not composited — and both interlace methods (none and
+    Adam7, decoded pass-by-pass into the output grid)."""
     import zlib
 
     if payload[:8] != PNG_MAGIC:
@@ -198,23 +227,28 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("unsupported PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"bad PNG color type {ctype}")
-    if depth == 16 or (depth != 8 and ctype in (2, 4, 6)):
+    if depth not in (1, 2, 4, 8, 16) or (depth < 8 and ctype in (2, 4, 6)):
         raise ValueError(f"unsupported PNG bit depth {depth} for color type {ctype}")
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = (w * channels * depth + 7) // 8
-    bpp = max(1, channels * depth // 8)
-    if raw.size != h * (stride + 1):
-        raise ValueError("PNG raster size mismatch")
-    rows = _png_unfilter(raw, h, stride, bpp)
-    if depth < 8:
-        samples = _unpack_subbyte(rows, depth, w)  # (h, w), ctype 0 or 3
+    if interlace == 0:
+        samples, _ = _decode_png_pass(raw, 0, w, h, channels, depth)
     else:
-        samples = rows.reshape(h, w, channels) if channels > 1 else rows[:, :w]
+        samples = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            w_p = (w - x0 + dx - 1) // dx
+            h_p = (h - y0 + dy - 1) // dy
+            if w_p <= 0 or h_p <= 0:
+                continue
+            sub, off = _decode_png_pass(raw, off, w_p, h_p, channels, depth)
+            samples[y0::dy, x0::dx] = sub
+    if channels == 1:
+        samples = samples[:, :, 0]  # (h, w) for the ctype 0/3 paths below
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")

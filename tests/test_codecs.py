@@ -229,22 +229,63 @@ def test_png_grayscale_palette_and_alpha():
     assert np.array_equal(decode_png(rgba)[0, 0], np.array([1, 2, 3]))
 
 
-def test_png_unsupported_variants_raise():
+def _raw_png_interlaced(w, h, arr: np.ndarray) -> bytes:
+    """Hand-built Adam7 encoder (filter 0 per scanline) — independent of the
+    decoder's pass logic, so the test pins the spec's pass grid."""
+    import struct
+    import zlib
+
+    from spanluke_spark.multimodal.codecs import PNG_MAGIC
+
+    passes = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    body = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = arr[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            body.append(0)
+            body.extend(row.astype(np.uint8).tobytes())
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(body)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_adam7_interlaced():
+    from spanluke_spark.multimodal.codecs import decode_png
+
+    for w, h in ((11, 9), (8, 8), (3, 2), (1, 1), (16, 5)):
+        a = _img(w, h)
+        assert np.array_equal(decode_png(_raw_png_interlaced(w, h, a)), a), (w, h)
+
+
+def test_png_16bit_reduced_to_high_byte():
+    from spanluke_spark.multimodal.codecs import decode_png
+
+    # 16-bit grayscale 2x2: big-endian samples; high bytes 0x12, 0xAB, ...
+    sl = b"\x00\x12\x34\xab\xcd" + b"\x00\xff\x00\x00\x01"
+    got = decode_png(_raw_png(2, 2, 16, 0, sl))
+    assert np.array_equal(got[:, :, 0], np.array([[0x12, 0xAB], [0xFF, 0x00]]))
+    # 16-bit RGB 1x1
+    rgb = decode_png(_raw_png(1, 1, 16, 2, b"\x00\x11\x22\x33\x44\x55\x66"))
+    assert np.array_equal(rgb[0, 0], np.array([0x11, 0x33, 0x55]))
+
+
+def test_png_malformed_raises():
     import pytest
 
     from spanluke_spark.multimodal.codecs import decode_png
 
-    with pytest.raises(ValueError, match="interlaced"):
-        import struct
-
-        from spanluke_spark.multimodal.codecs import PNG_MAGIC
-
-        bad = PNG_MAGIC + _png_chunk(
-            b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
-        ) + _png_chunk(b"IDAT", b"x") + _png_chunk(b"IEND", b"")
-        decode_png(bad)
     with pytest.raises(ValueError, match="bit depth"):
-        decode_png(_raw_png(1, 1, 16, 2, b"\x00\x00\x00\x00\x00\x00\x00"))
+        decode_png(_raw_png(1, 1, 4, 2, b"\x00\x00\x00"))  # sub-byte RGB invalid
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(_raw_png(2, 2, 8, 2, b"\x00\x01\x02\x03"))  # truncated raster
 
 
 def test_png_features_through_spark(spark):
