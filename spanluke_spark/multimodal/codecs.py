@@ -49,6 +49,8 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     if toks[0] != b"P6":
         raise ValueError(f"not a P6 PPM: {toks[0]!r}")
     w, h, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+    if not (0 < w and 0 < h) or w * h > MAX_PIXELS:
+        raise ValueError(f"PPM dimensions {w}x{h} outside sane bounds")
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
     need = w * h * 3
@@ -80,6 +82,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
     bottom_up = h > 0
     h = abs(h)
+    if not (0 < w and 0 < h) or w * h > MAX_PIXELS:
+        raise ValueError(f"BMP dimensions {w}x{h} outside sane bounds")
     row_bytes = (w * 3 + 3) // 4 * 4
     need = row_bytes * h
     raster = payload[data_off : data_off + need]
@@ -104,6 +108,13 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+MAX_PIXELS = 1 << 24  # 16.7 MP: allocation guard against corrupt headers
+
+# non-ValueError exceptions a corrupt payload can trip inside a codec;
+# decode_image/media_features convert them so a crawl job sees exactly one
+# failure type per bad record (zlib.error is added at the catch sites)
+_CODEC_ERRORS = (struct.error, IndexError, KeyError, OverflowError, MemoryError)
 
 
 def _png_chunks(payload: bytes):
@@ -225,6 +236,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, ctype, comp, filt, interlace = ihdr
+    if not (0 < w and 0 < h) or w * h > MAX_PIXELS:
+        raise ValueError(f"PNG dimensions {w}x{h} outside sane bounds")
     if comp != 0 or filt != 0:
         raise ValueError("unsupported PNG compression/filter method")
     if interlace not in (0, 1):
@@ -316,12 +329,17 @@ def decode_image(payload: bytes) -> np.ndarray:
     (numpy + stdlib zlib only); anything else (WebP, progressive JPEG, ...)
     tries PIL and raises the documented NotImplementedError when no codec
     library is shipped."""
-    if payload[:2] == b"P6":
-        return decode_ppm(payload)
-    if payload[:2] == b"BM":
-        return decode_bmp(payload)
-    if payload[:8] == PNG_MAGIC:
-        return decode_png(payload)
+    import zlib
+
+    try:
+        if payload[:2] == b"P6":
+            return decode_ppm(payload)
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[:8] == PNG_MAGIC:
+            return decode_png(payload)
+    except (*_CODEC_ERRORS, zlib.error) as exc:
+        raise ValueError(f"corrupt image payload: {type(exc).__name__}: {exc}") from exc
     if payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
@@ -442,8 +460,14 @@ def audio_features(rate: int, samples: np.ndarray, dim: int = 16) -> list[float]
 
 def media_features(payload: bytes, dim: int = 16) -> list[float]:
     """Kind dispatch by magic bytes: RIFF/WAVE -> real audio features,
-    else the image path (PPM/BMP native, PIL-gated otherwise)."""
+    else the image path (PPM/BMP/PNG/baseline-JPEG native, PIL-gated
+    otherwise). Corrupt payloads of any kind raise ValueError."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        rate, samples = decode_wav(payload)
+        try:
+            rate, samples = decode_wav(payload)
+        except _CODEC_ERRORS as exc:
+            raise ValueError(
+                f"corrupt WAV payload: {type(exc).__name__}: {exc}"
+            ) from exc
         return audio_features(rate, samples, dim)
     return image_features(decode_image(payload), dim)

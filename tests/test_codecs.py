@@ -301,3 +301,42 @@ def test_png_features_through_spark(spark):
     for i in range(len(imgs)):
         assert feats[i] == pytest.approx(feats[100 + i], abs=0), i
         assert feats[i] == pytest.approx(image_features(imgs[i]), rel=1e-5, abs=1e-7), i
+
+
+def test_all_codecs_fail_corrupt_inputs_as_valueerror():
+    """Exception hygiene across the codec family (same contract the JPEG
+    decoder is fuzzed for): truncation / byte flips / splices over PNG, BMP,
+    PPM and WAV payloads surface only ValueError (or the documented
+    NotImplementedError dispatch gate) — never zlib.error / struct.error /
+    IndexError — and never NaN features from zero-dimension headers."""
+    import math
+    import random
+
+    from spanluke_spark.multimodal.codecs import encode_wav, media_features
+
+    rng = random.Random(11)
+    img = _img(13, 9)
+    t = np.linspace(0, 0.2, 1600)
+    goods = {
+        "png": __import__("spanluke_spark.multimodal.codecs", fromlist=["encode_png"]).encode_png(img, filter_type=2),
+        "bmp": encode_bmp(img),
+        "ppm": encode_ppm(img),
+        "wav": encode_wav(8000, 0.3 * np.sin(880 * t)),
+    }
+    for name, good in goods.items():
+        for trial in range(250):
+            b = bytearray(good)
+            mode = trial % 3
+            if mode == 0:
+                b = b[: rng.randint(1, len(b) - 1)]
+            elif mode == 1:
+                for _ in range(rng.randint(1, 6)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+            else:
+                i = rng.randrange(len(b))
+                b[i:i] = bytes(rng.randrange(256) for _ in range(rng.randint(1, 12)))
+            try:
+                feats = media_features(bytes(b))
+            except (ValueError, NotImplementedError):
+                continue
+            assert all(math.isfinite(f) for f in feats), (name, trial)
