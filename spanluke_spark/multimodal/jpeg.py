@@ -150,36 +150,25 @@ def _dct_blocks(blocks: np.ndarray) -> np.ndarray:
 
 
 class _HuffDecoder:
-    """Canonical min/max-code decode table from (BITS, HUFFVAL)."""
+    """Canonical Huffman decoder as a flat 16-bit lookup table: every
+    16-bit window maps to ``(symbol << 5) | code_length`` (length 0 marks an
+    invalid prefix). One peek + one list index per symbol — profiling showed
+    the bit-at-a-time min/max-code walk dominating whole-image decode."""
 
     def __init__(self, bits: list[int], vals: list[int]):
         if sum(bits) != len(vals):
             raise ValueError("DHT length mismatch")
-        self.vals = vals
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
+        lut = np.zeros(1 << 16, dtype=np.int32)  # length bits stay 0: invalid
         code = 0
         k = 0
         for length in range(1, 17):
-            if bits[length - 1]:
-                self.valptr[length] = k
-                self.mincode[length] = code
-                code += bits[length - 1]
-                k += bits[length - 1]
-                self.maxcode[length] = code - 1
+            for _ in range(bits[length - 1]):
+                lo = code << (16 - length)
+                lut[lo : lo + (1 << (16 - length))] = (vals[k] << 5) | length
+                code += 1
+                k += 1
             code <<= 1
-
-    def decode(self, reader: "_BitReader") -> int:
-        code = reader.bit()
-        length = 1
-        while code > self.maxcode[length]:
-            if length >= 16:
-                raise ValueError("corrupt JPEG entropy stream")
-            code = (code << 1) | reader.bit()
-            length += 1
-        return self.vals[self.valptr[length] + code - self.mincode[length]]
-
+        self.lut = lut.tolist()  # plain list: no numpy-scalar overhead per hit
 
 def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """symbol -> (code, length) for the canonical table."""
@@ -193,34 +182,6 @@ def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int,
             k += 1
         code <<= 1
     return out
-
-
-class _BitReader:
-    """MSB-first bit reader over an already-unstuffed entropy segment."""
-
-    def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(bytes(data), dtype=np.uint8))
-        self.pos = 0
-
-    def bit(self) -> int:
-        if self.pos >= len(self.bits):
-            raise ValueError("truncated JPEG entropy stream")
-        b = int(self.bits[self.pos])
-        self.pos += 1
-        return b
-
-    def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
-
-
-def _extend(v: int, n: int) -> int:
-    """T.81 §F.2.2.1 EXTEND: map an n-bit magnitude to its signed value."""
-    if n == 0:
-        return 0
-    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
 
 
 class _BitWriter:
@@ -376,40 +337,101 @@ def _decode_scan(frame, scan_sel, qt, dc_tabs, ac_tabs, restart_interval, segmen
     mcux = -(-w_img // (8 * hmax))
     mcuy = -(-h_img // (8 * vmax))
     coefs = [np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int64) for _, ch, cv, _ in comps]
-    preds = [0] * len(comps)
-    seg_idx = 0
-    reader = _BitReader(segments[0])
-    for mcu in range(mcux * mcuy):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            seg_idx += 1
-            if seg_idx >= len(segments):
-                raise ValueError("missing restart segment")
-            reader = _BitReader(segments[seg_idx])
-            preds = [0] * len(comps)
-        my, mx = divmod(mcu, mcux)
-        for ci, (cid, ch, cv, _tq) in enumerate(comps):
-            tdc, tac = scan_sel[cid]
-            dc_t, ac_t = dc_tabs[tdc], ac_tabs[tac]
-            for by in range(cv):
-                for bx in range(ch):
-                    block = coefs[ci][my * cv + by, mx * ch + bx]
-                    s = dc_t.decode(reader)
-                    preds[ci] += _extend(reader.receive(s), s)
-                    block[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = ac_t.decode(reader)
-                        r, size = rs >> 4, rs & 0x0F
-                        if size == 0:
-                            if r != 15:
-                                break  # EOB
-                            k += 16
-                            continue
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC coefficient index overflow")
-                        block[k] = _extend(reader.receive(size), size)
-                        k += 1
+    luts = []
+    for cid, _ch, _cv, _tq in comps:
+        tdc, tac = scan_sel[cid]
+        luts.append((dc_tabs[tdc].lut, ac_tabs[tac].lut))
+
+    # The entropy loop below keeps ALL reader state in locals (bit
+    # accumulator, bit count, byte cursor) and consults the flat 16-bit
+    # Huffman LUTs directly: the method-call version (BitReader +
+    # HuffDecoder.decode) spent over half of whole-image decode time on
+    # ~1M Python calls. Reads past a segment's end see zero padding; the
+    # consumed-bit position is checked against the real length once per
+    # block, so truncation still raises the documented ValueError. Each
+    # decoded block lands in its numpy row as ONE bulk assignment.
+    total_mcus = mcux * mcuy
+    mcus_per_seg = restart_interval if restart_interval else total_mcus
+    mcu = 0
+    for seg_i in range(-(-total_mcus // mcus_per_seg)):
+        if seg_i >= len(segments):
+            raise ValueError("missing restart segment")
+        data = segments[seg_i]
+        dlen = len(data)
+        di = acc = nbits = pos = 0
+        limit = 8 * dlen
+        preds = [0] * len(comps)
+        end = min(mcu + mcus_per_seg, total_mcus)
+        while mcu < end:
+            my, mx = divmod(mcu, mcux)
+            for ci, (_cid, ch, cv, _tq) in enumerate(comps):
+                dc_lut, ac_lut = luts[ci]
+                carr = coefs[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        blk = [0] * 64
+                        if nbits < 16:
+                            while nbits < 16:
+                                acc = (acc << 8) | (data[di] if di < dlen else 0)
+                                di += 1
+                                nbits += 8
+                        packed = dc_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                        length = packed & 31
+                        if length == 0:
+                            raise ValueError("corrupt JPEG entropy stream")
+                        s = packed >> 5
+                        pos += length
+                        nbits -= length
+                        acc &= (1 << nbits) - 1
+                        if s:
+                            while nbits < s:
+                                acc = (acc << 8) | (data[di] if di < dlen else 0)
+                                di += 1
+                                nbits += 8
+                            v = (acc >> (nbits - s)) & ((1 << s) - 1)
+                            pos += s
+                            nbits -= s
+                            acc &= (1 << nbits) - 1
+                            preds[ci] += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                        blk[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            if nbits < 16:
+                                while nbits < 16:
+                                    acc = (acc << 8) | (data[di] if di < dlen else 0)
+                                    di += 1
+                                    nbits += 8
+                            packed = ac_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                            length = packed & 31
+                            if length == 0:
+                                raise ValueError("corrupt JPEG entropy stream")
+                            rs = packed >> 5
+                            pos += length
+                            nbits -= length
+                            acc &= (1 << nbits) - 1
+                            size = rs & 0x0F
+                            if size == 0:
+                                if (rs >> 4) != 15:
+                                    break  # EOB
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("AC coefficient index overflow")
+                            while nbits < size:
+                                acc = (acc << 8) | (data[di] if di < dlen else 0)
+                                di += 1
+                                nbits += 8
+                            v = (acc >> (nbits - size)) & ((1 << size) - 1)
+                            pos += size
+                            nbits -= size
+                            acc &= (1 << nbits) - 1
+                            blk[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                            k += 1
+                        if pos > limit:
+                            raise ValueError("truncated JPEG entropy stream")
+                        carr[my * cv + by, mx * ch + bx] = blk
+            mcu += 1
     planes = []
     for ci, (cid, ch, cv, tq) in enumerate(comps):
         z = coefs[ci] * qt[tq][None, None, :]  # dequantize in zigzag order
