@@ -1,13 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schemas, partitioning, Arrow batch shape, UDF
-signatures) is real and tested. The decode step is REAL for PPM and 24-bit
-BMP — pure-numpy codecs in `multimodal/codecs.py`, no libraries needed —
-so pixel decode, nearest-neighbor resize, and pixel-statistics features run
-genuinely in this container. Compressed formats (JPEG/PNG) and audio/video
-dispatch to PIL/ffmpeg when installed and raise a clearly-marked
-NotImplementedError otherwise; `deterministic_fake=True` (default) keeps
-the hash-derived fake for library-free fixtures of arbitrary formats.
+signatures) is real and tested — and the decode step is REAL, pure-numpy,
+for the dominant web formats: PPM, 24-bit BMP, PNG (incl. Adam7/16-bit),
+baseline JPEG, WAV/PCM audio (`multimodal/codecs.py`, `multimodal/jpeg.py`)
+and MJPEG-AVI video (`multimodal/video.py` — container parse + frame
+sample + per-frame JPEG pixel decode, end to end). Remaining formats
+(progressive JPEG, WebP, MP3, H.264/VP9...) dispatch to PIL/ffmpeg when
+installed and raise a clearly-marked NotImplementedError otherwise;
+`deterministic_fake=True` (default) keeps the hash-derived fake for
+library-free fixtures of arbitrary formats.
 """
 
 from __future__ import annotations
@@ -176,9 +178,10 @@ def resize_media(
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms) —
-    relational explode over the duration; the decode of each frame is the
-    stubbed codec step. Shows the partitioning/batching story: frames of one
-    video stay in one partition (hash on media_id)."""
+    relational explode over the duration, no payload bytes touched. Shows
+    the partitioning/batching story: frames of one video stay in one
+    partition (hash on media_id). For MJPEG-AVI payloads the REAL
+    plan+decode+features path is ``video.extract_video_frame_features``."""
     frames = media.filter(F.col("kind") == "video").select(
         "media_id",
         F.explode(

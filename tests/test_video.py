@@ -1,0 +1,115 @@
+"""Real MJPEG-AVI video decode (multimodal/video.py): container
+round-trip, frame sampling arithmetic, end-to-end distributed frame
+features, and the per-record corrupt policy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spanluke_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+from spanluke_spark.multimodal.video import (
+    decode_mjpeg_avi,
+    encode_mjpeg_avi,
+    extract_video_frame_features,
+    sample_frame_indices,
+)
+
+
+def _frames(n=6, w=24, h=16):
+    out = []
+    for i in range(n):
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [(xx * 5 + i * 40) % 256, (yy * 7 + i * 10) % 256, (xx + yy + i) % 256],
+            axis=2,
+        ).astype(np.uint8)
+        out.append(img)
+    return out
+
+
+def test_container_roundtrip_bit_exact():
+    """The container is lossless: the JPEG bytes come back verbatim, so
+    decoded pixels equal per-frame decode of the originals."""
+    imgs = _frames()
+    jpegs = [encode_jpeg(a, quality=85) for a in imgs]
+    fps, back = decode_mjpeg_avi(encode_mjpeg_avi(jpegs, fps=20.0))
+    assert fps == pytest.approx(20.0, rel=1e-4)
+    assert [bytes(b) for b in back] == [bytes(j) for j in jpegs]
+    assert np.array_equal(decode_jpeg(back[3]), decode_jpeg(jpegs[3]))
+
+
+def test_sample_frame_indices():
+    # 30 fps, sample each second -> every 30th frame
+    assert sample_frame_indices(90, 30.0, 1000) == [(0, 0), (30, 1000), (60, 2000)]
+    # sampling finer than the frame interval clamps to every frame
+    assert sample_frame_indices(3, 2.0, 100) == [(0, 0), (1, 500), (2, 1000)]
+    assert sample_frame_indices(0, 30.0, 1000) == []
+    assert sample_frame_indices(5, 0.0, 1000) == [(0, 0)]
+
+
+def test_distributed_frame_features(spark):
+    """End-to-end REAL video path: AVI parse -> frame sample -> JPEG pixel
+    decode -> features, distributed, equal to the driver-side computation."""
+    from spanluke_spark.multimodal.codecs import image_features
+
+    vids = {}
+    rows = []
+    for mid, (n, fps) in enumerate([(8, 4.0), (5, 2.0)]):
+        jpegs = [encode_jpeg(a, quality=85) for a in _frames(n, 16 + 8 * mid, 16)]
+        vids[mid] = (fps, jpegs)
+        rows.append((mid, "video", bytearray(encode_mjpeg_avi(jpegs, fps=fps))))
+    rows.append((99, "image", bytearray(b"not a video")))  # filtered by kind
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = extract_video_frame_features(df, every_ms=1000).collect()
+    by_key = {(r.media_id, r.frame_idx): (r.ts_ms, r.features) for r in got}
+    want_keys = set()
+    for mid, (fps, jpegs) in vids.items():
+        for idx, ts in sample_frame_indices(len(jpegs), fps, 1000):
+            want_keys.add((mid, idx))
+            ts_got, feats = by_key[(mid, idx)]
+            assert ts_got == ts
+            assert feats == pytest.approx(
+                image_features(decode_jpeg(jpegs[idx])), rel=1e-6, abs=1e-7
+            )
+    assert set(by_key) == want_keys
+
+
+def test_corrupt_video_policy(spark):
+    good = encode_mjpeg_avi([encode_jpeg(a, quality=85) for a in _frames(3)], fps=2.0)
+    rows = [
+        (0, "video", bytearray(good)),
+        (1, "video", bytearray(b"RIFF\x10\x00\x00\x00AVI corrupt")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = extract_video_frame_features(df, every_ms=500, on_error="null").collect()
+    bad = [r for r in got if r.media_id == 1]
+    assert len(bad) == 1 and bad[0].features is None and bad[0].frame_idx == -1
+    assert all(r.features is not None for r in got if r.media_id == 0)
+    with pytest.raises(Exception):
+        extract_video_frame_features(df, every_ms=500).collect()
+
+
+def test_corrupt_containers_raise_valueerror():
+    import random
+
+    jpegs = [encode_jpeg(a, quality=85) for a in _frames(3)]
+    good = encode_mjpeg_avi(jpegs, fps=5.0)
+    rng = random.Random(3)
+    for trial in range(200):
+        b = bytearray(good)
+        mode = trial % 3
+        if mode == 0:
+            b = b[: rng.randint(1, len(b) - 1)]
+        elif mode == 1:
+            for _ in range(rng.randint(1, 5)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        else:
+            i = rng.randrange(len(b))
+            b[i:i] = bytes(rng.randrange(256) for _ in range(rng.randint(1, 12)))
+        try:
+            fps, frames = decode_mjpeg_avi(bytes(b))
+            for f in frames:  # frames may themselves be corrupt JPEGs
+                decode_jpeg(bytes(f))
+        except ValueError:
+            pass  # the only acceptable failure mode
