@@ -148,6 +148,30 @@ def streaming_dedup(
     )
 
 
+def read_signature_index(
+    spark: SparkSession, idx_path: str, before_epoch: int | None = None
+) -> DataFrame | None:
+    """The stream's signature index, collapsed to the LATEST row per id.
+
+    An upserted re-crawl (same id, changed text, survived dedup) writes a
+    fresh signature under its admitting epoch; the stale row stays in the
+    old epoch partition (epoch partitions are immutable except under their
+    own replay) and loses the max_by here. ``before_epoch`` restricts to
+    rows admitted strictly earlier — what a replayed epoch must see."""
+    import os
+
+    if not os.path.exists(idx_path):
+        return None
+    idx = spark.read.parquet(idx_path)
+    if before_epoch is not None:
+        idx = idx.filter(F.col("epoch") < before_epoch)
+    sig_cols = [c for c in idx.columns if c not in ("id", "epoch")]
+    latest = idx.groupBy("id").agg(
+        F.max_by(F.struct(*sig_cols), F.col("epoch")).alias("_s")
+    )
+    return latest.select("id", "_s.*")
+
+
 def make_incremental_dedup_processor(
     out_dir: str,
     id_col: str = "doc_id",
@@ -157,12 +181,19 @@ def make_incremental_dedup_processor(
     """foreachBatch body: NEAR-dup dedup across the whole stream history via
     the signature index (dedup/incremental.py) — the streaming twin of
     continuous-crawl dedup. State = parquet signature index rows tagged with
-    the epoch that admitted them.
+    the epoch that admitted them; reads collapse to the latest row per id
+    (``read_signature_index``).
 
     Exactly-once under epoch replay: each call reads only index rows with
     epoch < epoch_id (a replayed epoch never sees its own partial output),
     and both sinks (kept docs, index delta) are dynamic partition overwrites
     keyed by epoch — the replay rewrites its own partitions bit-identically.
+
+    The epoch's index delta is the batch's OWN kept signatures (semi-join on
+    batch ids) — NOT ``new_index`` minus prior ids, which silently dropped
+    the upsert case: a re-crawled id whose changed text survives dedup must
+    land its NEW signature in the index, else future near-copies of the new
+    text keep slipping past the dedup.
     """
     import os
 
@@ -172,17 +203,12 @@ def make_incremental_dedup_processor(
 
         spark = batch_df.sparkSession
         idx_path = os.path.join(out_dir, "sig_index")
-        index = None
-        if os.path.exists(idx_path):
-            prior = spark.read.parquet(idx_path).filter(F.col("epoch") < epoch_id)
-            index = prior.drop("epoch")
+        index = read_signature_index(spark, idx_path, before_epoch=epoch_id)
         kept, new_index = incremental_dedup(
             batch_df, index, id_col=id_col, text_col=text_col, threshold=threshold
         )
-        delta = (
-            new_index
-            if index is None
-            else new_index.join(index.select("id"), "id", "left_anti")
+        delta = new_index.join(
+            batch_df.select(F.col(id_col).alias("id")), "id", "left_semi"
         )
         overwrite_partitions(
             kept.withColumn("epoch", F.lit(epoch_id)), os.path.join(out_dir, "kept"), "epoch"
