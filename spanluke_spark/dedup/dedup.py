@@ -152,7 +152,16 @@ def minhash_signature(
     base_h = xxhash64 (default; fastest, JVM codegen) or the portable
     md5-derived hash (``portable=True``) whose DuckDB twin is exact — used
     by the correctness oracle. 31-bit universal hashing keeps every
-    intermediate below 2^62 — no ANSI long overflow, still codegen."""
+    intermediate below 2^62 — no ANSI long overflow, still codegen.
+
+    Plan-shape note (measured): a shuffle-free per-row alternative
+    (transform + array_min over the shingle array, zero exchanges) computes
+    identical rows but runs ~30% SLOWER — higher-order functions are
+    interpreted, while this explode+aggregate stays inside whole-stage
+    codegen, and its exchange is harmless at any scale: map-side partial
+    aggregation collapses to one row per (map partition, id) BEFORE the
+    shuffle, so the wire carries ~|docs| signature rows, never per-shingle
+    rows."""
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
     )
