@@ -150,10 +150,21 @@ def lsh_topk(
     """
     qs = hyperplane_signature(queries, q_id, q_vec, "q", n_planes, n_bands, dim)
     cs = hyperplane_signature(candidates, c_id, c_vec, "c", n_planes, n_bands, dim)
-    pairs = (
-        qs.join(cs, ["band", "bucket"])
-        .select(q_id, c_id, "_qv", "_cv", "_qn", "_cn")
+    # ids-only through the band join: selecting vectors here would carry
+    # every embedding n_bands times through the exchange (the same shuffle
+    # shape incremental._stack documents); Catalyst prunes _qv/_qn off the
+    # signature scan, and the vectors re-join on the collision-sized pair set.
+    cand = (
+        qs.select(q_id, "band", "bucket")
+        .join(cs.select(c_id, "band", "bucket"), ["band", "bucket"])
+        .select(q_id, c_id)
         .dropDuplicates([q_id, c_id])
+    )
+    qv = queries.select(q_id, F.col(q_vec).alias("_qv"), _norm_col(q_vec).alias("_qn"))
+    cv = candidates.select(c_id, F.col(c_vec).alias("_cv"), _norm_col(c_vec).alias("_cn"))
+    pairs = (
+        cand.join(qv, q_id)
+        .join(cv, c_id)
         .withColumn(
             "cos_sim",
             F.when(
@@ -277,11 +288,23 @@ def lsh_threshold_pairs(
     billion-row path for dedup.embedding_neardup_pairs: candidate volume is
     bucket collisions, not |D|^2 (approximate: pairs missing every band
     bucket are not recalled)."""
-    a = hyperplane_signature(emb, id_col, vec_col, "a", n_planes, n_bands, dim).select(
-        F.col(id_col).alias("id_a"), "_av", "_an", "band", "bucket"
+    sig = hyperplane_signature(emb, id_col, vec_col, "a", n_planes, n_bands, dim)
+    # ids-only band self-join (see lsh_topk): the billion-row claim in this
+    # docstring only holds if the exchange carries (id, band, bucket) rows,
+    # not n_bands copies of every embedding vector.
+    a = sig.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = sig.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    b = hyperplane_signature(emb, id_col, vec_col, "b", n_planes, n_bands, dim).select(
-        F.col(id_col).alias("id_b"), "_bv", "_bn", "band", "bucket"
+    va = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_av"), _norm_col(vec_col).alias("_an")
+    )
+    vb = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_bv"), _norm_col(vec_col).alias("_bn")
     )
     dot = F.aggregate(
         F.zip_with("_av", "_bv", lambda x, y: x.cast("double") * y),
@@ -289,9 +312,8 @@ def lsh_threshold_pairs(
         lambda acc, x: acc + x,
     )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn(
             "cos_sim",
             F.when(

@@ -149,6 +149,43 @@ def main() -> None:
         "(vectorized pandas UDF on the scan, shuffle-free)",
     )
 
+    # 13. LSH band join shuffles ids only — never n_bands copies of the
+    # embedding vectors (forced to shuffle-join so the exchange is visible)
+    from spanluke_spark.link.ann import lsh_threshold_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lplan = (
+            lsh_threshold_pairs(emb, threshold=0.9)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+    # the exchange's payload is EXACTLY its immediate child Project's output
+    # list (the line right below it) — deeper lines legitimately reference
+    # the embedding column to COMPUTE the bands, so only line 1 is checked.
+    # Negative control: the vector-carrying formulation puts _av/_an in that
+    # Project and fails this predicate.
+    band_exchanges = [
+        seg for seg in lplan.split("Exchange hashpartitioning(")[1:] if seg.startswith("band")
+    ]
+    def _child_ok(seg: str) -> bool:
+        child = seg.split("\n")[1] if "\n" in seg else ""
+        return (
+            "Project" in child
+            and "_av" not in child and "_bv" not in child and "embedding" not in child
+        )
+
+    check(
+        "lsh_band_join_ids_only",
+        bool(band_exchanges) and all(_child_ok(seg) for seg in band_exchanges),
+        "(band exchange carries (id, band, bucket); vectors re-join on the pair set)",
+    )
+
     spark.stop()
     sys.exit(1 if failures else 0)
 
