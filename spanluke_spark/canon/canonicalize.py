@@ -97,9 +97,13 @@ def fuzzy_edges(
 
 
 def exact_edges(nodes: DataFrame) -> DataFrame:
-    """Same normalized name -> edge (e.g. 'surf:apache spark' vs
-    'ent:12' whose canonical_name normalizes identically is handled upstream;
-    here: identical stripped names across distinct keys)."""
+    """Same stripped name across distinct keys -> edge.
+
+    NOTE: on the normalized ``surf:``-only key space of
+    ``canonicalize_entities`` this is provably EMPTY (the stripped name IS
+    the distinct key suffix), so the pipeline no longer calls it there —
+    it exists for callers canonicalizing keys whose stripped names are not
+    injective (e.g. mixed raw/normalized vocabularies)."""
     named = nodes.withColumn(
         "name", F.regexp_replace(F.col("key"), r"^(ent|surf):", "")
     )
@@ -143,8 +147,10 @@ def canonicalize_entities(
         )
     else:
         fz = fuzzy_edges(surf_nodes, max_distance)
-    edges = exact_edges(surf_nodes).unionByName(fz)
-    comp = connected_components(edges, "src", "dst")
+    # No exact_edges union: distinct surf: keys always carry distinct
+    # stripped names (the key IS "surf:" + normalized name), so that join
+    # matched nothing — one shuffle per run for provably zero edges.
+    comp = connected_components(fz, "src", "dst")
     labeled = nodes.join(comp, "node", "left").withColumn(
         "component", F.coalesce("component", F.col("node"))
     )
