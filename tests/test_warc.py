@@ -1,0 +1,94 @@
+"""WARC ingestion (etl/warc.py): record parse, per-record-gzip members,
+HTTP framing strip, and WARC -> pages -> KG-extraction integration."""
+
+from __future__ import annotations
+
+import gzip
+import os
+import shutil
+import tempfile
+from datetime import datetime, timezone
+
+import pytest
+
+from spanluke_spark.etl.warc import (
+    encode_warc,
+    gunzip_members,
+    parse_warc,
+    read_warc,
+)
+
+
+def _records(n=4):
+    return [
+        (
+            f"https://example.org/doc/{i}",
+            datetime(2024, 3, 1, 12, i, 0, tzinfo=timezone.utc),
+            f"<html><body><p>page {i} body text</p></body></html>".encode(),
+        )
+        for i in range(n)
+    ]
+
+
+def test_roundtrip_plain_and_gzip():
+    recs = _records()
+    for gz in (False, True):
+        got = list(parse_warc(encode_warc(recs, gzip_per_record=gz)))
+        assert len(got) == len(recs), gz  # warcinfo member skipped
+        for rec, (url, ts, html) in zip(got, recs):
+            assert rec["url"] == url
+            assert rec["warc_ts"] == ts
+            assert bytes(rec["html"]) == html  # HTTP framing stripped
+
+
+def test_gunzip_members_reads_all_members():
+    """Pins the multi-member behavior the Common-Crawl layout depends on:
+    if a future runtime's decompress stopped at the first member, records
+    2..n would be silently lost — this would catch it."""
+    parts = [b"alpha-", b"beta-", b"gamma"]
+    multi = b"".join(gzip.compress(p) for p in parts)
+    assert gunzip_members(multi) == b"".join(parts)
+    with pytest.raises(ValueError, match="gzip"):
+        gunzip_members(b"\x1f\x8bnot really gzip at all")
+
+
+def test_malformed_warc_raises():
+    good = encode_warc(_records(2))
+    # cut inside the LAST record's body: definitely torn, not a clean prefix
+    with pytest.raises(ValueError, match="truncated|not a WARC|Content-Length"):
+        list(parse_warc(good[:-12]))
+    with pytest.raises(ValueError):
+        list(parse_warc(b"GARBAGE/1.0\r\n\r\n\r\n\r\n"))
+
+
+def test_read_warc_to_pages_and_extraction(spark):
+    """End-to-end: .warc.gz files -> pages rows -> the real extraction
+    kernel (html -> text -> mentions) — the authentic Common-Crawl first
+    mile feeding the existing pipeline unchanged."""
+    from pyspark.sql import functions as F
+
+    from spanluke_spark.etl.extract import extract_text
+
+    out = tempfile.mkdtemp(prefix="warc_")
+    try:
+        recs = _records(6)
+        with open(os.path.join(out, "seg0.warc.gz"), "wb") as f:
+            f.write(encode_warc(recs[:3], gzip_per_record=True))
+        with open(os.path.join(out, "seg1.warc"), "wb") as f:
+            f.write(encode_warc(recs[3:]))
+        pages = read_warc(spark, out, lang="en")
+        rows = {r.url: r for r in pages.collect()}
+        assert len(rows) == 6
+        for url, ts, html in recs:
+            assert bytes(rows[url].html) == html
+            assert rows[url].warc_ts == ts.replace(tzinfo=None)  # session-local naive
+            assert rows[url].lang == "en"
+        # the standard downstream hop works unchanged on WARC-read pages
+        extracted = extract_text(pages)
+        texts = {r.url: r.text for r in extracted.collect()}
+        for i, (url, _, _) in enumerate(recs):
+            assert texts[url] == f"page {i} body text"
+        # one file per task: exactly 2 input partitions for 2 files
+        assert pages.rdd.getNumPartitions() <= 4
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
