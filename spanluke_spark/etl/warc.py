@@ -52,10 +52,13 @@ def _parse_warc_date(s: str) -> datetime | None:
         return None
 
 
-def parse_warc(buf: bytes) -> Iterator[dict]:
-    """Iterate response records of one (decompressed) WARC buffer as dicts
-    (url, warc_ts, html). Malformed trailing bytes raise ValueError —
-    per-file corruption surfaces as one clean failure, not silent loss."""
+def parse_warc(buf: bytes, record_type: str = "response") -> Iterator[dict]:
+    """Iterate records of one (decompressed) WARC buffer as dicts
+    (url, warc_ts, html). ``record_type="response"`` strips HTTP framing
+    (WARC files); ``"conversion"`` yields the payload verbatim (WET files —
+    Common Crawl's pre-extracted text). Malformed trailing bytes raise
+    ValueError — per-file corruption surfaces as one clean failure, not
+    silent loss."""
     if buf[:2] == b"\x1f\x8b":
         buf = gunzip_members(buf)
     pos = 0
@@ -88,16 +91,19 @@ def parse_warc(buf: bytes) -> Iterator[dict]:
         if len(body) < length:
             raise ValueError("truncated WARC record body")
         pos = body_start + length
-        if fields.get("warc-type") != "response":
+        if fields.get("warc-type") != record_type:
             continue  # warcinfo / request / metadata records carry no page
-        # response payload is an HTTP message: status line + headers, blank
-        # line, entity body (the html bytes)
-        sep = body.find(b"\r\n\r\n")
-        html = body[sep + 4 :] if sep >= 0 else body
+        if record_type == "response":
+            # response payload is an HTTP message: status line + headers,
+            # blank line, entity body (the html bytes)
+            sep = body.find(b"\r\n\r\n")
+            payload = body[sep + 4 :] if sep >= 0 else body
+        else:
+            payload = body  # conversion (WET): the extracted text itself
         yield {
             "url": fields.get("warc-target-uri", ""),
             "warc_ts": _parse_warc_date(fields.get("warc-date", "")),
-            "html": html,
+            "html": payload,
         }
 
 
@@ -118,6 +124,32 @@ def read_warc(spark: SparkSession, path: str, lang: str | None = None) -> DataFr
                     rows["warc_ts"].append(rec["warc_ts"])
                     rows["html"].append(rec["html"])
                     rows["text"].append(None)
+                    rows["lang"].append(lang)
+            yield pd.DataFrame(rows)
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+    return files.mapInPandas(_parse, PAGES_SCHEMA)
+
+
+def read_wet(spark: SparkSession, path: str, lang: str | None = None) -> DataFrame:
+    """WET files (Common Crawl's pre-extracted text: ``conversion`` records)
+    -> pages rows with ``text`` already filled and ``html`` NULL — the
+    skip-extraction fast path for pipelines that trust the crawl's own
+    extractor. Same one-file-per-task shape as ``read_warc``."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "url": [], "warc_ts": [], "html": [], "text": [], "lang": []
+            }
+            for content in pdf["content"]:
+                for rec in parse_warc(bytes(content), record_type="conversion"):
+                    rows["url"].append(rec["url"])
+                    rows["warc_ts"].append(rec["warc_ts"])
+                    rows["html"].append(None)
+                    rows["text"].append(
+                        bytes(rec["html"]).decode("utf-8", errors="replace")
+                    )
                     rows["lang"].append(lang)
             yield pd.DataFrame(rows)
 

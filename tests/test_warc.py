@@ -12,6 +12,7 @@ from datetime import datetime, timezone
 import pytest
 
 from spanluke_spark.etl.warc import (
+    read_wet,
     encode_warc,
     gunzip_members,
     parse_warc,
@@ -90,5 +91,35 @@ def test_read_warc_to_pages_and_extraction(spark):
             assert texts[url] == f"page {i} body text"
         # one file per task: exactly 2 input partitions for 2 files
         assert pages.rdd.getNumPartitions() <= 4
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_read_wet_conversion_records(spark):
+    """WET path: conversion records yield text directly (no HTTP framing),
+    html NULL — and response-only parsing still skips them."""
+
+    out = tempfile.mkdtemp(prefix="wet_")
+    try:
+        texts = [f"extracted text for page {i}\nsecond line" for i in range(3)]
+        # hand-build conversion records (encode_warc writes responses)
+        buf = bytearray()
+        for i, t in enumerate(texts):
+            body = t.encode()
+            buf += (
+                "WARC/1.0\r\nWARC-Type: conversion\r\n"
+                f"WARC-Target-URI: https://example.org/w{i}\r\n"
+                "WARC-Date: 2024-06-01T00:00:00Z\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode() + body + b"\r\n\r\n"
+        with open(os.path.join(out, "seg.warc.wet.gz"), "wb") as f:
+            f.write(gzip.compress(bytes(buf)))
+        rows = {r.url: r for r in read_wet(spark, out, lang="en").collect()}
+        assert len(rows) == 3
+        for i, t in enumerate(texts):
+            r = rows[f"https://example.org/w{i}"]
+            assert r.text == t and r.html is None and r.lang == "en"
+        # response-mode parser skips conversion records entirely
+        assert list(parse_warc(bytes(buf))) == []
     finally:
         shutil.rmtree(out, ignore_errors=True)
