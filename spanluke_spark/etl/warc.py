@@ -107,24 +107,47 @@ def parse_warc(buf: bytes, record_type: str = "response") -> Iterator[dict]:
         }
 
 
-def read_warc(spark: SparkSession, path: str, lang: str | None = None) -> DataFrame:
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    lang: str | None = None,
+    on_error: str = "raise",
+) -> DataFrame:
     """WARC files under ``path`` (.warc / .warc.gz) -> pages rows
     (url, warc_ts, html, text=NULL, lang). One file per task via the
     binaryFile source; parse + HTTP-strip inside mapInPandas, no shuffle —
-    feed the result to ``extract_text``/``run_kg_pipeline`` unchanged."""
+    feed the result to ``extract_text``/``run_kg_pipeline`` unchanged.
+
+    ``on_error``: ``"raise"`` (default) fails the task on the first corrupt
+    file; ``"salvage"`` keeps every record parsed BEFORE the corruption
+    point and quarantines the rest of that file as one marker row
+    (url = ``warc:corrupt:<reason>``, html NULL) — the crawl policy: one
+    torn segment must not kill a 10^12-page ingest, and the marker rows
+    make the loss countable (``html IS NULL``)."""
+    if on_error not in ("raise", "salvage"):
+        raise ValueError(f"on_error must be 'raise' or 'salvage', got {on_error!r}")
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: dict[str, list] = {
                 "url": [], "warc_ts": [], "html": [], "text": [], "lang": []
             }
+
+            def add(url, ts, html):
+                rows["url"].append(url)
+                rows["warc_ts"].append(ts)
+                rows["html"].append(html)
+                rows["text"].append(None)
+                rows["lang"].append(lang)
+
             for content in pdf["content"]:
-                for rec in parse_warc(bytes(content)):
-                    rows["url"].append(rec["url"])
-                    rows["warc_ts"].append(rec["warc_ts"])
-                    rows["html"].append(rec["html"])
-                    rows["text"].append(None)
-                    rows["lang"].append(lang)
+                try:
+                    for rec in parse_warc(bytes(content)):
+                        add(rec["url"], rec["warc_ts"], rec["html"])
+                except ValueError as exc:
+                    if on_error == "raise":
+                        raise
+                    add(f"warc:corrupt:{exc}", None, None)
             yield pd.DataFrame(rows)
 
     files = spark.read.format("binaryFile").load(path).select("content")

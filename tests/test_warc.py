@@ -123,3 +123,28 @@ def test_read_wet_conversion_records(spark):
         assert list(parse_warc(bytes(buf))) == []
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_read_warc_salvage_policy(spark):
+    """One torn crawl file must not kill the ingest: salvage keeps records
+    parsed before the corruption point plus a countable marker row; the
+    strict default still fails."""
+    out = tempfile.mkdtemp(prefix="warc_salvage_")
+    try:
+        good = encode_warc(_records(3))
+        torn = encode_warc(_records(2))[:-12]  # cut inside the last body
+        with open(os.path.join(out, "ok.warc"), "wb") as f:
+            f.write(good)
+        with open(os.path.join(out, "torn.warc"), "wb") as f:
+            f.write(torn)
+        rows = read_warc(spark, out, lang="en", on_error="salvage").collect()
+        markers = [r for r in rows if r.url.startswith("warc:corrupt:")]
+        pages = [r for r in rows if not r.url.startswith("warc:corrupt:")]
+        assert len(markers) == 1 and markers[0].html is None
+        # 3 from the good file + record 0 of the torn file (record 1 is torn)
+        assert len(pages) == 4
+        assert sum(1 for r in pages if r.html is not None) == 4
+        with pytest.raises(Exception):
+            read_warc(spark, out, lang="en").collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
