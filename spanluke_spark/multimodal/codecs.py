@@ -338,6 +338,10 @@ def decode_image(payload: bytes) -> np.ndarray:
             return decode_bmp(payload)
         if payload[:8] == PNG_MAGIC:
             return decode_png(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from .gif import decode_gif
+
+            return decode_gif(payload)
     except (*_CODEC_ERRORS, zlib.error) as exc:
         raise ValueError(f"corrupt image payload: {type(exc).__name__}: {exc}") from exc
     if payload[:2] == b"\xff\xd8":
