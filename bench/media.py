@@ -24,23 +24,27 @@ def build_payloads(n_per_kind: int) -> list[tuple[int, str, bytearray]]:
     import numpy as np
 
     from spanluke_spark.multimodal.codecs import encode_bmp, encode_png, encode_wav
+    from spanluke_spark.multimodal.gif import encode_gif
     from spanluke_spark.multimodal.jpeg import encode_jpeg
 
     rng = np.random.default_rng(0)
     yy, xx = np.mgrid[0:240, 0:320]
     base = np.stack([xx % 256, yy % 256, (xx + yy) % 256], 2)
+    pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
     rows: list[tuple[int, str, bytearray]] = []
     mid = 0
     t = np.linspace(0, 1.0, 16000, endpoint=False)
     for i in range(n_per_kind):
         img = np.clip(base + rng.integers(0, 20, base.shape), 0, 255).astype(np.uint8)
+        gif_img = pal[rng.integers(0, 64, (120, 160))]
         rows.append((mid, "image", bytearray(encode_jpeg(img, quality=80, subsample=True))))
         rows.append((mid + 1, "image", bytearray(encode_png(img, filter_type=2))))
         rows.append((mid + 2, "image", bytearray(encode_bmp(img))))
+        rows.append((mid + 3, "image", bytearray(encode_gif(gif_img))))
         rows.append(
-            (mid + 3, "audio", bytearray(encode_wav(16000, 0.4 * np.sin((440 + i) * t))))
+            (mid + 4, "audio", bytearray(encode_wav(16000, 0.4 * np.sin((440 + i) * t))))
         )
-        mid += 4
+        mid += 5
     return rows
 
 
@@ -82,7 +86,7 @@ def main() -> None:
                 "metric": "media_decode_throughput",
                 "payloads": len(rows),
                 "decoded": decoded,
-                "mix": "JPEG-4:2:0/PNG/BMP 320x240 + 1s WAV",
+                "mix": "JPEG-4:2:0/PNG/BMP 320x240 + GIF 160x120 + 1s WAV",
                 "total_mb": round(total_mb, 1),
                 "cpus": cpus,
                 "sec": round(best, 2),
