@@ -42,7 +42,14 @@ def _sub_blocks(payload: bytes, pos: int) -> tuple[bytes, int]:
 
 
 def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
-    """GIF-variant LZW -> palette indices (uint8/uint16 array, n_pixels)."""
+    """GIF-variant LZW -> palette indices (int32 array, n_pixels).
+
+    The dictionary is the standard linked-list representation —
+    ``(prefix code, suffix symbol)`` per entry, strings materialized only
+    at emission by walking the chain into a scratch buffer — so total work
+    is linear in emitted pixels (a tuple-per-entry table copies its whole
+    prefix on every insert: O(len^2) on deep dictionaries from real
+    compressed streams)."""
     if not (2 <= min_code_size <= 11):
         # spec range is 2..8; codes cap at 12 bits regardless. A corrupt
         # byte here (up to 255) would otherwise size the literal table at
@@ -59,11 +66,17 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     out = np.empty(n_pixels, dtype=np.int32)
     n_out = 0
 
-    def reset_table():
-        return {i: (i,) for i in range(clear)}, min_code_size + 1, eoi + 1
-
-    table, width, next_code = reset_table()
-    prev: tuple[int, ...] | None = None
+    MAXCODES = 4096
+    prefix = [-1] * MAXCODES  # -1 terminates a chain
+    suffix = [0] * MAXCODES
+    first = [0] * MAXCODES  # first symbol of the entry's string
+    for i in range(clear):
+        suffix[i] = i
+        first[i] = i
+    width = min_code_size + 1
+    next_code = eoi + 1
+    prev = -1
+    buf = [0] * MAXCODES  # chain-walk scratch (max chain length < 4096)
     while n_out < n_pixels:
         while nbits < width:
             if di >= dlen:
@@ -75,26 +88,46 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
         acc >>= width
         nbits -= width
         if code == clear:
-            table, width, next_code = reset_table()
-            prev = None
+            width = min_code_size + 1
+            next_code = eoi + 1
+            prev = -1
             continue
         if code == eoi:
             break
-        if code in table:
-            entry = table[code]
-        elif prev is not None and code == next_code:
-            entry = prev + (prev[0],)  # the KwKwK case
-        else:
-            raise ValueError("corrupt GIF LZW code")
-        take = min(len(entry), n_pixels - n_out)
-        out[n_out : n_out + take] = entry[:take]
-        n_out += take
-        if prev is not None and next_code < 4096:
-            table[next_code] = prev + (entry[0],)
+        if code == next_code and prev != -1 and next_code < MAXCODES:
+            # KwKwK: the code being decoded IS the entry about to be added
+            # (prev's string + prev's first symbol) — add it first, then the
+            # normal chain-walk emission below resolves it
+            prefix[next_code] = prev
+            suffix[next_code] = first[prev]
+            first[next_code] = first[prev]
             next_code += 1
             if next_code == (1 << width) and width < 12:
                 width += 1
-        prev = entry
+            added = True
+        elif code < next_code:
+            added = False
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        # materialize the code's string: reversed chain walk, then unreverse
+        k = 0
+        c = code
+        while c != -1:
+            buf[k] = suffix[c]
+            k += 1
+            c = prefix[c]
+        take = min(k, n_pixels - n_out)
+        out[n_out : n_out + take] = buf[k - 1 :: -1][:take]
+        n_out += take
+        if not added and prev != -1 and next_code < MAXCODES:
+            # normal case: new entry = prev's string + this string's first
+            prefix[next_code] = prev
+            suffix[next_code] = first[code]
+            first[next_code] = first[prev]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = code
     if n_out < n_pixels:
         raise ValueError("GIF LZW stream ended early")
     return out

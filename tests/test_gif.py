@@ -85,3 +85,85 @@ def test_dispatch_and_spark_kernel(spark):
     }
     for i, a in enumerate(imgs):
         assert feats[i] == pytest.approx(image_features(a), rel=1e-6, abs=1e-7), i
+
+
+def _real_lzw_compress(pixels, mcs):
+    """Genuine GIF LZW compressor (dictionary growth, width changes) — the
+    fixture encoder only emits literal codes, which never exercises the
+    decoder's dictionary chains or the KwKwK case."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    width = mcs + 1
+    next_code = eoi + 1
+    put(clear, width)
+    w = ()
+    for p in map(int, pixels):
+        wk = w + (p,)
+        if wk in table:
+            w = wk
+            continue
+        put(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                # GIF encoders grow width when next_code EXCEEDS the range
+                width += 1
+        w = (p,)
+    put(table[w], width)
+    put(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _wrap_gif(body, palette, w, h, mcs):
+    import struct
+
+    size = len(palette)
+    gct_bits = size.bit_length() - 1
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h) + bytes([0x80 | (gct_bits - 1), 0, 0])
+    out += palette.tobytes()
+    out += bytes([0x2C]) + struct.pack("<4H", 0, 0, w, h) + bytes([0]) + bytes([mcs])
+    for i in range(0, len(body), 255):
+        chunk = body[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
+def test_real_lzw_streams_roundtrip():
+    """Dictionary-growing LZW streams (incl. the KwKwK pattern from runs
+    and deep chains from repetitive content) decode exactly."""
+    rng = np.random.default_rng(0)
+    palette = np.zeros((4, 3), dtype=np.uint8)
+    palette[:] = [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]]
+    cases = [
+        np.zeros(64, dtype=np.int64),                         # pure run -> KwKwK
+        np.tile([0, 1], 50),                                  # abab chains
+        np.tile([0, 1, 2, 3], 400),                           # width growth
+        rng.integers(0, 4, 5000),                             # deep dictionary
+    ]
+    for pix in cases:
+        w = len(pix)
+        body = _real_lzw_compress(pix, mcs=2)
+        got = decode_gif(_wrap_gif(body, palette, w, 1, 2))
+        assert np.array_equal(got[0], palette[pix]), len(pix)
+    # large compressible image through the container end-to-end
+    big = np.repeat(rng.integers(0, 4, (60, 1)), 300, axis=1)  # 60x300 runs
+    body = _real_lzw_compress(big.reshape(-1), mcs=2)
+    got = decode_gif(_wrap_gif(body, palette, 300, 60, 2))
+    assert np.array_equal(got, palette[big])
