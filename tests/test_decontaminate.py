@@ -1,0 +1,74 @@
+"""Benchmark decontamination (textops/decontaminate.py): flag counts vs
+the pure-Python oracle, removal policy, broadcast plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spanluke_spark.textops.decontaminate import (
+    benchmark_ngrams,
+    decontaminate,
+    flag_contaminated,
+    py_ngram_overlap,
+)
+
+
+def _corpus(spark, n=5):
+    """Docs 0 and 2 embed verbatim benchmark passages; doc 4 is shorter
+    than the n-gram window; the rest are clean."""
+    bench_passage = "the quick brown fox jumps over the lazy dog near the river bank today"
+    bench2 = "courts interpret statutes according to their plain meaning whenever the text is clear enough"
+    docs = [
+        (0, f"intro text here {bench_passage} trailing content words beyond"),
+        (1, " ".join(f"clean{i}" for i in range(40))),
+        (2, f"{bench2} and then some extra commentary follows this passage here"),
+        (3, " ".join(f"other{i}" for i in range(30))),
+        (4, "too short for any n gram"),
+    ]
+    bench = [(100, bench_passage), (101, bench2)]
+    return (
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        spark.createDataFrame(bench, "doc_id long, text string"),
+        docs,
+        [t for _, t in bench],
+    )
+
+
+def test_flags_match_python_oracle(spark):
+    docs_df, bench_df, docs, bench_texts = _corpus(spark)
+    flagged = flag_contaminated(docs_df, benchmark_ngrams(bench_df))
+    got = {r.doc_id: (r.n_hits, r.contaminated) for r in flagged.collect()}
+    for doc_id, text in docs:
+        want = py_ngram_overlap(text, bench_texts)
+        assert got[doc_id] == (want, want > 0), doc_id
+    assert got[0][1] and got[2][1]          # embedders flagged
+    assert not any(got[i][1] for i in (1, 3, 4))  # clean + too-short pass
+
+
+def test_decontaminate_removes_only_contaminated(spark):
+    docs_df, bench_df, *_ = _corpus(spark)
+    kept = decontaminate(docs_df, bench_df)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 4]
+    assert kept.columns == docs_df.columns  # flags don't leak into output
+
+
+def test_ngram_window_sensitivity(spark):
+    """With n larger than the longest shared run, nothing is flagged."""
+    docs_df, bench_df, *_ = _corpus(spark)
+    kept = decontaminate(docs_df, bench_df, n=20)
+    assert kept.count() == docs_df.count()
+
+
+def test_plan_probe_is_broadcast(spark):
+    """The corpus side must probe the benchmark set with a BROADCAST join —
+    a shuffled probe would reshuffle every corpus n-gram at 10^12 docs."""
+    docs_df, bench_df, *_ = _corpus(spark)
+    plan = (
+        flag_contaminated(docs_df, benchmark_ngrams(bench_df))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
