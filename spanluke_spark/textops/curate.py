@@ -31,13 +31,19 @@ def curate(
     portable: bool = False,
     text_col: str = "text",
     id_col: str = "doc_id",
+    benchmark: DataFrame | None = None,
+    decontaminate_n: int = 13,
 ) -> DataFrame:
     """documents -> curated survivors.
 
     1. filter_quality: length window + punct/upper caps + lang allowlist.
-    2. MinHash-LSH near-dup clusters -> keep min-id doc per cluster
+    2. benchmark decontamination (skipped when ``benchmark`` is None):
+       drop docs sharing any ``decontaminate_n``-gram with the eval set —
+       before dedup, so a contaminated doc can't win a near-dup cluster
+       and knock out its clean near-copies.
+    3. MinHash-LSH near-dup clusters -> keep min-id doc per cluster
        (skipped when ``dedup_threshold`` is None).
-    3. deterministic stratified sampling by ``sample_rates`` (skipped when
+    4. deterministic stratified sampling by ``sample_rates`` (skipped when
        None) — reproducible across reruns/engines (portable hash).
     """
     kept = filter_quality(
@@ -49,6 +55,12 @@ def curate(
         max_upper_ratio=max_upper_ratio,
         langs=langs,
     )
+    if benchmark is not None:
+        from .decontaminate import decontaminate
+
+        kept = decontaminate(
+            kept, benchmark, n=decontaminate_n, id_col=id_col, text_col=text_col
+        )
     if dedup_threshold is not None:
         pairs = minhash_lsh_pairs(
             kept,

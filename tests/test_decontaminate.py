@@ -72,3 +72,27 @@ def test_plan_probe_is_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_curate_composes_decontamination(spark):
+    """curate(benchmark=...) drops eval-overlapping docs BEFORE dedup so a
+    contaminated doc cannot win a near-dup cluster over clean copies."""
+    from spanluke_spark.textops.curate import curate
+
+    passage = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            # doc 0 is a near-copy of doc 1 with a SMALLER id (would win
+            # dedup) but embeds the benchmark passage — must be removed
+            # first so the clean doc 1 survives
+            (0, passage + " tail0 " + " ".join(f"c{i}" for i in range(15))),
+            (1, " ".join(f"c{i}" for i in range(15)) + " unique middle " * 3),
+            (2, " ".join(f"z{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, passage)], "doc_id long, text string")
+    kept = curate(docs, dedup_threshold=None, benchmark=bench)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
+    # without the benchmark, nothing is removed
+    assert curate(docs, dedup_threshold=None).count() == 3
