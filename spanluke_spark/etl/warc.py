@@ -44,12 +44,16 @@ def gunzip_members(payload: bytes) -> bytes:
 
 
 def _parse_warc_date(s: str) -> datetime | None:
-    try:
-        return datetime.strptime(s.strip(), "%Y-%m-%dT%H:%M:%SZ").replace(
-            tzinfo=timezone.utc
-        )
-    except ValueError:
-        return None
+    # WARC 1.0 mandates whole seconds; WARC 1.1 allows fractional seconds
+    # (e.g. 2024-03-01T12:00:00.123Z) — accept both rather than silently
+    # NULLing every 1.1 timestamp
+    s = s.strip()
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+        try:
+            return datetime.strptime(s, fmt).replace(tzinfo=timezone.utc)
+        except ValueError:
+            continue
+    return None
 
 
 def parse_warc(buf: bytes, record_type: str = "response") -> Iterator[dict]:

@@ -345,14 +345,16 @@ def decode_image(payload: bytes) -> np.ndarray:
     except (*_CODEC_ERRORS, zlib.error) as exc:
         raise ValueError(f"corrupt image payload: {type(exc).__name__}: {exc}") from exc
     if payload[:2] == b"\xff\xd8":
-        from .jpeg import decode_jpeg
+        from .jpeg import UnsupportedJpegError, decode_jpeg
 
         try:
             return decode_jpeg(payload)
-        except ValueError:
-            # outside the native baseline scope (progressive, CMYK, ...):
+        except UnsupportedJpegError:
+            # well-formed but outside the native scope (12-bit, CMYK, ...):
             # fall through to the PIL path / documented gate below
             pass
+        # plain ValueError = corruption: propagate, honoring the
+        # "corrupt payloads of any kind raise ValueError" contract
     try:
         import io
 

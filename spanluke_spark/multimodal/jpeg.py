@@ -241,6 +241,14 @@ def _split_entropy(payload: bytes, i: int) -> tuple[list[bytes], int]:
 MAX_PIXELS = 1 << 24  # 16.7 MP: allocation guard against corrupt SOF dims
 
 
+class UnsupportedJpegError(ValueError):
+    """Well-formed JPEG using a feature outside the native decoder's scope
+    (12-bit precision, CMYK, arithmetic coding, ...). Distinct from plain
+    ValueError (= corruption) so ``decode_image`` can fall through to an
+    external codec library ONLY for the unsupported-feature case and keep
+    the 'corrupt payloads raise ValueError' contract for truly bad bytes."""
+
+
 def decode_jpeg(payload: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
     """Baseline JPEG bytes -> HxWx3 uint8 RGB (grayscale replicated).
 
@@ -282,13 +290,13 @@ def _decode_jpeg(payload: bytes, max_pixels: int) -> np.ndarray:
             while j < len(seg):
                 pq, tq = seg[j] >> 4, seg[j] & 0x0F
                 if pq != 0:
-                    raise ValueError("16-bit quantization tables not supported")
+                    raise UnsupportedJpegError("16-bit quantization tables not supported")
                 qt[tq] = np.frombuffer(seg, dtype=np.uint8, count=64, offset=j + 1).astype(np.int64)
                 j += 65
         elif m in (0xC0, 0xC1):  # SOF0/1: baseline
             precision, h, w, ncomp = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if precision != 8:
-                raise ValueError("only 8-bit JPEG supported")
+                raise UnsupportedJpegError("only 8-bit JPEG supported")
             if not (0 < h and 0 < w) or h * w > max_pixels:
                 raise ValueError(f"JPEG dimensions {w}x{h} outside sane bounds")
             comps = []
@@ -300,7 +308,7 @@ def _decode_jpeg(payload: bytes, max_pixels: int) -> np.ndarray:
                 comps.append((cid, ch, cv, tq2))
             frame = (h, w, comps)
         elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline (SOF0/SOF1) JPEG supported")
+            raise UnsupportedJpegError("only baseline (SOF0/SOF1) JPEG supported")
         elif m == 0xC4:  # DHT — possibly several tables per segment
             j = 0
             while j < len(seg):
@@ -442,14 +450,14 @@ def _decode_scan(frame, scan_sel, qt, dc_tabs, ac_tabs, restart_interval, segmen
         plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         ry, rx = vmax // cv, hmax // ch
         if ry * cv != vmax or rx * ch != hmax:
-            raise ValueError("non-integer chroma sampling ratio not supported")
+            raise UnsupportedJpegError("non-integer chroma sampling ratio not supported")
         plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         planes.append(plane[:h_img, :w_img].astype(np.float64))
     if len(planes) == 1:
         g = planes[0].astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
     if len(planes) != 3:
-        raise ValueError(f"{len(planes)}-component JPEG (CMYK?) not supported")
+        raise UnsupportedJpegError(f"{len(planes)}-component JPEG (CMYK?) not supported")
     y, cb, cr = planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
@@ -558,7 +566,10 @@ def encode_jpeg(
         by, bx = blocks.shape[:2]
         coefs = _dct_blocks(blocks.reshape(-1, 8, 8)).reshape(-1, 64)
         zz = coefs[:, ZIGZAG]
-        zz_all.append(np.round(zz / q[None, :]).astype(np.int64).reshape(by, bx, 64))
+        # DQT is emitted in zigzag order (q[ZIGZAG]) and the decoder
+        # dequantizes zigzag coefficient k by that table's k-th entry, so
+        # the quantizer must divide in the SAME permutation.
+        zz_all.append(np.round(zz / q[ZIGZAG][None, :]).astype(np.int64).reshape(by, bx, 64))
 
     dc_l = _huff_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _huff_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)

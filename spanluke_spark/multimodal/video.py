@@ -127,23 +127,25 @@ def extract_video_frame_features(
         for pdf in batches:
             out = {"media_id": [], "frame_idx": [], "ts_ms": [], "features": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                # buffer the video's rows locally and commit atomically:
+                # a frame failing mid-video must yield ONLY the marker row,
+                # never partial real rows + a marker (double-count)
+                rows: list[tuple[int, int, object]] = []
                 try:
                     if payload is None:
                         raise ValueError("NULL payload has no decodable video")
                     fps, frames = decode_mjpeg_avi(bytes(payload))
                     for idx, ts in sample_frame_indices(len(frames), fps, every_ms):
-                        feats = image_features(decode_jpeg(frames[idx]), dim)
-                        out["media_id"].append(mid)
-                        out["frame_idx"].append(idx)
-                        out["ts_ms"].append(ts)
-                        out["features"].append(feats)
+                        rows.append((idx, ts, image_features(decode_jpeg(frames[idx]), dim)))
                 except ValueError:
                     if on_error == "raise":
                         raise
+                    rows = [(-1, -1, None)]
+                for idx, ts, feats in rows:
                     out["media_id"].append(mid)
-                    out["frame_idx"].append(-1)
-                    out["ts_ms"].append(-1)
-                    out["features"].append(None)
+                    out["frame_idx"].append(idx)
+                    out["ts_ms"].append(ts)
+                    out["features"].append(feats)
             yield pd.DataFrame(out)
 
     from pyspark.sql import functions as F

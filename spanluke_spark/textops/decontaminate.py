@@ -21,14 +21,34 @@ from ..dedup.dedup import word_shingles
 
 DEFAULT_N = 13  # GPT-3 appendix C's 13-gram rule
 
+# Unicode punctuation (P*) and symbols (S*) — the "lowercase + strip
+# punctuation" normalization GPT-3 appendix C applies before n-gram overlap,
+# as a property class every engine in play agrees on: Java regex (Spark),
+# RE2 (DuckDB) and unicodedata categories (the Python oracle).
+_PUNCT_CLASS = r"[\p{P}\p{S}]"
+
+
+def normalize_for_overlap(text: Column) -> Column:
+    """Lowercase + punctuation/symbol -> space. Applied identically to both
+    sides so trivially reformatted benchmark text ("The fox, quick!" vs
+    "the fox quick") still collides; ``word_shingles`` splits on \\s+ so the
+    introduced spaces never create empty tokens."""
+    return F.regexp_replace(F.lower(text), _PUNCT_CLASS, " ")
+
+
+def _gram_source(text: Column, normalize: bool) -> Column:
+    return normalize_for_overlap(text) if normalize else text
+
 
 def benchmark_ngrams(
-    bench: DataFrame, n: int = DEFAULT_N, text_col: str = "text"
+    bench: DataFrame, n: int = DEFAULT_N, text_col: str = "text", normalize: bool = True
 ) -> DataFrame:
     """Distinct hashed word n-grams of the evaluation texts -> (h: long).
     The broadcastable contamination fingerprint of the benchmark."""
     return (
-        bench.select(F.explode(word_shingles(F.col(text_col), n)).alias("_g"))
+        bench.select(
+            F.explode(word_shingles(_gram_source(F.col(text_col), normalize), n)).alias("_g")
+        )
         .select(F.xxhash64("_g").alias("h"))
         .distinct()
     )
@@ -40,15 +60,19 @@ def flag_contaminated(
     n: int = DEFAULT_N,
     id_col: str = "doc_id",
     text_col: str = "text",
+    normalize: bool = True,
 ) -> DataFrame:
     """docs + (n_hits: matching benchmark n-grams, contaminated: bool).
+
+    ``normalize`` must match the flag ``benchmark_ngrams`` was built with —
+    both sides of the overlap see the same token stream.
 
     A doc shorter than ``n`` words has no n-grams and can never be flagged
     (matching the reference rule: overlap is defined on full n-grams)."""
     hits = (
         docs.select(
             F.col(id_col).alias("_id"),
-            F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
+            F.explode(word_shingles(_gram_source(F.col(text_col), normalize), n)).alias("_g"),
         )
         .select("_id", F.xxhash64("_g").alias("h"))
         .join(F.broadcast(bench_grams), "h", "left_semi")
@@ -69,18 +93,34 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_hits: int = 1,
+    normalize: bool = True,
 ) -> DataFrame:
     """Training docs minus those sharing >= ``min_hits`` word n-grams with
     the benchmark — document-level removal (the Llama/FineWeb policy; the
     windowed-span excision variant composes from ``flag_contaminated`` +
     ``chunking`` if partial salvage is ever preferred)."""
-    flagged = flag_contaminated(docs, benchmark_ngrams(bench, n, text_col), n, id_col, text_col)
+    flagged = flag_contaminated(
+        docs, benchmark_ngrams(bench, n, text_col, normalize), n, id_col, text_col, normalize
+    )
     return flagged.filter(F.col("n_hits") < min_hits).drop("n_hits", "contaminated")
 
 
-def py_ngram_overlap(doc_text: str, bench_texts: list[str], n: int = DEFAULT_N) -> int:
+def py_normalize_for_overlap(t: str) -> str:
+    """Python twin of ``normalize_for_overlap`` (unicodedata P*/S*)."""
+    import unicodedata
+
+    return "".join(
+        " " if unicodedata.category(c)[0] in "PS" else c for c in t.lower()
+    )
+
+
+def py_ngram_overlap(
+    doc_text: str, bench_texts: list[str], n: int = DEFAULT_N, normalize: bool = True
+) -> int:
     """Pure-Python oracle: # of doc word-n-grams present in the benchmark."""
     def grams(t: str) -> set[tuple[str, ...]]:
+        if normalize:
+            t = py_normalize_for_overlap(t)
         ws = t.split()
         return {tuple(ws[i : i + n]) for i in range(len(ws) - n + 1)}
 

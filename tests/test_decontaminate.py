@@ -96,3 +96,40 @@ def test_curate_composes_decontamination(spark):
     assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
     # without the benchmark, nothing is removed
     assert curate(docs, dedup_threshold=None).count() == 3
+
+
+def test_normalization_catches_reformatted_text(spark):
+    """GPT-3 appendix-C policy: lowercase + punctuation strip before the
+    overlap, so a benchmark passage that was re-cased and re-punctuated in
+    the training corpus is still flagged."""
+    passage = " ".join(f"w{i}" for i in range(13))
+    reformatted = "W0, w1; W2! w3 w4 (w5) w6 — w7 W8 w9 w10 “w11” w12."
+    docs_df = spark.createDataFrame(
+        [(0, f"prefix {reformatted} suffix"), (1, " ".join(f"c{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    bench_df = spark.createDataFrame([(9, passage)], "doc_id long, text string")
+    kept = decontaminate(docs_df, bench_df)
+    assert sorted(r.doc_id for r in kept.collect()) == [1]
+    # exact-token mode (normalize=False) documents the old behavior: misses it
+    kept_raw = decontaminate(docs_df, bench_df, normalize=False)
+    assert sorted(r.doc_id for r in kept_raw.collect()) == [0, 1]
+
+
+def test_normalizer_python_spark_parity(spark):
+    """The Spark \\p{P}\\p{S} regex and the unicodedata P*/S* oracle agree
+    character-for-character on a punctuation-heavy sample."""
+    from spanluke_spark.textops.decontaminate import (
+        normalize_for_overlap,
+        py_normalize_for_overlap,
+    )
+
+    samples = [
+        "Hello, World! It's 100% — 'quoted' + <tags> & [refs]; $5.00?",
+        "café «guillemets» …ellipsis… em—dash en–dash",
+        "math: a+b=c; 3<4>2 ~tilde~ |pipe| ^caret^ `tick`",
+        "no punctuation here at all",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    got = [r.n for r in df.select(normalize_for_overlap(F.col("t")).alias("n")).collect()]
+    assert got == [py_normalize_for_overlap(s) for s in samples]

@@ -113,3 +113,35 @@ def test_corrupt_containers_raise_valueerror():
                 decode_jpeg(bytes(f))
         except ValueError:
             pass  # the only acceptable failure mode
+
+
+def test_midvideo_frame_failure_emits_only_marker_row(spark):
+    """A video whose LATER frame fails JPEG decode (container parses fine,
+    first frames are good) must produce exactly one (-1, -1, NULL) marker
+    row — never partial real rows plus the marker (double-count)."""
+    jpegs = [encode_jpeg(a, quality=85) for a in _frames(3)]
+    # corrupt the LAST frame's entropy stream (past its SOS marker) so the
+    # AVI index + earlier frames stay decodable
+    broken = bytearray(jpegs[2])
+    sos = bytes(broken).find(b"\xff\xda")
+    assert sos > 0
+    for off in range(sos + 20, min(sos + 60, len(broken) - 2)):
+        broken[off] ^= 0xFF
+    # confirm the corruption actually breaks the frame decode
+    import pytest as _pytest
+
+    from spanluke_spark.multimodal.jpeg import decode_jpeg as _dj
+
+    with _pytest.raises(ValueError):
+        _dj(bytes(broken))
+    bad_video = encode_mjpeg_avi([jpegs[0], jpegs[1], bytes(broken)], fps=10.0)
+    good_video = encode_mjpeg_avi(jpegs, fps=10.0)
+    df = spark.createDataFrame(
+        [(0, "video", bytearray(good_video)), (1, "video", bytearray(bad_video))],
+        "media_id long, kind string, payload binary",
+    )
+    # every_ms=0 -> step 1: all 3 frames sampled, including the broken one
+    got = extract_video_frame_features(df, every_ms=0, on_error="null").collect()
+    bad = [r for r in got if r.media_id == 1]
+    assert len(bad) == 1 and bad[0].frame_idx == -1 and bad[0].features is None
+    assert len([r for r in got if r.media_id == 0]) == 3

@@ -148,3 +148,22 @@ def test_read_warc_salvage_policy(spark):
             read_warc(spark, out, lang="en").collect()
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_warc11_fractional_second_dates():
+    """WARC 1.1 permits fractional seconds; both forms must parse (not NULL)."""
+    from datetime import datetime, timezone
+
+    from spanluke_spark.etl.warc import _parse_warc_date
+
+    assert _parse_warc_date("2024-03-01T12:00:00Z") == datetime(
+        2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc
+    )
+    assert _parse_warc_date("2024-03-01T12:00:00.123Z") == datetime(
+        2024, 3, 1, 12, 0, 0, 123000, tzinfo=timezone.utc
+    )
+    assert _parse_warc_date("2024-03-01T12:00:00.123456Z") == datetime(
+        2024, 3, 1, 12, 0, 0, 123456, tzinfo=timezone.utc
+    )
+    assert _parse_warc_date("not a date") is None
+    assert _parse_warc_date("2024-03-01 12:00:00") is None
