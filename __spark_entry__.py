@@ -725,15 +725,21 @@ def q44_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q45_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup survivor selection end-to-end: MinHash-LSH candidate pairs
-    (portable hash, exact SQL twin) -> connected components -> keep min-id
-    doc per cluster. The oracle replays the pairs then closes them with a
-    recursive CTE."""
-    from spanluke_spark.dedup.dedup import dedup_keep, minhash_lsh_pairs
+    """Dedup survivor selection end-to-end, production two-tier path:
+    byte-identical collapse -> MinHash-LSH candidate pairs over unique
+    representatives (portable hash, exact SQL twin) -> connected components
+    -> keep min-id doc per cluster. The collapse is provably
+    output-invariant (identical docs always verify at Jaccard 1.0 and the
+    cluster min-id IS the representative), so the oracle still replays the
+    single-tier formulation: pairs then a recursive-CTE closure."""
+    from spanluke_spark.dedup.dedup import neardup_keep
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, verify_threshold=0.05, portable=True)
-    return dedup_keep(docs, pairs).select("doc_id", "lang").orderBy("doc_id")
+    return (
+        neardup_keep(docs, verify_threshold=0.05, portable=True)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
 
 
 def q46_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -48,30 +48,65 @@ def universal_hash_constants(num_hashes: int) -> list[tuple[int, int]]:
 
 
 def exact_dedup(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", by_hash: bool = False
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by_hash: bool = False,
+    max_members: int | None = 100,
 ) -> DataFrame:
-    """Exact duplicates by normalized content: (canonical_id, n_dups, members).
-    One partial+final hash aggregate; canonical = min id (deterministic).
+    """Exact duplicates by normalized content: (canonical_id, n_copies,
+    members). Canonical = min id (deterministic).
 
     ``by_hash=True`` groups on (length, xxhash64) of the normalized text
     instead of the text itself — the 100 TB mode: the shuffle carries 16
     bytes per row instead of the whole corpus. A cross-document collision
     needs identical 64-bit hash AND identical length (~n^2/2^64 at equal
-    length); acceptable for dedup, use the default for adjudication."""
+    length); acceptable for dedup, use the default for adjudication.
+
+    ``max_members`` bounds ``members`` to the smallest-id ``max_members``
+    copies (``n_copies`` always carries the true count). This is a MEMORY
+    bound, not just an output truncation: one boilerplate key with 10^6+
+    copies would otherwise build the whole array in a single aggregation
+    buffer / result row — executor OOM on exactly the input that needs
+    dedup most. The cap is enforced with a window-rank BEFORE the collect,
+    so the per-group buffer never exceeds ``max_members`` ids (the sort
+    underneath the window spills to disk; an array-slice after collect_list
+    would still buffer every copy). ``max_members=None`` restores the
+    single partial+final hash aggregate with unbounded members — cheapest
+    plan (map-side combine collapses copies pre-shuffle), safe when no key
+    is pathologically hot."""
     key = normalize_text(F.col(text_col))
     if by_hash:
         key_cols = [F.length(key).alias("_len"), F.xxhash64(key).alias("_h")]
     else:
         key_cols = [key.alias("_norm")]
-    return (
-        df.groupBy(*key_cols)
-        .agg(
+    proj = df.select(*key_cols, F.col(id_col))
+    key_names = [c for c in proj.columns if c != id_col]
+    if max_members is None:
+        grouped = proj.groupBy(*key_names).agg(
             F.min(id_col).alias("canonical_id"),
             F.count(F.lit(1)).alias("n_copies"),
             F.sort_array(F.collect_list(id_col)).alias("members"),
         )
-        .drop("_norm", "_len", "_h")
-    )
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key_names).orderBy(id_col)
+        # collect_list skips NULLs, so ranks past the cap never enter the
+        # buffer; the groupBy reuses the window's hash partitioning (one
+        # exchange total — verified by plan audit)
+        grouped = (
+            proj.withColumn("_rn", F.row_number().over(w))
+            .groupBy(*key_names)
+            .agg(
+                F.min(id_col).alias("canonical_id"),
+                F.count(F.lit(1)).alias("n_copies"),
+                F.sort_array(
+                    F.collect_list(F.when(F.col("_rn") <= max_members, F.col(id_col)))
+                ).alias("members"),
+            )
+        )
+    return grouped.drop("_norm", "_len", "_h")
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
@@ -373,6 +408,92 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def exact_collapse(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+) -> DataFrame:
+    """Byte-identical-content collapse: one representative row (min id) per
+    distinct text, full schema preserved — the mandatory stage BEFORE any
+    LSH self-join on crawl data, where the dominant duplication mode is
+    millions of byte-identical boilerplate pages. Without it every copy of
+    an identical cluster lands in the same bucket in ALL bands and the band
+    self-join emits O(c^2) pairs per cluster (10^6 copies -> ~10^12
+    candidate pairs); after it the cluster contributes ONE row to LSH.
+
+    Shape: a single partial+final ``min_by`` aggregate keyed on
+    (length, xxhash64) of the raw text — map-side combine collapses each
+    identical cluster to at most one row per map partition before the
+    shuffle, so the wire carries ~|distinct| rows even when the corpus is
+    dominated by copies. No join-back pass.
+
+    Docs with fewer than ``min_words`` whitespace tokens keep their own key
+    (keyed by id): they have no ``n``-shingles, so the LSH stage can never
+    pair them, and collapsing them would CHANGE the near-dup semantics
+    (identical short docs all survive today). Keying them by id keeps
+    ``neardup_keep`` bit-identical to the uncollapsed pipeline.
+    """
+    t = F.col(text_col)
+    long_enough = F.size(F.split(F.trim(t), r"\s+")) >= min_words
+    key = F.when(
+        long_enough,
+        F.struct(
+            F.lit(0).alias("short"),
+            F.length(t).cast("long").alias("a"),
+            F.xxhash64(t).alias("b"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.lit(1).alias("short"),
+            F.col(id_col).cast("long").alias("a"),
+            F.lit(0).cast("long").alias("b"),
+        )
+    )
+    return (
+        df.groupBy(key.alias("_k"))
+        .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("_rep"))
+        .select("_rep.*")
+    )
+
+
+def neardup_keep(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    verify_threshold: float | None = 0.7,
+    portable: bool = False,
+) -> DataFrame:
+    """FineWeb-style two-tier near-dup survivor selection: exact-collapse to
+    unique representatives, MinHash-LSH + connected components over the
+    representatives ONLY, survivors out.
+
+    Output is IDENTICAL to ``dedup_keep(df, minhash_lsh_pairs(df, ...))``:
+    byte-identical docs share every band bucket and verify at Jaccard 1.0,
+    so an exact cluster is always one CC component whose survivor is its min
+    id — exactly the representative ``exact_collapse`` keeps; docs shorter
+    than ``n`` words never enter LSH in either formulation. The collapse
+    only removes the O(c^2) identical-cluster candidate blowup, it cannot
+    change the survivor set. (That equivalence is what lets the SQL oracle
+    keep replaying the single-tier formulation.)
+    """
+    reps = exact_collapse(df, id_col=id_col, text_col=text_col, min_words=n)
+    pairs = minhash_lsh_pairs(
+        reps,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        verify_threshold=verify_threshold,
+        portable=portable,
+    )
+    return dedup_keep(reps, pairs, id_col=id_col)
 
 
 def dedup_keep(

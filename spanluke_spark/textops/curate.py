@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from ..dedup.dedup import dedup_keep, minhash_lsh_pairs
+from ..dedup.dedup import neardup_keep
 from .quality import filter_quality
 from .sampling import stratified_sample
 
@@ -41,8 +41,13 @@ def curate(
        drop docs sharing any ``decontaminate_n``-gram with the eval set —
        before dedup, so a contaminated doc can't win a near-dup cluster
        and knock out its clean near-copies.
-    3. MinHash-LSH near-dup clusters -> keep min-id doc per cluster
-       (skipped when ``dedup_threshold`` is None).
+    3. two-tier near-dup removal (skipped when ``dedup_threshold`` is
+       None): byte-identical collapse, then MinHash-LSH clusters over the
+       unique representatives -> keep min-id doc per cluster. Identical
+       output to single-tier LSH (identical docs always form Jaccard-1.0
+       clusters won by their min id), but an identical-content cluster of c
+       copies costs O(c) instead of O(c^2) candidate pairs — the dominant
+       duplication mode in real crawls.
     4. deterministic stratified sampling by ``sample_rates`` (skipped when
        None) — reproducible across reruns/engines (portable hash).
     """
@@ -62,14 +67,17 @@ def curate(
             kept, benchmark, n=decontaminate_n, id_col=id_col, text_col=text_col
         )
     if dedup_threshold is not None:
-        pairs = minhash_lsh_pairs(
+        # two-tier: byte-identical collapse first, LSH over unique
+        # representatives only — identical output, but an identical-content
+        # cluster of c copies contributes 1 row to the band self-join
+        # instead of O(c^2) candidate pairs (the crawl-scale killer)
+        kept = neardup_keep(
             kept,
             id_col=id_col,
             text_col=text_col,
             verify_threshold=dedup_threshold,
             portable=portable,
         )
-        kept = dedup_keep(kept, pairs, id_col=id_col)
     if sample_rates is not None:
         kept = stratified_sample(kept, sample_rates, id_col=id_col, salt=salt)
     return kept

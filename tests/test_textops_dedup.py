@@ -281,3 +281,35 @@ def test_simhash_neardup_pairs_equals_bruteforce(spark):
         if i < j and bin((fps[i] ^ fps[j]) & ((1 << 63) - 1)).count("1") <= K
     )
     assert got == want and len(want) > 0
+
+
+def test_exact_dedup_member_cap_bounds_hot_key(spark):
+    """A 10^5-copy key (the OOM input) must produce a bounded members array
+    with the true n_copies, identical canonical survivor, and the smallest
+    max_members ids — and the capped plan must still be a single exchange."""
+    hot = spark.range(100_000).select(
+        F.col("id").alias("doc_id"), F.lit("same boilerplate page").alias("text")
+    )
+    rest = spark.createDataFrame(
+        [(200_000, "unique a"), (200_001, "unique b"), (200_002, "unique a")],
+        "doc_id long, text string",
+    )
+    df = hot.union(rest)
+    out = {r.canonical_id: r for r in exact_dedup(df, by_hash=True).collect()}
+    assert out[0].n_copies == 100_000
+    assert len(out[0].members) == 100 and out[0].members == list(range(100))
+    assert out[200_000].members == [200_000, 200_002]
+    plan = exact_dedup(df, by_hash=True)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    # uncapped mode still available and exact on small groups
+    full = {r.canonical_id: r for r in exact_dedup(rest, max_members=None).collect()}
+    assert full[200_000].members == [200_000, 200_002]
+
+
+def test_exact_dedup_cap_matches_uncapped_below_cap(spark):
+    """Below the cap, capped and uncapped modes are bit-identical."""
+    rows = [(i, f"text {i % 7}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = sorted(map(tuple, exact_dedup(df).collect()))
+    uncapped = sorted(map(tuple, exact_dedup(df, max_members=None).collect()))
+    assert capped == uncapped
