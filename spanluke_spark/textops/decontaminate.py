@@ -54,6 +54,11 @@ def benchmark_ngrams(
     )
 
 
+MAX_BROADCAST_GRAMS = 5_000_000  # ~40 MB of longs — safely inside default
+# broadcast limits; a mega eval suite (10^7+ distinct 13-grams) must NOT be
+# force-broadcast into every executor
+
+
 def flag_contaminated(
     docs: DataFrame,
     bench_grams: DataFrame,
@@ -61,21 +66,35 @@ def flag_contaminated(
     id_col: str = "doc_id",
     text_col: str = "text",
     normalize: bool = True,
+    max_broadcast_grams: int | None = MAX_BROADCAST_GRAMS,
 ) -> DataFrame:
     """docs + (n_hits: matching benchmark n-grams, contaminated: bool).
 
     ``normalize`` must match the flag ``benchmark_ngrams`` was built with —
     both sides of the overlap see the same token stream.
 
+    The benchmark fingerprint is probed with ``limit(K+1).count()`` (bounded
+    job, never a full count) and broadcast only when it fits under
+    ``max_broadcast_grams``; an over-sized eval suite falls back to a
+    shuffled left_semi join instead of blowing the broadcast limit.
+    ``max_broadcast_grams=None`` skips the probe and always broadcasts
+    (keeps the operator fully lazy — the composition-pipeline mode).
+
     A doc shorter than ``n`` words has no n-grams and can never be flagged
     (matching the reference rule: overlap is defined on full n-grams)."""
+    probe = bench_grams
+    if max_broadcast_grams is not None:
+        fits = bench_grams.limit(max_broadcast_grams + 1).count() <= max_broadcast_grams
+        probe = F.broadcast(bench_grams) if fits else bench_grams
+    else:
+        probe = F.broadcast(bench_grams)
     hits = (
         docs.select(
             F.col(id_col).alias("_id"),
             F.explode(word_shingles(_gram_source(F.col(text_col), normalize), n)).alias("_g"),
         )
         .select("_id", F.xxhash64("_g").alias("h"))
-        .join(F.broadcast(bench_grams), "h", "left_semi")
+        .join(probe, "h", "left_semi")
         .groupBy("_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
@@ -94,13 +113,22 @@ def decontaminate(
     text_col: str = "text",
     min_hits: int = 1,
     normalize: bool = True,
+    max_broadcast_grams: int | None = MAX_BROADCAST_GRAMS,
 ) -> DataFrame:
     """Training docs minus those sharing >= ``min_hits`` word n-grams with
     the benchmark — document-level removal (the Llama/FineWeb policy; the
     windowed-span excision variant composes from ``flag_contaminated`` +
-    ``chunking`` if partial salvage is ever preferred)."""
+    ``chunking`` if partial salvage is ever preferred). The size guard
+    costs one bounded probe job over the (tiny) benchmark side; pass
+    ``max_broadcast_grams=None`` for a fully lazy composition."""
     flagged = flag_contaminated(
-        docs, benchmark_ngrams(bench, n, text_col, normalize), n, id_col, text_col, normalize
+        docs,
+        benchmark_ngrams(bench, n, text_col, normalize),
+        n,
+        id_col,
+        text_col,
+        normalize,
+        max_broadcast_grams,
     )
     return flagged.filter(F.col("n_hits") < min_hits).drop("n_hits", "contaminated")
 

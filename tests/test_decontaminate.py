@@ -133,3 +133,34 @@ def test_normalizer_python_spark_parity(spark):
     df = spark.createDataFrame([(s,) for s in samples], "t string")
     got = [r.n for r in df.select(normalize_for_overlap(F.col("t")).alias("n")).collect()]
     assert got == [py_normalize_for_overlap(s) for s in samples]
+
+
+def test_broadcast_guard_falls_back_to_shuffled_join(spark):
+    """With the threshold forced below the fingerprint size, the probe must
+    drop the broadcast hint (shuffled left_semi) — and results must be
+    identical in both modes."""
+    from spanluke_spark.textops.decontaminate import benchmark_ngrams
+
+    docs_df, bench_df, *_ = _corpus(spark)
+    grams = benchmark_ngrams(bench_df)
+    n_grams = grams.count()
+    assert n_grams > 2
+
+    def plan(max_bc):
+        return (
+            flag_contaminated(docs_df, grams, max_broadcast_grams=max_bc)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    assert "BroadcastHashJoin" in plan(n_grams + 10)  # fits -> broadcast
+    over = plan(2)  # forced low -> shuffled fallback
+    assert "BroadcastHashJoin" not in over and "LeftSemi" in over
+    small = {r._id: r.n_hits for r in
+             flag_contaminated(docs_df, grams, max_broadcast_grams=2)
+             .select(F.col("doc_id").alias("_id"), "n_hits").collect()}
+    big = {r._id: r.n_hits for r in
+           flag_contaminated(docs_df, grams, max_broadcast_grams=None)
+           .select(F.col("doc_id").alias("_id"), "n_hits").collect()}
+    assert small == big

@@ -57,6 +57,9 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oq = entrymod.queries(), entrymod.oracle_sql()
+    # retired-from-registry queries keep local value checks (53 total)
+    qs = {**qs, **entrymod.extra_queries()}
+    oq = {**oq, **entrymod.extra_oracle_sql()}
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
