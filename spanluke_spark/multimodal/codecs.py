@@ -4,7 +4,7 @@ via stdlib zlib + per-scanline unfilter; baseline JPEG decodes via the full
 public pipeline (Huffman entropy decode, dequantize, IDCT, chroma
 upsample — ``multimodal/jpeg.py``). So the multimodal decode step is
 genuinely real for the dominant web image formats even in this codec-less
-container. Remaining compressed formats (progressive JPEG, WebP, MP3, ...)
+container. Remaining compressed formats (WebP, MP3, ...)
 dispatch to PIL/etc. when installed and raise the documented
 NotImplementedError otherwise; the magic-byte dispatch (``media_features``)
 is the production seam.
@@ -326,7 +326,7 @@ def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-byte dispatch: PPM/BMP/PNG/baseline-JPEG decode natively
-    (numpy + stdlib zlib only); anything else (WebP, progressive JPEG, ...)
+    (numpy + stdlib zlib only); anything else (WebP, CMYK/12-bit JPEG, ...)
     tries PIL and raises the documented NotImplementedError when no codec
     library is shipped."""
     import zlib

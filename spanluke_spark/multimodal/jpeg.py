@@ -9,12 +9,15 @@ JFIF YCbCr->RGB. The quantization and Huffman tables in the encoder are the
 public Annex-K example tables (same ones libjpeg ships as defaults).
 
 Scope (documented, checked, with clear errors outside it):
-- decode: baseline DCT (SOF0/SOF1), 8-bit samples, 1 or 3 components,
-  integer chroma-sampling ratios, restart markers. Progressive (SOF2),
-  arithmetic coding, 12-bit and CMYK raise ValueError — the PIL path covers
-  them when the codec wheel ships (see ``codecs.decode_image``).
-- encode: fixture-grade baseline encoder (4:4:4 or 4:2:0, optional DRI) so
-  round-trip tests and Spark-kernel fixtures need no image library.
+- decode: baseline DCT (SOF0/SOF1) AND progressive DCT (SOF2: spectral
+  selection + successive approximation per T.81 Annex G, DC/AC first and
+  refinement scans, EOB runs, restart markers), 8-bit samples, 1 or 3
+  components, integer chroma-sampling ratios. Arithmetic coding, 12-bit
+  and CMYK raise UnsupportedJpegError — the PIL path covers them when the
+  codec wheel ships (see ``codecs.decode_image``).
+- encode: fixture-grade baseline (4:4:4 or 4:2:0, optional DRI) and
+  progressive (IJG-style scan script) encoders so round-trip tests and
+  Spark-kernel fixtures need no image library.
 
 The entropy loop is per-bit Python — fine for the fixture/test scale this
 container exercises; at 100 TB the decode step runs inside the same
@@ -270,6 +273,9 @@ def _decode_jpeg(payload: bytes, max_pixels: int) -> np.ndarray:
     ac_tabs: dict[int, _HuffDecoder] = {}
     frame = None  # (h, w, [(cid, ch, cv, tq)])
     restart_interval = 0
+    progressive = False
+    coefs = None  # progressive: per-component zigzag coefficient planes
+    n_scans = 0
     i = 2
     n = len(payload)
     while i + 1 < n:
@@ -280,7 +286,11 @@ def _decode_jpeg(payload: bytes, max_pixels: int) -> np.ndarray:
             i += 1
             continue
         i += 2
-        if m == 0xD9 or (0xD0 <= m <= 0xD7) or m == 0x01:
+        if m == 0xD9:  # EOI: a progressive frame reconstructs here
+            if progressive and n_scans:
+                return _reconstruct(frame, qt, coefs)
+            continue
+        if (0xD0 <= m <= 0xD7) or m == 0x01:
             continue
         seg_len = struct.unpack_from(">H", payload, i)[0]
         seg = payload[i + 2 : i + seg_len]
@@ -293,7 +303,7 @@ def _decode_jpeg(payload: bytes, max_pixels: int) -> np.ndarray:
                     raise UnsupportedJpegError("16-bit quantization tables not supported")
                 qt[tq] = np.frombuffer(seg, dtype=np.uint8, count=64, offset=j + 1).astype(np.int64)
                 j += 65
-        elif m in (0xC0, 0xC1):  # SOF0/1: baseline
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 (baseline), SOF2 (progressive)
             precision, h, w, ncomp = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if precision != 8:
                 raise UnsupportedJpegError("only 8-bit JPEG supported")
@@ -307,8 +317,11 @@ def _decode_jpeg(payload: bytes, max_pixels: int) -> np.ndarray:
                     raise ValueError(f"bad sampling factors {ch}x{cv}")
                 comps.append((cid, ch, cv, tq2))
             frame = (h, w, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise UnsupportedJpegError("only baseline (SOF0/SOF1) JPEG supported")
+            progressive = m == 0xC2
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedJpegError(
+                "only baseline (SOF0/SOF1) and progressive (SOF2) JPEG supported"
+            )
         elif m == 0xC4:  # DHT — possibly several tables per segment
             j = 0
             while j < len(seg):
@@ -324,13 +337,38 @@ def _decode_jpeg(payload: bytes, max_pixels: int) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            scan_comps = []  # component ids, in scan order
             scan_sel = {}
             for c in range(ns):
                 cs, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_comps.append(cs)
                 scan_sel[cs] = (tabs >> 4, tabs & 0x0F)
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
             segments, i = _split_entropy(payload, i)
-            return _decode_scan(frame, scan_sel, qt, dc_tabs, ac_tabs, restart_interval, segments)
+            if not progressive:
+                return _decode_scan(
+                    frame, scan_sel, qt, dc_tabs, ac_tabs, restart_interval, segments
+                )
+            if coefs is None:
+                h_img, w_img, comps = frame
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-w_img // (8 * hmax))
+                mcuy = -(-h_img // (8 * vmax))
+                coefs = [
+                    np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int64)
+                    for _, ch, cv, _ in comps
+                ]
+            _decode_progressive_scan(
+                frame, coefs, scan_comps, scan_sel, dc_tabs, ac_tabs,
+                ss, se, ahal >> 4, ahal & 0x0F, restart_interval, segments,
+            )
+            n_scans += 1
         # else: APPn / COM / unknown — skipped
+    if progressive and n_scans:
+        # scans decoded but the stream ended without EOI: corruption per the
+        # crawl contract (every real encoder terminates with FFD9)
+        raise ValueError("truncated progressive JPEG (missing EOI)")
     raise ValueError("no SOS marker found")
 
 
@@ -440,8 +478,222 @@ def _decode_scan(frame, scan_sel, qt, dc_tabs, ac_tabs, restart_interval, segmen
                             raise ValueError("truncated JPEG entropy stream")
                         carr[my * cv + by, mx * ch + bx] = blk
             mcu += 1
+    return _reconstruct(frame, qt, coefs)
+
+
+class _BitR:
+    """MSB-first bit reader over one entropy segment (progressive scans —
+    clarity over speed; the baseline hot loop stays inlined). Reads past the
+    segment see zero padding; consuming past the real length raises the
+    documented truncation ValueError."""
+
+    __slots__ = ("data", "dlen", "di", "acc", "nbits", "pos", "limit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.dlen = len(data)
+        self.di = 0
+        self.acc = 0
+        self.nbits = 0
+        self.pos = 0
+        self.limit = 8 * len(data)
+
+    def _fill(self, n: int) -> None:
+        while self.nbits < n:
+            self.acc = (self.acc << 8) | (self.data[self.di] if self.di < self.dlen else 0)
+            self.di += 1
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill(n)
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.pos += n
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        if self.pos > self.limit:
+            raise ValueError("truncated JPEG entropy stream")
+        return v
+
+    def huff(self, lut: list[int]) -> int:
+        self._fill(16)
+        packed = lut[(self.acc >> (self.nbits - 16)) & 0xFFFF]
+        length = packed & 31
+        if length == 0:
+            raise ValueError("corrupt JPEG entropy stream")
+        self.pos += length
+        self.nbits -= length
+        self.acc &= (1 << self.nbits) - 1
+        if self.pos > self.limit:
+            raise ValueError("truncated JPEG entropy stream")
+        return packed >> 5
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _comp_block_dims(h_img, w_img, ch, cv, hmax, vmax):
+    """Non-interleaved scans traverse the component's OWN block raster
+    (T.81 A.2.2, excluding MCU padding blocks):
+    ceil(ceil(dim * sampling / max_sampling) / 8) per axis."""
+    cw = -(-(w_img * ch) // hmax)
+    chh = -(-(h_img * cv) // vmax)
+    return -(-cw // 8), -(-chh // 8)
+
+
+def _decode_progressive_scan(
+    frame, coefs, scan_comps, scan_sel, dc_tabs, ac_tabs,
+    ss, se, ah, al, restart_interval, segments,
+):
+    """One progressive (SOF2) scan into the per-component zigzag coefficient
+    planes — spectral selection + successive approximation per T.81 Annex G
+    (G.1.2 / the public IJG decode_mcu_{DC,AC}_{first,refine} control flow):
+
+    - DC first  (Ss=0, Ah=0): baseline DIFF coding, value stored << Al
+    - DC refine (Ss=0, Ah>0): one appended bit per block -> |= 1 << Al
+    - AC first  (Ss>0, Ah=0): band runs + EOBRUN (EOBn codes), values << Al
+    - AC refine (Ss>0, Ah>0): newly-significant coefficients (magnitude 1)
+      interleaved with correction bits for already-nonzero history
+
+    DC scans may be interleaved (MCU traversal, as baseline); AC scans are
+    single-component in the component's own block raster (spec rule).
+    Restart markers reset DC predictors AND the EOB run."""
+    h_img, w_img, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w_img // (8 * hmax))
+    mcuy = -(-h_img // (8 * vmax))
+    if ss == 0 and se != 0:
+        raise ValueError("bad progressive spectral band (Ss=0 requires Se=0)")
+    if not (0 <= ss <= se <= 63):
+        raise ValueError(f"bad spectral band {ss}..{se}")
+    if ss > 0 and len(scan_comps) != 1:
+        raise ValueError("interleaved progressive AC scan is not allowed")
+    comp_by_id = {c[0]: (ci, c) for ci, c in enumerate(comps)}
+    for cid in scan_comps:
+        if cid not in comp_by_id:
+            raise ValueError(f"scan references unknown component {cid}")
+
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        total_units = mcux * mcuy
+    else:
+        ci, (_cid, ch, cv, _tq) = comp_by_id[scan_comps[0]]
+        bw, bh = _comp_block_dims(h_img, w_img, ch, cv, hmax, vmax)
+        total_units = bw * bh
+
+    units_per_seg = restart_interval if restart_interval else total_units
+    unit = 0
+    for seg_i in range(-(-total_units // units_per_seg)):
+        if seg_i >= len(segments):
+            raise ValueError("missing restart segment")
+        rd = _BitR(segments[seg_i])
+        preds = {cid: 0 for cid in scan_comps}
+        eobrun = 0
+        end = min(unit + units_per_seg, total_units)
+        while unit < end:
+            if ss == 0:  # DC scan
+                blocks = []
+                if interleaved:
+                    my, mx = divmod(unit, mcux)
+                    for cid in scan_comps:
+                        ci, (_c, ch, cv, _tq) = comp_by_id[cid]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                blocks.append((cid, ci, my * cv + by, mx * ch + bx))
+                else:
+                    cid = scan_comps[0]
+                    ci = comp_by_id[cid][0]
+                    blocks.append((cid, ci, unit // bw, unit % bw))
+                for cid, ci, byy, bxx in blocks:
+                    if ah == 0:  # DC first
+                        s = rd.huff(dc_tabs[scan_sel[cid][0]].lut)
+                        diff = _extend(rd.bits(s), s) if s else 0
+                        preds[cid] += diff
+                        coefs[ci][byy, bxx, 0] = preds[cid] << al
+                    else:  # DC refine
+                        if rd.bits(1):
+                            coefs[ci][byy, bxx, 0] |= 1 << al
+            else:  # AC scan, single component
+                cid = scan_comps[0]
+                ci = comp_by_id[cid][0]
+                ac_lut = ac_tabs[scan_sel[cid][1]].lut
+                blk = coefs[ci][unit // bw, unit % bw]
+                if ah == 0:  # AC first
+                    if eobrun > 0:
+                        eobrun -= 1
+                    else:
+                        k = ss
+                        while k <= se:
+                            rs = rd.huff(ac_lut)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r < 15:  # EOBn
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += rd.bits(r)
+                                    break
+                                k += 16  # ZRL
+                            else:
+                                k += r
+                                if k > se:
+                                    raise ValueError("AC coefficient index overflow")
+                                blk[k] = _extend(rd.bits(s), s) << al
+                                k += 1
+                else:  # AC refine
+                    p1, n1 = 1 << al, -1 << al
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = rd.huff(ac_lut)
+                            r, s = rs >> 4, rs & 15
+                            newval = 0
+                            if s == 0:
+                                if r < 15:  # EOBn: tail correction below
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += rd.bits(r)
+                                    break
+                                # r == 15: ZRL — skip 16 zero-history coeffs
+                            else:
+                                if s != 1:
+                                    raise ValueError("bad AC refinement magnitude")
+                                newval = p1 if rd.bits(1) else n1
+                            while k <= se:
+                                if blk[k] != 0:
+                                    if rd.bits(1) and not (blk[k] & p1):
+                                        blk[k] += p1 if blk[k] >= 0 else n1
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval:
+                                if k > se:
+                                    raise ValueError("AC refinement overflow")
+                                blk[k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            if blk[k] != 0 and rd.bits(1) and not (blk[k] & p1):
+                                blk[k] += p1 if blk[k] >= 0 else n1
+                            k += 1
+                        eobrun -= 1
+            unit += 1
+
+
+def _reconstruct(frame, qt, coefs) -> np.ndarray:
+    """Shared coefficient-domain tail (baseline and progressive): dequantize
+    (zigzag order), IDCT, chroma upsample, YCbCr->RGB."""
+    h_img, w_img, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     planes = []
     for ci, (cid, ch, cv, tq) in enumerate(comps):
+        if tq not in qt:
+            raise ValueError(f"missing quantization table {tq}")
         z = coefs[ci] * qt[tq][None, None, :]  # dequantize in zigzag order
         by, bx = z.shape[:2]
         raster = np.zeros((by * bx, 64), dtype=np.float64)
@@ -526,17 +778,11 @@ def _encode_block(
     return int(zz[0])
 
 
-def encode_jpeg(
-    arr: np.ndarray,
-    quality: int = 90,
-    subsample: bool = False,
-    restart_interval: int = 0,
-    grayscale: bool = False,
-) -> bytes:
-    """HxWx3 uint8 RGB -> baseline JFIF bytes (4:4:4, or 4:2:0 when
-    ``subsample``); ``restart_interval`` > 0 emits DRI + RSTn markers so
-    tests can drive the decoder's restart path; ``grayscale`` emits a
-    single-component (luma-only) file."""
+def _prep_coefficients(arr, quality, subsample, grayscale):
+    """Shared encoder front half (baseline + progressive): RGB->YCbCr, pad,
+    optional 4:2:0 subsample, DCT, quantize. Returns
+    (h_img, w_img, zz_all, ql, qc, ch_y, cv_y) with zz_all a per-component
+    (By, Bx, 64) int64 array of quantized zigzag coefficients."""
     arr = np.asarray(arr, dtype=np.float64)
     h_img, w_img = arr.shape[:2]
     r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
@@ -547,16 +793,16 @@ def encode_jpeg(
     qc = _quality_scale(QUANT_CHROMA, quality)
 
     if grayscale:
-        mult, ch_y, cv_y = 8, 1, 1
+        ch_y, cv_y = 1, 1
         yp = _pad_edge(y, 8)
     elif subsample:
-        mult, ch_y, cv_y = 16, 2, 2
+        ch_y, cv_y = 2, 2
         yp = _pad_edge(y, 16)
         # 2x2 mean then pad chroma to the 8-multiple grid of the MCU
         cbp = _pad_edge(_pad_edge(cb, 2).reshape(-1, 2, cb.shape[1] // 2 + (cb.shape[1] % 2), 2).mean(axis=(1, 3)), 8)
         crp = _pad_edge(_pad_edge(cr, 2).reshape(-1, 2, cr.shape[1] // 2 + (cr.shape[1] % 2), 2).mean(axis=(1, 3)), 8)
     else:
-        mult, ch_y, cv_y = 8, 1, 1
+        ch_y, cv_y = 1, 1
         yp, cbp, crp = _pad_edge(y, 8), _pad_edge(cb, 8), _pad_edge(cr, 8)
 
     planes = [(yp, ql)] if grayscale else [(yp, ql), (cbp, qc), (crp, qc)]
@@ -570,6 +816,28 @@ def encode_jpeg(
         # dequantizes zigzag coefficient k by that table's k-th entry, so
         # the quantizer must divide in the SAME permutation.
         zz_all.append(np.round(zz / q[ZIGZAG][None, :]).astype(np.int64).reshape(by, bx, 64))
+    return h_img, w_img, zz_all, ql, qc, ch_y, cv_y
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    grayscale: bool = False,
+) -> bytes:
+    """HxWx3 uint8 RGB -> baseline JFIF bytes (4:4:4, or 4:2:0 when
+    ``subsample``); ``restart_interval`` > 0 emits DRI + RSTn markers so
+    tests can drive the decoder's restart path; ``grayscale`` emits a
+    single-component (luma-only) file."""
+    h_img, w_img, zz_all, ql, qc, ch_y, cv_y = _prep_coefficients(
+        arr, quality, subsample, grayscale
+    )
+    yp_shape = (zz_all[0].shape[0] * 8, zz_all[0].shape[1] * 8)
 
     dc_l = _huff_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _huff_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
@@ -579,8 +847,8 @@ def encode_jpeg(
     if not grayscale:
         comp_geom += [(1, 1, dc_c, ac_c), (1, 1, dc_c, ac_c)]
 
-    mcux = yp.shape[1] // (8 * ch_y)
-    mcuy = yp.shape[0] // (8 * cv_y)
+    mcux = yp_shape[1] // (8 * ch_y)
+    mcuy = yp_shape[0] // (8 * cv_y)
     writer = _BitWriter()
     preds = [0, 0, 0]
     rst = 0
@@ -625,5 +893,270 @@ def encode_jpeg(
     sos = bytes([ncomp, 1, 0x00]) + (b"" if grayscale else bytes([2, 0x11, 3, 0x11]))
     out += seg(0xDA, sos + bytes([0, 63, 0]))
     out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (fixture-grade)
+# ---------------------------------------------------------------------------
+
+# Flat AC table for progressive scans: baseline Annex-K AC tables have no
+# EOBn symbols (0x10..0xE0), so progressive streams need their own table.
+# All 256 symbols, 128 at 8 bits + 128 at 9 bits (the all-ones code stays
+# unassigned, as T.81 requires). Compression-poor, spec-valid: fixtures.
+_FLAT_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0]
+_FLAT_AC_VALS = list(range(256))
+
+
+class _ProgWriter(_BitWriter):
+    """Bit writer plus the progressive bookkeeping IJG keeps in
+    phuff_entropy: a pending EOB run and the correction bits buffered
+    behind it (emitted only when the run's EOBn code is flushed)."""
+
+    def __init__(self, ac_tab=None):
+        super().__init__()
+        self.ac_tab = ac_tab
+        self.eobrun = 0
+        self.eob_bits: list[int] = []
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.put(*self.ac_tab[nbits << 4])
+            if nbits:
+                self.put(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for bit in self.eob_bits:
+            self.put(bit, 1)
+        self.eob_bits = []
+
+
+def _enc_dc_first(w: _ProgWriter, dc: int, pred: int, dc_tab, al: int) -> int:
+    v = int(dc) >> al  # DC point transform is an arithmetic shift (T.81 G.1.2.1)
+    diff = v - pred
+    s = _mag_cat(diff)
+    w.put(*dc_tab[s])
+    if s:
+        w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    return v
+
+
+def _enc_ac_first(w: _ProgWriter, blk: np.ndarray, ss: int, se: int, al: int) -> None:
+    """One block of an AC-first scan (IJG encode_mcu_AC_first)."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = (abs(v) >> al) * (1 if v >= 0 else -1)  # toward-zero point transform
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            w.flush_eobrun()
+            w.put(*w.ac_tab[0xF0])
+            run -= 16
+        w.flush_eobrun()
+        s = _mag_cat(t)
+        w.put(*w.ac_tab[(run << 4) | s])
+        w.put(t if t >= 0 else t + (1 << s) - 1, s)
+        run = 0
+    if run > 0:
+        w.eobrun += 1
+        if w.eobrun == 0x7FFF:
+            w.flush_eobrun()
+
+
+def _enc_ac_refine(w: _ProgWriter, blk: np.ndarray, ss: int, se: int, al: int) -> None:
+    """One block of an AC-refinement scan (IJG encode_mcu_AC_refine):
+    newly-significant coefficients (shifted magnitude == 1) are coded as
+    (run, 1) + sign; already-significant history gets one correction bit,
+    buffered so it lands after the next emitted Huffman code; blocks with
+    no new significance join the EOB run, their history bits buffered
+    behind the eventual EOBn."""
+    absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+    signs = [int(blk[k]) >= 0 for k in range(ss, se + 1)]
+    eob_k = -1  # index (into the band) of the last newly-significant coef
+    for j, a in enumerate(absv):
+        if a == 1:
+            eob_k = j
+    run = 0  # zero-history coefficients since the last emitted code
+    pending: list[int] = []  # correction bits since the last emitted code
+    for j, a in enumerate(absv):
+        if j > eob_k:
+            break
+        if a == 0:
+            run += 1
+            continue
+        # the ZRL check runs at EVERY nonzero coefficient (history included),
+        # so no pending bit can sit past the 16th zero when a ZRL is emitted
+        # — that positional invariant is what keeps the decoder's 16-zero
+        # march and the buffered bits in lockstep (IJG encode_mcu_AC_refine)
+        while run > 15:
+            w.flush_eobrun()
+            w.put(*w.ac_tab[0xF0])
+            for bit in pending:
+                w.put(bit, 1)
+            pending = []
+            run -= 16
+        if a > 1:
+            pending.append(a & 1)
+            continue
+        # newly significant (a == 1): code + sign, then the buffered bits the
+        # decoder will consume while marching over the run it just decoded
+        w.flush_eobrun()
+        w.put(*w.ac_tab[(run << 4) | 1])
+        w.put(1 if signs[j] else 0, 1)
+        for bit in pending:
+            w.put(bit, 1)
+        pending = []
+        run = 0
+    # tail: everything after the last newly-significant coefficient joins the
+    # EOB run; its history bits buffer behind the eventual EOBn code, in
+    # block order (the decoder reads them at each run block's own turn)
+    tail = [a & 1 for a in absv[eob_k + 1 :] if a > 1]
+    if eob_k < len(absv) - 1:
+        w.eobrun += 1
+        w.eob_bits.extend(tail)
+        if w.eobrun == 0x7FFF:
+            w.flush_eobrun()
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    grayscale: bool = False,
+) -> bytes:
+    """HxWx3 uint8 RGB -> progressive (SOF2) JFIF bytes. Same quantized
+    coefficients as ``encode_jpeg`` — a progressive round-trip must decode
+    pixel-identically to the baseline round-trip — emitted as an IJG-style
+    scan script exercising every scan kind the decoder supports: interleaved
+    DC first (Al=1), per-component AC first over two spectral bands (Al=1),
+    DC refinement, and AC refinement with EOB runs and buffered correction
+    bits. ``restart_interval`` > 0 adds DRI + RSTn to every scan."""
+    h_img, w_img, zz_all, ql, qc, ch_y, cv_y = _prep_coefficients(
+        arr, quality, subsample, grayscale
+    )
+    ncomp = 1 if grayscale else 3
+    comp_hv = [(ch_y, cv_y)] + [(1, 1)] * (ncomp - 1)
+    hmax = max(h for h, _ in comp_hv)
+    vmax = max(v for _, v in comp_hv)
+    mcux = zz_all[0].shape[1] // ch_y
+    mcuy = zz_all[0].shape[0] // cv_y
+    dc_tabs = [
+        _huff_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
+        _huff_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ]
+    ac_flat = _huff_encode_table(_FLAT_AC_BITS, _FLAT_AC_VALS)
+
+    def comp_blocks(ci: int):
+        """Non-interleaved traversal order: the component's own block raster
+        (T.81 A.2.2 dimensions, excluding MCU padding blocks)."""
+        ch, cv = comp_hv[ci]
+        bw, bh = _comp_block_dims(h_img, w_img, ch, cv, hmax, vmax)
+        for by in range(bh):
+            for bx in range(bw):
+                yield zz_all[ci][by, bx]
+
+    def run_scan(units, per_unit, ac_tab=None):
+        """Drive one scan's entropy coding with restart segmentation; returns
+        the entropy bytes. ``per_unit(writer, state, unit_index)`` encodes one
+        MCU (interleaved) or one block (non-interleaved)."""
+        w = _ProgWriter(ac_tab)
+        out = bytearray()
+        state = {"preds": [0] * ncomp, "rst": 0}
+        for u in range(units):
+            if restart_interval and u and u % restart_interval == 0:
+                w.flush_eobrun()
+                w.pad_to_byte()
+                out += w.out + bytes([0xFF, 0xD0 + (state["rst"] % 8)])
+                state["rst"] += 1
+                state["preds"] = [0] * ncomp
+                w = _ProgWriter(ac_tab)
+            per_unit(w, state, u)
+        w.flush_eobrun()
+        w.pad_to_byte()
+        out += w.out
+        return bytes(out)
+
+    scans: list[tuple[bytes, bytes]] = []  # (SOS header body, entropy bytes)
+
+    def sos_body(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            dc_slot = 0 if cid == 1 else 1
+            body += bytes([cid, (dc_slot << 4) | 0x00])
+        return body + bytes([ss, se, (ah << 4) | al])
+
+    # 1. DC first, interleaved, Al=1
+    def dc_first(w, state, mcu):
+        my, mx = divmod(mcu, mcux)
+        for ci in range(ncomp):
+            ch, cv = comp_hv[ci]
+            for by in range(cv):
+                for bx in range(ch):
+                    blk = zz_all[ci][my * cv + by, mx * ch + bx]
+                    state["preds"][ci] = _enc_dc_first(
+                        w, int(blk[0]), state["preds"][ci], dc_tabs[0 if ci == 0 else 1], 1
+                    )
+
+    scans.append((sos_body(list(range(1, ncomp + 1)), 0, 0, 0, 1), run_scan(mcux * mcuy, dc_first)))
+
+    def n_units(ci):
+        ch, cv = comp_hv[ci]
+        bw, bh = _comp_block_dims(h_img, w_img, ch, cv, hmax, vmax)
+        return bw * bh
+
+    # 2. AC first scans: luma split into two spectral bands, chroma full band
+    ac_bands = [(0, 1, 5), (0, 6, 63)] + [(ci, 1, 63) for ci in range(1, ncomp)]
+    for ci, ss, se in ac_bands:
+        blocks = list(comp_blocks(ci))
+
+        def ac_first(w, state, u, blocks=blocks, ss=ss, se=se):
+            _enc_ac_first(w, blocks[u], ss, se, 1)
+
+        scans.append((sos_body([ci + 1], ss, se, 0, 1), run_scan(len(blocks), ac_first, ac_flat)))
+
+    # 3. DC refinement (Ah=1, Al=0): one bit per block, interleaved
+    def dc_refine(w, state, mcu):
+        my, mx = divmod(mcu, mcux)
+        for ci in range(ncomp):
+            ch, cv = comp_hv[ci]
+            for by in range(cv):
+                for bx in range(ch):
+                    w.put(int(zz_all[ci][my * cv + by, mx * ch + bx, 0]) & 1, 1)
+
+    scans.append((sos_body(list(range(1, ncomp + 1)), 0, 0, 1, 0), run_scan(mcux * mcuy, dc_refine)))
+
+    # 4. AC refinement scans, same bands
+    for ci, ss, se in ac_bands:
+        blocks = list(comp_blocks(ci))
+
+        def ac_refine(w, state, u, blocks=blocks, ss=ss, se=se):
+            _enc_ac_refine(w, blocks[u], ss, se, 0)
+
+        scans.append((sos_body([ci + 1], ss, se, 1, 0), run_scan(len(blocks), ac_refine, ac_flat)))
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(ql[ZIGZAG].astype(np.uint8)))
+    if not grayscale:
+        out += _seg(0xDB, bytes([0x01]) + bytes(qc[ZIGZAG].astype(np.uint8)))
+    sof = bytes([8]) + struct.pack(">HH", h_img, w_img) + bytes([ncomp])
+    sof += bytes([1, (ch_y << 4) | cv_y, 0])
+    if not grayscale:
+        sof += bytes([2, 0x11, 1, 3, 0x11, 1])
+    out += _seg(0xC2, sof)
+    tabs = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, _FLAT_AC_BITS, _FLAT_AC_VALS)]
+    if not grayscale:
+        tabs += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    for tc_th, bits, vals in tabs:
+        out += _seg(0xC4, bytes([tc_th] + bits + vals))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    for sos, entropy in scans:
+        out += _seg(0xDA, sos)
+        out += entropy
     out += b"\xff\xd9"
     return bytes(out)

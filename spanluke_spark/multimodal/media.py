@@ -6,7 +6,7 @@ for the dominant web formats: PPM, 24-bit BMP, PNG (incl. Adam7/16-bit),
 baseline JPEG, WAV/PCM audio (`multimodal/codecs.py`, `multimodal/jpeg.py`)
 and MJPEG-AVI video (`multimodal/video.py` — container parse + frame
 sample + per-frame JPEG pixel decode, end to end). Remaining formats
-(progressive JPEG, WebP, MP3, H.264/VP9...) dispatch to PIL/ffmpeg when
+(WebP, MP3, H.264/VP9...) dispatch to PIL/ffmpeg when
 installed and raise a clearly-marked NotImplementedError otherwise;
 `deterministic_fake=True` (default) keeps the hash-derived fake for
 library-free fixtures of arbitrary formats.

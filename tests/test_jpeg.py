@@ -132,12 +132,18 @@ def test_handcrafted_single_ac_coefficient():
     assert np.array_equal(got[:, :, 0], np.tile(want, (8, 1)))
 
 
-def test_progressive_and_corrupt_raise():
+def test_unsupported_sof_and_corrupt_raise():
+    """Lossless/hierarchical/arithmetic SOFs stay outside scope; a baseline
+    stream whose SOF0 is flipped to SOF2 fails the progressive validator
+    (its single scan declares Ss=0 with Se=63 — illegal for SOF2)."""
     img = _smooth(8, 8)
     b = bytearray(encode_jpeg(img))
     i = b.index(b"\xff\xc0")
-    b[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    b[i + 1] = 0xC3  # SOF3 (lossless) — genuinely unsupported
     with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(b))
+    b[i + 1] = 0xC2  # SOF2 with a baseline full-band scan: spec-invalid
+    with pytest.raises(ValueError, match="Ss=0 requires Se=0"):
         decode_jpeg(bytes(b))
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01not a jpeg")
