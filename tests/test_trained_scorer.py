@@ -79,10 +79,11 @@ def test_heldout_f1_gate_spark_pipeline(spark, held_docs):
         snapped_gold(held_docs), "doc string, start int, end int, label string"
     )
     m = strict_prf(gold, pred)
-    # measured: P=0.5678 R=0.3383 F1=0.4240 (tools/train_span_model.py)
+    # measured: P=0.5733 R=0.3513 F1=0.4356 (tools/train_span_model.py,
+    # round-5 CV-selected retrain: epochs=120 + O-margin 1.0)
     assert m["precision"] >= 0.55, m
-    assert m["recall"] >= 0.32, m
-    assert m["f1"] >= 0.41, m
+    assert m["recall"] >= 0.33, m
+    assert m["f1"] >= 0.42, m
 
 
 def test_spark_pipeline_matches_driver_decode(spark, held_docs):

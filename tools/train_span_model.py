@@ -34,11 +34,15 @@ MODEL_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "spanluke_spark", "models", "legalner_span_lr.npz",
 )
-# chosen by heldout sweep (see TRAINING.md); deterministic — no RNG anywhere
+# chosen by 5-fold CV over the train split (round-5 sweep,
+# tools/sweep_span_model.py; table in TRAINING.md) — heldout touched once.
+# O_MARGIN is a decision-threshold prior subtracted from the O-class bias
+# at export time (CV-selected alongside epochs); deterministic — no RNG.
 HYPERPARAMS = dict(
-    dim=1 << 16, epochs=30, lr=0.05, l2=1e-6,
+    dim=1 << 16, epochs=120, lr=0.05, l2=1e-6,
     neg_keep=0.1, neg_weighting=False, batch_size=4096,
 )
+O_MARGIN = 1.0
 
 
 def snapped_gold_char_spans(docs):
@@ -67,6 +71,14 @@ def main():
     os.makedirs(os.path.dirname(MODEL_PATH), exist_ok=True)
     t0 = time.time()
     train_legalner_span_model(train, enc, enc["O"], MODEL_PATH, **HYPERPARAMS)
+    if O_MARGIN:
+        import numpy as np
+
+        with np.load(MODEL_PATH, allow_pickle=False) as z:
+            data = {k: z[k] for k in z.files}
+        data["b"] = data["b"].copy()
+        data["b"][enc["O"]] -= O_MARGIN
+        np.savez_compressed(MODEL_PATH, **data)
     print(f"trained -> {MODEL_PATH} ({time.time() - t0:.1f}s, "
           f"{os.path.getsize(MODEL_PATH) / 1e6:.2f} MB)")
 
