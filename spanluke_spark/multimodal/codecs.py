@@ -325,10 +325,10 @@ def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-byte dispatch: PPM/BMP/PNG/baseline-JPEG decode natively
-    (numpy + stdlib zlib only); anything else (WebP, CMYK/12-bit JPEG, ...)
-    tries PIL and raises the documented NotImplementedError when no codec
-    library is shipped."""
+    """Magic-byte dispatch: PPM/BMP/PNG/GIF/JPEG/lossless-WebP decode
+    natively (numpy + stdlib zlib only); anything else (lossy WebP,
+    CMYK/12-bit JPEG, ...) tries PIL and raises the documented
+    NotImplementedError when no codec library is shipped."""
     import zlib
 
     try:
@@ -355,6 +355,14 @@ def decode_image(payload: bytes) -> np.ndarray:
             pass
         # plain ValueError = corruption: propagate, honoring the
         # "corrupt payloads of any kind raise ValueError" contract
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import UnsupportedWebpError, decode_webp
+
+        try:
+            return decode_webp(payload)
+        except UnsupportedWebpError:
+            # lossy VP8 / animation: valid but outside native scope
+            pass
     try:
         import io
 
