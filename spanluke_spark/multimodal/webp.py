@@ -64,6 +64,14 @@ class _BitReader:
         self.pos += n
         return (window >> shift) & ((1 << n) - 1)
 
+    def peek(self, n: int) -> int:
+        """Up to ``n`` bits without consuming; past-the-end bits read 0
+        (callers re-check consumption against nbits)."""
+        byte0 = self.pos >> 3
+        shift = self.pos & 7
+        window = int.from_bytes(self.data[byte0 : byte0 + 4], "little")
+        return (window >> shift) & ((1 << n) - 1)
+
 
 # ---------------------------------------------------------------------------
 # canonical prefix codes
@@ -78,7 +86,7 @@ class _PrefixCode:
     stream itself is LSB-first per byte; prefix-code bits arrive in
     code-MSB order, exactly as in DEFLATE)."""
 
-    __slots__ = ("table", "single")
+    __slots__ = ("single", "max_len", "lut_sym", "lut_len")
 
     def __init__(self, lengths, symbols=None):
         # lengths: list aligned with symbols (or with range(len) if None)
@@ -90,32 +98,40 @@ class _PrefixCode:
         if len(pairs) == 1:
             # single-symbol code: zero bits consumed per read
             self.single = pairs[0][1]
-            self.table = None
+            self.lut_sym = None
             return
         self.single = None
         kraft = sum(1 << (MAX_CODE_LENGTH - l) for l, _ in pairs)
         if kraft != 1 << MAX_CODE_LENGTH:
             raise ValueError("prefix code lengths are not complete")
         pairs.sort()
-        self.table = {}
+        # DEFLATE-style flat lookup keyed by the raw peeked window: canonical
+        # code bits arrive MSB-first, the stream is LSB-first, so the LUT
+        # index is the bit-reversed code plus every possible suffix
+        self.max_len = max_len = pairs[-1][0]
+        self.lut_sym = [0] * (1 << max_len)
+        self.lut_len = [0] * (1 << max_len)
         code = 0
         prev_len = pairs[0][0]
         for l, s in pairs:
             code <<= l - prev_len
             prev_len = l
-            self.table[(l, code)] = s
+            rev = int(f"{code:0{l}b}"[::-1], 2)
+            for suffix in range(1 << (max_len - l)):
+                idx = rev | (suffix << l)
+                self.lut_sym[idx] = s
+                self.lut_len[idx] = l
             code += 1
 
     def read_symbol(self, br: _BitReader) -> int:
-        if self.table is None:
+        if self.lut_sym is None:
             return self.single
-        code = 0
-        for length in range(1, MAX_CODE_LENGTH + 1):
-            code = (code << 1) | br.read(1)
-            sym = self.table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid prefix code in VP8L stream")
+        idx = br.peek(self.max_len)
+        length = self.lut_len[idx]
+        if br.pos + length > br.nbits:
+            raise ValueError("truncated VP8L bitstream")
+        br.pos += length
+        return self.lut_sym[idx]
 
 
 def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
@@ -681,12 +697,15 @@ def encode_webp_lossless(img: np.ndarray) -> bytes:
     _write_flat_literal_code(bw, 256, nine_green=False)  # blue
     _write_simple_code(bw, 255)  # alpha: constant 255
     _write_simple_code(bw, 0)  # distance: never used
-    flat = img.reshape(-1, 3)
-    for r, g, b in flat:
-        bw.write_code(256 + int(g), 9)  # green literal (canonical offset 256)
-        bw.write_code(int(r), 8)
-        bw.write_code(int(b), 8)
-    data = bw.tobytes()
+    # pixel section is a fixed 25-bit layout (green '1'+value 9 bits, red 8,
+    # blue 8, all MSB-first; 0-bit alpha/distance) — assemble it vectorized
+    flat = img.reshape(-1, 3).astype(np.uint32)
+    codes = ((256 + flat[:, 1]) << 16) | (flat[:, 0] << 8) | flat[:, 2]
+    pix_bits = ((codes[:, None] >> np.arange(24, -1, -1)) & 1).astype(np.uint8)
+    all_bits = np.concatenate(
+        [np.asarray(bw.bits, dtype=np.uint8), pix_bits.reshape(-1)]
+    )
+    data = np.packbits(all_bits, bitorder="little").tobytes()
     chunk = b"VP8L" + struct.pack("<I", len(data)) + data
     if len(data) & 1:
         chunk += b"\x00"
