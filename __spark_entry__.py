@@ -1091,6 +1091,17 @@ def q63_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.join(exact, "lang").orderBy("lang")
 
 
+def q64_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022 / deduplicate-text-datasets
+    semantics): maximal token spans whose every 8-gram repeats corpus-wide.
+    Window df-count over gram hashes + gaps-and-islands merge — the
+    Spark-native decomposition of the single-machine suffix-array tool."""
+    from spanluke_spark.dedup.substring import duplicate_kgram_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_kgram_spans(docs, k=8).orderBy("doc_id", "tok_start")
+
+
 def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 Structured Streaming through a REAL readStream->writeStream run:
     synthesize pages (deterministic warc_ts = 1700000000 + doc_id*60),
@@ -2389,6 +2400,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_pricing_summary": q01_pricing_summary,
         "q02_top_revenue_customers": q02_top_revenue_customers,
         "q03_largest_order_per_customer": q03_largest_order_per_customer,
+        "q64_substring_dedup": q64_substring_dedup,
     }
 
 
@@ -2428,5 +2440,32 @@ def extra_oracle_sql() -> dict[str, str]:
                 FROM orders
             ) WHERE rn = 1
             ORDER BY o_custkey
+        """,
+        "q64_substring_dedup": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            s AS (
+                SELECT doc_id,
+                       list_transform(range(1, greatest(len(t) - 8, -1) + 2),
+                           i -> struct_pack(pos := i - 1,
+                                            g := array_to_string(t[i:i+7], ' '))) AS gl
+                FROM toks WHERE len(t) >= 8
+            ),
+            grams AS (SELECT doc_id, unnest(gl, recursive := true) FROM s),
+            hits AS (
+                SELECT doc_id, pos FROM (
+                    SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS df FROM grams
+                ) WHERE df >= 2
+            ),
+            isl AS (
+                SELECT doc_id, pos,
+                       sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM (SELECT doc_id, pos,
+                             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                      FROM hits)
+            )
+            SELECT doc_id, min(pos) AS tok_start, max(pos) + 8 AS tok_end
+            FROM isl GROUP BY doc_id, island
+            ORDER BY doc_id, tok_start
         """,
     }

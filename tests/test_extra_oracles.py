@@ -48,7 +48,13 @@ def duck():
 
 
 @pytest.mark.parametrize(
-    "name", ["q01_pricing_summary", "q02_top_revenue_customers", "q03_largest_order_per_customer"]
+    "name",
+    [
+        "q01_pricing_summary",
+        "q02_top_revenue_customers",
+        "q03_largest_order_per_customer",
+        "q64_substring_dedup",
+    ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
     import __spark_entry__ as entrymod
