@@ -1,5 +1,5 @@
 """Media-decode throughput through the distributed kernel (pure-numpy
-codecs, no PIL): mixed JPEG/PNG/BMP/GIF/WebP/WAV payloads -> real pixel/signal
+codecs, no PIL): mixed JPEG/PNG/BMP/GIF/WebP/WAV/FLAC payloads -> real pixel/signal
 features via ``extract_media_features(deterministic_fake=False)``.
 
 Standalone (not part of bench.py's driver line — decode is CPU-bound
@@ -26,6 +26,7 @@ def build_payloads(n_per_kind: int) -> list[tuple[int, str, bytearray]]:
     from spanluke_spark.multimodal.codecs import encode_bmp, encode_png, encode_wav
     from spanluke_spark.multimodal.gif import encode_gif
     from spanluke_spark.multimodal.jpeg import encode_jpeg
+    from spanluke_spark.multimodal.flac import encode_flac
     from spanluke_spark.multimodal.webp import encode_webp_lossless
 
     rng = np.random.default_rng(0)
@@ -49,7 +50,11 @@ def build_payloads(n_per_kind: int) -> list[tuple[int, str, bytearray]]:
             base[:120, :160] + rng.integers(0, 20, (120, 160, 3)), 0, 255
         ).astype(np.uint8)
         rows.append((mid + 5, "image", bytearray(encode_webp_lossless(webp_img))))
-        mid += 6
+        clip = 0.3 * np.sin((330 + i) * t) + 0.05 * np.sin((991 + i) * t)
+        rows.append(
+            (mid + 6, "audio", bytearray(encode_flac(16000, clip, block_size=4096)))
+        )
+        mid += 7
     return rows
 
 
@@ -91,7 +96,7 @@ def main() -> None:
                 "metric": "media_decode_throughput",
                 "payloads": len(rows),
                 "decoded": decoded,
-                "mix": "JPEG-4:2:0/PNG/BMP 320x240 + GIF/WebP-lossless 160x120 + 1s WAV",
+                "mix": "JPEG-4:2:0/PNG/BMP 320x240 + GIF/WebP-lossless 160x120 + 1s WAV + 1s FLAC",
                 "total_mb": round(total_mb, 1),
                 "cpus": cpus,
                 "sec": round(best, 2),

@@ -484,4 +484,14 @@ def media_features(payload: bytes, dim: int = 16) -> list[float]:
                 f"corrupt WAV payload: {type(exc).__name__}: {exc}"
             ) from exc
         return audio_features(rate, samples, dim)
+    if payload[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        try:
+            rate, samples = decode_flac(payload)
+        except _CODEC_ERRORS as exc:
+            raise ValueError(
+                f"corrupt FLAC payload: {type(exc).__name__}: {exc}"
+            ) from exc
+        return audio_features(rate, samples, dim)
     return image_features(decode_image(payload), dim)

@@ -3,10 +3,11 @@
 The Spark-side plumbing (schemas, partitioning, Arrow batch shape, UDF
 signatures) is real and tested — and the decode step is REAL, pure-numpy,
 for the dominant web formats: PPM, 24-bit BMP, PNG (incl. Adam7/16-bit),
-baseline JPEG, WAV/PCM audio (`multimodal/codecs.py`, `multimodal/jpeg.py`)
+baseline+progressive JPEG, GIF, lossless WebP, WAV/PCM + FLAC audio
+(`multimodal/codecs.py`, `jpeg.py`, `gif.py`, `webp.py`, `flac.py`)
 and MJPEG-AVI video (`multimodal/video.py` — container parse + frame
 sample + per-frame JPEG pixel decode, end to end). Remaining formats
-(WebP, MP3, H.264/VP9...) dispatch to PIL/ffmpeg when
+(lossy WebP, MP3, H.264/VP9...) dispatch to PIL/ffmpeg when
 installed and raise a clearly-marked NotImplementedError otherwise;
 `deterministic_fake=True` (default) keeps the hash-derived fake for
 library-free fixtures of arbitrary formats.
