@@ -1102,6 +1102,62 @@ def q64_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_kgram_spans(docs, k=8).orderBy("doc_id", "tok_start")
 
 
+def _analytics_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense deterministic edge fixture for the graph-analytics queries:
+    the 2-out functional link graph of _linked_pages is triangle-free, so
+    these use double-mod mixed affine maps over a 40-node universe (598 of
+    780 undirected pairs, 4402 triangles — non-trivial, SF-stable). The
+    HTML-extraction lane is already oracle-covered by q58/q59."""
+    docs = _t(spark, sf_dir, "documents")
+    v = lambda c: F.concat(F.lit("v"), c.cast("long").cast("string"))  # noqa: E731
+    d = F.col("doc_id")
+    e1 = docs.select(
+        v(d % 40).alias("src"), v(((d * 37 + 11) % 97) % 40).alias("dst")
+    )
+    e2 = docs.select(
+        v(((d * 53 + 29) % 89) % 40).alias("src"), v((d * 13 + 3) % 40).alias("dst")
+    )
+    return e1.unionByName(e2)
+
+
+_ANALYTICS_EDGES_SQL = """
+            SELECT 'v' || (doc_id % 40) AS src,
+                   'v' || (((doc_id * 37 + 11) % 97) % 40) AS dst
+            FROM documents
+            UNION ALL
+            SELECT 'v' || (((doc_id * 53 + 29) % 89) % 40) AS src,
+                   'v' || ((doc_id * 13 + 3) % 40) AS dst
+            FROM documents
+"""
+
+
+def q65_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts via degree-oriented wedge joins
+    (O(m^1.5) wedge bound — hub-safe at crawl scale); the oracle verifies
+    the orientation-invariant triangle set with the simpler id-ordered
+    SQL formulation."""
+    from spanluke_spark.graph.analytics import triangle_count
+
+    return triangle_count(_analytics_edges(spark, sf_dir)).orderBy("node")
+
+
+def q66_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (2 rounds, deterministic count-desc /
+    label-asc tie-break); oracle unrolls both rounds with window top-1
+    votes."""
+    from spanluke_spark.graph.analytics import label_propagation
+
+    return label_propagation(_analytics_edges(spark, sf_dir), iters=2).orderBy("node")
+
+
+def q67_two_hop_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-ish (a)->(x)->(c) path-motif query: one self-equi-join on
+    the intermediate + hash agg — the canonical triple-pattern join."""
+    from spanluke_spark.graph.analytics import path_motifs
+
+    return path_motifs(_analytics_edges(spark, sf_dir)).orderBy("src", "dst")
+
+
 def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 Structured Streaming through a REAL readStream->writeStream run:
     synthesize pages (deterministic warc_ts = 1700000000 + doc_id*60),
@@ -2401,6 +2457,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q02_top_revenue_customers": q02_top_revenue_customers,
         "q03_largest_order_per_customer": q03_largest_order_per_customer,
         "q64_substring_dedup": q64_substring_dedup,
+        "q65_triangle_count": q65_triangle_count,
+        "q66_label_propagation": q66_label_propagation,
+        "q67_two_hop_motifs": q67_two_hop_motifs,
     }
 
 
@@ -2467,5 +2526,65 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(pos) AS tok_start, max(pos) + 8 AS tok_end
             FROM isl GROUP BY doc_id, island
             ORDER BY doc_id, tok_start
+        """,
+        "q65_triangle_count": f"""
+            WITH e AS ({_ANALYTICS_EDGES_SQL}),
+            und AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM e WHERE src <> dst
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1
+                JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+                JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+            )
+            SELECT node, count(*) AS triangles FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ) GROUP BY node ORDER BY node
+        """,
+        "q66_label_propagation": f"""
+            WITH e AS ({_ANALYTICS_EDGES_SQL}),
+            und AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM e WHERE src <> dst
+            ),
+            nbr AS (
+                SELECT a AS n, b AS m FROM und
+                UNION ALL SELECT b AS n, a AS m FROM und
+            ),
+            l0 AS (SELECT DISTINCT n, n AS label FROM nbr),
+            v1 AS (
+                SELECT nbr.n, l.label, count(*) AS votes
+                FROM nbr JOIN l0 l ON nbr.m = l.n GROUP BY 1, 2
+            ),
+            l1 AS (
+                SELECT n, label FROM (
+                    SELECT n, label, row_number() OVER (
+                        PARTITION BY n ORDER BY votes DESC, label ASC) AS rn
+                    FROM v1
+                ) WHERE rn = 1
+            ),
+            v2 AS (
+                SELECT nbr.n, l.label, count(*) AS votes
+                FROM nbr JOIN l1 l ON nbr.m = l.n GROUP BY 1, 2
+            ),
+            l2 AS (
+                SELECT n, label FROM (
+                    SELECT n, label, row_number() OVER (
+                        PARTITION BY n ORDER BY votes DESC, label ASC) AS rn
+                    FROM v2
+                ) WHERE rn = 1
+            )
+            SELECT n AS node, label FROM l2 ORDER BY node
+        """,
+        "q67_two_hop_motifs": f"""
+            WITH e AS (SELECT DISTINCT src, dst FROM ({_ANALYTICS_EDGES_SQL}))
+            SELECT h1.src AS src, h2.dst AS dst, count(*) AS n_paths
+            FROM e h1 JOIN e h2 ON h1.dst = h2.src
+            WHERE h1.src <> h2.dst
+            GROUP BY 1, 2 ORDER BY src, dst
         """,
     }

@@ -54,6 +54,9 @@ def duck():
         "q02_top_revenue_customers",
         "q03_largest_order_per_customer",
         "q64_substring_dedup",
+        "q65_triangle_count",
+        "q66_label_propagation",
+        "q67_two_hop_motifs",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
