@@ -1158,6 +1158,43 @@ def q67_two_hop_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return path_motifs(_analytics_edges(spark, sf_dir)).orderBy("src", "dst")
 
 
+def q68_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE dynamic session windows (F.session_window, 30-min gap) per
+    user over events — the same expression that runs watermarked in
+    streaming (tests/test_streaming_sessions.py); verified batch-side
+    against a DuckDB gaps-and-islands oracle (session_end = last event +
+    gap; events exactly gap apart MERGE — the boundary is inclusive,
+    pinned by tests/test_streaming_sessions.py)."""
+    from spanluke_spark.streaming.stream import sessionized_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionized_counts(ev, key="user_id", ts="ts").orderBy(
+        "user_id", "session_start"
+    )
+
+
+def q69_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded stream-stream interval join, batch-verified:
+    purchases attributed to every click of the same user in the preceding
+    hour (asymmetric time bound — the state-expirable join shape)."""
+    from spanluke_spark.streaming.stream import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return interval_join(
+        clicks, purchases, key="user_id", left_ts="click_ts",
+        right_ts="purchase_ts", within="1 hour",
+    ).orderBy("click_id", "purchase_id")
+
+
 def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 Structured Streaming through a REAL readStream->writeStream run:
     synthesize pages (deterministic warc_ts = 1700000000 + doc_id*60),
@@ -2460,6 +2497,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_triangle_count": q65_triangle_count,
         "q66_label_propagation": q66_label_propagation,
         "q67_two_hop_motifs": q67_two_hop_motifs,
+        "q68_session_windows": q68_session_windows,
+        "q69_interval_join": q69_interval_join,
     }
 
 
@@ -2586,5 +2625,44 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM e h1 JOIN e h2 ON h1.dst = h2.src
             WHERE h1.src <> h2.dst
             GROUP BY 1, 2 ORDER BY src, dst
+        """,
+        "q68_session_windows": """
+            WITH x AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events
+            ),
+            isl AS (
+                SELECT user_id, ts,
+                       sum(CASE WHEN prev IS NULL
+                                  OR ts > prev + INTERVAL '30' MINUTE
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS island
+                FROM x
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL '30' MINUTE AS session_end,
+                   count(*) AS n_events
+            FROM isl GROUP BY user_id, island
+            ORDER BY user_id, session_start
+        """,
+        "q69_interval_join": """
+            WITH c AS (
+                SELECT event_id AS click_id, user_id, ts AS click_ts
+                FROM events WHERE event_type = 'click'
+            ),
+            p AS (
+                SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+                       value AS purchase_value
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.user_id, c.click_id, c.click_ts,
+                   p.purchase_id, p.purchase_ts, p.purchase_value
+            FROM c JOIN p ON c.user_id = p.user_id
+                AND p.purchase_ts >= c.click_ts
+                AND p.purchase_ts <= c.click_ts + INTERVAL '1' HOUR
+            ORDER BY c.click_id, p.purchase_id
         """,
     }

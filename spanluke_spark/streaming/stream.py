@@ -48,6 +48,68 @@ def windowed_page_counts(pages: DataFrame, window: str = "1 day", watermark: str
     )
 
 
+def sessionized_counts(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """NATIVE session windows (``F.session_window``): events within ``gap``
+    of each other merge into one dynamic-length session per key — the
+    engine manages the merging state, the watermark closes sessions whose
+    gap has provably expired (append-mode emits only closed sessions).
+
+    Per Spark semantics ``session_end`` = last event time + gap (the
+    exclusive close bound). Works identically on a static DataFrame —
+    which is how q68's DuckDB gaps-and-islands oracle verifies the exact
+    same expression batch-side."""
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.session_window(F.col(ts), gap).alias("w"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: right rows matched to left rows with the
+    same key and ``left_ts <= right_ts <= left_ts + within`` — the classic
+    watermarked interval join (e.g. purchases attributed to the click that
+    preceded them). Both sides carry watermarks and the join condition
+    bounds event-time distance, so the engine can expire buffered state —
+    REQUIRED for append-mode stream-stream joins; without the time bound
+    state grows forever. Same expression works batch-side (q69 oracle)."""
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return lw.join(rw, cond).select(
+        F.col(f"l.{key}").alias(key),
+        *[F.col(f"l.{c}").alias(c) for c in left.columns if c != key],
+        *[F.col(f"r.{c}").alias(c) for c in right.columns if c != key],
+    )
+
+
 def stateful_lang_totals(pages: DataFrame):
     """Custom stateful streaming operator (applyInPandasWithState): running
     cumulative page count per language, state carried ACROSS micro-batches

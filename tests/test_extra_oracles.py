@@ -57,6 +57,8 @@ def duck():
         "q65_triangle_count",
         "q66_label_propagation",
         "q67_two_hop_motifs",
+        "q68_session_windows",
+        "q69_interval_join",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
