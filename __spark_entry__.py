@@ -1195,6 +1195,20 @@ def q69_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("click_id", "purchase_id")
 
 
+def q70_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from a CDC update stream: per-user
+    event_type state versioned with [valid_from, valid_to) intervals,
+    same-instant ties collapsed deterministically, unchanged updates
+    change-collapsed; every window shares partitionBy(user_id) -> the
+    whole build is one shuffle."""
+    from spanluke_spark.storage.scd import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_history(ev, key="user_id", ts="ts", attrs=["event_type"]).orderBy(
+        "user_id", "valid_from"
+    )
+
+
 def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 Structured Streaming through a REAL readStream->writeStream run:
     synthesize pages (deterministic warc_ts = 1700000000 + doc_id*60),
@@ -2499,6 +2513,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_two_hop_motifs": q67_two_hop_motifs,
         "q68_session_windows": q68_session_windows,
         "q69_interval_join": q69_interval_join,
+        "q70_scd2_history": q70_scd2_history,
     }
 
 
@@ -2664,5 +2679,27 @@ def extra_oracle_sql() -> dict[str, str]:
                 AND p.purchase_ts >= c.click_ts
                 AND p.purchase_ts <= c.click_ts + INTERVAL '1' HOUR
             ORDER BY c.click_id, p.purchase_id
+        """,
+        "q70_scd2_history": """
+            WITH u AS (
+                SELECT user_id, ts, event_type FROM (
+                    SELECT user_id, ts, event_type,
+                           row_number() OVER (PARTITION BY user_id, ts
+                                              ORDER BY event_type DESC) AS rn
+                    FROM events
+                ) WHERE rn = 1
+            ),
+            chg AS (
+                SELECT user_id, ts, event_type FROM (
+                    SELECT u.*, lag(event_type) OVER (
+                        PARTITION BY user_id ORDER BY ts) AS prev
+                    FROM u
+                ) WHERE event_type IS DISTINCT FROM prev
+            )
+            SELECT user_id, event_type,
+                   ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts) AS version
+            FROM chg ORDER BY user_id, valid_from
         """,
     }

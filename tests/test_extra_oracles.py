@@ -59,6 +59,7 @@ def duck():
         "q67_two_hop_motifs",
         "q68_session_windows",
         "q69_interval_join",
+        "q70_scd2_history",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
