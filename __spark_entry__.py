@@ -1209,6 +1209,77 @@ def q70_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q71_corpus_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all 4 grouping sets of lang x source) over the
+    corpus with grouping_id disambiguating the NULL placeholders — the
+    one-pass OLAP rollup Catalyst expands via Expand (no re-scan per
+    grouping set)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "lang", "source")
+    )
+
+
+def q72_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles (p50/p90/p99) of event value per
+    event_type — Spark's percentile() and DuckDB's quantile_cont share the
+    linear-interpolation definition, so values match to rounding. (The
+    100 TB path swaps in percentile_approx's t-digest; this is the exact
+    twin that validates it.)"""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            *[
+                F.round(F.expr(f"percentile(value, {p})"), 6).alias(f"p{int(p * 100)}")
+                for p in (0.5, 0.9, 0.99)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q73_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide): per-user event counts with an explicit pivot
+    value list (deterministic columns; no extra distinct-values job) —
+    the oracle is conditional aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = ev.groupBy("user_id").pivot("event_type", kinds).count()
+    return out.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    ).orderBy("user_id")
+
+
+def q74_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE window frame: per-user trailing-1-hour average
+    value (rangeBetween over epoch seconds == DuckDB's RANGE BETWEEN
+    INTERVAL frame, ties-inclusive)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 Structured Streaming through a REAL readStream->writeStream run:
     synthesize pages (deterministic warc_ts = 1700000000 + doc_id*60),
@@ -2514,6 +2585,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_session_windows": q68_session_windows,
         "q69_interval_join": q69_interval_join,
         "q70_scd2_history": q70_scd2_history,
+        "q71_corpus_cube": q71_corpus_cube,
+        "q72_group_percentiles": q72_group_percentiles,
+        "q73_event_pivot": q73_event_pivot,
+        "q74_moving_average": q74_moving_average,
     }
 
 
@@ -2701,5 +2776,39 @@ def extra_oracle_sql() -> dict[str, str]:
                    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
                    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS version
             FROM chg ORDER BY user_id, valid_from
+        """,
+        "q71_corpus_cube": """
+            SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+                   GROUPING(lang) * 2 + GROUPING(source) AS gid
+            FROM documents
+            GROUP BY CUBE (lang, source)
+            ORDER BY gid, lang, source
+        """,
+        "q72_group_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99,
+                   count(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q73_event_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click') AS click,
+                   count(*) FILTER (WHERE event_type = 'view') AS "view",
+                   count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                   count(*) FILTER (WHERE event_type = 'error') AS "error"
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "q74_moving_average": """
+            SELECT event_id, user_id, ts,
+                   round(avg(value) OVER w, 6) AS avg_1h,
+                   count(*) OVER w AS n_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL '1' HOUR PRECEDING
+                               AND CURRENT ROW)
+            ORDER BY event_id
         """,
     }

@@ -60,6 +60,10 @@ def duck():
         "q68_session_windows",
         "q69_interval_join",
         "q70_scd2_history",
+        "q71_corpus_cube",
+        "q72_group_percentiles",
+        "q73_event_pivot",
+        "q74_moving_average",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
