@@ -1280,6 +1280,21 @@ def q74_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q75_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology/type-hierarchy closure by path doubling (O(log diameter)
+    self-joins, fixpoint by count) over a deterministic forward DAG;
+    oracle is the textbook WITH RECURSIVE reachability."""
+    from spanluke_spark.graph.closure import transitive_closure
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    edges = docs.select(
+        (d % 37).alias("src"),
+        ((d % 37) + 1 + (d * 11 + 2) % 3).alias("dst"),
+    )
+    return transitive_closure(edges).orderBy("src", "dst")
+
+
 def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 Structured Streaming through a REAL readStream->writeStream run:
     synthesize pages (deterministic warc_ts = 1700000000 + doc_id*60),
@@ -2589,6 +2604,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_group_percentiles": q72_group_percentiles,
         "q73_event_pivot": q73_event_pivot,
         "q74_moving_average": q74_moving_average,
+        "q75_transitive_closure": q75_transitive_closure,
     }
 
 
@@ -2810,5 +2826,18 @@ def extra_oracle_sql() -> dict[str, str]:
                          RANGE BETWEEN INTERVAL '1' HOUR PRECEDING
                                AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        "q75_transitive_closure": """
+            WITH RECURSIVE edges AS (
+                SELECT DISTINCT (doc_id % 37) AS src,
+                       (doc_id % 37) + 1 + ((doc_id * 11 + 2) % 3) AS dst
+                FROM documents
+            ),
+            reach (src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            )
+            SELECT src, dst FROM reach ORDER BY src, dst
         """,
     }

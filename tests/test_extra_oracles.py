@@ -64,6 +64,7 @@ def duck():
         "q72_group_percentiles",
         "q73_event_pivot",
         "q74_moving_average",
+        "q75_transitive_closure",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):

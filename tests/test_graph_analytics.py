@@ -132,3 +132,41 @@ def test_motifs_excludes_round_trips(spark):
     got = path_motifs(to_df(spark, [("a", "b"), ("b", "a"), ("b", "c")])).collect()
     pairs = {(r["src"], r["dst"]): r["n_paths"] for r in got}
     assert pairs == {("a", "c"): 1}
+
+
+def test_transitive_closure_parity_and_doubling(spark):
+    from spanluke_spark.graph.closure import transitive_closure
+
+    def ref_closure(edges):
+        adj = {}
+        for a, b in set(edges):
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+        out = set()
+        for s in adj:
+            stack, seen = list(adj[s]), set()
+            while stack:
+                v = stack.pop()
+                if v in seen:
+                    continue
+                seen.add(v)
+                stack.extend(adj.get(v, ()))
+            out.update((s, v) for v in seen)
+        return out
+
+    # long chain (diameter 40 >> 2^rounds for naive-at-20) proves doubling
+    chain = [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(40)]
+    got = {
+        (r["src"], r["dst"])
+        for r in transitive_closure(to_df(spark, chain), max_rounds=7).collect()
+    }
+    assert got == ref_closure(chain)  # 7 doubling rounds cover 2^7 >= 40
+
+    rng = np.random.default_rng(23)
+    for trial in range(2):
+        edges = rand_edges(rng, 10, 18)  # sparse; may contain cycles
+        got = {
+            (r["src"], r["dst"])
+            for r in transitive_closure(to_df(spark, edges)).collect()
+        }
+        assert got == ref_closure(edges), trial
