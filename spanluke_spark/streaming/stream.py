@@ -93,6 +93,11 @@ def interval_join(
     bounds event-time distance, so the engine can expire buffered state —
     REQUIRED for append-mode stream-stream joins; without the time bound
     state grows forever. Same expression works batch-side (q69 oracle)."""
+    overlap = (set(left.columns) & set(right.columns)) - {key}
+    if overlap:
+        raise ValueError(
+            f"rename overlapping non-key columns before joining: {sorted(overlap)}"
+        )
     lw = left.withWatermark(left_ts, watermark).alias("l")
     rw = right.withWatermark(right_ts, watermark).alias("r")
     cond = (

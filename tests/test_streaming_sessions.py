@@ -57,11 +57,13 @@ def test_session_windows_stream_matches_batch(spark):
             (6, "u3", "2024-01-01 08:00:00", "click"),
             (7, "u3", "2024-01-01 08:30:00", "click"),  # exactly gap apart
         ]
-        _events(spark, rows).write.parquet(os.path.join(tmp, "in"), mode="append")
         # append-mode emits a session only after the watermark passes its
-        # close bound: a far-future sentinel in a second file advances the
-        # watermark so every real session flushes before the stream ends
-        _events(spark, [(99, "u9", "2024-01-02 00:00:00", "click")]).write.parquet(
+        # close bound: a far-future sentinel IN THE SAME FILE advances the
+        # watermark after batch 1, so the engine's final flush batch emits
+        # every real session before the stream ends (same-file placement is
+        # deliberate — two files would race on mtime ordering under load)
+        sentinel = [(99, "u9", "2024-01-02 00:00:00", "click")]
+        _events(spark, rows + sentinel).coalesce(1).write.parquet(
             os.path.join(tmp, "in"), mode="append"
         )
 
@@ -102,8 +104,11 @@ def test_interval_join_stream_matches_batch(spark):
             (12, "u1", "2024-01-01 09:00:00", "purchase"),  # before any click
             (13, "u2", "2024-01-01 11:30:00", "purchase"),  # > 1h after click 3
         ]
-        _events(spark, clicks).write.parquet(os.path.join(tmp, "in"), mode="append")
-        _events(spark, purchases).write.parquet(os.path.join(tmp, "in"), mode="append")
+        # one coalesced file = one micro-batch: file order under load must
+        # not let one side's watermark mark the other side's rows late
+        _events(spark, clicks + purchases).coalesce(1).write.parquet(
+            os.path.join(tmp, "in"), mode="append"
+        )
 
         def build(ev):
             c = ev.filter(F.col("event_type") == "click").select(
