@@ -484,6 +484,19 @@ def media_features(payload: bytes, dim: int = 16) -> list[float]:
                 f"corrupt WAV payload: {type(exc).__name__}: {exc}"
             ) from exc
         return audio_features(rate, samples, dim)
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF and payload[1] & 0xE0 == 0xE0
+    ):
+        # MP3: frame-walk probe features (duration/bitrate/VBR) — native;
+        # PCM decode stays gated (multimodal/mp3.py docstring)
+        from .mp3 import mp3_features
+
+        try:
+            return mp3_features(payload, dim)
+        except _CODEC_ERRORS as exc:
+            raise ValueError(
+                f"corrupt MP3 payload: {type(exc).__name__}: {exc}"
+            ) from exc
     if payload[:4] == b"fLaC":
         from .flac import decode_flac
 

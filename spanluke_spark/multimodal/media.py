@@ -6,8 +6,9 @@ for the dominant web formats: PPM, 24-bit BMP, PNG (incl. Adam7/16-bit),
 baseline+progressive JPEG, GIF, lossless WebP, WAV/PCM + FLAC audio
 (`multimodal/codecs.py`, `jpeg.py`, `gif.py`, `webp.py`, `flac.py`)
 and MJPEG-AVI video (`multimodal/video.py` — container parse + frame
-sample + per-frame JPEG pixel decode, end to end). Remaining formats
-(lossy WebP, MP3, H.264/VP9...) dispatch to PIL/ffmpeg when
+sample + per-frame JPEG pixel decode, end to end). MP3 is frame-probed natively
+(duration/bitrate/VBR — multimodal/mp3.py); remaining formats
+(lossy WebP, MP3 PCM, H.264/VP9...) dispatch to PIL/ffmpeg when
 installed and raise a clearly-marked NotImplementedError otherwise;
 `deterministic_fake=True` (default) keeps the hash-derived fake for
 library-free fixtures of arbitrary formats.
