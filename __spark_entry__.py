@@ -1295,6 +1295,17 @@ def q75_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transitive_closure(edges).orderBy("src", "dst")
 
 
+def q76_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram stupid-backoff LM scoring (Brants et al. 2007), self-
+    trained on the corpus (so the oracle can omit the never-taken backoff
+    branch): first token under the smoothed unigram, later tokens under
+    count(ab)/count(a·)."""
+    from spanluke_spark.textops.lm_score import bigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs).orderBy("doc_id")
+
+
 def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 Structured Streaming through a REAL readStream->writeStream run:
     synthesize pages (deterministic warc_ts = 1700000000 + doc_id*60),
@@ -2605,6 +2616,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_event_pivot": q73_event_pivot,
         "q74_moving_average": q74_moving_average,
         "q75_transitive_closure": q75_transitive_closure,
+        "q76_bigram_lm": q76_bigram_lm,
     }
 
 
@@ -2839,5 +2851,33 @@ def extra_oracle_sql() -> dict[str, str]:
                 SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
             )
             SELECT src, dst FROM reach ORDER BY src, dst
+        """,
+        "q76_bigram_lm": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            uni AS (SELECT unnest(t) AS w FROM toks),
+            vocab AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+            stats AS (SELECT sum(c)::DOUBLE AS total, count(*)::DOUBLE AS v FROM vocab),
+            bigl AS (
+                SELECT doc_id,
+                       list_transform(range(2, len(t) + 1),
+                           i -> struct_pack(a := t[i-1], b := t[i])) AS pl
+                FROM toks WHERE len(t) >= 2
+            ),
+            bgr AS (SELECT doc_id, unnest(pl, recursive := true) FROM bigl),
+            bc AS (SELECT a, b, count(*) AS cb FROM bgr GROUP BY a, b),
+            cx AS (SELECT a, sum(cb) AS ca FROM bc GROUP BY a),
+            firsts AS (
+                SELECT toks.doc_id,
+                       -log2((vocab.c + 0.5) / (stats.total + 0.5 * (stats.v + 1))) AS bits
+                FROM toks JOIN vocab ON vocab.w = t[1], stats
+            ),
+            rests AS (
+                SELECT bgr.doc_id, -log2(bc.cb::DOUBLE / cx.ca) AS bits
+                FROM bgr JOIN bc USING (a, b) JOIN cx USING (a)
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(bits), 6) AS bits_per_token
+            FROM (SELECT * FROM firsts UNION ALL SELECT * FROM rests)
+            GROUP BY doc_id ORDER BY doc_id
         """,
     }

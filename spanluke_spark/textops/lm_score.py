@@ -50,3 +50,105 @@ def unigram_lm_scores(
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_df: DataFrame | None = None,
+    k: float = 0.5,
+    alpha: float = 0.4,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Bigram LM with STUPID BACKOFF (Brants et al. 2007) — one rung
+    closer to CCNet's KenLM filter than the unigram: (id, n_tokens,
+    bits_per_token) where token 0 scores under the smoothed unigram and
+    token i>0 under count(w_{i-1} w_i)/count(w_{i-1}·) when that bigram
+    was seen in the TRAINING corpus, else alpha * p_unigram(w_i).
+
+    ``train_df`` (default: ``df`` itself) fixes the counting corpus —
+    pass the reference corpus to score new crawls against it; self-
+    training never triggers the backoff (every bigram is seen), which is
+    exactly the unigram module's relative-quality semantics.
+
+    Shape: two count aggregates over the training corpus (map-side
+    partial) + one broadcast (or shuffle, ``broadcast_model=False`` for
+    raw-web vocabularies) join per table; no Python rows anywhere."""
+    src = train_df if train_df is not None else df
+    toks = lambda frame: frame.withColumn("_t", F.split(F.col(text_col), " "))  # noqa: E731
+
+    train_words = src.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    vocab = train_words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    stats = vocab.agg(F.sum("c").alias("total"), F.count(F.lit(1)).alias("v"))
+    big = (
+        toks(src)
+        .select(
+            F.explode(
+                # guard: sequence(1, 0) DESCENDS in Spark, so single-token
+                # docs must yield an empty pair list, not garbage indices
+                F.expr(
+                    "CASE WHEN size(_t) >= 2 THEN"
+                    " transform(sequence(1, size(_t) - 1),"
+                    " i -> struct(_t[i-1] AS a, _t[i] AS b))"
+                    " ELSE array() END"
+                )
+            ).alias("_p")
+        )
+        .select("_p.a", "_p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    ctx = big.groupBy("a").agg(F.sum("cb").alias("ca"))
+    maybe_b = F.broadcast if broadcast_model else (lambda x: x)
+
+    uni_denom = F.col("total") + F.lit(k) * (F.col("v") + 1)
+    uni_bits = -F.log2((F.coalesce(F.col("c"), F.lit(0)) + F.lit(k)) / uni_denom)
+
+    first = (
+        toks(df)
+        .select(F.col(id_col).alias("id"), F.col("_t")[0].alias("w"))
+        .join(maybe_b(vocab), "w", "left")
+        .crossJoin(F.broadcast(stats))
+        .select("id", uni_bits.alias("bits"))
+    )
+    rest = (
+        toks(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                # guard: sequence(1, 0) DESCENDS in Spark, so single-token
+                # docs must yield an empty pair list, not garbage indices
+                F.expr(
+                    "CASE WHEN size(_t) >= 2 THEN"
+                    " transform(sequence(1, size(_t) - 1),"
+                    " i -> struct(_t[i-1] AS a, _t[i] AS b))"
+                    " ELSE array() END"
+                )
+            ).alias("_p"),
+        )
+        .select("id", "_p.a", "_p.b")
+        .join(maybe_b(big), ["a", "b"], "left")
+        .join(maybe_b(ctx), "a", "left")
+        .join(
+            maybe_b(vocab.select(F.col("w").alias("b"), "c")), "b", "left"
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            F.when(
+                F.col("cb").isNotNull(), -F.log2(F.col("cb") / F.col("ca"))
+            )
+            .otherwise(-F.log2(F.lit(alpha)) + uni_bits)
+            .alias("bits"),
+        )
+    )
+    return (
+        first.unionByName(rest)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("bits"), 6).alias("bits_per_token"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

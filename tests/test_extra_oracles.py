@@ -65,6 +65,7 @@ def duck():
         "q73_event_pivot",
         "q74_moving_average",
         "q75_transitive_closure",
+        "q76_bigram_lm",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):

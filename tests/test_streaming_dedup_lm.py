@@ -94,3 +94,52 @@ def test_unigram_lm_plan_is_broadcast(spark):
     plan = unigram_lm_scores(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bigram_lm_backoff_python_oracle(spark):
+    """Train on one corpus, score ANOTHER -> the stupid-backoff branch and
+    unseen-word smoothing genuinely fire; verify against a Python replay."""
+    import math
+    from collections import Counter
+
+    from spanluke_spark.textops.lm_score import bigram_lm_scores
+
+    train_rows = [(1, "the cat sat on the mat"), (2, "the dog sat"), (3, "a cat ran")]
+    score_rows = [(10, "the cat ran"), (11, "zebra the cat"), (12, "solo")]
+    k, alpha = 0.5, 0.4
+
+    uni = Counter(w for _, t in train_rows for w in t.split())
+    big = Counter()
+    for _, t in train_rows:
+        ws = t.split()
+        for i in range(1, len(ws)):
+            big[(ws[i - 1], ws[i])] += 1
+    ctx = Counter()
+    for (a, _), c in big.items():
+        ctx[a] += c
+    total, v = sum(uni.values()), len(uni)
+
+    def p_uni_bits(w):
+        return -math.log2((uni.get(w, 0) + k) / (total + k * (v + 1)))
+
+    def doc_score(text):
+        ws = text.split()
+        bits = [p_uni_bits(ws[0])]
+        for i in range(1, len(ws)):
+            pair = (ws[i - 1], ws[i])
+            if pair in big:
+                bits.append(-math.log2(big[pair] / ctx[ws[i - 1]]))
+            else:
+                bits.append(-math.log2(alpha) + p_uni_bits(ws[i]))
+        return len(ws), round(sum(bits) / len(bits), 6)
+
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    score = spark.createDataFrame(score_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bits_per_token"])
+        for r in bigram_lm_scores(score, train_df=train).collect()
+    }
+    assert got == {d: doc_score(t) for d, t in score_rows}
+    # "the cat" is a seen bigram; "zebra" is unseen (smoothing) and
+    # ("zebra","the") backs off -> doc 11 must cost more bits than doc 10
+    assert got[11][1] > got[10][1]
