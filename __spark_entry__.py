@@ -1306,6 +1306,47 @@ def q76_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(docs).orderBy("doc_id")
 
 
+def q77_anchor_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text alias mining (the classic web alias signal): per-target
+    top-K anchor surfaces by referring count — flat (dst, rank, anchor,
+    n_refs) rows so the oracle compares scalar columns; the nested
+    alias-dictionary form is graph/links.anchor_alias_table."""
+    from pyspark.sql import Window
+
+    from spanluke_spark.graph.links import extract_anchor_texts
+
+    anchors = extract_anchor_texts(_linked_pages(spark, sf_dir))
+    counts = (
+        anchors.where(F.trim(F.col("anchor")) != "")
+        .groupBy("dst", "anchor")
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+    )
+    w = Window.partitionBy("dst").orderBy(F.desc("n_refs"), F.asc("anchor"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("dst", "rank", "anchor", "n_refs")
+        .orderBy("dst", "rank")
+    )
+
+
+def q78_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (2 mutual-reinforcement rounds, L2-normalized
+    per step) over the dense fixture graph; the oracle unrolls both rounds
+    in SQL with the identical join/normalize order."""
+    from spanluke_spark.graph.pagerank import hits
+
+    return (
+        hits(_analytics_edges(spark, sf_dir), iters=2)
+        .select(
+            "node",
+            F.round("hub", 6).alias("hub"),
+            F.round("auth", 6).alias("auth"),
+        )
+        .orderBy("node")
+    )
+
+
 def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 Structured Streaming through a REAL readStream->writeStream run:
     synthesize pages (deterministic warc_ts = 1700000000 + doc_id*60),
@@ -1605,6 +1646,52 @@ _LINK_EDGES_SQL = """
             SELECT 'u' || doc_id AS src, 'u' || ((doc_id * 13 + 11) % 500) AS dst
             FROM documents
 """
+
+
+def _hits_sql(iters: int = 2) -> str:
+    """q78 oracle: HITS unrolled — per round the auth aggregate + L2
+    normalize, then the hub aggregate + L2 normalize, mirroring
+    graph/pagerank.hits expression order exactly."""
+    sql = f"""
+        WITH e AS (SELECT DISTINCT src, dst FROM ({_ANALYTICS_EDGES_SQL})),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+            )
+        ),
+        h0 AS (SELECT node, 1.0 AS hub FROM nodes)"""
+    for i in range(iters):
+        sql += f""",
+        a{i + 1}r AS (
+            SELECT e.dst AS node, sum(h{i}.hub) AS auth
+            FROM e JOIN h{i} ON e.src = h{i}.node GROUP BY 1
+        ),
+        a{i + 1}f AS (
+            SELECT nodes.node, coalesce(a{i + 1}r.auth, 0.0) AS auth
+            FROM nodes LEFT JOIN a{i + 1}r USING (node)
+        ),
+        a{i + 1}n AS (SELECT sqrt(sum(auth * auth)) AS nn FROM a{i + 1}f),
+        a{i + 1} AS (
+            SELECT node, auth / a{i + 1}n.nn AS auth FROM a{i + 1}f, a{i + 1}n
+        ),
+        h{i + 1}r AS (
+            SELECT e.src AS node, sum(a{i + 1}.auth) AS hub
+            FROM e JOIN a{i + 1} ON e.dst = a{i + 1}.node GROUP BY 1
+        ),
+        h{i + 1}f AS (
+            SELECT nodes.node, coalesce(h{i + 1}r.hub, 0.0) AS hub
+            FROM nodes LEFT JOIN h{i + 1}r USING (node)
+        ),
+        h{i + 1}n AS (SELECT sqrt(sum(hub * hub)) AS nn FROM h{i + 1}f),
+        h{i + 1} AS (
+            SELECT node, hub / h{i + 1}n.nn AS hub FROM h{i + 1}f, h{i + 1}n
+        )"""
+    sql += f"""
+        SELECT h{iters}.node, round(h{iters}.hub, 6) AS hub,
+               round(a{iters}.auth, 6) AS auth
+        FROM h{iters} JOIN a{iters} USING (node) ORDER BY node
+    """
+    return sql
 
 
 def _pagerank_sql(iters: int = 2, damping: float = 0.85) -> str:
@@ -2617,6 +2704,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_moving_average": q74_moving_average,
         "q75_transitive_closure": q75_transitive_closure,
         "q76_bigram_lm": q76_bigram_lm,
+        "q77_anchor_aliases": q77_anchor_aliases,
+        "q78_hits": q78_hits,
     }
 
 
@@ -2880,4 +2969,25 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM firsts UNION ALL SELECT * FROM rests)
             GROUP BY doc_id ORDER BY doc_id
         """,
+        "q77_anchor_aliases": """
+            WITH anch AS (
+                SELECT 'u' || ((doc_id * 7 + 3) % 500) AS dst, 'x' AS anchor
+                FROM documents
+                UNION ALL
+                SELECT 'u' || ((doc_id * 13 + 11) % 500) AS dst, 'y' AS anchor
+                FROM documents
+            ),
+            counts AS (
+                SELECT dst, anchor, count(*) AS n_refs FROM anch GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT dst, anchor, n_refs,
+                       row_number() OVER (PARTITION BY dst
+                                          ORDER BY n_refs DESC, anchor ASC) AS "rank"
+                FROM counts
+            )
+            SELECT dst, "rank", anchor, n_refs FROM r
+            WHERE "rank" <= 5 ORDER BY dst, "rank"
+        """,
+        "q78_hits": _hits_sql(),
     }

@@ -71,3 +71,54 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) -> (node, hub, auth) after
+    ``iters`` mutual-reinforcement rounds over the DISTINCT edge set:
+    auth(v) = Σ hub(u) over u→v, then hub(u) = Σ auth(v) over u→v, each
+    L2-normalized per round (1-row broadcast aggregate — same shape as
+    PageRank's dangling-mass correction). Deterministic: all-ones init,
+    fixed round count, no RNG; per-round localCheckpoint keeps the plan
+    flat. The web-graph complement to PageRank: authorities are what good
+    hubs point at — the classic seed-set signal for crawl frontier and
+    alias-source selection."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.withColumn("hub", F.lit(1.0))
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        n = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n"))
+        return df.crossJoin(F.broadcast(n)).select(
+            "node", (F.col(col) / F.col("_n")).alias(col)
+        )
+
+    auth = None
+    for _ in range(iters):
+        auth = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        auth = _norm(
+            nodes.join(auth, "node", "left").fillna(0.0, ["auth"]), "auth"
+        ).localCheckpoint(eager=True)
+        hub = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        hub = _norm(
+            nodes.join(hub, "node", "left").fillna(0.0, ["hub"]), "hub"
+        ).localCheckpoint(eager=True)
+    return hub.join(auth, "node")

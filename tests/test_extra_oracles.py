@@ -66,6 +66,8 @@ def duck():
         "q74_moving_average",
         "q75_transitive_closure",
         "q76_bigram_lm",
+        "q77_anchor_aliases",
+        "q78_hits",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):

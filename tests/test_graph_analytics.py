@@ -170,3 +170,64 @@ def test_transitive_closure_parity_and_doubling(spark):
             for r in transitive_closure(to_df(spark, edges)).collect()
         }
         assert got == ref_closure(edges), trial
+
+
+def test_hits_python_parity_and_structure(spark):
+    import math
+
+    from spanluke_spark.graph.pagerank import hits
+
+    edges = [("h1", "a1"), ("h1", "a2"), ("h2", "a1"), ("h2", "a3"), ("x", "h1")]
+
+    def ref_hits(edges, iters):
+        e = sorted(set(edges))
+        nodes = sorted({n for p in e for n in p})
+        hub = {n: 1.0 for n in nodes}
+        auth = None
+        for _ in range(iters):
+            auth = {n: 0.0 for n in nodes}
+            for s, d in e:
+                auth[d] += hub[s]
+            nn = math.sqrt(sum(v * v for v in auth.values()))
+            auth = {n: v / nn for n, v in auth.items()}
+            hub = {n: 0.0 for n in nodes}
+            for s, d in e:
+                hub[s] += auth[d]
+            nn = math.sqrt(sum(v * v for v in hub.values()))
+            hub = {n: v / nn for n, v in hub.items()}
+        return hub, auth
+
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(to_df(spark, edges), 2).collect()}
+    rh, ra = ref_hits(edges, 2)
+    for n in rh:
+        assert got[n][0] == pytest.approx(rh[n], abs=1e-9)
+        assert got[n][1] == pytest.approx(ra[n], abs=1e-9)
+    # structure: a1 (pointed at by both hubs) is the top authority; h1/h2 top hubs
+    assert max(ra, key=ra.get) == "a1"
+    assert got["a1"][1] > got["a2"][1] and got["h1"][0] > got["a1"][0]
+
+
+def test_anchor_alias_table_bounded_topk(spark):
+    from spanluke_spark.graph.links import anchor_alias_table
+
+    rows = (
+        [("s%d" % i, "t1", "Apple Inc") for i in range(5)]
+        + [("s%d" % i, "t1", "AAPL") for i in range(3)]
+        + [("s9", "t1", "apple")]
+        + [("s%d" % i, "t1", "alias%d" % i) for i in range(10, 16)]
+        + [("s1", "t2", "  ")]  # whitespace-only anchors dropped
+    )
+    df = spark.createDataFrame(rows, "src string, dst string, anchor string")
+    out = {r["dst"]: r["aliases"] for r in anchor_alias_table(df, top_k=3).collect()}
+    t1 = [(a["anchor"], a["n_refs"]) for a in out["t1"]]
+    assert t1 == [("Apple Inc", 5), ("AAPL", 3), ("alias10", 1)]  # capped at 3, det. tie-break
+    assert "t2" not in out  # only blank anchors -> no alias row
+
+
+def test_extract_anchor_texts_pairs(spark):
+    from spanluke_spark.graph.links import extract_anchor_texts
+
+    html = b'<html><a href="u1">One</a><p>noise</p><a href="u2" class="z">Two words</a></html>'
+    df = spark.createDataFrame([("p", bytearray(html))], "url string, html binary")
+    got = sorted(map(tuple, extract_anchor_texts(df).collect()))
+    assert got == [("p", "u1", "One"), ("p", "u2", "Two words")]
