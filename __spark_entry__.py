@@ -1347,6 +1347,129 @@ def q78_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _legal_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic legal-opinion fixture: doc d's text cites
+    ``V U.S. P`` and ``V2 F.3d P2`` with small closed-form key spaces so
+    citations collide across documents (authority counts > 1)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    v1 = ((d * 3 + 1) % 12 + 1).cast("string")
+    p1 = ((d * 7 + 2) % 20 + 1).cast("string")
+    v2 = ((d * 5 + 3) % 9 + 1).cast("string")
+    p2 = ((d * 11 + 4) % 15 + 1).cast("string")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("As held in "), v1, F.lit(" U.S. "), p1,
+            F.lit(", and reaffirmed, see "), v2, F.lit(" F.3d "), p2,
+            F.lit(", the rule controls. "), F.col("text"),
+        ).alias("text"),
+    )
+
+
+def q79_citation_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legal citation extraction (real regexp over synthesized opinion
+    text) + precedent authority: distinct-citing-doc counts with a
+    broadcast histogram dense-rank (no global window). Oracle recomputes
+    the closed-form citation keys and ranks with dense_rank()."""
+    from spanluke_spark.graph.citations import citation_authority, extract_citations
+
+    cites = extract_citations(_legal_texts(spark, sf_dir))
+    return citation_authority(cites).orderBy("citation")
+
+
+def _fixture_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic noisy-KG fixture: subjects collide mod 40, predicate
+    cycles functional/non-functional, objects collide mod 7 — so
+    functional predicates really do carry multi-valued subjects."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    return docs.select(
+        F.concat(F.lit("s"), (d % 40).cast("string")).alias("subj"),
+        F.element_at(
+            F.array(F.lit("decided_on"), F.lit("cites"), F.lit("judge")),
+            (d % 3 + 1).cast("int"),
+        ).alias("pred"),
+        F.concat(F.lit("o"), ((d * 11 + 1) % 7).cast("string")).alias("obj"),
+    )
+
+
+def q80_functional_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG constraint audit: subjects with >1 distinct object on a
+    functional predicate, with bounded (top-3 sorted) evidence arrays;
+    oracle rebuilds the same profile with list aggregation."""
+    from spanluke_spark.graph.audit import functional_violations
+
+    return functional_violations(
+        _fixture_triples(spark, sf_dir), ["decided_on", "judge"], sample_k=3
+    ).orderBy("subj", "pred")
+
+
+def q81_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate cardinality profile (triples, distinct subj/obj,
+    functional-ness score) — the extraction-drift dashboard query."""
+    from spanluke_spark.graph.audit import predicate_stats
+
+    return (
+        predicate_stats(_fixture_triples(spark, sf_dir))
+        .select(
+            "pred", "n_triples", "n_subjects", "n_objects",
+            F.round("avg_objs_per_subject", 6).alias("avg_objs_per_subject"),
+        )
+        .orderBy("pred")
+    )
+
+
+def q82_distant_supervision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distant supervision (Mintz et al. 2009): inverted-index block join
+    of a small KB against the corpus, token-boundary verify; oracle is
+    the direct KB-cross-corpus contains() formulation — identical output,
+    different (unscalable) plan."""
+    from spanluke_spark.link.distant import distant_supervision_candidates
+
+    kb = spark.createDataFrame(
+        _DISTANT_KB, "e1 string, e2 string, rel string"
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return distant_supervision_candidates(docs, kb).orderBy(
+        "doc_id", "e1", "e2", "rel"
+    )
+
+
+def q83_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence PMI edges over closed-form per-doc entity
+    mentions (pair fan-out capped per doc); oracle recomputes pair and
+    entity doc-counts and ln() in SQL."""
+    from spanluke_spark.graph.cooccur import cooccurrence_pmi
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    mentions = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("E"), ((d * 3 + 1) % 20).cast("string")),
+                F.concat(F.lit("E"), ((d * 5 + 2) % 20).cast("string")),
+                F.concat(F.lit("E"), ((d * 7 + 3) % 20).cast("string")),
+            )
+        ).alias("entity"),
+    )
+    return (
+        cooccurrence_pmi(mentions, min_pair_docs=2)
+        .select("e_a", "e_b", "n_docs", F.round("pmi", 6).alias("pmi"))
+        .orderBy("e_a", "e_b")
+    )
+
+
+_DISTANT_KB = [
+    ("spark", "query", "executes"),
+    ("hash", "join", "algorithm_of"),
+    ("stream", "window", "feeds"),
+    ("sort merge", "join", "variant_of"),
+    ("customer", "order", "places"),
+]
+
+
 def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 Structured Streaming through a REAL readStream->writeStream run:
     synthesize pages (deterministic warc_ts = 1700000000 + doc_id*60),
@@ -2706,6 +2829,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_bigram_lm": q76_bigram_lm,
         "q77_anchor_aliases": q77_anchor_aliases,
         "q78_hits": q78_hits,
+        "q79_citation_authority": q79_citation_authority,
+        "q80_functional_violations": q80_functional_violations,
+        "q81_predicate_stats": q81_predicate_stats,
+        "q82_distant_supervision": q82_distant_supervision,
+        "q83_cooccurrence_pmi": q83_cooccurrence_pmi,
     }
 
 
@@ -2990,4 +3118,104 @@ def extra_oracle_sql() -> dict[str, str]:
             WHERE "rank" <= 5 ORDER BY dst, "rank"
         """,
         "q78_hits": _hits_sql(),
+        "q79_citation_authority": """
+            WITH cites AS (
+                SELECT doc_id,
+                       ((doc_id*3+1)%12+1) || ' U.S. ' || ((doc_id*7+2)%20+1)
+                           AS citation
+                FROM documents
+                UNION ALL
+                SELECT doc_id,
+                       ((doc_id*5+3)%9+1) || ' F.3d ' || ((doc_id*11+4)%15+1)
+                           AS citation
+                FROM documents
+            ),
+            counts AS (
+                SELECT citation, count(DISTINCT doc_id) AS n_citing_docs
+                FROM cites GROUP BY 1
+            )
+            SELECT citation, n_citing_docs,
+                   dense_rank() OVER (ORDER BY n_citing_docs DESC) AS auth_rank
+            FROM counts ORDER BY citation
+        """,
+        "q80_functional_violations": """
+            WITH t AS (
+                SELECT 's' || (doc_id%40) AS subj,
+                       CASE doc_id%3 WHEN 0 THEN 'decided_on'
+                                     WHEN 1 THEN 'cites'
+                                     ELSE 'judge' END AS pred,
+                       'o' || ((doc_id*11+1)%7) AS obj
+                FROM documents
+            ),
+            d AS (
+                SELECT DISTINCT subj, pred, obj FROM t
+                WHERE pred IN ('decided_on', 'judge')
+            )
+            SELECT subj, pred, count(*) AS n_values,
+                   list_slice(list_sort(list(obj)), 1, 3) AS sample_values
+            FROM d GROUP BY 1, 2 HAVING count(*) > 1
+            ORDER BY subj, pred
+        """,
+        "q81_predicate_stats": """
+            WITH t AS (
+                SELECT 's' || (doc_id%40) AS subj,
+                       CASE doc_id%3 WHEN 0 THEN 'decided_on'
+                                     WHEN 1 THEN 'cites'
+                                     ELSE 'judge' END AS pred,
+                       'o' || ((doc_id*11+1)%7) AS obj
+                FROM documents
+            ),
+            pairs AS (
+                SELECT pred, count(*) AS n_pairs
+                FROM (SELECT DISTINCT pred, subj, obj FROM t) GROUP BY pred
+            )
+            SELECT t.pred, count(*) AS n_triples,
+                   count(DISTINCT subj) AS n_subjects,
+                   count(DISTINCT obj) AS n_objects,
+                   round(any_value(n_pairs) * 1.0 / count(DISTINCT subj), 6)
+                       AS avg_objs_per_subject
+            FROM t JOIN pairs ON pairs.pred = t.pred
+            GROUP BY t.pred ORDER BY t.pred
+        """,
+        "q82_distant_supervision": """
+            WITH kb(e1, e2, rel) AS (
+                VALUES ('spark', 'query', 'executes'),
+                       ('hash', 'join', 'algorithm_of'),
+                       ('stream', 'window', 'feeds'),
+                       ('sort merge', 'join', 'variant_of'),
+                       ('customer', 'order', 'places')
+            )
+            SELECT DISTINCT doc_id, e1, e2, rel
+            FROM documents, kb
+            WHERE contains(' ' || text || ' ', ' ' || e1 || ' ')
+              AND contains(' ' || text || ' ', ' ' || e2 || ' ')
+            ORDER BY doc_id, e1, e2, rel
+        """,
+        "q83_cooccurrence_pmi": """
+            WITH m AS (
+                SELECT DISTINCT doc_id, entity FROM (
+                    SELECT doc_id, 'E' || ((doc_id*3+1)%20) AS entity
+                    FROM documents
+                    UNION ALL
+                    SELECT doc_id, 'E' || ((doc_id*5+2)%20) FROM documents
+                    UNION ALL
+                    SELECT doc_id, 'E' || ((doc_id*7+3)%20) FROM documents
+                )
+            ),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM m),
+            ec AS (SELECT entity, count(*) AS c FROM m GROUP BY 1),
+            pairs AS (
+                SELECT a.entity AS e_a, b.entity AS e_b, count(*) AS n_docs
+                FROM m a JOIN m b USING (doc_id)
+                WHERE a.entity < b.entity
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT p.e_a, p.e_b, p.n_docs,
+                   round(ln(p.n_docs * 1.0 * (SELECT n FROM n)
+                            / (ca.c * cb.c)), 6) AS pmi
+            FROM pairs p
+            JOIN ec ca ON ca.entity = p.e_a
+            JOIN ec cb ON cb.entity = p.e_b
+            ORDER BY e_a, e_b
+        """,
     }

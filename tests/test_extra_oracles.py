@@ -68,6 +68,11 @@ def duck():
         "q76_bigram_lm",
         "q77_anchor_aliases",
         "q78_hits",
+        "q79_citation_authority",
+        "q80_functional_violations",
+        "q81_predicate_stats",
+        "q82_distant_supervision",
+        "q83_cooccurrence_pmi",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
