@@ -1461,6 +1461,77 @@ def q83_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic triple-observation stream: subj collides mod 60,
+    obj varies with the observing doc, ts = doc_id — so crawl subsets
+    pick different latest-wins winners."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    return docs.select(
+        F.concat(F.lit("s"), (d % 60).cast("string")).alias("subj"),
+        F.concat(F.lit("p"), (d % 2).cast("string")).alias("pred"),
+        F.concat(F.lit("o"), ((d * 7) % 5).cast("string")).alias("obj"),
+        d.alias("warc_ts"),
+    )
+
+
+def q84_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal KG: latest-wins snapshots of two overlapping crawl
+    subsets, then the cross-crawl diff (added/removed/changed; unchanged
+    dropped). Oracle replays latest-wins as a row_number window and the
+    diff as a full outer join."""
+    from spanluke_spark.graph.snapshot import latest_snapshot, snapshot_diff
+
+    obs = _kg_observations(spark, sf_dir)
+    d = F.col("warc_ts")
+    old = latest_snapshot(
+        obs.where(((d % 60) < 45) & ((d % 7) != 0))
+    ).select("subj", "pred", "obj")
+    new = latest_snapshot(obs.where((d % 60) >= 15)).select(
+        "subj", "pred", "obj"
+    )
+    return snapshot_diff(old, new).orderBy("subj", "pred")
+
+
+def q85_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture temperature weighting (mT5-style p^alpha): per
+    source token mass, raw/temperature shares, capped admission rate."""
+    from spanluke_spark.textops.mixture import mixture_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    w = mixture_weights(docs, alpha=0.5, budget_frac=0.3)
+    return w.select(
+        "source",
+        "n_tokens",
+        F.round("share", 6).alias("share"),
+        F.round("temp_share", 6).alias("temp_share"),
+        F.round("rate", 6).alias("rate"),
+    ).orderBy("source")
+
+
+def q86_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-gated mixture sample at the q85 rates,
+    aggregated per source (count + id checksum) so the oracle verifies
+    the exact selected subset, not just its size."""
+    from spanluke_spark.textops.mixture import mixture_sample, mixture_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    # rates rounded to 6 places: the admission decision u < rate must be
+    # bit-reproducible across engines, and pow() may differ by an ulp
+    w = mixture_weights(docs, alpha=0.5, budget_frac=0.3).withColumn(
+        "rate", F.round("rate", 6)
+    )
+    return (
+        mixture_sample(docs, w, salt="q86")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("source")
+    )
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -2834,6 +2905,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_predicate_stats": q81_predicate_stats,
         "q82_distant_supervision": q82_distant_supervision,
         "q83_cooccurrence_pmi": q83_cooccurrence_pmi,
+        "q84_kg_snapshot_diff": q84_kg_snapshot_diff,
+        "q85_mixture_weights": q85_mixture_weights,
+        "q86_mixture_sample": q86_mixture_sample,
     }
 
 
@@ -3217,5 +3291,90 @@ def extra_oracle_sql() -> dict[str, str]:
             JOIN ec ca ON ca.entity = p.e_a
             JOIN ec cb ON cb.entity = p.e_b
             ORDER BY e_a, e_b
+        """,
+        "q84_kg_snapshot_diff": """
+            WITH obs AS (
+                SELECT 's' || (doc_id%60) AS subj, 'p' || (doc_id%2) AS pred,
+                       'o' || ((doc_id*7)%5) AS obj, doc_id AS ts
+                FROM documents
+            ),
+            olds AS (
+                SELECT subj, pred, obj FROM (
+                    SELECT subj, pred, obj,
+                           row_number() OVER (PARTITION BY subj, pred
+                                              ORDER BY ts DESC, obj DESC) AS rn
+                    FROM obs WHERE (ts%60) < 45 AND (ts%7) != 0
+                ) WHERE rn = 1
+            ),
+            news AS (
+                SELECT subj, pred, obj FROM (
+                    SELECT subj, pred, obj,
+                           row_number() OVER (PARTITION BY subj, pred
+                                              ORDER BY ts DESC, obj DESC) AS rn
+                    FROM obs WHERE (ts%60) >= 15
+                ) WHERE rn = 1
+            ),
+            j AS (
+                SELECT coalesce(o.subj, n.subj) AS subj,
+                       coalesce(o.pred, n.pred) AS pred,
+                       o.obj AS old_obj, n.obj AS new_obj,
+                       CASE WHEN o.obj IS NULL THEN 'added'
+                            WHEN n.obj IS NULL THEN 'removed'
+                            WHEN o.obj != n.obj THEN 'changed' END AS status
+                FROM olds o FULL OUTER JOIN news n
+                     ON o.subj = n.subj AND o.pred = n.pred
+            )
+            SELECT subj, pred, old_obj, new_obj, status FROM j
+            WHERE status IS NOT NULL ORDER BY subj, pred
+        """,
+        "q85_mixture_weights": """
+            WITH per AS (
+                SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY 1
+            ),
+            tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per),
+            sh AS (
+                SELECT source, n_tokens,
+                       n_tokens * 1.0 / (SELECT total FROM tot) AS share
+                FROM per
+            ),
+            z AS (SELECT sum(pow(share, 0.5)) AS z FROM sh)
+            SELECT source, n_tokens, round(share, 6) AS share,
+                   round(pow(share, 0.5) / (SELECT z FROM z), 6) AS temp_share,
+                   round(least(1.0,
+                               0.3 * (SELECT total FROM tot)
+                                   * (pow(share, 0.5) / (SELECT z FROM z))
+                                   / n_tokens), 6) AS rate
+            FROM sh ORDER BY source
+        """,
+        "q86_mixture_sample": """
+            WITH per AS (
+                SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY 1
+            ),
+            tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per),
+            sh AS (
+                SELECT source, n_tokens,
+                       n_tokens * 1.0 / (SELECT total FROM tot) AS share
+                FROM per
+            ),
+            z AS (SELECT sum(pow(share, 0.5)) AS z FROM sh),
+            rates AS (
+                SELECT source,
+                       round(least(1.0,
+                                   0.3 * (SELECT total FROM tot)
+                                       * (pow(share, 0.5) / (SELECT z FROM z))
+                                       / n_tokens), 6) AS rate
+                FROM sh
+            ),
+            kept AS (
+                SELECT d.source, d.doc_id
+                FROM documents d JOIN rates r ON r.source = d.source
+                WHERE (('0x' || substr(md5('q86:' || d.doc_id), 1, 15))::BIGINT
+                       % 1000000) / 1000000.0 < r.rate
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM kept GROUP BY 1 ORDER BY 1
         """,
     }

@@ -1,0 +1,56 @@
+"""Temporal KG: per-crawl snapshots and cross-crawl diffs.
+
+A Common-Crawl-style KG is rebuilt per crawl; what downstream consumers
+ingest is the DELTA (new facts, retracted facts, changed values), not the
+10^12-triple snapshot. Two operators:
+
+* ``latest_snapshot``: latest-wins per (subj, pred) by observation
+  timestamp — ``max_by`` with a total-order tie-break (ts, then obj) so
+  the snapshot is deterministic under same-timestamp re-observations.
+  One two-phase aggregate; the heavy obj strings ride inside the
+  ``max_by`` struct, never a window.
+* ``snapshot_diff``: full outer join of two snapshots on (subj, pred)
+  with status ``added`` / ``removed`` / ``changed`` (unchanged rows are
+  dropped — at crawl scale they are ~99% of the join and nobody reads
+  them). Shuffles the two reduced snapshots only.
+
+Reference analogue: `graph/triples.py` materializes per-run triples with
+provenance; this is the cross-run consumer (the north_rule's resumable
+per-crawl build implies exactly this read-side diff).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def latest_snapshot(
+    triples: DataFrame, ts_col: str = "warc_ts"
+) -> DataFrame:
+    """(subj, pred, obj, ts) -> (subj, pred, obj, ts): the latest
+    observation per (subj, pred); ties on ts broken by max obj."""
+    return (
+        triples.groupBy("subj", "pred")
+        .agg(F.max(F.struct(F.col(ts_col).alias("ts"), "obj")).alias("_m"))
+        .select("subj", "pred", "_m.obj", F.col("_m.ts").alias(ts_col))
+    )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Two (subj, pred, obj) snapshots -> (subj, pred, old_obj, new_obj,
+    status) where status ∈ {added, removed, changed}; identical rows are
+    omitted."""
+    o = old.select("subj", "pred", F.col("obj").alias("old_obj"))
+    n = new.select("subj", "pred", F.col("obj").alias("new_obj"))
+    joined = o.join(n, ["subj", "pred"], "full_outer")
+    status = (
+        F.when(F.col("old_obj").isNull(), F.lit("added"))
+        .when(F.col("new_obj").isNull(), F.lit("removed"))
+        .when(F.col("old_obj") != F.col("new_obj"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .select("subj", "pred", "old_obj", "new_obj", "status")
+    )

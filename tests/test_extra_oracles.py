@@ -73,6 +73,9 @@ def duck():
         "q81_predicate_stats",
         "q82_distant_supervision",
         "q83_cooccurrence_pmi",
+        "q84_kg_snapshot_diff",
+        "q85_mixture_weights",
+        "q86_mixture_sample",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
