@@ -1532,6 +1532,67 @@ def q86_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q87_robots_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parse (groups, comments, multi-UA, other-agent blocks)
+    + longest-match frontier decisions (RFC 9309). The robots text is
+    REALLY parsed by the engine; the oracle skips the parse and scores
+    each (path-class, host-class) with the closed-form CASE the fixture
+    was built to produce — independent decision logic, same output."""
+    from spanluke_spark.etl.robots import frontier_decisions, parse_robots
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 40).cast("string"))
+    hosts = docs.select(host.alias("host")).distinct()
+    k = F.regexp_extract("host", r"^h(\d+)$", 1).cast("long")
+    robots_txt = F.concat(
+        F.lit("# crawl policy\nUser-agent: *\nDisallow: /priv\n"
+              "Allow: /priv/pub\n"),
+        F.when((k % 3) == 0, F.lit("Disallow: /tmp # temp dirs\n")).otherwise(
+            F.lit("")
+        ),
+        F.when((k % 4) == 0, F.lit("\nUser-agent: bot\nDisallow: /\n")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            (k % 5) == 0,
+            F.lit("\nUser-agent: aux\nUser-agent: *\nDisallow: /multi\n"),
+        ).otherwise(F.lit("")),
+    )
+    rules = parse_robots(hosts.select("host", robots_txt.alias("robots_txt")))
+    paths = F.array(
+        F.lit("/pub/x"), F.lit("/priv/x"), F.lit("/priv/pub/y"),
+        F.lit("/tmp/z"), F.lit("/multi/w"),
+    )
+    # every (host, path) combination — paths must decouple from the host
+    # residue or the multi-UA hosts never see /multi/w
+    frontier = hosts.select("host", F.explode(paths).alias("_p")).select(
+        F.concat(F.lit("http://"), F.col("host"), F.col("_p")).alias("url")
+    )
+    return frontier_decisions(frontier, rules).orderBy("url")
+
+
+def q88_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K heavy-key profile (share + multiple-of-mean) over a
+    closed-form skewed key (floor(sqrt(d%400)): value v carries ~2v+1
+    rows); top-K is TakeOrderedAndProject, never a global window."""
+    from spanluke_spark.textops.profile import key_skew_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        F.concat(
+            F.lit("k"),
+            F.floor(F.sqrt((F.col("doc_id") % 400).cast("double"))).cast("string"),
+        ).alias("hot")
+    )
+    prof = key_skew_profile(keyed, "hot", top_k=8)
+    return prof.select(
+        "rank", "key", "n",
+        F.round("share", 6).alias("share"),
+        F.round("x_mean", 6).alias("x_mean"),
+    ).orderBy("rank")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -2908,6 +2969,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_kg_snapshot_diff": q84_kg_snapshot_diff,
         "q85_mixture_weights": q85_mixture_weights,
         "q86_mixture_sample": q86_mixture_sample,
+        "q87_robots_frontier": q87_robots_frontier,
+        "q88_key_skew_profile": q88_key_skew_profile,
     }
 
 
@@ -3376,5 +3439,40 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_docs,
                    CAST(sum(doc_id) AS BIGINT) AS sum_ids
             FROM kept GROUP BY 1 ORDER BY 1
+        """,
+        "q87_robots_frontier": """
+            WITH hosts AS (SELECT DISTINCT doc_id % 40 AS k FROM documents),
+            p(path) AS (
+                VALUES ('/pub/x'), ('/priv/x'), ('/priv/pub/y'),
+                       ('/tmp/z'), ('/multi/w')
+            ),
+            f AS (SELECT k, path FROM hosts, p)
+            SELECT 'http://h' || k || path AS url,
+                   'h' || k AS host, path,
+                   CASE WHEN path = '/priv/x' THEN false
+                        WHEN path = '/tmp/z'   AND k % 3 = 0 THEN false
+                        WHEN path = '/multi/w' AND k % 5 = 0 THEN false
+                        ELSE true END AS allowed
+            FROM f ORDER BY url
+        """,
+        "q88_key_skew_profile": """
+            WITH keyed AS (
+                SELECT 'k' || CAST(floor(sqrt(doc_id % 400)) AS BIGINT) AS key
+                FROM documents
+            ),
+            counts AS (SELECT key, count(*) AS n FROM keyed GROUP BY 1),
+            stats AS (
+                SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys
+                FROM counts
+            ),
+            ranked AS (
+                SELECT key, n,
+                       row_number() OVER (ORDER BY n DESC, key ASC) AS "rank"
+                FROM counts
+            )
+            SELECT "rank", key, n,
+                   round(n * 1.0 / stats.total, 6) AS share,
+                   round(n * 1.0 * stats.n_keys / stats.total, 6) AS x_mean
+            FROM ranked, stats WHERE "rank" <= 8 ORDER BY "rank"
         """,
     }

@@ -76,6 +76,8 @@ def duck():
         "q84_kg_snapshot_diff",
         "q85_mixture_weights",
         "q86_mixture_sample",
+        "q87_robots_frontier",
+        "q88_key_skew_profile",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
