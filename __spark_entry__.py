@@ -1593,6 +1593,45 @@ def q88_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def q89_streaming_kg_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KG maintenance through a REAL multi-batch stream:
+    the q84 observation set staged as 5 files (maxFilesPerTrigger=1 -> 5
+    micro-batches), latest-wins upsert state across batches, change-only
+    emission; the final state reduced from the emitted rows must equal
+    the batch latest-wins snapshot the oracle computes over ALL
+    observations at once. Eager (a stream must run) — not benched."""
+    import tempfile
+
+    from spanluke_spark.streaming.stream import streaming_triple_upsert
+
+    obs = _kg_observations(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="q89_obs_")
+    obs.repartition(5).write.mode("overwrite").parquet(tmp)
+    stream = (
+        spark.readStream.schema("subj string, pred string, obj string, warc_ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    name = "q89_upsert_" + os.path.basename(tmp).rsplit("_", 1)[-1]
+    q = (
+        streaming_triple_upsert(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    emitted = spark.table(name)
+    return (
+        emitted.groupBy("subj", "pred")
+        .agg(F.max(F.struct("warc_ts", "obj")).alias("_m"))
+        .select("subj", "pred", "_m.obj", F.col("_m.warc_ts").alias("warc_ts"))
+        .orderBy("subj", "pred")
+    )
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -2971,6 +3010,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_mixture_sample": q86_mixture_sample,
         "q87_robots_frontier": q87_robots_frontier,
         "q88_key_skew_profile": q88_key_skew_profile,
+        "q89_streaming_kg_upsert": q89_streaming_kg_upsert,
     }
 
 
@@ -3474,5 +3514,18 @@ def extra_oracle_sql() -> dict[str, str]:
                    round(n * 1.0 / stats.total, 6) AS share,
                    round(n * 1.0 * stats.n_keys / stats.total, 6) AS x_mean
             FROM ranked, stats WHERE "rank" <= 8 ORDER BY "rank"
+        """,
+        "q89_streaming_kg_upsert": """
+            WITH obs AS (
+                SELECT 's' || (doc_id%60) AS subj, 'p' || (doc_id%2) AS pred,
+                       'o' || ((doc_id*7)%5) AS obj, doc_id AS warc_ts
+                FROM documents
+            )
+            SELECT subj, pred, obj, warc_ts FROM (
+                SELECT subj, pred, obj, warc_ts,
+                       row_number() OVER (PARTITION BY subj, pred
+                                          ORDER BY warc_ts DESC, obj DESC) AS rn
+                FROM obs
+            ) WHERE rn = 1 ORDER BY subj, pred
         """,
     }

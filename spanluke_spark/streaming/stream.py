@@ -215,6 +215,53 @@ def streaming_dedup(
     )
 
 
+def streaming_triple_upsert(triples: DataFrame) -> DataFrame:
+    """Incremental latest-wins KG maintenance (the streaming twin of
+    graph/snapshot.latest_snapshot): per (subj, pred), keep the
+    observation with the greatest (warc_ts, obj) ACROSS micro-batches in
+    checkpointed group state, and emit a row ONLY when the snapshot value
+    actually changes — re-observations of the current fact are suppressed
+    (the upsert contract a downstream KG store wants; 10^12 no-op
+    re-crawls must not become 10^12 writes).
+
+    State per group: one (ts, obj) pair — bounded by the number of LIVE
+    (subj, pred) keys, not by history. The per-batch reduction is a
+    vectorized pandas sort+tail, not a row loop. Expects
+    (subj string, pred string, obj string, warc_ts long) rows.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _update(key, pdfs, state: GroupState):
+        prev = tuple(state.get) if state.exists else None
+        best = prev
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            top = pdf.sort_values(["warc_ts", "obj"]).iloc[-1]
+            cand = (int(top["warc_ts"]), str(top["obj"]))
+            if best is None or cand > best:
+                best = cand
+        if best is not None and best != prev:
+            state.update(best)
+            yield pd.DataFrame(
+                {
+                    "subj": [key[0]],
+                    "pred": [key[1]],
+                    "obj": [best[1]],
+                    "warc_ts": [best[0]],
+                }
+            )
+
+    return triples.groupBy("subj", "pred").applyInPandasWithState(
+        _update,
+        outputStructType="subj string, pred string, obj string, warc_ts long",
+        stateStructType="ts long, obj string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def read_signature_index(
     spark: SparkSession, idx_path: str, before_epoch: int | None = None
 ) -> DataFrame | None:

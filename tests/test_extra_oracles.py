@@ -78,6 +78,7 @@ def duck():
         "q86_mixture_sample",
         "q87_robots_frontier",
         "q88_key_skew_profile",
+        "q89_streaming_kg_upsert",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
