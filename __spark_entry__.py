@@ -1632,6 +1632,102 @@ def q89_streaming_kg_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q90_truth_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth discovery over conflicting claims: 7 source hosts assert
+    values for (entity, pred) facts with deterministic disagreement;
+    2 rounds of joint source-trust / claim-belief voting resolve each
+    fact. Oracle unrolls both rounds as CTEs (votes -> window-normalized
+    beliefs -> per-source AVG trust) and takes the same
+    (belief, obj)-argmax per fact."""
+    from spanluke_spark.graph.truth import truth_discovery
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    claims = docs.select(
+        F.concat(F.lit("h"), (d % 7).cast("string")).alias("source"),
+        F.concat(F.lit("e"), (d % 25).cast("string")).alias("subj"),
+        F.concat(F.lit("p"), (d % 2).cast("string")).alias("pred"),
+        F.concat(F.lit("v"), ((d * 3) % 4).cast("string")).alias("obj"),
+    )
+    facts, _trust = truth_discovery(claims, rounds=2)
+    return facts.select(
+        "subj",
+        "pred",
+        "obj",
+        F.round("belief", 6).alias("belief"),
+        "n_sources",
+    ).orderBy("subj", "pred")
+
+
+def q91_fact_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal KG validity intervals: per-fact observation log with
+    runs of ~3 same-obj observations per (subj, pred) key, coalesced
+    gaps-and-islands style into (obj, valid_from, valid_to, n_obs)
+    rows. Integer/string output — exact oracle match."""
+    from spanluke_spark.graph.snapshot import validity_intervals
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    obs = docs.select(
+        F.concat(F.lit("s"), (d % 60).cast("string")).alias("subj"),
+        F.concat(F.lit("p"), (d % 2).cast("string")).alias("pred"),
+        F.concat(
+            F.lit("o"), (F.floor(d / 180) % 3).cast("string")
+        ).alias("obj"),
+        d.alias("warc_ts"),
+    )
+    return validity_intervals(obs).orderBy(
+        "subj", "pred", "valid_from", "obj"
+    )
+
+
+_Q92_ONTOLOGY = [
+    ("court", "subclass_of", "authority"),
+    ("authority", "subclass_of", "org"),
+    ("case", "subclass_of", "document"),
+    ("decided_by", "subproperty_of", "involves"),
+    ("cites", "subproperty_of", "references"),
+    ("decided_by", "domain", "case"),
+    ("cites", "domain", "document"),
+    ("decided_by", "range", "court"),
+    ("located_in", "range", "place"),
+]
+
+
+def q92_rdfs_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS forward-chaining entailment (rdfs2/3/5/7/9/11) of a
+    deterministic instance-triple table against a fixed legal ontology.
+    The oracle recomputes both hierarchy closures with WITH RECURSIVE
+    and replays the rule joins independently."""
+    from spanluke_spark.graph.entailment import rdfs_entail
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pred = (
+        F.when(d % 4 == 0, "decided_by")
+        .when(d % 4 == 1, "cites")
+        .when(d % 4 == 2, "a")
+        .otherwise("located_in")
+    )
+    cls = (
+        F.when(F.floor(d / 4) % 3 == 0, "court")
+        .when(F.floor(d / 4) % 3 == 1, "case")
+        .otherwise("org")
+    )
+    obj = F.when(d % 4 == 2, cls).otherwise(
+        F.concat(F.lit("i"), ((d * 3 + 1) % 40).cast("string"))
+    )
+    triples = docs.select(
+        F.concat(F.lit("i"), (d % 40).cast("string")).alias("subj"),
+        pred.alias("pred"),
+        obj.alias("obj"),
+    )
+    onto = spark.createDataFrame(
+        _Q92_ONTOLOGY, "subj string, pred string, obj string"
+    )
+    return rdfs_entail(triples, onto).orderBy("subj", "pred", "obj")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -3011,6 +3107,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_robots_frontier": q87_robots_frontier,
         "q88_key_skew_profile": q88_key_skew_profile,
         "q89_streaming_kg_upsert": q89_streaming_kg_upsert,
+        "q90_truth_discovery": q90_truth_discovery,
+        "q91_fact_validity": q91_fact_validity,
+        "q92_rdfs_entail": q92_rdfs_entail,
     }
 
 
@@ -3527,5 +3626,127 @@ def extra_oracle_sql() -> dict[str, str]:
                                           ORDER BY warc_ts DESC, obj DESC) AS rn
                 FROM obs
             ) WHERE rn = 1 ORDER BY subj, pred
+        """,
+        "q90_truth_discovery": """
+            WITH claims AS (
+                SELECT DISTINCT 'h' || (doc_id%7) AS source,
+                       'e' || (doc_id%25) AS subj, 'p' || (doc_id%2) AS pred,
+                       'v' || ((doc_id*3)%4) AS obj
+                FROM documents
+            ),
+            t0 AS (SELECT DISTINCT source, 0.8 AS trust FROM claims),
+            v1 AS (SELECT subj, pred, obj, SUM(trust) AS vote
+                   FROM claims JOIN t0 USING (source) GROUP BY 1, 2, 3),
+            b1 AS (SELECT subj, pred, obj,
+                          vote / SUM(vote) OVER (PARTITION BY subj, pred) AS belief
+                   FROM v1),
+            t1 AS (SELECT source, AVG(belief) AS trust
+                   FROM claims JOIN b1 USING (subj, pred, obj) GROUP BY source),
+            v2 AS (SELECT subj, pred, obj, SUM(trust) AS vote
+                   FROM claims JOIN t1 USING (source) GROUP BY 1, 2, 3),
+            b2 AS (SELECT subj, pred, obj,
+                          vote / SUM(vote) OVER (PARTITION BY subj, pred) AS belief
+                   FROM v2),
+            sup AS (SELECT subj, pred, obj, COUNT(*) AS n_sources
+                    FROM claims GROUP BY 1, 2, 3)
+            SELECT subj, pred, obj, round(belief, 6) AS belief, n_sources
+            FROM (
+                SELECT b2.subj, b2.pred, b2.obj, b2.belief, sup.n_sources,
+                       row_number() OVER (PARTITION BY b2.subj, b2.pred
+                                          ORDER BY b2.belief DESC, b2.obj DESC) AS rn
+                FROM b2 JOIN sup USING (subj, pred, obj)
+            ) WHERE rn = 1 ORDER BY subj, pred
+        """,
+        "q91_fact_validity": """
+            WITH obs AS (
+                SELECT 's' || (doc_id%60) AS subj, 'p' || (doc_id%2) AS pred,
+                       'o' || ((doc_id//180)%3) AS obj, doc_id AS warc_ts
+                FROM documents
+            ),
+            marked AS (
+                SELECT *, CASE WHEN lag(obj) OVER w IS NULL
+                                 OR lag(obj) OVER w <> obj
+                               THEN 1 ELSE 0 END AS chg
+                FROM obs WINDOW w AS (PARTITION BY subj, pred ORDER BY warc_ts, obj)
+            ),
+            isl AS (
+                SELECT *, SUM(chg) OVER (PARTITION BY subj, pred
+                                         ORDER BY warc_ts, obj
+                                         ROWS UNBOUNDED PRECEDING) AS island
+                FROM marked
+            )
+            SELECT subj, pred, obj, MIN(warc_ts) AS valid_from,
+                   MAX(warc_ts) AS valid_to, COUNT(*) AS n_obs
+            FROM isl GROUP BY subj, pred, obj, island
+            ORDER BY subj, pred, valid_from, obj
+        """,
+        "q92_rdfs_entail": """
+            WITH RECURSIVE triples AS (
+                SELECT 'i' || (doc_id%40) AS subj,
+                       CASE doc_id%4 WHEN 0 THEN 'decided_by'
+                                     WHEN 1 THEN 'cites'
+                                     WHEN 2 THEN 'a'
+                                     ELSE 'located_in' END AS pred,
+                       CASE WHEN doc_id%4 = 2 THEN
+                              CASE (doc_id//4)%3 WHEN 0 THEN 'court'
+                                                 WHEN 1 THEN 'case'
+                                                 ELSE 'org' END
+                            ELSE 'i' || ((doc_id*3+1)%40) END AS obj
+                FROM documents
+            ),
+            onto(subj, pred, obj) AS (VALUES
+                ('court','subclass_of','authority'),
+                ('authority','subclass_of','org'),
+                ('case','subclass_of','document'),
+                ('decided_by','subproperty_of','involves'),
+                ('cites','subproperty_of','references'),
+                ('decided_by','domain','case'),
+                ('cites','domain','document'),
+                ('decided_by','range','court'),
+                ('located_in','range','place')
+            ),
+            subp(src, dst) AS (
+                SELECT subj, obj FROM onto WHERE pred = 'subproperty_of'
+                UNION
+                SELECT r.src, o.obj FROM subp r
+                JOIN onto o ON o.pred = 'subproperty_of' AND o.subj = r.dst
+            ),
+            psub AS (
+                SELECT src, dst FROM subp
+                UNION SELECT DISTINCT pred, pred FROM triples
+            ),
+            lifted AS (
+                SELECT t.subj, p.dst AS pred, t.obj
+                FROM triples t JOIN psub p ON t.pred = p.src
+            ),
+            types AS (
+                SELECT subj, obj AS c FROM lifted WHERE pred = 'a'
+                UNION ALL
+                SELECT l.subj, o.obj AS c FROM lifted l
+                JOIN onto o ON o.pred = 'domain' AND o.subj = l.pred
+                WHERE l.pred <> 'a'
+                UNION ALL
+                SELECT l.obj AS subj, o.obj AS c FROM lifted l
+                JOIN onto o ON o.pred = 'range' AND o.subj = l.pred
+                WHERE l.pred <> 'a'
+            ),
+            subc(src, dst) AS (
+                SELECT subj, obj FROM onto WHERE pred = 'subclass_of'
+                UNION
+                SELECT r.src, o.obj FROM subc r
+                JOIN onto o ON o.pred = 'subclass_of' AND o.subj = r.dst
+            ),
+            csub AS (
+                SELECT src, dst FROM subc
+                UNION SELECT DISTINCT c, c FROM types
+            ),
+            alltypes AS (
+                SELECT t.subj, 'a' AS pred, c.dst AS obj
+                FROM types t JOIN csub c ON t.c = c.src
+            )
+            SELECT DISTINCT subj, pred, obj FROM (
+                SELECT subj, pred, obj FROM lifted
+                UNION ALL SELECT subj, pred, obj FROM alltypes
+            ) ORDER BY subj, pred, obj
         """,
     }

@@ -54,3 +54,42 @@ def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         .where(F.col("status").isNotNull())
         .select("subj", "pred", "old_obj", "new_obj", "status")
     )
+
+
+def validity_intervals(
+    triples: DataFrame, ts_col: str = "warc_ts"
+) -> DataFrame:
+    """Coalesce per-fact observations into maximal validity intervals
+    (gaps-and-islands): within each (subj, pred) ordered by observation
+    time, consecutive observations of the SAME obj form one interval;
+    an intervening different obj closes it. Output one row per interval:
+    (subj, pred, obj, valid_from, valid_to, n_obs).
+
+    This is how a temporal KG turns a raw re-crawl log into
+    "fact f held from t1 to t2" edges (Wikidata-style qualifiers).
+    The window partition is (subj, pred) whose size is bounded by the
+    number of crawls that observed the key (~10^2), NOT by corpus size,
+    so the sort-based window is safe at 10^12 observations. Ties on the
+    timestamp are ordered by obj so the islands are a pure function of
+    the input set.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("subj", "pred").orderBy(ts_col, "obj")
+    changed = (
+        F.lag("obj").over(w).isNull() | (F.lag("obj").over(w) != F.col("obj"))
+    ).cast("int")
+    island = F.sum(changed).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        triples.select("subj", "pred", "obj", ts_col)
+        .withColumn("_island", island)
+        .groupBy("subj", "pred", "_island", "obj")
+        .agg(
+            F.min(ts_col).alias("valid_from"),
+            F.max(ts_col).alias("valid_to"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .drop("_island")
+    )

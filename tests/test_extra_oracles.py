@@ -79,6 +79,9 @@ def duck():
         "q87_robots_frontier",
         "q88_key_skew_profile",
         "q89_streaming_kg_upsert",
+        "q90_truth_discovery",
+        "q91_fact_validity",
+        "q92_rdfs_entail",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
