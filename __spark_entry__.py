@@ -1728,6 +1728,50 @@ def q92_rdfs_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rdfs_entail(triples, onto).orderBy("subj", "pred", "obj")
 
 
+def q93_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (seed-biased PageRank, 2 rounds) over the extracted
+    link graph with every 50th page as a trusted seed; oracle unrolls
+    both rounds with the seed teleport vector."""
+    from spanluke_spark.graph.links import extract_links
+    from spanluke_spark.graph.pagerank import trustrank
+
+    edges = extract_links(_linked_pages(spark, sf_dir))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.where(
+        F.substring("node", 2, 10).cast("long") % 50 == 0
+    )
+    return (
+        trustrank(edges, seeds, iters=2)
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy("node")
+    )
+
+
+def q94_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered negative sampling for KG-embedding training: hash-driven
+    deterministic object corruption over a bucketed entity index, true
+    facts filtered out. Oracle replays the exact md5-derived draw
+    (bucket rank, in-bucket index) and the NOT EXISTS filter."""
+    from spanluke_spark.graph.negatives import corrupt_triples
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    triples = docs.select(
+        F.concat(F.lit("e"), (d % 13).cast("string")).alias("subj"),
+        F.concat(F.lit("p"), (d % 3).cast("string")).alias("pred"),
+        F.concat(F.lit("e"), ((d * 5 + 2) % 13).cast("string")).alias("obj"),
+    )
+    return (
+        corrupt_triples(triples, n_neg=2, salt="neg", n_buckets=64)
+        .select("subj", "pred", "obj_neg", F.col("k").cast("long").alias("k"))
+        .orderBy("subj", "pred", "k", "obj_neg")
+    )
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -2118,6 +2162,57 @@ def _pagerank_sql(iters: int = 2, damping: float = 0.85) -> str:
             FROM nodes n2
             CROSS JOIN nn CROSS JOIN d{i}
             LEFT JOIN c{i} ON n2.node = c{i}.node
+        )"""
+    sql += f"""
+        SELECT node, round(rank, 6) AS rank FROM r{iters} ORDER BY node"""
+    return sql
+
+
+def _trustrank_sql(iters: int = 2, damping: float = 0.85) -> str:
+    """q93 oracle: TrustRank unrolled — seed teleport vector t, then per
+    round dangling mass re-teleported through t, mirroring
+    graph/pagerank.trustrank expression order."""
+    d = damping
+    sql = f"""
+        WITH e AS ({_LINK_EDGES_SQL}),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+            )
+        ),
+        seeds AS (
+            SELECT node FROM nodes
+            WHERE CAST(substr(node, 2, 10) AS BIGINT) % 50 = 0
+        ),
+        ns AS (SELECT count(*) AS n FROM seeds),
+        tv AS (
+            SELECT nodes.node,
+                   CASE WHEN seeds.node IS NOT NULL THEN 1.0 / ns.n
+                        ELSE 0.0 END AS t
+            FROM nodes CROSS JOIN ns
+            LEFT JOIN seeds ON nodes.node = seeds.node
+        ),
+        outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        r0 AS (SELECT node, t AS rank FROM tv)"""
+    for i in range(iters):
+        sql += f""",
+        d{i} AS (
+            SELECT coalesce(sum(rank), 0.0) AS m
+            FROM r{i} LEFT JOIN outdeg ON r{i}.node = outdeg.src
+            WHERE outdeg.outdeg IS NULL
+        ),
+        c{i} AS (
+            SELECT e.dst AS node, sum(r{i}.rank / outdeg.outdeg) AS inflow
+            FROM e JOIN r{i} ON e.src = r{i}.node
+                   JOIN outdeg ON e.src = outdeg.src
+            GROUP BY 1
+        ),
+        r{i + 1} AS (
+            SELECT tv.node,
+                   (1 - {d}) * tv.t
+                   + {d} * (coalesce(c{i}.inflow, 0.0) + d{i}.m * tv.t) AS rank
+            FROM tv CROSS JOIN d{i}
+            LEFT JOIN c{i} ON tv.node = c{i}.node
         )"""
     sql += f"""
         SELECT node, round(rank, 6) AS rank FROM r{iters} ORDER BY node"""
@@ -3110,6 +3205,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_truth_discovery": q90_truth_discovery,
         "q91_fact_validity": q91_fact_validity,
         "q92_rdfs_entail": q92_rdfs_entail,
+        "q93_trustrank": q93_trustrank,
+        "q94_kg_negatives": q94_kg_negatives,
     }
 
 
@@ -3656,6 +3753,62 @@ def extra_oracle_sql() -> dict[str, str]:
                                           ORDER BY b2.belief DESC, b2.obj DESC) AS rn
                 FROM b2 JOIN sup USING (subj, pred, obj)
             ) WHERE rn = 1 ORDER BY subj, pred
+        """,
+        "q93_trustrank": _trustrank_sql(),
+        "q94_kg_negatives": """
+            WITH t AS (
+                SELECT DISTINCT 'e' || (doc_id%13) AS subj,
+                       'p' || (doc_id%3) AS pred,
+                       'e' || ((doc_id*5+2)%13) AS obj
+                FROM documents
+            ),
+            ents AS (
+                SELECT DISTINCT entity FROM (
+                    SELECT subj AS entity FROM t
+                    UNION ALL SELECT obj AS entity FROM t
+                )
+            ),
+            be AS (
+                SELECT entity,
+                       ('0x' || substr(md5(entity), 1, 15))::BIGINT % 64
+                           AS bucket
+                FROM ents
+            ),
+            indexed AS (
+                SELECT entity, bucket,
+                       row_number() OVER (PARTITION BY bucket
+                                          ORDER BY entity) - 1 AS idx
+                FROM be
+            ),
+            sizes AS (
+                SELECT bucket, count(*) AS cnt,
+                       row_number() OVER (ORDER BY bucket) - 1 AS brank
+                FROM indexed GROUP BY bucket
+            ),
+            npop AS (SELECT count(*) AS n_pop FROM sizes),
+            att AS (
+                SELECT subj, pred, obj, k,
+                       ('0x' || substr(md5(subj || '|' || pred || '|' || obj
+                            || '|' || CAST(k AS VARCHAR) || '|neg'),
+                            1, 15))::BIGINT AS h
+                FROM t CROSS JOIN (SELECT unnest(range(2)) AS k)
+            ),
+            placed AS (
+                SELECT a.subj, a.pred, a.obj, a.k, s.bucket,
+                       (a.h // 64) % s.cnt AS idx
+                FROM att a CROSS JOIN npop
+                JOIN sizes s ON s.brank = a.h % npop.n_pop
+            ),
+            drawn AS (
+                SELECT p.subj, p.pred, p.obj, p.k, i.entity AS obj_neg
+                FROM placed p
+                JOIN indexed i ON i.bucket = p.bucket AND i.idx = p.idx
+            )
+            SELECT subj, pred, obj_neg, k FROM drawn d
+            WHERE d.obj_neg <> d.obj
+              AND NOT EXISTS (SELECT 1 FROM t WHERE t.subj = d.subj
+                              AND t.pred = d.pred AND t.obj = d.obj_neg)
+            ORDER BY subj, pred, k, obj_neg
         """,
         "q91_fact_validity": """
             WITH obs AS (

@@ -122,3 +122,77 @@ def hits(
             nodes.join(hub, "node", "left").fillna(0.0, ["hub"]), "hub"
         ).localCheckpoint(eager=True)
     return hub.join(auth, "node")
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 2,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Seed-biased PageRank (TrustRank, Gyongyi et al. VLDB 2004): the
+    teleport vector concentrates on a hand-vetted trusted seed set, so
+    trust flows OUT of the seeds along links and link-spam islands that
+    good pages never cite get ~0 — the standard crawl-frontier spam
+    demotion signal.
+
+    rank'(v) = (1-d)*t(v) + d * (inflow(v) + dangling * t(v)) with
+    t(v) = 1/|S| on seeds(node), else 0 (dangling mass re-teleports
+    through t, preserving total mass = 1). Same relational shape as
+    ``pagerank``: per round one edge join + one hash agg + a 1-row
+    dangling broadcast; the seed set is broadcast onto nodes once.
+    Deterministic: fixed rounds, no RNG.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    s = seeds.select("node").distinct().localCheckpoint(eager=True)
+    n_seeds = s.count()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .unionByName(s)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    teleport = nodes.join(
+        F.broadcast(s.withColumn("_s", F.lit(1))), "node", "left"
+    ).select(
+        "node",
+        F.when(F.col("_s").isNotNull(), 1.0 / n_seeds)
+        .otherwise(0.0)
+        .alias("t"),
+    ).localCheckpoint(eager=True)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+
+    ranks = teleport.select("node", F.col("t").alias("rank"))
+    for _ in range(iters):
+        with_deg = ranks.join(outdeg, ranks.node == outdeg.src, "left").select(
+            "node", "rank", "outdeg"
+        )
+        dangling = with_deg.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")
+        )
+        contrib = (
+            e.join(
+                with_deg.filter(F.col("outdeg").isNotNull()).select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("outdeg")).alias("share"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("inflow"))
+        )
+        rank_expr = (
+            F.lit(1.0 - damping) * F.col("t")
+            + F.lit(damping)
+            * (F.coalesce("inflow", F.lit(0.0)) + F.col("m") * F.col("t"))
+        )
+        ranks = (
+            teleport.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select("node", rank_expr.alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -82,6 +82,8 @@ def duck():
         "q90_truth_discovery",
         "q91_fact_validity",
         "q92_rdfs_entail",
+        "q93_trustrank",
+        "q94_kg_negatives",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
