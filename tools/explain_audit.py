@@ -186,6 +186,73 @@ def main() -> None:
         "(band exchange carries (id, band, bucket); vectors re-join on the pair set)",
     )
 
+    # 14. RDFS entailment: the ontology closures broadcast onto the
+    # instance triples — a 10^12-row table must never sort-merge against
+    # a 10^2-row hierarchy
+    from spanluke_spark.graph.entailment import rdfs_entail
+
+    onto = spark.createDataFrame(
+        [
+            ("court", "subclass_of", "authority"),
+            ("decided_by", "subproperty_of", "involves"),
+            ("decided_by", "domain", "case"),
+            ("decided_by", "range", "court"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    inst = docs.select(
+        F.concat(F.lit("i"), F.col("doc_id")).alias("subj"),
+        F.lit("decided_by").alias("pred"),
+        F.concat(F.lit("j"), F.col("doc_id")).alias("obj"),
+    )
+    eplan = (
+        rdfs_entail(inst, onto)._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "entailment_broadcasts_ontology",
+        "BroadcastHashJoin" in eplan and "SortMergeJoin" not in eplan,
+        "(hierarchy closures broadcast; instance stream shuffles only at distinct)",
+    )
+
+    # 15. truth discovery: the per-fact belief normalization is agg+join,
+    # never a window over the claim stream (a hot fact with 10^7
+    # asserting pages would serialize through one window task)
+    from spanluke_spark.graph.truth import truth_discovery
+
+    claims = docs.select(
+        F.concat(F.lit("h"), F.col("doc_id") % 7).alias("source"),
+        F.concat(F.lit("e"), F.col("doc_id") % 25).alias("subj"),
+        F.lit("p").alias("pred"),
+        F.concat(F.lit("v"), (F.col("doc_id") * 3) % 4).alias("obj"),
+    )
+    tfacts, _ = truth_discovery(claims, rounds=1)
+    tplan = tfacts._jdf.queryExecution().executedPlan().toString()
+    check(
+        "truth_discovery_no_window",
+        "Window" not in tplan and "Exchange SinglePartition" not in tplan,
+        "(belief normalize = two hash aggs + equi-join)",
+    )
+
+    # 16. validity intervals: window partitioned by the fact key (bounded
+    # by re-crawl count), never a single global sort
+    from spanluke_spark.graph.snapshot import validity_intervals
+
+    obs = docs.select(
+        F.concat(F.lit("s"), F.col("doc_id") % 60).alias("subj"),
+        F.lit("p").alias("pred"),
+        F.concat(F.lit("o"), F.col("doc_id") % 3).alias("obj"),
+        F.col("doc_id").alias("warc_ts"),
+    )
+    vplan = (
+        validity_intervals(obs)._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "validity_window_is_keyed",
+        "Exchange SinglePartition" not in vplan
+        and "Exchange hashpartitioning(subj" in vplan,
+        "(islands window keyed on (subj, pred))",
+    )
+
     spark.stop()
     sys.exit(1 if failures else 0)
 
