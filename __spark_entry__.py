@@ -1772,6 +1772,97 @@ def q94_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q95_blocking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER blocking quality: pair completeness / pairs quality /
+    reduction ratio of a synthetic candidate generator vs gold pairs
+    (both closed-form over doc ids, endpoints existence-checked); the
+    oracle recomputes all three ratios from SQL pair counts."""
+    from spanluke_spark.evaluation.blocking import blocking_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+
+    def _pairs(step: int) -> DataFrame:
+        base = ids.select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + step).alias("id_b"),
+        )
+        return base.join(
+            ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi"
+        ).select("id_a", "id_b")
+
+    p7, p13 = _pairs(7), _pairs(13)
+    gold = p7.where(F.col("id_a") % 3 == 0)
+    cand = p7.where(F.col("id_a") % 2 == 0).unionByName(
+        p13.where(F.col("id_a") % 5 == 0)
+    )
+    m = blocking_metrics(cand, gold, n_records=docs.count())
+    return m.select(
+        "n_candidates",
+        "n_gold",
+        "n_hit",
+        F.round("pair_completeness", 6).alias("pair_completeness"),
+        F.round("pairs_quality", 6).alias("pairs_quality"),
+        F.round("reduction_ratio", 6).alias("reduction_ratio"),
+    )
+
+
+def q96_schema_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG schema induction: (subj_type, pred, obj_type) profile with
+    fact/entity counts over the q92 instance generator, type table from
+    its 'a' assertions, untyped mass kept visible; oracle replays the
+    two type joins + aggregate in SQL."""
+    from spanluke_spark.graph.schema_induce import induce_schema
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pred = (
+        F.when(d % 4 == 0, "decided_by")
+        .when(d % 4 == 1, "cites")
+        .otherwise("located_in")
+    )
+    triples = docs.where(d % 4 != 2).select(
+        F.concat(F.lit("i"), (d % 40).cast("string")).alias("subj"),
+        pred.alias("pred"),
+        F.concat(F.lit("i"), ((d * 3 + 1) % 40).cast("string")).alias("obj"),
+    )
+    cls = (
+        F.when(F.floor(d / 4) % 3 == 0, "court")
+        .when(F.floor(d / 4) % 3 == 1, "case")
+        .otherwise("org")
+    )
+    types = (
+        docs.where(d % 4 == 2)
+        .select(
+            F.concat(F.lit("i"), (d % 40).cast("string")).alias("entity"),
+            cls.alias("type"),
+        )
+        .distinct()
+    )
+    return induce_schema(triples, types).orderBy(
+        "subj_type", "pred", "obj_type"
+    )
+
+
+def q97_seed_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trust-depth BFS: minimum hop count from every-100th trusted page
+    over the extracted link graph, frontier-relational rounds capped at
+    3 hops; oracle unrolls the three frontier expansions with EXCEPT."""
+    from spanluke_spark.graph.closure import hop_distance
+    from spanluke_spark.graph.links import extract_links
+
+    edges = extract_links(_linked_pages(spark, sf_dir))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.where(
+        F.substring("node", 2, 10).cast("long") % 100 == 0
+    )
+    return hop_distance(edges, seeds, max_hops=3).orderBy("node")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -3207,6 +3298,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_rdfs_entail": q92_rdfs_entail,
         "q93_trustrank": q93_trustrank,
         "q94_kg_negatives": q94_kg_negatives,
+        "q95_blocking_metrics": q95_blocking_metrics,
+        "q96_schema_induction": q96_schema_induction,
+        "q97_seed_hop_distance": q97_seed_hop_distance,
     }
 
 
@@ -3755,6 +3849,96 @@ def extra_oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1 ORDER BY subj, pred
         """,
         "q93_trustrank": _trustrank_sql(),
+        "q95_blocking_metrics": """
+            WITH ids AS (SELECT doc_id FROM documents),
+            p7 AS (
+                SELECT a.doc_id AS id_a, a.doc_id + 7 AS id_b
+                FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 7
+            ),
+            p13 AS (
+                SELECT a.doc_id AS id_a, a.doc_id + 13 AS id_b
+                FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 13
+            ),
+            gold AS (SELECT DISTINCT id_a, id_b FROM p7 WHERE id_a % 3 = 0),
+            cand AS (
+                SELECT DISTINCT id_a, id_b FROM (
+                    SELECT id_a, id_b FROM p7 WHERE id_a % 2 = 0
+                    UNION ALL
+                    SELECT id_a, id_b FROM p13 WHERE id_a % 5 = 0
+                )
+            ),
+            n AS (SELECT count(*) AS n FROM ids),
+            c AS (SELECT count(*) AS n_candidates FROM cand),
+            g AS (SELECT count(*) AS n_gold FROM gold),
+            h AS (SELECT count(*) AS n_hit
+                  FROM cand JOIN gold USING (id_a, id_b))
+            SELECT n_candidates, n_gold, n_hit,
+                   round(n_hit * 1.0 / n_gold, 6) AS pair_completeness,
+                   round(n_hit * 1.0 / n_candidates, 6) AS pairs_quality,
+                   round(1 - n_candidates / (n.n * (n.n - 1) / 2.0), 6)
+                       AS reduction_ratio
+            FROM c, g, h, n
+        """,
+        "q96_schema_induction": """
+            WITH triples AS (
+                SELECT 'i' || (doc_id%40) AS subj,
+                       CASE doc_id%4 WHEN 0 THEN 'decided_by'
+                                     WHEN 1 THEN 'cites'
+                                     ELSE 'located_in' END AS pred,
+                       'i' || ((doc_id*3+1)%40) AS obj
+                FROM documents WHERE doc_id%4 <> 2
+            ),
+            types AS (
+                SELECT DISTINCT 'i' || (doc_id%40) AS entity,
+                       CASE (doc_id//4)%3 WHEN 0 THEN 'court'
+                                          WHEN 1 THEN 'case'
+                                          ELSE 'org' END AS type
+                FROM documents WHERE doc_id%4 = 2
+            )
+            SELECT coalesce(st.type, '_untyped') AS subj_type, t.pred,
+                   coalesce(ot.type, '_untyped') AS obj_type,
+                   count(*) AS n_facts,
+                   count(DISTINCT t.subj) AS n_subj,
+                   count(DISTINCT t.obj) AS n_obj
+            FROM triples t
+            LEFT JOIN types st ON st.entity = t.subj
+            LEFT JOIN types ot ON ot.entity = t.obj
+            GROUP BY 1, 2, 3 ORDER BY subj_type, pred, obj_type
+        """,
+        "q97_seed_hop_distance": f"""
+            WITH e AS (SELECT DISTINCT src, dst FROM ({_LINK_EDGES_SQL})),
+            nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+                )
+            ),
+            d0 AS (
+                SELECT node FROM nodes
+                WHERE CAST(substr(node, 2, 10) AS BIGINT) % 100 = 0
+            ),
+            f1 AS (
+                SELECT DISTINCT e.dst AS node FROM e
+                JOIN d0 ON e.src = d0.node
+                EXCEPT SELECT node FROM d0
+            ),
+            f2 AS (
+                SELECT DISTINCT e.dst AS node FROM e
+                JOIN f1 ON e.src = f1.node
+                EXCEPT (SELECT node FROM d0 UNION ALL SELECT node FROM f1)
+            ),
+            f3 AS (
+                SELECT DISTINCT e.dst AS node FROM e
+                JOIN f2 ON e.src = f2.node
+                EXCEPT (SELECT node FROM d0 UNION ALL SELECT node FROM f1
+                        UNION ALL SELECT node FROM f2)
+            )
+            SELECT node, dist FROM (
+                SELECT node, 0 AS dist FROM d0
+                UNION ALL SELECT node, 1 FROM f1
+                UNION ALL SELECT node, 2 FROM f2
+                UNION ALL SELECT node, 3 FROM f3
+            ) ORDER BY node
+        """,
         "q94_kg_negatives": """
             WITH t AS (
                 SELECT DISTINCT 'e' || (doc_id%13) AS subj,

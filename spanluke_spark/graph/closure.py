@@ -52,3 +52,49 @@ def transitive_closure(
             break
         p, n = grown, m
     return p
+
+
+def hop_distance(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Minimum hop count from a seed set — frontier BFS as iterative
+    relational rounds: (node, dist) for every node reachable from
+    seeds(node) in <= max_hops directed hops (seeds at dist 0).
+
+    Per round: one equi-join of the CURRENT FRONTIER (not the full
+    visited set) against the edge table, one distinct, one left_anti
+    against visited — the textbook distributed BFS whose per-round cost
+    is O(frontier-adjacent edges). The round-closing count() doubles as
+    the early-exit test, so diameters smaller than max_hops stop early.
+    Use for trust-depth ("how many hops from a vetted seed is this
+    host?"), crawl-frontier distance caps, and bounded provenance
+    reachability.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    dist = (
+        seeds.select("node")
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        reached = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            reached.join(dist, "node", "left_anti")
+            .withColumn("dist", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if new.count() == 0:
+            break
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("node")
+    return dist

@@ -84,6 +84,9 @@ def duck():
         "q92_rdfs_entail",
         "q93_trustrank",
         "q94_kg_negatives",
+        "q95_blocking_metrics",
+        "q96_schema_induction",
+        "q97_seed_hop_distance",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
