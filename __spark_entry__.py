@@ -1863,6 +1863,59 @@ def q97_seed_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hop_distance(edges, seeds, max_hops=3).orderBy("node")
 
 
+def q98_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling: u<d> -> u<d-1>
+    chains of length up to 15 (terminals at multiples of 16), resolved
+    in O(log chain) self-joins; oracle walks the same chains with a
+    recursive CTE and stops at the first non-redirecting URL."""
+    from spanluke_spark.etl.redirects import resolve_redirects
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    redirects = docs.where(d % 16 != 0).select(
+        F.concat(F.lit("u"), d.cast("string")).alias("src"),
+        F.concat(F.lit("u"), (d - 1).cast("string")).alias("dst"),
+    )
+    return resolve_redirects(redirects, max_rounds=5).orderBy("src")
+
+
+def q99_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level boilerplate removal (jusText/Onion document-frequency
+    heuristic): every host's pages share MENU/FOOT lines (df = 1.0 >
+    0.5) around a unique body line; the engine REALLY detects and strips
+    them via the exploded-line DF aggregate, the oracle states the
+    closed form the fixture was built to produce."""
+    from spanluke_spark.textops.boilerplate import strip_boilerplate
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 5).cast("string"))
+    pages = docs.select(
+        host.alias("host"),
+        "doc_id",
+        F.concat(
+            F.lit("MENU "), host, F.lit("\n"),
+            d.cast("string"), F.lit(" "), F.col("text"),
+            F.lit("\nFOOT "), host,
+        ).alias("text"),
+    )
+    return strip_boilerplate(pages).orderBy("page_id")
+
+
+def q100_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted curation sampling (Efraimidis-Spirakis A-ES,
+    without replacement, deterministic): 20 docs per lang with
+    inclusion probability proportional to n_chars; the oracle replays
+    the exact ln(u)/w keys from the portable md5 hash."""
+    from spanluke_spark.textops.sampling import weighted_sample_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    picked = weighted_sample_per_group(
+        docs, k=20, weight_col="n_chars", group_col="lang", salt="q100"
+    )
+    return picked.select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -3301,6 +3354,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_blocking_metrics": q95_blocking_metrics,
         "q96_schema_induction": q96_schema_induction,
         "q97_seed_hop_distance": q97_seed_hop_distance,
+        "q98_redirect_resolution": q98_redirect_resolution,
+        "q99_boilerplate_strip": q99_boilerplate_strip,
+        "q100_weighted_sample": q100_weighted_sample,
     }
 
 
@@ -3849,6 +3905,44 @@ def extra_oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1 ORDER BY subj, pred
         """,
         "q93_trustrank": _trustrank_sql(),
+        "q98_redirect_resolution": """
+            WITH RECURSIVE r AS (
+                SELECT 'u' || doc_id AS src, 'u' || (doc_id - 1) AS dst
+                FROM documents WHERE doc_id % 16 <> 0
+            ),
+            walk(src, cur, hops) AS (
+                SELECT src, dst, 1 FROM r
+                UNION ALL
+                SELECT w.src, r.dst, w.hops + 1
+                FROM walk w JOIN r ON r.src = w.cur
+            )
+            SELECT src, cur AS final, CAST(hops AS BIGINT) AS hops,
+                   false AS is_cycle
+            FROM walk w
+            WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.src = w.cur)
+            ORDER BY src
+        """,
+        "q99_boilerplate_strip": """
+            SELECT 'h' || (doc_id%5) AS host, doc_id AS page_id,
+                   doc_id || ' ' || text AS clean_text,
+                   CAST(2 AS BIGINT) AS n_removed
+            FROM documents ORDER BY page_id
+        """,
+        "q100_weighted_sample": """
+            WITH keyed AS (
+                SELECT lang, doc_id,
+                       ln(((('0x' || substr(md5('q100:' || doc_id), 1, 15))
+                           ::BIGINT % 1000000) + 1) / 1000000.0)
+                           / n_chars AS k
+                FROM documents WHERE n_chars > 0
+            )
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY k DESC, doc_id) AS rn
+                FROM keyed
+            ) WHERE rn <= 20 ORDER BY lang, doc_id
+        """,
         "q95_blocking_metrics": """
             WITH ids AS (SELECT doc_id FROM documents),
             p7 AS (

@@ -69,3 +69,45 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(out_col, expr)
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k rows per
+    group, inclusion probability proportional to ``weight_col``
+    (Efraimidis-Spirakis A-ES, IPL 2006): each row gets key =
+    ln(u) / w with u a deterministic unit hash of (salt, id), and the
+    k LARGEST keys per group win — exactly equivalent to sequential
+    weighted draws, but embarrassingly parallel and reproducible.
+
+    The quality-weighted curation sampler: "keep the best-ish 100k pages
+    per language, biased by quality score, same set on every rerun."
+    Rows with non-positive weight are excluded. The per-group top-k is a
+    rank window, which Spark executes with WindowGroupLimit partial
+    top-k below the shuffle — each task forwards at most k rows per
+    group, so a 10^12-row corpus shuffles ~k * n_groups rows, not the
+    corpus."""
+    # (0, 1]: +1 dodges ln(0) = -inf
+    h = portable_hash64(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    )
+    u = (h % _BUCKETS + 1) / F.lit(float(_BUCKETS))
+    key = F.log(u) / F.col(weight_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("_es_key"), F.col(id_col)
+    )
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_es_key", key)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_es_key", "_rn")
+    )

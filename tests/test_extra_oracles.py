@@ -87,6 +87,9 @@ def duck():
         "q95_blocking_metrics",
         "q96_schema_induction",
         "q97_seed_hop_distance",
+        "q98_redirect_resolution",
+        "q99_boilerplate_strip",
+        "q100_weighted_sample",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
