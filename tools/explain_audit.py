@@ -253,6 +253,23 @@ def main() -> None:
         "(islands window keyed on (subj, pred))",
     )
 
+    # 17. weighted sampling: the per-group top-k must run as a
+    # WindowGroupLimit pair (Partial below the shuffle, Final above) so
+    # each task forwards at most k rows per group — not the corpus
+    from spanluke_spark.textops.sampling import weighted_sample_per_group
+
+    wplan = (
+        weighted_sample_per_group(docs, 20, "n_chars")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    check(
+        "weighted_sample_partial_topk",
+        "WindowGroupLimit" in wplan and "Partial" in wplan,
+        "(rank filter pushed below the exchange)",
+    )
+
     spark.stop()
     sys.exit(1 if failures else 0)
 
