@@ -1916,6 +1916,63 @@ def q100_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.select("lang", "doc_id").orderBy("lang", "doc_id")
 
 
+def q101_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate churn between two crawl snapshots (re-crawl cadence
+    dashboard): observation log with per-key drift, two overlapping
+    crawl subsets, added/removed/changed counts + churn ratio per
+    predicate. Oracle replays both latest-wins snapshots, the diff, and
+    the FILTERed aggregate."""
+    from spanluke_spark.graph.snapshot import latest_snapshot, snapshot_churn
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    obs = docs.select(
+        F.concat(F.lit("s"), (d % 60).cast("string")).alias("subj"),
+        F.concat(F.lit("p"), (d % 6).cast("string")).alias("pred"),
+        F.concat(
+            F.lit("o"), (F.floor(d / 60) % 5).cast("string")
+        ).alias("obj"),
+        d.alias("warc_ts"),
+    )
+    t = F.col("warc_ts")
+    old = latest_snapshot(
+        obs.where(((t % 60) < 50) & ((t % 7) != 0))
+    ).select("subj", "pred", "obj")
+    new = latest_snapshot(obs.where((t % 60) >= 6)).select(
+        "subj", "pred", "obj"
+    )
+    return (
+        snapshot_churn(old, new)
+        .select(
+            "pred",
+            "n_old",
+            "n_added",
+            "n_removed",
+            "n_changed",
+            F.round("churn", 6).alias("churn"),
+        )
+        .orderBy("pred")
+    )
+
+
+def q102_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law corpus diagnostic: weighted least-squares slope of
+    ln(freq) on ln(rank) over the frequency spectrum (rank classes, not
+    a global vocabulary sort); oracle recomputes the spectrum, midpoint
+    ranks, and all five weighted sums in SQL."""
+    from spanluke_spark.textops.profile import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    z = zipf_fit(docs)
+    return z.select(
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        "n_terms",
+        "n_tokens",
+        "n_freq_classes",
+    )
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -3357,6 +3414,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_redirect_resolution": q98_redirect_resolution,
         "q99_boilerplate_strip": q99_boilerplate_strip,
         "q100_weighted_sample": q100_weighted_sample,
+        "q101_snapshot_churn": q101_snapshot_churn,
+        "q102_zipf_fit": q102_zipf_fit,
     }
 
 
@@ -3927,6 +3986,90 @@ def extra_oracle_sql() -> dict[str, str]:
                    doc_id || ' ' || text AS clean_text,
                    CAST(2 AS BIGINT) AS n_removed
             FROM documents ORDER BY page_id
+        """,
+        "q101_snapshot_churn": """
+            WITH obs AS (
+                SELECT 's' || (doc_id%60) AS subj, 'p' || (doc_id%6) AS pred,
+                       'o' || ((doc_id//60)%5) AS obj, doc_id AS ts
+                FROM documents
+            ),
+            olds AS (
+                SELECT subj, pred, obj FROM (
+                    SELECT subj, pred, obj,
+                           row_number() OVER (PARTITION BY subj, pred
+                                              ORDER BY ts DESC, obj DESC) AS rn
+                    FROM obs WHERE (ts%60) < 50 AND (ts%7) != 0
+                ) WHERE rn = 1
+            ),
+            news AS (
+                SELECT subj, pred, obj FROM (
+                    SELECT subj, pred, obj,
+                           row_number() OVER (PARTITION BY subj, pred
+                                              ORDER BY ts DESC, obj DESC) AS rn
+                    FROM obs WHERE (ts%60) >= 6
+                ) WHERE rn = 1
+            ),
+            diff AS (
+                SELECT coalesce(o.pred, n.pred) AS pred,
+                       CASE WHEN o.obj IS NULL THEN 'added'
+                            WHEN n.obj IS NULL THEN 'removed'
+                            WHEN o.obj != n.obj THEN 'changed' END AS status
+                FROM olds o FULL OUTER JOIN news n
+                     ON o.subj = n.subj AND o.pred = n.pred
+            ),
+            c AS (
+                SELECT pred,
+                       count(*) FILTER (WHERE status = 'added') AS n_added,
+                       count(*) FILTER (WHERE status = 'removed') AS n_removed,
+                       count(*) FILTER (WHERE status = 'changed') AS n_changed
+                FROM diff WHERE status IS NOT NULL GROUP BY pred
+            ),
+            o AS (SELECT pred, count(*) AS n_old FROM olds GROUP BY pred)
+            SELECT coalesce(o.pred, c.pred) AS pred,
+                   coalesce(n_old, 0) AS n_old,
+                   coalesce(n_added, 0) AS n_added,
+                   coalesce(n_removed, 0) AS n_removed,
+                   coalesce(n_changed, 0) AS n_changed,
+                   round((coalesce(n_added, 0) + coalesce(n_removed, 0)
+                          + coalesce(n_changed, 0)) * 1.0 / n_old, 6) AS churn
+            FROM o FULL OUTER JOIN c ON o.pred = c.pred
+            ORDER BY pred
+        """,
+        "q102_zipf_fit": """
+            WITH terms AS (
+                SELECT unnest(string_split_regex(lower(text), '\\s+')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT term, count(*) AS freq FROM terms
+                WHERE term <> '' GROUP BY term
+            ),
+            spec AS (SELECT freq, count(*) AS n_terms FROM tf GROUP BY freq),
+            ranked AS (
+                SELECT freq, n_terms,
+                       (2.0 * sum(n_terms) OVER (ORDER BY freq DESC
+                            ROWS UNBOUNDED PRECEDING) - n_terms + 1) / 2.0
+                           AS midrank
+                FROM spec
+            ),
+            sums AS (
+                SELECT sum(n_terms) AS sw,
+                       sum(n_terms * ln(midrank)) AS sx,
+                       sum(n_terms * ln(freq)) AS sy,
+                       sum(n_terms * ln(midrank) * ln(midrank)) AS sxx,
+                       sum(n_terms * ln(midrank) * ln(freq)) AS sxy,
+                       sum(freq * n_terms) AS n_tokens,
+                       count(*) AS n_freq_classes
+                FROM ranked
+            )
+            SELECT round((sxy - sx * sy / sw) / (sxx - sx * sx / sw), 6)
+                       AS slope,
+                   round((sy - ((sxy - sx * sy / sw)
+                         / (sxx - sx * sx / sw)) * sx) / sw, 6) AS intercept,
+                   CAST(sw AS BIGINT) AS n_terms,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   n_freq_classes
+            FROM sums
         """,
         "q100_weighted_sample": """
             WITH keyed AS (

@@ -93,3 +93,41 @@ def validity_intervals(
         )
         .drop("_island")
     )
+
+
+def snapshot_churn(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Per-predicate churn between two crawl snapshots: how volatile is
+    each relation across re-crawls? -> (pred, n_old, n_added, n_removed,
+    n_changed, churn) with churn = (added + removed + changed) / n_old
+    (NULL for predicates absent from the old snapshot). The KG-ops
+    dashboard row that decides re-crawl cadence per relation: a pred
+    with churn 0.9 needs fresh crawls, one at 0.001 can be cached.
+
+    Cost: the snapshot_diff join (unchanged rows already dropped) plus
+    two predicate-keyed aggregates — the diff is usually ~1% of the
+    snapshot, so this is nearly free next to the snapshots themselves.
+    """
+    diff = snapshot_diff(old, new)
+    counts = diff.groupBy("pred").agg(
+        F.count(F.when(F.col("status") == "added", 1)).alias("n_added"),
+        F.count(F.when(F.col("status") == "removed", 1)).alias("n_removed"),
+        F.count(F.when(F.col("status") == "changed", 1)).alias("n_changed"),
+    )
+    n_old = old.groupBy("pred").agg(F.count(F.lit(1)).alias("n_old"))
+    joined = n_old.join(counts, "pred", "full_outer")
+    z = F.lit(0).cast("long")
+    return joined.select(
+        "pred",
+        F.coalesce("n_old", z).alias("n_old"),
+        F.coalesce("n_added", z).alias("n_added"),
+        F.coalesce("n_removed", z).alias("n_removed"),
+        F.coalesce("n_changed", z).alias("n_changed"),
+        (
+            (
+                F.coalesce("n_added", z)
+                + F.coalesce("n_removed", z)
+                + F.coalesce("n_changed", z)
+            )
+            / F.col("n_old")
+        ).alias("churn"),
+    )

@@ -46,3 +46,65 @@ def key_skew_profile(
             (F.col("n") * F.col("_keys") / F.col("_total")).alias("x_mean"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary -> one row
+    (slope, intercept, n_terms, n_tokens, n_freq_classes): weighted
+    least squares of ln(freq) on ln(rank). Natural text sits near
+    slope -1; a corpus that drifts far off is a red flag (boilerplate
+    floods, spam, synthetic text) — the curation dashboard number.
+
+    Scale shape: per-term ranking of a 10^8-term vocabulary would need a
+    global sort, so the fit instead aggregates the FREQUENCY SPECTRUM —
+    every term with the same frequency shares a rank class whose
+    representative is the class midpoint, weighted by class size. The
+    only window runs over distinct frequency VALUES (thousands, not the
+    vocabulary), everything else is hash aggregates: explode -> term
+    counts -> spectrum -> cumulative rank -> 5 weighted sums.
+    """
+    terms = df.select(
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"\s+")
+        ).alias("term")
+    ).where(F.col("term") != "")
+    tf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    spectrum = tf.groupBy("freq").agg(F.count(F.lit(1)).alias("n_terms"))
+    w = Window.orderBy(F.desc("freq")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = spectrum.withColumn("cum", F.sum("n_terms").over(w)).select(
+        "freq",
+        "n_terms",
+        # midpoint of the class's [cum - n_terms + 1, cum] rank run
+        ((F.col("cum") - F.col("n_terms") + 1 + F.col("cum")) / 2.0).alias(
+            "midrank"
+        ),
+    )
+    x = F.log("midrank")
+    y = F.log("freq")
+    n = F.col("n_terms")
+    sums = ranked.agg(
+        F.sum(n).alias("sw"),
+        F.sum(n * x).alias("sx"),
+        F.sum(n * y).alias("sy"),
+        F.sum(n * x * x).alias("sxx"),
+        F.sum(n * x * y).alias("sxy"),
+        F.sum(F.col("freq") * n).alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_freq_classes"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("sw")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("sw")
+    )
+    return sums.select(
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("sw")).alias(
+            "intercept"
+        ),
+        F.col("sw").alias("n_terms"),
+        "n_tokens",
+        "n_freq_classes",
+    )

@@ -90,6 +90,8 @@ def duck():
         "q98_redirect_resolution",
         "q99_boilerplate_strip",
         "q100_weighted_sample",
+        "q101_snapshot_churn",
+        "q102_zipf_fit",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
