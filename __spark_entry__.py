@@ -1973,6 +1973,46 @@ def q102_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q103_partition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph partitioning diagnostic over the extracted link graph:
+    edge-cut fraction + node load balance of 16-way hash placement;
+    oracle replays the portable-hash placement and both rollups."""
+    from spanluke_spark.graph.links import extract_links
+    from spanluke_spark.graph.partitioning import partition_quality
+
+    edges = extract_links(_linked_pages(spark, sf_dir))
+    q = partition_quality(edges, 16)
+    return q.select(
+        "n_partitions",
+        "n_edges",
+        "cut_edges",
+        F.round("cut_frac", 6).alias("cut_frac"),
+        "n_nodes",
+        "max_part_nodes",
+        F.round("avg_part_nodes", 6).alias("avg_part_nodes"),
+        F.round("node_balance", 6).alias("node_balance"),
+    )
+
+
+def q104_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: documents share planted content
+    keys across sources; pair counts per (source_a, source_b) via pair
+    ARITHMETIC over per-(key, source) counts — never pair enumeration.
+    Oracle replays the self-join and the C(n,2) / ca*cb arithmetic."""
+    from spanluke_spark.dedup.dedup import cross_source_matrix
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        F.concat(
+            F.lit("c"), (F.col("doc_id") % 97).cast("string")
+        ).alias("content_key"),
+        "source",
+    )
+    return cross_source_matrix(keyed, "content_key").orderBy(
+        "source_a", "source_b"
+    )
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -3416,6 +3456,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_weighted_sample": q100_weighted_sample,
         "q101_snapshot_churn": q101_snapshot_churn,
         "q102_zipf_fit": q102_zipf_fit,
+        "q103_partition_quality": q103_partition_quality,
+        "q104_cross_source_dups": q104_cross_source_dups,
     }
 
 
@@ -4070,6 +4112,59 @@ def extra_oracle_sql() -> dict[str, str]:
                    CAST(n_tokens AS BIGINT) AS n_tokens,
                    n_freq_classes
             FROM sums
+        """,
+        "q103_partition_quality": f"""
+            WITH e AS ({_LINK_EDGES_SQL}),
+            h AS (
+                SELECT ('0x' || substr(md5(src), 1, 15))::BIGINT % 16 AS ps,
+                       ('0x' || substr(md5(dst), 1, 15))::BIGINT % 16 AS pd
+                FROM e
+            ),
+            es AS (
+                SELECT count(*) AS n_edges,
+                       sum(CASE WHEN ps <> pd THEN 1 ELSE 0 END) AS cut_edges
+                FROM h
+            ),
+            nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+                )
+            ),
+            loads AS (
+                SELECT ('0x' || substr(md5(node), 1, 15))::BIGINT % 16 AS p,
+                       count(*) AS n
+                FROM nodes GROUP BY 1
+            ),
+            ns AS (
+                SELECT sum(n) AS n_nodes, max(n) AS maxn,
+                       sum(n) * 1.0 / count(*) AS avgn
+                FROM loads
+            )
+            SELECT 16 AS n_partitions, n_edges,
+                   CAST(cut_edges AS BIGINT) AS cut_edges,
+                   round(cut_edges * 1.0 / n_edges, 6) AS cut_frac,
+                   CAST(n_nodes AS BIGINT) AS n_nodes,
+                   maxn AS max_part_nodes,
+                   round(avgn, 6) AS avg_part_nodes,
+                   round(maxn / avgn, 6) AS node_balance
+            FROM es, ns
+        """,
+        "q104_cross_source_dups": """
+            WITH per AS (
+                SELECT 'c' || (doc_id%97) AS k, source AS s, count(*) AS c
+                FROM documents GROUP BY 1, 2
+            ),
+            j AS (
+                SELECT a.k, a.s AS source_a, b.s AS source_b,
+                       CASE WHEN a.s = b.s
+                            THEN CAST(a.c * (a.c - 1) // 2 AS BIGINT)
+                            ELSE a.c * b.c END AS pairs
+                FROM per a JOIN per b ON a.k = b.k AND a.s <= b.s
+            )
+            SELECT source_a, source_b, count(*) AS n_keys,
+                   CAST(sum(pairs) AS BIGINT) AS n_pairs
+            FROM j WHERE pairs > 0
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "q100_weighted_sample": """
             WITH keyed AS (

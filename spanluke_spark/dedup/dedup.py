@@ -527,3 +527,47 @@ def dedup_keep(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def cross_source_matrix(
+    df: DataFrame,
+    key_col: str,
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix: for documents grouped by a
+    content key (exact hash, MinHash cluster id, URL — caller's
+    choice), count duplicate PAIRS per ordered source pair ->
+    (source_a, source_b, n_keys, n_pairs) with source_a <= source_b.
+    The training-mixture diagnostic: "how much of source B is a copy of
+    source A" decides dedup order and mixture weights before a 10^12-doc
+    run.
+
+    Shape: one (key, source) count aggregate, a self-join on the key
+    (per-key fan-out is bounded by the number of SOURCES, a constant,
+    regardless of how hot the key is), and a final aggregate. Pair
+    arithmetic, never pair enumeration: c_a * c_b cross-source,
+    c * (c-1) / 2 within-source.
+    """
+    per = df.groupBy(
+        F.col(key_col).alias("k"), F.col(source_col).alias("s")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = per.select(
+        "k", F.col("s").alias("source_a"), F.col("c").alias("ca")
+    )
+    b = per.select(
+        "k", F.col("s").alias("source_b"), F.col("c").alias("cb")
+    )
+    joined = a.join(b, "k").where(F.col("source_a") <= F.col("source_b"))
+    pairs = F.when(
+        F.col("source_a") == F.col("source_b"),
+        (F.col("ca") * (F.col("ca") - 1) / 2).cast("long"),
+    ).otherwise(F.col("ca") * F.col("cb"))
+    return (
+        joined.select("k", "source_a", "source_b", pairs.alias("pairs"))
+        .where(F.col("pairs") > 0)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("pairs").alias("n_pairs"),
+        )
+    )

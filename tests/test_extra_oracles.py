@@ -92,6 +92,8 @@ def duck():
         "q100_weighted_sample",
         "q101_snapshot_churn",
         "q102_zipf_fit",
+        "q103_partition_quality",
+        "q104_cross_source_dups",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
