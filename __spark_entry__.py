@@ -2013,6 +2013,121 @@ def q104_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q105_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery: urlset AND sitemapindex fixtures with XML
+    entities, malformed priorities, missing <loc> entries — the engine
+    REALLY parses the XML via codegen regexps; the oracle states the
+    closed form each fixture field was built from."""
+    from spanluke_spark.etl.sitemaps import parse_sitemaps
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 7).cast("string"))
+    lastmod = F.date_format(
+        F.date_add(F.to_date(F.lit("2024-01-01")), (d % 365).cast("int")),
+        "yyyy-MM-dd",
+    )
+    changefreq = F.element_at(
+        F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly")),
+        (d % 3 + 1).cast("int"),
+    )
+    priority = F.when(d % 11 == 0, "bogus").otherwise(
+        F.element_at(
+            F.array(F.lit("0.1"), F.lit("0.5"), F.lit("0.9")),
+            (d % 3 + 1).cast("int"),
+        )
+    )
+    loc_tag = F.when(
+        d % 13 == 0, F.lit("")
+    ).otherwise(
+        F.concat(
+            F.lit("<loc>https://"), host, F.lit("/p"), d.cast("string"),
+            F.lit("?a=1&amp;b=2</loc>"),
+        )
+    )
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url>'),
+        loc_tag,
+        F.lit("<lastmod>"), lastmod, F.lit("T08:30:00+00:00</lastmod>"),
+        F.lit("<changefreq>"), changefreq, F.lit("</changefreq>"),
+        F.lit("<priority>"), priority, F.lit("</priority>"),
+        F.lit("</url></urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>https://"), host,
+        F.lit("/maps/m"), d.cast("string"),
+        F.lit(".xml</loc></sitemap></sitemapindex>"),
+    )
+    sitemaps = docs.select(
+        host.alias("host"),
+        F.when(d % 17 == 0, index).otherwise(urlset).alias("xml"),
+    )
+    return parse_sitemaps(sitemaps).orderBy("loc")
+
+
+def q106_type_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned per-predicate domain/range constraints (dominant typed
+    participant + support + confidence) over multi-typed entities;
+    oracle replays the votes with rank-1 windows."""
+    from spanluke_spark.graph.schema_induce import learn_type_constraints
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pred = (
+        F.when(d % 4 == 0, "decided_by")
+        .when(d % 4 == 1, "cites")
+        .otherwise("located_in")
+    )
+    triples = docs.where(d % 4 != 2).select(
+        F.concat(F.lit("i"), (d % 40).cast("string")).alias("subj"),
+        pred.alias("pred"),
+        F.concat(F.lit("i"), ((d * 3 + 1) % 40).cast("string")).alias("obj"),
+    )
+    cls = (
+        F.when(F.floor(d / 4) % 3 == 0, "court")
+        .when(F.floor(d / 4) % 3 == 1, "case")
+        .otherwise("org")
+    )
+    types = docs.select(
+        F.concat(F.lit("i"), (d % 40).cast("string")).alias("entity"),
+        cls.alias("type"),
+    ).distinct()
+    c = learn_type_constraints(triples, types)
+    return c.select(
+        "pred",
+        "domain_type",
+        "domain_support",
+        F.round("domain_conf", 6).alias("domain_conf"),
+        "range_type",
+        "range_support",
+        F.round("range_conf", 6).alias("range_conf"),
+    ).orderBy("pred")
+
+
+def q107_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002, undirected view) of a
+    quadratic-residue link graph (non-regular by construction — the
+    uniform 2-out fixture graph is degree-regular, where assortativity
+    is correctly NULL); one moments aggregate over degree-decorated
+    symmetrized edges, Pearson ratio replayed in SQL."""
+    from spanluke_spark.graph.partitioning import degree_assortativity
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    edges = docs.select(
+        F.concat(F.lit("u"), (d % 500).cast("string")).alias("src"),
+        F.concat(
+            F.lit("u"), ((d * d + 1) % 300).cast("string")
+        ).alias("dst"),
+    )
+    a = degree_assortativity(edges)
+    return a.select(
+        F.round("assortativity", 6).alias("assortativity"),
+        "n_edges",
+        "n_nodes",
+    )
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -3458,6 +3573,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_zipf_fit": q102_zipf_fit,
         "q103_partition_quality": q103_partition_quality,
         "q104_cross_source_dups": q104_cross_source_dups,
+        "q105_sitemap_parse": q105_sitemap_parse,
+        "q106_type_constraints": q106_type_constraints,
+        "q107_assortativity": q107_assortativity,
     }
 
 
@@ -4165,6 +4283,116 @@ def extra_oracle_sql() -> dict[str, str]:
                    CAST(sum(pairs) AS BIGINT) AS n_pairs
             FROM j WHERE pairs > 0
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q105_sitemap_parse": """
+            WITH base AS (
+                SELECT doc_id AS d, 'h' || (doc_id%7) AS host FROM documents
+            ),
+            urls AS (
+                SELECT host, false AS is_index,
+                       'https://' || host || '/p' || d || '?a=1&b=2' AS loc,
+                       DATE '2024-01-01' + CAST(d%365 AS INTEGER) AS lastmod,
+                       CASE d%3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                                ELSE 'monthly' END AS changefreq,
+                       CASE WHEN d%11 = 0 THEN NULL
+                            ELSE CASE d%3 WHEN 0 THEN 0.1 WHEN 1 THEN 0.5
+                                          ELSE 0.9 END END AS priority
+                FROM base WHERE d%17 <> 0 AND d%13 <> 0
+            ),
+            idx AS (
+                SELECT host, true AS is_index,
+                       'https://' || host || '/maps/m' || d || '.xml' AS loc,
+                       CAST(NULL AS DATE) AS lastmod,
+                       CAST(NULL AS VARCHAR) AS changefreq,
+                       CAST(NULL AS DOUBLE) AS priority
+                FROM base WHERE d%17 = 0
+            )
+            SELECT host, is_index, loc, lastmod, changefreq, priority
+            FROM (SELECT * FROM urls UNION ALL SELECT * FROM idx)
+            ORDER BY loc
+        """,
+        "q106_type_constraints": """
+            WITH triples AS (
+                SELECT 'i' || (doc_id%40) AS subj,
+                       CASE doc_id%4 WHEN 0 THEN 'decided_by'
+                                     WHEN 1 THEN 'cites'
+                                     ELSE 'located_in' END AS pred,
+                       'i' || ((doc_id*3+1)%40) AS obj
+                FROM documents WHERE doc_id%4 <> 2
+            ),
+            types AS (
+                SELECT DISTINCT 'i' || (doc_id%40) AS entity,
+                       CASE (doc_id//4)%3 WHEN 0 THEN 'court'
+                                          WHEN 1 THEN 'case'
+                                          ELSE 'org' END AS type
+                FROM documents
+            ),
+            sv AS (
+                SELECT t.pred, ty.type AS ty, count(*) AS n
+                FROM triples t JOIN types ty ON ty.entity = t.subj
+                GROUP BY 1, 2
+            ),
+            dv AS (
+                SELECT pred, ty, n, sum(n) OVER (PARTITION BY pred) AS total,
+                       row_number() OVER (PARTITION BY pred
+                                          ORDER BY n DESC, ty DESC) AS rn
+                FROM sv
+            ),
+            dom AS (
+                SELECT pred, ty AS domain_type, n AS domain_support,
+                       round(n * 1.0 / total, 6) AS domain_conf
+                FROM dv WHERE rn = 1
+            ),
+            ov AS (
+                SELECT t.pred, ty.type AS ty, count(*) AS n
+                FROM triples t JOIN types ty ON ty.entity = t.obj
+                GROUP BY 1, 2
+            ),
+            rv AS (
+                SELECT pred, ty, n, sum(n) OVER (PARTITION BY pred) AS total,
+                       row_number() OVER (PARTITION BY pred
+                                          ORDER BY n DESC, ty DESC) AS rn
+                FROM ov
+            ),
+            rng AS (
+                SELECT pred, ty AS range_type, n AS range_support,
+                       round(n * 1.0 / total, 6) AS range_conf
+                FROM rv WHERE rn = 1
+            )
+            SELECT coalesce(dom.pred, rng.pred) AS pred,
+                   domain_type, domain_support, domain_conf,
+                   range_type, range_support, range_conf
+            FROM dom FULL OUTER JOIN rng ON dom.pred = rng.pred
+            ORDER BY pred
+        """,
+        "q107_assortativity": """
+            WITH e AS (
+                SELECT 'u' || (doc_id%500) AS src,
+                       'u' || ((doc_id*doc_id+1)%300) AS dst
+                FROM documents
+            ),
+            sym AS (
+                SELECT src AS a, dst AS b FROM e
+                UNION ALL SELECT dst AS a, src AS b FROM e
+            ),
+            deg AS (SELECT a AS node, count(*) AS deg FROM sym GROUP BY 1),
+            dec AS (
+                SELECT da.deg * 1.0 AS x, db.deg * 1.0 AS y
+                FROM sym
+                JOIN deg da ON da.node = sym.a
+                JOIN deg db ON db.node = sym.b
+            ),
+            m AS (
+                SELECT count(*) * 1.0 AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+                FROM dec
+            )
+            SELECT round((n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                       AS assortativity,
+                   CAST(n / 2 AS BIGINT) AS n_edges,
+                   (SELECT count(*) FROM deg) AS n_nodes
+            FROM m
         """,
         "q100_weighted_sample": """
             WITH keyed AS (

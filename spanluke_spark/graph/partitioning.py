@@ -66,3 +66,69 @@ def partition_quality(
             ),
         )
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the undirected
+    view of the graph -> one row (assortativity, n_edges, n_nodes):
+    Pearson correlation of endpoint degrees over the symmetrized edge
+    list. Social graphs are assortative (r > 0); the web graph is
+    famously DISassortative (hubs link to leaves, r < 0) — a quick
+    sanity signal that an extracted link graph looks like a real web
+    graph rather than a parser artifact.
+
+    Shape: endpoint-degree aggregate, two equi-joins to decorate each
+    edge with its endpoint degrees, one moments aggregate. The Pearson
+    ratio is computed from explicit sums with try_divide so a
+    degree-REGULAR graph (zero variance — e.g. a ring) yields NULL, the
+    same answer SQL corr() gives, instead of an ANSI divide-by-zero.
+    The ratio form makes sample-vs-population conventions cancel, so
+    the SQL oracle matches exactly.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    decorated = (
+        sym.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(
+            deg.select(
+                F.col("node").alias("b"), F.col("deg").alias("deg_b")
+            ),
+            "b",
+        )
+        .select(
+            "a",
+            F.col("deg_a").cast("double").alias("x"),
+            F.col("deg_b").cast("double").alias("y"),
+        )
+    )
+    moments = decorated.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.countDistinct("a").alias("n_nodes"),
+    )
+    r = F.try_divide(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        ),
+    )
+    return moments.select(
+        r.alias("assortativity"),
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        "n_nodes",
+    )

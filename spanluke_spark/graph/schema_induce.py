@@ -56,3 +56,50 @@ def induce_schema(
         F.countDistinct("subj").alias("n_subj"),
         F.countDistinct("obj").alias("n_obj"),
     )
+
+
+def learn_type_constraints(
+    triples: DataFrame,
+    types: DataFrame,
+) -> DataFrame:
+    """Learn per-predicate domain/range constraints FROM the data (the
+    inverse of entailment.rdfs_entail, and the input graph/audit.py
+    wants): for each predicate, the dominant subject and object type
+    among typed participants, with support and confidence ->
+    (pred, domain_type, domain_support, domain_conf, range_type,
+    range_support, range_conf). A predicate whose domain_conf is 0.99
+    earns a constraint; one at 0.4 is polysemous or dirty.
+
+    Two triple-side joins + per-(pred, type) aggregates + a max_by
+    argmax per pred (ties broken by type string) — no windows, no
+    collects. Untyped participants are excluded from the vote (they
+    carry no evidence), unlike induce_schema which keeps them visible.
+    """
+
+    def _side(col: str) -> DataFrame:
+        t = types.select(
+            F.col("entity").alias(col), F.col("type").alias("t")
+        )
+        counts = (
+            triples.join(t, col)
+            .groupBy("pred", "t")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return counts.groupBy("pred").agg(
+            F.max(F.struct("n", "t")).alias("_w"),
+            F.sum("n").alias("_total"),
+        )
+
+    dom = _side("subj").select(
+        "pred",
+        F.col("_w.t").alias("domain_type"),
+        F.col("_w.n").alias("domain_support"),
+        (F.col("_w.n") / F.col("_total")).alias("domain_conf"),
+    )
+    rng = _side("obj").select(
+        "pred",
+        F.col("_w.t").alias("range_type"),
+        F.col("_w.n").alias("range_support"),
+        (F.col("_w.n") / F.col("_total")).alias("range_conf"),
+    )
+    return dom.join(rng, "pred", "full_outer")

@@ -94,6 +94,9 @@ def duck():
         "q102_zipf_fit",
         "q103_partition_quality",
         "q104_cross_source_dups",
+        "q105_sitemap_parse",
+        "q106_type_constraints",
+        "q107_assortativity",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
