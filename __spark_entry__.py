@@ -2128,6 +2128,86 @@ def q107_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core fixture with a known peel structure: a 100-ring (the
+    2-core), 50 pendant leaves, and 20 depth-2 pendant chains that need
+    RECURSIVE peeling."""
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id") % 100
+    u = F.concat(F.lit("u"), i.cast("string"))
+    ring = docs.select(
+        u.alias("src"),
+        F.concat(F.lit("u"), ((i + 1) % 100).cast("string")).alias("dst"),
+    )
+    pend = docs.where(i < 50).select(
+        u.alias("src"),
+        F.concat(F.lit("v"), i.cast("string")).alias("dst"),
+    )
+    chain = docs.where(i < 20).select(
+        F.concat(F.lit("v"), i.cast("string")).alias("src"),
+        F.concat(F.lit("w"), i.cast("string")).alias("dst"),
+    )
+    return ring.unionByName(pend).unionByName(chain)
+
+
+def q108_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=2) over a ring + pendant-chain fixture
+    whose chains peel only recursively; oracle unrolls 5 peel rounds
+    (idempotent once converged) in SQL."""
+    from spanluke_spark.graph.analytics import k_core
+
+    return k_core(_kcore_edges(spark, sf_dir), 2).orderBy("node")
+
+
+def q109_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic labelings that agree on
+    4/5 of items; oracle recomputes observed agreement, marginal chance
+    agreement, and the kappa ratio."""
+    from spanluke_spark.evaluation.agreement import cohen_kappa
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    a = docs.select(
+        d.alias("item"),
+        F.concat(F.lit("L"), ((d * 3) % 4).cast("string")).alias("label"),
+    )
+    b = docs.select(
+        d.alias("item"),
+        F.concat(
+            F.lit("L"),
+            F.when(d % 5 != 0, (d * 3) % 4)
+            .otherwise((d * 3 + 1) % 4)
+            .cast("string"),
+        ).alias("label"),
+    )
+    r = cohen_kappa(a, b, ["item"])
+    return r.select(
+        "n_items",
+        F.round("p_o", 6).alias("p_o"),
+        F.round("p_e", 6).alias("p_e"),
+        F.round("kappa", 6).alias("kappa"),
+    )
+
+
+def q110_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume burst detection over the events stream: per-type daily
+    counts vs the type's own mean/stddev baseline, z-score flag; oracle
+    replays date_trunc counts, stddev_pop, and the threshold."""
+    from spanluke_spark.etl.bursts import detect_bursts
+
+    ev = _t(spark, sf_dir, "events")
+    out = detect_bursts(ev, z_threshold=1.5)
+    return out.select(
+        "key",
+        "bucket_start",
+        "n",
+        F.round("mean_n", 6).alias("mean_n"),
+        F.round("std_n", 6).alias("std_n"),
+        F.round("zscore", 6).alias("zscore"),
+        "is_burst",
+    ).orderBy("key", "bucket_start")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -2572,6 +2652,44 @@ def _trustrank_sql(iters: int = 2, damping: float = 0.85) -> str:
         )"""
     sql += f"""
         SELECT node, round(rank, 6) AS rank FROM r{iters} ORDER BY node"""
+    return sql
+
+
+def _kcore_sql(k: int = 2, rounds: int = 5) -> str:
+    """q108 oracle: simultaneous-peel rounds unrolled (peeling is
+    confluent and idempotent at the fixpoint, so unrolling MORE rounds
+    than the true peel depth is safe)."""
+    sql = f"""
+        WITH raw AS (
+            SELECT 'u' || (doc_id%100) AS src,
+                   'u' || ((doc_id+1)%100) AS dst FROM documents
+            UNION ALL
+            SELECT 'u' || (doc_id%100), 'v' || (doc_id%100)
+            FROM documents WHERE doc_id%100 < 50
+            UNION ALL
+            SELECT 'v' || (doc_id%100), 'w' || (doc_id%100)
+            FROM documents WHERE doc_id%100 < 20
+        ),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM raw WHERE src <> dst
+        ),
+        e0 AS (
+            SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+        )"""
+    for i in range(rounds):
+        sql += f""",
+        s{i} AS (
+            SELECT a AS node FROM e{i} GROUP BY a HAVING count(*) >= {k}
+        ),
+        e{i + 1} AS (
+            SELECT e.a, e.b FROM e{i} e
+            JOIN s{i} sa ON sa.node = e.a
+            JOIN s{i} sb ON sb.node = e.b
+        )"""
+    sql += f"""
+        SELECT a AS node, count(*) AS core_degree FROM e{rounds}
+        GROUP BY a HAVING count(*) >= {k} ORDER BY node"""
     return sql
 
 
@@ -3576,6 +3694,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_sitemap_parse": q105_sitemap_parse,
         "q106_type_constraints": q106_type_constraints,
         "q107_assortativity": q107_assortativity,
+        "q108_k_core": q108_k_core,
+        "q109_cohen_kappa": q109_cohen_kappa,
+        "q110_burst_detection": q110_burst_detection,
     }
 
 
@@ -4393,6 +4514,57 @@ def extra_oracle_sql() -> dict[str, str]:
                    CAST(n / 2 AS BIGINT) AS n_edges,
                    (SELECT count(*) FROM deg) AS n_nodes
             FROM m
+        """,
+        "q108_k_core": _kcore_sql(),
+        "q109_cohen_kappa": """
+            WITH a AS (
+                SELECT doc_id AS item, 'L' || ((doc_id*3)%4) AS la
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id AS item,
+                       'L' || (CASE WHEN doc_id%5 != 0 THEN (doc_id*3)%4
+                                    ELSE (doc_id*3+1)%4 END) AS lb
+                FROM documents
+            ),
+            ab AS (SELECT a.item, la, lb FROM a JOIN b ON a.item = b.item),
+            obs AS (
+                SELECT count(*) AS n_items,
+                       avg(CASE WHEN la = lb THEN 1.0 ELSE 0.0 END) AS p_o
+                FROM ab
+            ),
+            ma AS (SELECT la AS lbl, count(*) AS ca FROM ab GROUP BY 1),
+            mb AS (SELECT lb AS lbl, count(*) AS cb FROM ab GROUP BY 1),
+            pe AS (
+                SELECT sum(ca * cb) AS num FROM ma JOIN mb USING (lbl)
+            )
+            SELECT n_items, round(p_o, 6) AS p_o,
+                   round(num * 1.0 / (n_items * n_items), 6) AS p_e,
+                   round((p_o - num * 1.0 / (n_items * n_items))
+                         / (1.0 - num * 1.0 / (n_items * n_items)), 6)
+                       AS kappa
+            FROM obs, pe
+        """,
+        "q110_burst_detection": """
+            WITH counts AS (
+                SELECT event_type AS key,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP)
+                           AS bucket_start,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            base AS (
+                SELECT key, avg(n) AS mean_n, stddev_pop(n) AS std_n
+                FROM counts GROUP BY key
+            )
+            SELECT c.key, c.bucket_start, c.n,
+                   round(mean_n, 6) AS mean_n,
+                   round(std_n, 6) AS std_n,
+                   round((c.n - mean_n) / nullif(std_n, 0), 6) AS zscore,
+                   coalesce((c.n - mean_n) / nullif(std_n, 0) > 1.5, false)
+                       AS is_burst
+            FROM counts c JOIN base USING (key)
+            ORDER BY key, bucket_start
         """,
         "q100_weighted_sample": """
             WITH keyed AS (

@@ -141,3 +141,55 @@ def path_motifs(
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n_paths"))
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-core decomposition membership: the maximal subgraph in which
+    every node has (undirected) degree >= k -> (node, core_degree).
+    The crawl-graph densest-region extractor: link farms and genuine
+    topic hubs both live in high cores, while the long tail of
+    leaf pages (most of a 10^12-node web graph) peels away in the
+    first rounds.
+
+    Iterative peeling is CONFLUENT (the k-core is unique regardless of
+    peel order), so the relational fixpoint — drop all nodes with
+    degree < k simultaneously, recompute degrees on the induced
+    subgraph, repeat — terminates at the same answer as sequential
+    peeling. Each round is one degree aggregate + two semi-joins on the
+    shrinking edge set; the round-closing count() doubles as the
+    fixpoint test. Rounds are bounded by the peeling depth, which is
+    tiny for power-law graphs (most mass leaves in round 1).
+    """
+    und = _undirected(edges, src, dst)
+    # symmetrize so one groupBy("a") sees every endpoint's full degree
+    e = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    n_prev = e.count()
+    for _ in range(max_rounds):
+        deg = e.groupBy(F.col("a").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        survivors = deg.where(F.col("deg") >= k).select("node")
+        e2 = (
+            e.join(survivors.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(
+                survivors.withColumnRenamed("node", "b"), "b", "left_semi"
+            )
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_now = e2.count()
+        e = e2
+        if n_now == n_prev or n_now == 0:
+            break
+        n_prev = n_now
+    return e.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    ).where(F.col("core_degree") >= k)

@@ -97,6 +97,9 @@ def duck():
         "q105_sitemap_parse",
         "q106_type_constraints",
         "q107_assortativity",
+        "q108_k_core",
+        "q109_cohen_kappa",
+        "q110_burst_detection",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
