@@ -2208,6 +2208,25 @@ def q110_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key", "bucket_start")
 
 
+def q111_shard_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard rebalancing cost 8 -> 10 shards, mod vs rendezvous (HRW)
+    placement over distinct URL keys; oracle replays both placements
+    from the portable hash and counts movers."""
+    from spanluke_spark.graph.partitioning import shard_move_analysis
+
+    docs = _t(spark, sf_dir, "documents")
+    keys = docs.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("k")
+    )
+    m = shard_move_analysis(keys, "k", 8, 10)
+    return m.select(
+        "scheme",
+        "n_keys",
+        "n_moved",
+        F.round("move_frac", 6).alias("move_frac"),
+    ).orderBy("scheme")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -3697,6 +3716,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_k_core": q108_k_core,
         "q109_cohen_kappa": q109_cohen_kappa,
         "q110_burst_detection": q110_burst_detection,
+        "q111_shard_moves": q111_shard_moves,
     }
 
 
@@ -4516,6 +4536,51 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "q108_k_core": _kcore_sql(),
+        "q111_shard_moves": """
+            WITH keys AS (
+                SELECT DISTINCT 'u' || doc_id AS k FROM documents
+            ),
+            h AS (
+                SELECT k, ('0x' || substr(md5(k), 1, 15))::BIGINT AS hk
+                FROM keys
+            ),
+            sc AS (
+                SELECT k, s,
+                       ('0x' || substr(md5(k || '#' || CAST(s AS VARCHAR)),
+                            1, 15))::BIGINT AS score
+                FROM keys CROSS JOIN (SELECT unnest(range(10)) AS s)
+            ),
+            b8 AS (
+                SELECT k, s FROM (
+                    SELECT k, s, row_number() OVER (PARTITION BY k
+                        ORDER BY score DESC, s DESC) AS rn
+                    FROM sc WHERE s < 8
+                ) WHERE rn = 1
+            ),
+            b10 AS (
+                SELECT k, s FROM (
+                    SELECT k, s, row_number() OVER (PARTITION BY k
+                        ORDER BY score DESC, s DESC) AS rn
+                    FROM sc
+                ) WHERE rn = 1
+            ),
+            modr AS (
+                SELECT 'mod' AS scheme, count(*) AS n_keys,
+                       sum(CASE WHEN hk % 8 != hk % 10
+                                THEN 1 ELSE 0 END) AS n_moved
+                FROM h
+            ),
+            hrwr AS (
+                SELECT 'rendezvous' AS scheme, count(*) AS n_keys,
+                       sum(CASE WHEN b8.s != b10.s THEN 1 ELSE 0 END)
+                           AS n_moved
+                FROM b8 JOIN b10 USING (k)
+            )
+            SELECT scheme, n_keys, CAST(n_moved AS BIGINT) AS n_moved,
+                   round(n_moved * 1.0 / n_keys, 6) AS move_frac
+            FROM (SELECT * FROM modr UNION ALL SELECT * FROM hrwr)
+            ORDER BY scheme
+        """,
         "q109_cohen_kappa": """
             WITH a AS (
                 SELECT doc_id AS item, 'L' || ((doc_id*3)%4) AS la

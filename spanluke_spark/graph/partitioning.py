@@ -132,3 +132,72 @@ def degree_assortativity(
         (F.col("n") / 2).cast("long").alias("n_edges"),
         "n_nodes",
     )
+
+
+def shard_move_analysis(
+    df: DataFrame,
+    key_col: str,
+    n_before: int,
+    n_after: int,
+) -> DataFrame:
+    """Rebalancing cost of growing a cluster from ``n_before`` to
+    ``n_after`` shards, for two placement schemes -> two rows
+    (scheme, n_keys, n_moved, move_frac):
+
+    * ``mod``: shard = h(key) % n — the naive scheme; nearly EVERY key
+      moves when n changes (move_frac -> 1 - 1/lcm-ish), which at 10^12
+      keys means a full-corpus reshuffle on every resize;
+    * ``rendezvous``: highest-random-weight placement (Thaler-Ravishankar
+      1998) — shard = argmax over shards of h(key, shard); growing the
+      cluster moves EXACTLY the keys the new shards win, ~ (n_after -
+      n_before) / n_after of them, the provable minimum.
+
+    The HRW argmax is a bounded explode (n_after scores per key, shards
+    are a constant) + one max_by — no windows over the key stream, and
+    the whole analysis is one linear pass per scheme. Hashes are the
+    portable md5 family, so the SQL oracle replays placement exactly.
+    """
+    keys = df.select(F.col(key_col).cast("string").alias("k")).distinct()
+
+    def _mod(n: int):
+        return portable_hash64(F.col("k")) % n
+
+    def _hrw(n: int):
+        scores = F.array(
+            *[
+                F.struct(
+                    portable_hash64(
+                        F.concat_ws("#", F.col("k"), F.lit(str(s)))
+                    ).alias("score"),
+                    F.lit(s).alias("shard"),
+                )
+                for s in range(n)
+            ]
+        )
+        return F.array_max(scores)["shard"]
+
+    assigned = keys.select(
+        "k",
+        _mod(n_before).alias("mod_before"),
+        _mod(n_after).alias("mod_after"),
+        _hrw(n_before).alias("hrw_before"),
+        _hrw(n_after).alias("hrw_after"),
+    )
+    mod_row = assigned.agg(
+        F.lit("mod").alias("scheme"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(
+            (F.col("mod_before") != F.col("mod_after")).cast("long")
+        ).alias("n_moved"),
+    )
+    hrw_row = assigned.agg(
+        F.lit("rendezvous").alias("scheme"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(
+            (F.col("hrw_before") != F.col("hrw_after")).cast("long")
+        ).alias("n_moved"),
+    )
+    return (
+        mod_row.unionByName(hrw_row)
+        .withColumn("move_frac", F.col("n_moved") / F.col("n_keys"))
+    )

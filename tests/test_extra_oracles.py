@@ -100,6 +100,7 @@ def duck():
         "q108_k_core",
         "q109_cohen_kappa",
         "q110_burst_detection",
+        "q111_shard_moves",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
