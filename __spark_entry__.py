@@ -2227,6 +2227,47 @@ def q111_shard_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("scheme")
 
 
+def q112_rule_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-style 2-chain rule mining over a KG with a planted
+    decided_by(x,y) AND located_in(y,z) => jurisdiction(x,z) rule
+    (confidence 33/50) plus noise predicates; oracle replays the chain
+    join, distinct groundings, and the CWA confidence ratio."""
+    from spanluke_spark.graph.rules import mine_chain_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    i = d % 50
+    c = F.concat(F.lit("c"), i.cast("string"))
+    j = F.concat(F.lit("j"), (i % 20).cast("string"))
+    r = F.concat(F.lit("r"), (i % 20 % 5).cast("string"))
+    body1 = docs.select(
+        c.alias("subj"), F.lit("decided_by").alias("pred"), j.alias("obj")
+    )
+    body2 = docs.select(
+        F.concat(F.lit("j"), (d % 20).cast("string")).alias("subj"),
+        F.lit("located_in").alias("pred"),
+        F.concat(F.lit("r"), (d % 20 % 5).cast("string")).alias("obj"),
+    )
+    head = docs.where(i % 3 != 0).select(
+        c.alias("subj"), F.lit("jurisdiction").alias("pred"), r.alias("obj")
+    )
+    noise = docs.select(
+        c.alias("subj"),
+        F.lit("filed_in").alias("pred"),
+        F.concat(F.lit("y"), (d % 7).cast("string")).alias("obj"),
+    )
+    triples = body1.unionByName(body2).unionByName(head).unionByName(noise)
+    rules = mine_chain_rules(triples, min_support=2)
+    return rules.select(
+        "p1",
+        "p2",
+        "p3",
+        "support",
+        "body_pairs",
+        F.round("confidence", 6).alias("confidence"),
+    ).orderBy("p1", "p2", "p3")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -3717,6 +3758,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_cohen_kappa": q109_cohen_kappa,
         "q110_burst_detection": q110_burst_detection,
         "q111_shard_moves": q111_shard_moves,
+        "q112_rule_mining": q112_rule_mining,
     }
 
 
@@ -4536,6 +4578,43 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "q108_k_core": _kcore_sql(),
+        "q112_rule_mining": """
+            WITH trip AS (
+                SELECT DISTINCT subj, pred, obj FROM (
+                    SELECT 'c' || (doc_id%50) AS subj,
+                           'decided_by' AS pred,
+                           'j' || ((doc_id%50)%20) AS obj FROM documents
+                    UNION ALL
+                    SELECT 'j' || (doc_id%20), 'located_in',
+                           'r' || ((doc_id%20)%5) FROM documents
+                    UNION ALL
+                    SELECT 'c' || (doc_id%50), 'jurisdiction',
+                           'r' || (((doc_id%50)%20)%5)
+                    FROM documents WHERE (doc_id%50)%3 != 0
+                    UNION ALL
+                    SELECT 'c' || (doc_id%50), 'filed_in',
+                           'y' || (doc_id%7) FROM documents
+                )
+            ),
+            body AS (
+                SELECT DISTINCT a.pred AS p1, b.pred AS p2,
+                       a.subj AS x, b.obj AS z
+                FROM trip a JOIN trip b ON a.obj = b.subj
+            ),
+            grounded AS (
+                SELECT body.p1, body.p2, h.pred AS p3, count(*) AS support
+                FROM body JOIN trip h ON h.subj = body.x AND h.obj = body.z
+                GROUP BY 1, 2, 3
+            ),
+            sizes AS (
+                SELECT p1, p2, count(*) AS body_pairs FROM body GROUP BY 1, 2
+            )
+            SELECT g.p1, g.p2, g.p3, g.support, s.body_pairs,
+                   round(g.support * 1.0 / s.body_pairs, 6) AS confidence
+            FROM grounded g JOIN sizes s ON g.p1 = s.p1 AND g.p2 = s.p2
+            WHERE g.support >= 2
+            ORDER BY g.p1, g.p2, g.p3
+        """,
         "q111_shard_moves": """
             WITH keys AS (
                 SELECT DISTINCT 'u' || doc_id AS k FROM documents

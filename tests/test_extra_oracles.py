@@ -101,6 +101,7 @@ def duck():
         "q109_cohen_kappa",
         "q110_burst_detection",
         "q111_shard_moves",
+        "q112_rule_mining",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
