@@ -2268,6 +2268,59 @@ def q112_rule_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p1", "p2", "p3")
 
 
+def q113_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding planner: S-curve collision probabilities,
+    thresholds, and target-similarity capture for every (bands, rows)
+    split of 16 hashes; oracle recomputes the closed forms."""
+    from spanluke_spark.dedup.dedup import lsh_parameter_plan
+
+    plan = lsh_parameter_plan(spark, n_hashes=16, target_jaccard=0.8)
+    return plan.select(
+        "bands",
+        "rows",
+        "s",
+        F.round("p_candidate", 6).alias("p_candidate"),
+        F.round("threshold", 6).alias("threshold"),
+        F.round("p_at_target", 6).alias("p_at_target"),
+    ).orderBy("bands", "s")
+
+
+def q114_contract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract gate over the warehouse drop: two one-scan row
+    checks on lineitem, orders key uniqueness, lineitem->orders
+    referential integrity — one unioned report; oracle recomputes every
+    count independently."""
+    from spanluke_spark.storage.contracts import (
+        validate_ref_integrity,
+        validate_rows,
+        validate_unique,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    rep = (
+        validate_rows(
+            li,
+            {
+                "qty_positive": F.col("l_quantity") > 0,
+                "discount_in_unit_range": (F.col("l_discount") >= 0)
+                & (F.col("l_discount") <= 1),
+            },
+        )
+        .unionByName(validate_unique(orders, ["o_orderkey"]))
+        .unionByName(
+            validate_ref_integrity(li, orders, "l_orderkey", "o_orderkey")
+        )
+    )
+    return rep.select(
+        "check",
+        "n_rows",
+        "n_violations",
+        F.round("violation_frac", 6).alias("violation_frac"),
+        "passed",
+    ).orderBy("check")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -3759,6 +3812,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_burst_detection": q110_burst_detection,
         "q111_shard_moves": q111_shard_moves,
         "q112_rule_mining": q112_rule_mining,
+        "q113_lsh_plan": q113_lsh_plan,
+        "q114_contract_report": q114_contract_report,
     }
 
 
@@ -4578,6 +4633,61 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "q108_k_core": _kcore_sql(),
+        "q113_lsh_plan": """
+            WITH cfg AS (
+                SELECT b AS bands, 16 // b AS "rows"
+                FROM (SELECT unnest([1, 2, 4, 8, 16]) AS b)
+            ),
+            sims AS (
+                SELECT round(0.1::DOUBLE * i, 6) AS s
+                FROM (SELECT unnest(range(1, 10)) AS i)
+            ),
+            x AS (SELECT bands, "rows", s FROM cfg CROSS JOIN sims)
+            SELECT CAST(bands AS INTEGER) AS bands,
+                   CAST("rows" AS INTEGER) AS "rows", s,
+                   round(1 - pow(1 - pow(s, "rows"), bands), 6)
+                       AS p_candidate,
+                   round(pow(1.0 / bands, 1.0 / "rows"), 6) AS threshold,
+                   round(1 - pow(1 - pow(0.8, "rows"), bands), 6)
+                       AS p_at_target
+            FROM x ORDER BY bands, s
+        """,
+        "q114_contract_report": """
+            WITH r1 AS (
+                SELECT 'qty_positive' AS "check", count(*) AS n_rows,
+                       sum(CASE WHEN NOT coalesce(l_quantity > 0, false)
+                                THEN 1 ELSE 0 END) AS n_violations
+                FROM lineitem
+            ),
+            r2 AS (
+                SELECT 'discount_in_unit_range', count(*),
+                       sum(CASE WHEN NOT coalesce(
+                                l_discount >= 0 AND l_discount <= 1, false)
+                                THEN 1 ELSE 0 END)
+                FROM lineitem
+            ),
+            r3 AS (
+                SELECT 'unique_o_orderkey', sum(c), sum(c - 1) FROM (
+                    SELECT count(*) AS c FROM orders GROUP BY o_orderkey
+                )
+            ),
+            r4 AS (
+                SELECT 'ref_l_orderkey_to_o_orderkey',
+                       (SELECT count(*) FROM lineitem
+                        WHERE l_orderkey IS NOT NULL),
+                       (SELECT count(*) FROM lineitem li
+                        WHERE li.l_orderkey IS NOT NULL
+                          AND NOT EXISTS (SELECT 1 FROM orders o
+                                          WHERE o.o_orderkey = li.l_orderkey))
+            )
+            SELECT "check", CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_violations AS BIGINT) AS n_violations,
+                   round(n_violations * 1.0 / n_rows, 6) AS violation_frac,
+                   n_violations = 0 AS passed
+            FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+                  UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
+            ORDER BY "check"
+        """,
         "q112_rule_mining": """
             WITH trip AS (
                 SELECT DISTINCT subj, pred, obj FROM (

@@ -571,3 +571,50 @@ def cross_source_matrix(
             F.sum("pairs").alias("n_pairs"),
         )
     )
+
+
+def lsh_parameter_plan(
+    spark,
+    n_hashes: int,
+    target_jaccard: float,
+    similarities: list[float] | None = None,
+) -> DataFrame:
+    """MinHash-LSH tuning table: for every (bands b, rows r) split of
+    ``n_hashes`` (b * r = n_hashes), the S-curve collision probability
+    P(candidate | jaccard s) = 1 - (1 - s^r)^b at each probe similarity,
+    plus the threshold (1/b)^(1/r) where the curve crosses ~0.5 and the
+    false-positive/negative mass around ``target_jaccard``. The planner
+    you consult BEFORE burning a 10^12-doc pass with the wrong banding:
+    pick the row whose threshold brackets the dedup bar and whose
+    p_at_target is acceptable.
+
+    Pure closed-form arithmetic over a constant-sized config table
+    (divisor count of n_hashes x probe points) — built as a DataFrame so
+    it composes with the rest of the planning pipeline, costs nothing,
+    and stays SQL-oracle-checkable.
+    """
+    sims = similarities or [0.1 * i for i in range(1, 10)]
+    rows = []
+    for b in range(1, n_hashes + 1):
+        if n_hashes % b:
+            continue
+        r = n_hashes // b
+        for s in sims:
+            rows.append((b, r, round(s, 6)))
+    df = spark.createDataFrame(rows, "bands int, rows int, s double")
+    p = 1.0 - F.pow(1.0 - F.pow(F.col("s"), F.col("rows")), F.col("bands"))
+    thr = F.pow(1.0 / F.col("bands"), 1.0 / F.col("rows"))
+    return df.select(
+        "bands",
+        "rows",
+        "s",
+        p.alias("p_candidate"),
+        thr.alias("threshold"),
+        (
+            F.lit(1.0)
+            - F.pow(
+                1.0 - F.pow(F.lit(float(target_jaccard)), F.col("rows")),
+                F.col("bands"),
+            )
+        ).alias("p_at_target"),
+    )

@@ -102,6 +102,8 @@ def duck():
         "q110_burst_detection",
         "q111_shard_moves",
         "q112_rule_mining",
+        "q113_lsh_plan",
+        "q114_contract_report",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
