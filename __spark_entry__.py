@@ -2321,6 +2321,75 @@ def q114_contract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("check")
 
 
+def q115_sparql_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-lite: a 3-pattern closed BGP compiled to DataFrame joins
+    over the q112 KG fixture; oracle states the equivalent three-way
+    SQL join."""
+    from spanluke_spark.graph.sparql import bgp_query
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    i = d % 50
+    c = F.concat(F.lit("c"), i.cast("string"))
+    triples = (
+        docs.select(
+            c.alias("subj"),
+            F.lit("decided_by").alias("pred"),
+            F.concat(F.lit("j"), (i % 20).cast("string")).alias("obj"),
+        )
+        .unionByName(
+            docs.select(
+                F.concat(F.lit("j"), (d % 20).cast("string")).alias("subj"),
+                F.lit("located_in").alias("pred"),
+                F.concat(F.lit("r"), (d % 20 % 5).cast("string")).alias(
+                    "obj"
+                ),
+            )
+        )
+        .unionByName(
+            docs.where(i % 3 != 0).select(
+                c.alias("subj"),
+                F.lit("jurisdiction").alias("pred"),
+                F.concat(
+                    F.lit("r"), (i % 20 % 5).cast("string")
+                ).alias("obj"),
+            )
+        )
+    )
+    sol = bgp_query(
+        triples,
+        "?x decided_by ?y . ?y located_in ?z . ?x jurisdiction ?z",
+    )
+    return sol.select("x", "y", "z").orderBy("x", "y", "z")
+
+
+def q116_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier politeness scheduling: per-host fetch slots by
+    priority with per-host crawl-delay offsets, capped at 20 URLs per
+    host (WindowGroupLimit partial top-k); oracle replays the rank and
+    offset arithmetic."""
+    from spanluke_spark.etl.frontier import politeness_schedule
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    frontier = docs.select(
+        F.concat(F.lit("h"), (d % 7).cast("string")).alias("host"),
+        F.concat(F.lit("u"), d.cast("string")).alias("url"),
+        ((d * 13 % 10) / 10.0).alias("priority"),
+        F.when(d % 7 == 0, 3.0).alias("delay"),
+    )
+    out = politeness_schedule(
+        frontier, crawl_delay_sec=2.0, delay_col="delay", max_per_host=20
+    )
+    return out.select(
+        "host",
+        "url",
+        F.round("priority", 6).alias("priority"),
+        "slot",
+        F.round("fetch_offset_sec", 6).alias("fetch_offset_sec"),
+    ).orderBy("host", "slot")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -3814,6 +3883,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_rule_mining": q112_rule_mining,
         "q113_lsh_plan": q113_lsh_plan,
         "q114_contract_report": q114_contract_report,
+        "q115_sparql_bgp": q115_sparql_bgp,
+        "q116_politeness_schedule": q116_politeness_schedule,
     }
 
 
@@ -4633,6 +4704,47 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "q108_k_core": _kcore_sql(),
+        "q115_sparql_bgp": """
+            WITH trip AS (
+                SELECT DISTINCT subj, pred, obj FROM (
+                    SELECT 'c' || (doc_id%50) AS subj,
+                           'decided_by' AS pred,
+                           'j' || ((doc_id%50)%20) AS obj FROM documents
+                    UNION ALL
+                    SELECT 'j' || (doc_id%20), 'located_in',
+                           'r' || ((doc_id%20)%5) FROM documents
+                    UNION ALL
+                    SELECT 'c' || (doc_id%50), 'jurisdiction',
+                           'r' || (((doc_id%50)%20)%5)
+                    FROM documents WHERE (doc_id%50)%3 != 0
+                )
+            )
+            SELECT DISTINCT a.subj AS x, a.obj AS y, b.obj AS z
+            FROM trip a
+            JOIN trip b ON b.pred = 'located_in' AND b.subj = a.obj
+            JOIN trip h ON h.pred = 'jurisdiction'
+                       AND h.subj = a.subj AND h.obj = b.obj
+            WHERE a.pred = 'decided_by'
+            ORDER BY x, y, z
+        """,
+        "q116_politeness_schedule": """
+            WITH frontier AS (
+                SELECT 'h' || (doc_id%7) AS host, 'u' || doc_id AS url,
+                       (doc_id*13%10) / 10.0 AS priority,
+                       CASE WHEN doc_id%7 = 0 THEN 3.0 END AS delay
+                FROM documents
+            ),
+            ranked AS (
+                SELECT host, url, priority, delay,
+                       row_number() OVER (PARTITION BY host
+                           ORDER BY priority DESC, url) AS slot
+                FROM frontier
+            )
+            SELECT host, url, round(priority, 6) AS priority, slot,
+                   round((slot - 1) * coalesce(delay, 2.0), 6)
+                       AS fetch_offset_sec
+            FROM ranked WHERE slot <= 20 ORDER BY host, slot
+        """,
         "q113_lsh_plan": """
             WITH cfg AS (
                 SELECT b AS bands, 16 // b AS "rows"

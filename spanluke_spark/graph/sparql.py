@@ -1,0 +1,76 @@
+"""SPARQL-lite: compile a basic graph pattern (BGP) into a DataFrame
+join plan — the query surface a (subj, pred, obj) store owes its users.
+
+    bgp_query(triples, "?c decided_by ?j . ?j located_in ?r")
+
+returns one column per variable, one row per solution mapping (SPARQL
+set semantics via the closing distinct; pass distinct=False for bag
+semantics). Each triple pattern becomes a filtered projection of the
+triple table; patterns join NATURALLY on shared variables, so Catalyst
+sees ordinary equi-joins it can reorder, broadcast, and push filters
+through — the BGP is declared, not interpreted. A pattern with no
+shared variable against the accumulated plan is a genuine Cartesian
+product (as in SPARQL); it is compiled as an explicit crossJoin so the
+cost is visible in the plan rather than smuggled in.
+
+Literals are plain tokens, variables start with ``?``. A variable
+repeated WITHIN one pattern (e.g. ``?x knows ?x``) compiles to an
+equality filter. No OPTIONAL / FILTER / property paths — those are the
+documented cut line (compose DataFrame ops on the result instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_POSITIONS = ["subj", "pred", "obj"]
+
+
+def _parse(pattern: str) -> list[tuple[str, str, str]]:
+    out = []
+    for clause in pattern.split("."):
+        clause = clause.strip()
+        if not clause:
+            continue
+        parts = clause.split()
+        if len(parts) != 3:
+            raise ValueError(f"BGP clause needs 3 terms: {clause!r}")
+        out.append(tuple(parts))
+    if not out:
+        raise ValueError("empty basic graph pattern")
+    return out
+
+
+def bgp_query(
+    triples: DataFrame, pattern: str, distinct: bool = True
+) -> DataFrame:
+    """triples(subj, pred, obj) x BGP string -> one column per ?var."""
+    plan: DataFrame | None = None
+    for terms in _parse(pattern):
+        step = triples
+        cols: dict[str, str] = {}  # var -> first position bound
+        for pos, term in zip(_POSITIONS, terms):
+            if term.startswith("?"):
+                var = term[1:]
+                if not var:
+                    raise ValueError("bare '?' is not a variable")
+                if var in cols:  # repeated var inside one pattern
+                    step = step.where(
+                        F.col(pos) == F.col(cols[var])
+                    )
+                else:
+                    cols[var] = pos
+            else:
+                step = step.where(F.col(pos) == term)
+        step = step.select(
+            *[F.col(pos).alias(var) for var, pos in cols.items()]
+        )
+        if plan is None:
+            plan = step
+        else:
+            shared = sorted(set(plan.columns) & set(step.columns))
+            plan = (
+                plan.join(step, shared) if shared else plan.crossJoin(step)
+            )
+    return plan.distinct() if distinct else plan

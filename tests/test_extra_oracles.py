@@ -104,6 +104,8 @@ def duck():
         "q112_rule_mining",
         "q113_lsh_plan",
         "q114_contract_report",
+        "q115_sparql_bgp",
+        "q116_politeness_schedule",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):

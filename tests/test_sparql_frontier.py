@@ -1,0 +1,108 @@
+"""SPARQL-lite BGP compiler + politeness scheduler."""
+
+from __future__ import annotations
+
+import pytest
+
+from spanluke_spark.etl.frontier import politeness_schedule
+from spanluke_spark.graph.sparql import bgp_query
+
+_T = "subj string, pred string, obj string"
+
+_KG = [
+    ("c1", "decided_by", "j1"),
+    ("c2", "decided_by", "j1"),
+    ("c3", "decided_by", "j2"),
+    ("j1", "located_in", "r1"),
+    ("j2", "located_in", "r2"),
+    ("c1", "jurisdiction", "r1"),
+    ("n1", "knows", "n1"),
+    ("n1", "knows", "n2"),
+]
+
+
+def test_bgp_chain_join(spark):
+    t = spark.createDataFrame(_KG, _T)
+    rows = {
+        (r.c, r.j, r.r)
+        for r in bgp_query(
+            t, "?c decided_by ?j . ?j located_in ?r"
+        ).collect()
+    }
+    assert rows == {
+        ("c1", "j1", "r1"), ("c2", "j1", "r1"), ("c3", "j2", "r2")
+    }
+
+
+def test_bgp_closed_pattern_and_literals(spark):
+    t = spark.createDataFrame(_KG, _T)
+    rows = {
+        (r.x, r.z)
+        for r in bgp_query(
+            t,
+            "?x decided_by ?y . ?y located_in ?z . ?x jurisdiction ?z",
+        ).collect()
+    }
+    assert rows == {("c1", "r1")}
+    lit = bgp_query(t, "?x decided_by j1").collect()
+    assert {r.x for r in lit} == {"c1", "c2"}
+
+
+def test_bgp_repeated_var_in_pattern(spark):
+    t = spark.createDataFrame(_KG, _T)
+    rows = bgp_query(t, "?x knows ?x").collect()
+    assert [(r.x,) for r in rows] == [("n1",)]
+
+
+def test_bgp_variable_predicate(spark):
+    t = spark.createDataFrame(_KG, _T)
+    rows = {
+        (r.p, r.o) for r in bgp_query(t, "c1 ?p ?o").collect()
+    }
+    assert rows == {("decided_by", "j1"), ("jurisdiction", "r1")}
+
+
+def test_bgp_disjoint_is_cross(spark):
+    t = spark.createDataFrame(_KG, _T)
+    n = bgp_query(t, "?a located_in ?b . ?x knows ?y").count()
+    assert n == 4  # 2 located_in x 2 knows
+
+
+def test_bgp_malformed_raises(spark):
+    t = spark.createDataFrame(_KG, _T)
+    with pytest.raises(ValueError):
+        bgp_query(t, "?x decided_by")
+    with pytest.raises(ValueError):
+        bgp_query(t, "   ")
+
+
+_F = "host string, url string, priority double, delay double"
+
+
+def test_politeness_slots_and_offsets(spark):
+    frontier = spark.createDataFrame(
+        [
+            ("h1", "u_low", 0.1, None),
+            ("h1", "u_hi", 0.9, None),
+            ("h1", "u_mid", 0.5, None),
+            ("h2", "u_only", 0.3, 5.0),
+        ],
+        _F,
+    )
+    out = {r.url: (r.slot, r.fetch_offset_sec)
+           for r in politeness_schedule(
+               frontier, crawl_delay_sec=2.0, delay_col="delay"
+           ).collect()}
+    assert out["u_hi"] == (1, 0.0)
+    assert out["u_mid"] == (2, 2.0)
+    assert out["u_low"] == (3, 4.0)
+    assert out["u_only"] == (1, 0.0)  # per-host delay only shifts slot>1
+
+
+def test_politeness_cap_uses_window_group_limit(spark):
+    rows = [("h", f"u{i:03d}", float(i % 7), None) for i in range(100)]
+    frontier = spark.createDataFrame(rows, _F)
+    capped = politeness_schedule(frontier, max_per_host=5)
+    assert capped.count() == 5
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
