@@ -2390,6 +2390,42 @@ def q116_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("host", "slot")
 
 
+def q117_ntriples_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Triples interop: the KG serialized to RDF 1.1 N-Triples lines
+    (escape-worthy literals included) and parsed BACK by the engine's
+    own reader; the oracle states the closed form the round trip must
+    reproduce."""
+    from spanluke_spark.etl.ntriples import from_ntriples, to_ntriples
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    i = d % 50
+    c = F.concat(F.lit("c"), i.cast("string"))
+    iri_rows = docs.select(
+        c.alias("subj"),
+        F.lit("decided_by").alias("pred"),
+        F.concat(F.lit("j"), (i % 20).cast("string")).alias("obj"),
+        F.lit(False).alias("is_lit"),
+    )
+    lit_rows = docs.select(
+        c.alias("subj"),
+        F.lit("label").alias("pred"),
+        F.concat(
+            F.lit('Case "'), i.cast("string"), F.lit('" \\ draft')
+        ).alias("obj"),
+        F.lit(True).alias("is_lit"),
+    )
+    nt = to_ntriples(
+        iri_rows.unionByName(lit_rows), literal_col="is_lit"
+    )
+    parsed = from_ntriples(nt)
+    return (
+        parsed.select("subj", "pred", "obj", "is_literal")
+        .distinct()
+        .orderBy("subj", "pred", "obj")
+    )
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -3885,6 +3921,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_contract_report": q114_contract_report,
         "q115_sparql_bgp": q115_sparql_bgp,
         "q116_politeness_schedule": q116_politeness_schedule,
+        "q117_ntriples_roundtrip": q117_ntriples_roundtrip,
     }
 
 
@@ -4704,6 +4741,18 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "q108_k_core": _kcore_sql(),
+        "q117_ntriples_roundtrip": """
+            SELECT DISTINCT subj, pred, obj, is_literal FROM (
+                SELECT 'c' || (doc_id%50) AS subj, 'decided_by' AS pred,
+                       'j' || ((doc_id%50)%20) AS obj,
+                       false AS is_literal
+                FROM documents
+                UNION ALL
+                SELECT 'c' || (doc_id%50), 'label',
+                       'Case "' || (doc_id%50) || '" \\ draft', true
+                FROM documents
+            ) ORDER BY subj, pred, obj
+        """,
         "q115_sparql_bgp": """
             WITH trip AS (
                 SELECT DISTINCT subj, pred, obj FROM (

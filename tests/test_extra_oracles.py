@@ -106,6 +106,7 @@ def duck():
         "q114_contract_report",
         "q115_sparql_bgp",
         "q116_politeness_schedule",
+        "q117_ntriples_roundtrip",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
