@@ -2426,6 +2426,30 @@ def q117_ntriples_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q118_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property path: '?e a ?c . ?c subclass_of+ ?top' — the
+    closure compiled by path doubling inside the BGP plan; oracle walks
+    the same hierarchy with WITH RECURSIVE."""
+    from spanluke_spark.graph.sparql import bgp_query
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    types = docs.select(
+        F.concat(F.lit("e"), (d % 30).cast("string")).alias("subj"),
+        F.lit("a").alias("pred"),
+        F.concat(F.lit("k"), (d % 3).cast("string")).alias("obj"),
+    )
+    chain = docs.where(d % 10 < 9).select(
+        F.concat(F.lit("k"), (d % 10).cast("string")).alias("subj"),
+        F.lit("subclass_of").alias("pred"),
+        F.concat(F.lit("k"), ((d % 10) + 1).cast("string")).alias("obj"),
+    )
+    sol = bgp_query(
+        types.unionByName(chain), "?e a ?c . ?c subclass_of+ ?top"
+    )
+    return sol.select("e", "c", "top").orderBy("e", "c", "top")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -3922,6 +3946,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_sparql_bgp": q115_sparql_bgp,
         "q116_politeness_schedule": q116_politeness_schedule,
         "q117_ntriples_roundtrip": q117_ntriples_roundtrip,
+        "q118_sparql_path": q118_sparql_path,
     }
 
 
@@ -4741,6 +4766,27 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "q108_k_core": _kcore_sql(),
+        "q118_sparql_path": """
+            WITH RECURSIVE chain AS (
+                SELECT 'k' || (doc_id%10) AS src,
+                       'k' || ((doc_id%10) + 1) AS dst
+                FROM documents WHERE doc_id%10 < 9
+            ),
+            closure(src, dst) AS (
+                SELECT DISTINCT src, dst FROM chain
+                UNION
+                SELECT c.src, ch.dst FROM closure c
+                JOIN chain ch ON ch.src = c.dst
+            ),
+            types AS (
+                SELECT DISTINCT 'e' || (doc_id%30) AS e,
+                       'k' || (doc_id%3) AS c
+                FROM documents
+            )
+            SELECT DISTINCT t.e, t.c, cl.dst AS top
+            FROM types t JOIN closure cl ON cl.src = t.c
+            ORDER BY e, c, top
+        """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (
                 SELECT 'c' || (doc_id%50) AS subj, 'decided_by' AS pred,

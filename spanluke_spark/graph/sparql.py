@@ -15,8 +15,12 @@ cost is visible in the plan rather than smuggled in.
 
 Literals are plain tokens, variables start with ``?``. A variable
 repeated WITHIN one pattern (e.g. ``?x knows ?x``) compiles to an
-equality filter. No OPTIONAL / FILTER / property paths — those are the
-documented cut line (compose DataFrame ops on the result instead).
+equality filter. One property path is supported: a LITERAL predicate
+ending in ``+`` (``?c subclass_of+ ?top``) compiles to the transitive
+closure of that predicate's edge set via graph/closure.py path doubling
+— O(log diameter) joins, materialized once per pattern. No OPTIONAL /
+FILTER / other paths — the documented cut line (compose DataFrame ops
+on the result instead).
 """
 
 from __future__ import annotations
@@ -49,8 +53,20 @@ def bgp_query(
     plan: DataFrame | None = None
     for terms in _parse(pattern):
         step = triples
+        positions = _POSITIONS
+        if terms[1].endswith("+") and len(terms[1]) > 1:
+            if terms[1].startswith("?"):
+                raise ValueError("property path needs a literal predicate")
+            from .closure import transitive_closure
+
+            base = triples.where(F.col("pred") == terms[1][:-1]).select(
+                "subj", "obj"
+            )
+            step = transitive_closure(base, "subj", "obj")
+            terms = (terms[0], terms[2])
+            positions = ["subj", "obj"]
         cols: dict[str, str] = {}  # var -> first position bound
-        for pos, term in zip(_POSITIONS, terms):
+        for pos, term in zip(positions, terms):
             if term.startswith("?"):
                 var = term[1:]
                 if not var:

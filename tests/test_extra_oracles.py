@@ -107,6 +107,7 @@ def duck():
         "q115_sparql_bgp",
         "q116_politeness_schedule",
         "q117_ntriples_roundtrip",
+        "q118_sparql_path",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):

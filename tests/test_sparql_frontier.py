@@ -106,3 +106,29 @@ def test_politeness_cap_uses_window_group_limit(spark):
     assert capped.count() == 5
     plan = capped._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_bgp_transitive_property_path(spark):
+    t = spark.createDataFrame(
+        _KG + [
+            ("court", "subclass_of", "authority"),
+            ("authority", "subclass_of", "org"),
+            ("sc", "a", "court"),
+        ],
+        _T,
+    )
+    pairs = {
+        (r.x, r.y)
+        for r in bgp_query(t, "?x subclass_of+ ?y").collect()
+    }
+    assert pairs == {
+        ("court", "authority"), ("court", "org"), ("authority", "org")
+    }
+    # path composed with an ordinary pattern: entailed supertypes
+    sup = {
+        (r.e, r.top)
+        for r in bgp_query(t, "?e a ?c . ?c subclass_of+ ?top").collect()
+    }
+    assert sup == {("sc", "authority"), ("sc", "org")}
+    with pytest.raises(ValueError):
+        bgp_query(t, "?x ?p+ ?y")
