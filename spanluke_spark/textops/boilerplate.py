@@ -47,24 +47,35 @@ def boilerplate_lines(
     host_sizes = pages.groupBy(F.col(host_col).alias("host")).agg(
         F.countDistinct(F.col(id_col)).alias("host_pages")
     )
-    # document frequency shuffles the compact (len, hash) key; one
-    # exemplar line rides inside the aggregate (min = deterministic)
+    # the hot path (per-page dedup + document frequency) shuffles ONLY
+    # the compact (len, hash) key — raw line text never enters an
+    # exchange until the boilerplate key set (tiny: lines repeated
+    # across >max_frac of a host) is known, then one exemplar per
+    # surviving key is fetched back with a min() aggregate
     df = (
-        lines.select("host", "page_id", "line_key", "line")
+        lines.select("host", "page_id", "line_key")
         .distinct()
         .groupBy("host", "line_key")
-        .agg(
-            F.count(F.lit(1)).alias("n_pages"),
-            F.min("line").alias("line"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_pages"))
     )
-    return (
+    flagged = (
         df.join(host_sizes, "host")
         .withColumn("frac", F.col("n_pages") / F.col("host_pages"))
         .where(
             (F.col("n_pages") >= min_pages) & (F.col("frac") > max_frac)
         )
-        .select("host", "line_key", "line", "n_pages", "frac")
+        .select("host", "line_key", "n_pages", "frac")
+    )
+    exemplar = (
+        lines.join(
+            flagged.select("host", "line_key"), ["host", "line_key"],
+            "left_semi",
+        )
+        .groupBy("host", "line_key")
+        .agg(F.min("line").alias("line"))
+    )
+    return flagged.join(exemplar, ["host", "line_key"]).select(
+        "host", "line_key", "line", "n_pages", "frac"
     )
 
 
