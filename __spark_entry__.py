@@ -2450,6 +2450,24 @@ def q118_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sol.select("e", "c", "top").orderBy("e", "c", "top")
 
 
+def q119_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization audit (FAISS-SQ8 scheme): per-vector
+    scale, quantized checksum, max reconstruction error — all element-
+    wise IEEE arithmetic, so the unnest-based oracle reproduces every
+    value exactly."""
+    from spanluke_spark.link.quantize import quantization_report
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rep = quantization_report(emb)
+    return rep.select(
+        "vec_id",
+        "n_dims",
+        F.round("scale", 9).alias("scale"),
+        "sum_q",
+        F.round("max_abs_err", 9).alias("max_abs_err"),
+    ).orderBy("vec_id")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -3947,6 +3965,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_politeness_schedule": q116_politeness_schedule,
         "q117_ntriples_roundtrip": q117_ntriples_roundtrip,
         "q118_sparql_path": q118_sparql_path,
+        "q119_quantization": q119_quantization,
     }
 
 
@@ -4766,6 +4785,30 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "q108_k_core": _kcore_sql(),
+        "q119_quantization": """
+            WITH el AS (
+                SELECT vec_id, unnest(embedding)::DOUBLE AS x
+                FROM embeddings
+            ),
+            sc AS (
+                SELECT vec_id, max(abs(x)) / 127.0 AS scale,
+                       count(*) AS n_dims
+                FROM el GROUP BY 1
+            ),
+            q AS (
+                SELECT el.vec_id, x, scale,
+                       CASE WHEN scale = 0 THEN 0
+                            ELSE CAST(round(x / scale) AS BIGINT) END AS qi
+                FROM el JOIN sc USING (vec_id)
+            )
+            SELECT q.vec_id,
+                   CAST(any_value(sc.n_dims) AS INTEGER) AS n_dims,
+                   round(any_value(q.scale), 9) AS scale,
+                   sum(qi) AS sum_q,
+                   round(max(abs(x - qi * q.scale)), 9) AS max_abs_err
+            FROM q JOIN sc USING (vec_id)
+            GROUP BY q.vec_id ORDER BY q.vec_id
+        """,
         "q118_sparql_path": """
             WITH RECURSIVE chain AS (
                 SELECT 'k' || (doc_id%10) AS src,

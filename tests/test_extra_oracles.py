@@ -108,6 +108,7 @@ def duck():
         "q116_politeness_schedule",
         "q117_ntriples_roundtrip",
         "q118_sparql_path",
+        "q119_quantization",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
