@@ -37,11 +37,10 @@ def quantize_int8(
     return emb.withColumn("scale", scale).withColumn("q", q)
 
 
-def dequantize(df: DataFrame) -> Column:
-    """Reconstruction expression for a quantize_int8 output row."""
-    return F.zip_with(
-        F.col("q"), F.col("q"), lambda a, _: a * F.col("scale")
-    )
+def dequantize() -> Column:
+    """Reconstruction expression over a quantize_int8 output row:
+    x_hat_i = q_i * scale (array<double>)."""
+    return F.transform(F.col("q"), lambda qi: qi * F.col("scale"))
 
 
 def quantization_report(

@@ -10,8 +10,12 @@ from spanluke_spark.link.quantize import quantization_report, quantize_int8
 
 
 def test_quantize_matches_numpy(spark, sf_dir):
+    from spanluke_spark.link.quantize import dequantize
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
-    rows = quantize_int8(emb).collect()
+    rows = quantize_int8(emb).withColumn("xhat", dequantize()).collect()
+    for r in rows:
+        assert r.xhat == pytest.approx([qi * r.scale for qi in r.q])
     for r in rows:
         x = np.array(r.embedding, dtype=np.float64)
         scale = np.abs(x).max() / 127.0
