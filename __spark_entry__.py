@@ -2468,6 +2468,35 @@ def q119_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q120_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language bitext mining: offset-blocked candidate pairs
+    verified by int8-quantized cosine (integer folds — order-free, so
+    the oracle's positional-join replay is exact), language and
+    length-ratio gates."""
+    from spanluke_spark.textops.bitext import mine_bitext
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    ids = emb.select("vec_id")
+
+    def _off(k: int) -> DataFrame:
+        base = ids.select(
+            F.col("vec_id").alias("id_a"),
+            (F.col("vec_id") + k).alias("id_b"),
+        )
+        return base.join(
+            ids.withColumnRenamed("vec_id", "id_b"), "id_b", "left_semi"
+        ).select("id_a", "id_b")
+
+    cands = _off(7).unionByName(_off(13))
+    out = mine_bitext(docs, emb, cands, threshold=0.15,
+                      max_length_ratio=2.0)
+    return out.select(
+        "id_a", "id_b", "lang_a", "lang_b",
+        F.round("sim", 6).alias("sim"),
+    ).orderBy("id_a", "id_b")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -3966,6 +3995,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_ntriples_roundtrip": q117_ntriples_roundtrip,
         "q118_sparql_path": q118_sparql_path,
         "q119_quantization": q119_quantization,
+        "q120_bitext_mining": q120_bitext_mining,
     }
 
 
@@ -4785,6 +4815,55 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "q108_k_core": _kcore_sql(),
+        "q120_bitext_mining": """
+            WITH el AS (
+                SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                       unnest(range(len(embedding))) AS pos
+                FROM embeddings
+            ),
+            sc AS (
+                SELECT vec_id, max(abs(x)) / 127.0 AS scale
+                FROM el GROUP BY 1
+            ),
+            q AS (
+                SELECT el.vec_id, pos,
+                       CASE WHEN scale = 0 THEN 0
+                            ELSE CAST(round(x / scale) AS BIGINT) END AS qi
+                FROM el JOIN sc USING (vec_id)
+            ),
+            n2 AS (SELECT vec_id, sum(qi * qi) AS norm2 FROM q GROUP BY 1),
+            cands AS (
+                SELECT a.vec_id AS id_a, a.vec_id + 7 AS id_b
+                FROM embeddings a
+                JOIN embeddings b ON b.vec_id = a.vec_id + 7
+                UNION ALL
+                SELECT a.vec_id, a.vec_id + 13 FROM embeddings a
+                JOIN embeddings b ON b.vec_id = a.vec_id + 13
+            ),
+            dots AS (
+                SELECT c.id_a, c.id_b, sum(qa.qi * qb.qi) AS dot
+                FROM cands c
+                JOIN q qa ON qa.vec_id = c.id_a
+                JOIN q qb ON qb.vec_id = c.id_b AND qb.pos = qa.pos
+                GROUP BY 1, 2
+            ),
+            sims AS (
+                SELECT id_a, id_b,
+                       dot / sqrt(na.norm2 * 1.0 * nb.norm2) AS sim
+                FROM dots
+                JOIN n2 na ON na.vec_id = id_a
+                JOIN n2 nb ON nb.vec_id = id_b
+            )
+            SELECT s.id_a, s.id_b, ma.lang AS lang_a, mb.lang AS lang_b,
+                   round(sim, 6) AS sim
+            FROM sims s
+            JOIN documents ma ON ma.doc_id = s.id_a
+            JOIN documents mb ON mb.doc_id = s.id_b
+            WHERE ma.lang <> mb.lang AND sim >= 0.15
+              AND greatest(ma.n_chars, mb.n_chars) * 1.0
+                  / least(ma.n_chars, mb.n_chars) <= 2.0
+            ORDER BY id_a, id_b
+        """,
         "q119_quantization": """
             WITH el AS (
                 SELECT vec_id, unnest(embedding)::DOUBLE AS x

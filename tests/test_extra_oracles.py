@@ -109,6 +109,7 @@ def duck():
         "q117_ntriples_roundtrip",
         "q118_sparql_path",
         "q119_quantization",
+        "q120_bitext_mining",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
