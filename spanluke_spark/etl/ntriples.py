@@ -44,10 +44,16 @@ def _escape(col: Column) -> Column:
 
 
 def _unescape(col: Column) -> Column:
-    out = F.replace(col, F.lit("\\n"), F.lit("\n"))
+    # sequential replace() cannot decode left-to-right: in the encoding
+    # of a literal backslash-n ("\\n"), a naive \n pass would eat the
+    # tail of the \\ escape. Park \\ in a sentinel first (U+0000 cannot
+    # appear in a conforming N-Triples line), decode the short escapes,
+    # then restore the backslashes.
+    out = F.replace(col, F.lit("\\\\"), F.lit("\x00"))
+    out = F.replace(out, F.lit("\\n"), F.lit("\n"))
     out = F.replace(out, F.lit("\\r"), F.lit("\r"))
     out = F.replace(out, F.lit('\\"'), F.lit('"'))
-    return F.replace(out, F.lit("\\\\"), F.lit("\\"))
+    return F.replace(out, F.lit("\x00"), F.lit("\\"))
 
 
 def to_ntriples(

@@ -75,3 +75,18 @@ def test_malformed_fuzz_never_misparses(spark):
         if not r.is_malformed:
             assert r.subj is not None and r.pred is not None
             assert r.obj is not None
+
+
+def test_roundtrip_backslash_n_sequence(spark):
+    # literal backslash followed by 'n' (NOT a newline): the decode
+    # order bug class — \\n must come back as backslash+n
+    tricky = ["\\n", "a\\nb", "\\\\n", "\\", "end\\"]
+    t = spark.createDataFrame(
+        [(f"s{i}", "p", v, True) for i, v in enumerate(tricky)],
+        "subj string, pred string, obj string, is_lit boolean",
+    )
+    back = from_ntriples(to_ntriples(t, literal_col="is_lit")).collect()
+    assert {(r.subj, r.obj) for r in back} == {
+        (f"s{i}", v) for i, v in enumerate(tricky)
+    }
+    assert all(not r.is_malformed for r in back)
