@@ -36,7 +36,10 @@ def detect_bursts(
         F.avg("n").alias("mean_n"),
         F.stddev_pop("n").alias("std_n"),
     )
-    decorated = counts.join(F.broadcast(baseline), "key").select(
+    # no broadcast hint: baseline is one row per key, which is tiny for
+    # event types but can be 10^8 rows for per-host keys — let AQE pick
+    # broadcast when it actually fits
+    decorated = counts.join(baseline, "key").select(
         "key",
         "bucket_start",
         "n",

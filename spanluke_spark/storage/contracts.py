@@ -48,17 +48,20 @@ def validate_rows(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
             ).alias(f"_v_{name}")
         )
     row = df.agg(*aggs)
-    parts = [
-        row.select(
-            F.lit(name).alias("check"),
-            F.col("_n").alias("n_rows"),
-            F.col(f"_v_{name}").alias("n_violations"),
-        )
-        for name in checks
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    # unpivot the 1-row aggregate with a single explode — a per-check
+    # union would re-execute the full-table aggregate once per check
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check"),
+                F.col(f"_v_{name}").alias("n_violations"),
+            )
+            for name in checks
+        ]
+    )
+    out = row.select(
+        F.col("_n").alias("n_rows"), F.explode(entries).alias("_e")
+    ).select("_e.check", "n_rows", "_e.n_violations")
     return _report(out)
 
 
