@@ -2497,6 +2497,27 @@ def q120_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+_BM25_QUERIES = [
+    (1, "hash join merge"),
+    (2, "stream window batch"),
+    (3, "customer order query"),
+]
+
+
+def q121_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index + BM25 top-10 retrieval (Robertson & Zaragoza 2009)
+    for three broadcast seed queries over the documents table; scores
+    rounded to 1e-6 before ranking so the tie-break is engine-portable."""
+    from spanluke_spark.textops.bm25 import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, query_text string"
+    )
+    out = bm25_topk(docs, queries, topk=10)
+    return out.orderBy("query_id", "rank")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -3996,6 +4017,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_sparql_path": q118_sparql_path,
         "q119_quantization": q119_quantization,
         "q120_bitext_mining": q120_bitext_mining,
+        "q121_bm25_topk": q121_bm25_topk,
     }
 
 
@@ -4908,6 +4930,47 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT DISTINCT t.e, t.c, cl.dst AS top
             FROM types t JOIN closure cl ON cl.src = t.c
             ORDER BY e, c, top
+        """,
+        "q121_bm25_topk": """
+            WITH q(query_id, query_text) AS (VALUES
+                (1, 'hash join merge'),
+                (2, 'stream window batch'),
+                (3, 'customer order query')),
+            toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   t -> t <> '') AS t
+                FROM documents
+            ),
+            post AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+            tf AS (SELECT term, doc_id, dl, count(*) AS tf FROM post GROUP BY ALL),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            consts AS (SELECT count(*)::DOUBLE AS n_docs,
+                              sum(len(t))::DOUBLE / count(*) AS avgdl
+                       FROM toks),
+            qt AS (
+                SELECT DISTINCT query_id,
+                       unnest(list_filter(string_split_regex(lower(query_text),
+                                                             '[^a-z0-9]+'),
+                                          x -> x <> '')) AS term
+                FROM q
+            ),
+            scored AS (
+                SELECT qt.query_id, tf.doc_id,
+                       round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                                 * (tf * 2.2)
+                                 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))),
+                             6) AS score
+                FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+                CROSS JOIN consts
+                GROUP BY qt.query_id, tf.doc_id
+            )
+            SELECT query_id, doc_id, score, "rank" FROM (
+                SELECT query_id, doc_id, score,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, doc_id) AS "rank"
+                FROM scored
+            ) WHERE "rank" <= 10 ORDER BY query_id, "rank"
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

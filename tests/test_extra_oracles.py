@@ -110,6 +110,7 @@ def duck():
         "q118_sparql_path",
         "q119_quantization",
         "q120_bitext_mining",
+        "q121_bm25_topk",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
