@@ -2518,6 +2518,38 @@ def q121_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", "rank")
 
 
+_JSONLD_PAGE = (
+    '<html><head><script type="application/ld+json">'
+    '{"@context":"https://schema.org","@graph":['
+    '{"@id":"case:c%1$s","@type":"LegalCase","name":"Case %1$s",'
+    '"caseNumber":%1$s,"judge":{"@id":"judge:j%2$s"},'
+    '"court":{"name":"Court %3$s","address":{"locality":"City %4$s"}},'
+    '"citation":["cite:%1$s-0","cite:%1$s-1"]},'
+    '{"@id":"judge:j%2$s","@type":["Person","Judge"],"name":"Judge %2$s"}'
+    "]}</script></head><body>filler</body></html>"
+)
+
+
+def q122_jsonld_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD markup → KG triples (the Web Data Commons lane):
+    synthesize crawl pages embedding @graph JSON-LD (LegalCase nodes with
+    literal, iri-reference, anonymous-nested, and array-valued properties),
+    flatten with etl.jsonld.jsonld_triples, dedupe across re-crawls. The
+    oracle constructs the expected triple set from the same arithmetic —
+    an engine-independent pin on the FULL extraction semantics."""
+    from spanluke_spark.etl.jsonld import jsonld_triples
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    c, j = d % 50, (d % 50) % 20
+    pages = docs.select(
+        F.format_string("https://ex.org/d%s", d).alias("url"),
+        F.format_string(_JSONLD_PAGE, c, j, c % 7, c % 3).alias("html"),
+    )
+    out = jsonld_triples(pages).select("subj", "pred", "obj", "obj_kind").distinct()
+    return out.orderBy("subj", "pred", "obj")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4018,6 +4050,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_quantization": q119_quantization,
         "q120_bitext_mining": q120_bitext_mining,
         "q121_bm25_topk": q121_bm25_topk,
+        "q122_jsonld_triples": q122_jsonld_triples,
     }
 
 
@@ -4971,6 +5004,43 @@ def extra_oracle_sql() -> dict[str, str]:
                                           ORDER BY score DESC, doc_id) AS "rank"
                 FROM scored
             ) WHERE "rank" <= 10 ORDER BY query_id, "rank"
+        """,
+        "q122_jsonld_triples": """
+            WITH cases AS (SELECT DISTINCT doc_id % 50 AS c FROM documents),
+            judges AS (SELECT DISTINCT c % 20 AS j FROM cases),
+            case_t AS (
+                SELECT 'case:c' || c AS subj, pred, obj, obj_kind FROM cases,
+                LATERAL (VALUES
+                    ('rdf:type', 'LegalCase', 'iri'),
+                    ('name', 'Case ' || c, 'literal'),
+                    ('caseNumber', CAST(c AS VARCHAR), 'literal'),
+                    ('judge', 'judge:j' || (c % 20), 'iri'),
+                    ('court', 'case:c' || c || '.court[0]', 'blank'),
+                    ('citation', 'cite:' || c || '-0', 'literal'),
+                    ('citation', 'cite:' || c || '-1', 'literal')
+                ) AS t(pred, obj, obj_kind)
+            ),
+            court_t AS (
+                SELECT 'case:c' || c || '.court[0]' AS subj, pred, obj, obj_kind
+                FROM cases,
+                LATERAL (VALUES
+                    ('name', 'Court ' || (c % 7), 'literal'),
+                    ('address', '{"locality":"City ' || (c % 3) || '"}',
+                     'raw_json')
+                ) AS t(pred, obj, obj_kind)
+            ),
+            judge_t AS (
+                SELECT 'judge:j' || j AS subj, pred, obj, obj_kind FROM judges,
+                LATERAL (VALUES
+                    ('rdf:type', 'Person', 'iri'),
+                    ('rdf:type', 'Judge', 'iri'),
+                    ('name', 'Judge ' || j, 'literal')
+                ) AS t(pred, obj, obj_kind)
+            )
+            SELECT subj, pred, obj, obj_kind
+            FROM (SELECT * FROM case_t UNION ALL SELECT * FROM court_t
+                  UNION ALL SELECT * FROM judge_t)
+            ORDER BY subj, pred, obj
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

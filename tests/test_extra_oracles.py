@@ -111,6 +111,7 @@ def duck():
         "q119_quantization",
         "q120_bitext_mining",
         "q121_bm25_topk",
+        "q122_jsonld_triples",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
