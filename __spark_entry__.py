@@ -2550,6 +2550,33 @@ def q122_jsonld_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("subj", "pred", "obj")
 
 
+def q123_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bow-tie decomposition of a synthetic crawl graph: a chorded
+    40-node ring (the giant SCC), 20 IN feeders, 20 OUT sinks, a tendril
+    pair and a disconnected 2-cycle. Pivot = max-degree node (deterministic
+    tie-break); two frontier BFS passes classify every node."""
+    from spanluke_spark.graph.bowtie import bowtie_decomposition
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    m = d % 40
+    core1 = docs.select(m.alias("src"), ((m + 1) % 40).alias("dst"))
+    core2 = docs.select(m.alias("src"), ((m * 2 + 1) % 40).alias("dst"))
+    ins = docs.select((d % 20 + 100).alias("src"), (d % 20).alias("dst"))
+    outs = docs.select((d % 20).alias("src"), (d % 20 + 200).alias("dst"))
+    extra = spark.createDataFrame(
+        [(100, 300), (300, 301), (400, 401), (401, 400)], "src long, dst long"
+    )
+    edges = (
+        core1.unionByName(core2)
+        .unionByName(ins)
+        .unionByName(outs)
+        .unionByName(extra)
+        .distinct()
+    )
+    return bowtie_decomposition(edges, max_hops=32).orderBy("node")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4051,6 +4078,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_bitext_mining": q120_bitext_mining,
         "q121_bm25_topk": q121_bm25_topk,
         "q122_jsonld_triples": q122_jsonld_triples,
+        "q123_bowtie": q123_bowtie,
     }
 
 
@@ -5041,6 +5069,59 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM case_t UNION ALL SELECT * FROM court_t
                   UNION ALL SELECT * FROM judge_t)
             ORDER BY subj, pred, obj
+        """,
+        "q123_bowtie": """
+            WITH RECURSIVE base AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT doc_id % 40 AS src, (doc_id % 40 + 1) % 40 AS dst
+                    FROM documents
+                    UNION ALL
+                    SELECT doc_id % 40, ((doc_id % 40) * 2 + 1) % 40
+                    FROM documents
+                    UNION ALL
+                    SELECT doc_id % 20 + 100, doc_id % 20 FROM documents
+                    UNION ALL
+                    SELECT doc_id % 20, doc_id % 20 + 200 FROM documents
+                    UNION ALL
+                    SELECT * FROM (VALUES (100, 300), (300, 301),
+                                          (400, 401), (401, 400)) v(src, dst)
+                )
+            ),
+            deg AS (
+                SELECT node, count(*) AS deg FROM (
+                    SELECT src AS node FROM base
+                    UNION ALL SELECT dst FROM base
+                ) GROUP BY node
+            ),
+            pvt AS (SELECT node FROM deg ORDER BY deg DESC, node LIMIT 1),
+            fwd(node) AS (
+                SELECT node FROM pvt
+                UNION
+                SELECT b.dst FROM base b JOIN fwd f ON b.src = f.node
+            ),
+            bwd(node) AS (
+                SELECT node FROM pvt
+                UNION
+                SELECT b.src FROM base b JOIN bwd w ON b.dst = w.node
+            ),
+            nodes AS (
+                -- NB: bare UNION inside WITH RECURSIVE is treated as
+                -- UNION ALL by duckdb 1.0 for non-recursive CTEs
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM base
+                    UNION ALL SELECT dst FROM base
+                )
+            )
+            SELECT n.node,
+                   CASE WHEN f.node IS NOT NULL AND w.node IS NOT NULL
+                            THEN 'CORE'
+                        WHEN w.node IS NOT NULL THEN 'IN'
+                        WHEN f.node IS NOT NULL THEN 'OUT'
+                        ELSE 'OTHER' END AS region
+            FROM nodes n
+            LEFT JOIN (SELECT DISTINCT node FROM fwd) f ON f.node = n.node
+            LEFT JOIN (SELECT DISTINCT node FROM bwd) w ON w.node = n.node
+            ORDER BY n.node
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

@@ -112,6 +112,7 @@ def duck():
         "q120_bitext_mining",
         "q121_bm25_topk",
         "q122_jsonld_triples",
+        "q123_bowtie",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
