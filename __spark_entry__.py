@@ -2577,6 +2577,42 @@ def q123_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bowtie_decomposition(edges, max_hops=32).orderBy("node")
 
 
+def q124_transe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransE filtered link-prediction ranks (Bordes et al. 2013 protocol)
+    over fixed-point-quantized embeddings: integer L1 scores are order-free,
+    so ranks are bit-reproducible across engines. Relations are three
+    embedding rows; test/truth triples derive from doc_id arithmetic."""
+    from spanluke_spark.graph.kge_eval import transe_filtered_ranks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    entities = emb.select(
+        F.col("vec_id").alias("entity_id"), F.col("embedding").alias("vec")
+    )
+    relations = emb.where(F.col("vec_id") < 3).select(
+        F.concat(F.lit("r"), F.col("vec_id").cast("string")).alias("rel"),
+        F.col("embedding").alias("vec"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    test = (
+        docs.where(d % 10 == 0)
+        .select(
+            (d % 80).alias("s"),
+            F.concat(F.lit("r"), (d % 3).cast("string")).alias("rel"),
+            ((d * 7 + 3) % 500).alias("o"),
+        )
+        .distinct()
+    )
+    extra = docs.select(
+        (d % 80).alias("s"),
+        F.concat(F.lit("r"), (d % 3).cast("string")).alias("rel"),
+        ((d * 7 + 10) % 500).alias("o"),
+    ).distinct()
+    truth = test.unionByName(extra).distinct()
+    out = transe_filtered_ranks(entities, relations, test, truth)
+    return out.orderBy("s", "rel", "o")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4079,6 +4115,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_bm25_topk": q121_bm25_topk,
         "q122_jsonld_triples": q122_jsonld_triples,
         "q123_bowtie": q123_bowtie,
+        "q124_transe_eval": q124_transe_eval,
     }
 
 
@@ -5122,6 +5159,54 @@ def extra_oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT DISTINCT node FROM fwd) f ON f.node = n.node
             LEFT JOIN (SELECT DISTINCT node FROM bwd) w ON w.node = n.node
             ORDER BY n.node
+        """,
+        "q124_transe_eval": """
+            WITH ent AS (
+                SELECT vec_id AS entity_id,
+                       list_transform(embedding,
+                           x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qv
+                FROM embeddings
+            ),
+            rel AS (
+                SELECT 'r' || vec_id AS rel,
+                       list_transform(embedding,
+                           x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qr
+                FROM embeddings WHERE vec_id < 3
+            ),
+            test AS (
+                SELECT DISTINCT doc_id % 80 AS s, 'r' || (doc_id % 3) AS rel,
+                       (doc_id * 7 + 3) % 500 AS o
+                FROM documents WHERE doc_id % 10 = 0
+            ),
+            extra AS (
+                SELECT DISTINCT doc_id % 80 AS s, 'r' || (doc_id % 3) AS rel,
+                       (doc_id * 7 + 10) % 500 AS o
+                FROM documents
+            ),
+            truth AS (SELECT * FROM test UNION SELECT * FROM extra),
+            st AS (
+                SELECT t.s, t.rel, t.o, es.qv AS qs, r.qr AS qr,
+                       list_sum(list_transform(range(1, len(es.qv) + 1),
+                           i -> abs(es.qv[i] + r.qr[i] - eo.qv[i]))) AS d_true
+                FROM test t
+                JOIN ent es ON es.entity_id = t.s
+                JOIN rel r ON r.rel = t.rel
+                JOIN ent eo ON eo.entity_id = t.o
+            ),
+            cand AS (
+                SELECT st.s, st.rel, st.o, c.entity_id AS cand, st.d_true,
+                       list_sum(list_transform(range(1, len(st.qs) + 1),
+                           i -> abs(st.qs[i] + st.qr[i] - c.qv[i]))) AS d_cand
+                FROM st CROSS JOIN ent c
+                WHERE NOT EXISTS (SELECT 1 FROM truth tr
+                                  WHERE tr.s = st.s AND tr.rel = st.rel
+                                    AND tr.o = c.entity_id)
+            )
+            SELECT s, rel, o,
+                   1 + sum(CASE WHEN d_cand < d_true
+                                  OR (d_cand = d_true AND cand < o)
+                                THEN 1 ELSE 0 END) AS "rank"
+            FROM cand GROUP BY s, rel, o ORDER BY s, rel, o
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

@@ -113,6 +113,7 @@ def duck():
         "q121_bm25_topk",
         "q122_jsonld_triples",
         "q123_bowtie",
+        "q124_transe_eval",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
