@@ -2613,6 +2613,33 @@ def q124_transe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("s", "rel", "o")
 
 
+_CMS_PROBES = [
+    "hash", "join", "merge", "stream", "window", "batch",
+    "customer", "order", "query", "nosuchterm",
+]
+
+
+def q125_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=3, w=256) over document terms: fixed-width
+    mergeable frequency sketch, point-queried for 10 probe terms and laid
+    beside the exact counts (the CMS guarantee est >= exact is asserted in
+    pytest; the oracle replays the salted md5 cells bit-for-bit)."""
+    from spanluke_spark.textops.bm25 import terms_of
+    from spanluke_spark.textops.sketch import cms_build, cms_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(terms_of(F.col("text"))).alias("item"))
+    sketch = cms_build(toks, F.col("item"), d=3, w=256)
+    probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], "item string")
+    est = cms_estimate(sketch, probes, d=3, w=256)
+    exact = toks.groupBy("item").agg(F.count("*").alias("exact_cnt"))
+    return (
+        est.join(exact, "item", "left")
+        .select("item", "est", F.coalesce("exact_cnt", F.lit(0)).alias("exact_cnt"))
+        .orderBy("item")
+    )
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4116,6 +4143,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_jsonld_triples": q122_jsonld_triples,
         "q123_bowtie": q123_bowtie,
         "q124_transe_eval": q124_transe_eval,
+        "q125_cms_frequency": q125_cms_frequency,
     }
 
 
@@ -5207,6 +5235,41 @@ def extra_oracle_sql() -> dict[str, str]:
                                   OR (d_cand = d_true AND cand < o)
                                 THEN 1 ELSE 0 END) AS "rank"
             FROM cand GROUP BY s, rel, o ORDER BY s, rel, o
+        """,
+        "q125_cms_frequency": """
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(text), '[^a-z0-9]+'),
+                    t -> t <> '')) AS item
+                FROM documents
+            ),
+            rows3 AS (SELECT unnest(range(0, 3)) AS hrow),
+            cells AS (
+                SELECT hrow,
+                       (('0x' || substr(md5(hrow || ':' || item), 1, 15))::BIGINT)
+                           % 256 AS col,
+                       count(*) AS cnt
+                FROM toks CROSS JOIN rows3
+                GROUP BY 1, 2
+            ),
+            probes(item) AS (VALUES ('hash'), ('join'), ('merge'), ('stream'),
+                ('window'), ('batch'), ('customer'), ('order'), ('query'),
+                ('nosuchterm')),
+            pc AS (
+                SELECT item, hrow,
+                       (('0x' || substr(md5(hrow || ':' || item), 1, 15))::BIGINT)
+                           % 256 AS col
+                FROM probes CROSS JOIN rows3
+            ),
+            est AS (
+                SELECT item, min(coalesce(cnt, 0)) AS est
+                FROM pc LEFT JOIN cells USING (hrow, col)
+                GROUP BY item
+            ),
+            exact AS (SELECT item, count(*) AS exact_cnt FROM toks GROUP BY item)
+            SELECT item, est, coalesce(exact_cnt, 0) AS exact_cnt
+            FROM est LEFT JOIN exact USING (item)
+            ORDER BY item
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

@@ -50,3 +50,52 @@ def kmv_distinct(
             ),
         )
     )
+
+
+def _cms_cell(item: Column, i: int, w: int) -> Column:
+    """Row-i count-min column for ``item``: portable md5-derived hash mod w
+    (salted with the row index) — identical in Spark and the SQL oracle."""
+    return portable_hash64(F.concat(F.lit(f"{i}:"), item)) % w
+
+
+def cms_build(df: DataFrame, item: Column, d: int = 3, w: int = 256) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a relation:
+    -> (hrow, col, cnt), at most d*w rows.
+
+    The scale story: frequency estimation over an UNBOUNDED key space with
+    FIXED shuffle width — the groupBy key is the (hrow, col) cell, so
+    map-side combine collapses every task to <= d*w partial rows no matter
+    how many distinct items flow through (vs an exact groupBy whose shuffle
+    is O(distinct items)). Sketches merge by cell-wise addition, so
+    per-day/per-shard sketches union + re-agg. Estimates only ever
+    OVER-count (by <= 2N/w with probability 1 - (1/2)^d).
+    """
+    it = df.select(item.alias("item"))
+    cells = it.select(
+        F.posexplode(
+            F.array(*[_cms_cell(F.col("item"), i, w) for i in range(d)])
+        ).alias("hrow", "col")
+    )
+    return cells.groupBy("hrow", "col").agg(F.count("*").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, d: int = 3, w: int = 256
+) -> DataFrame:
+    """Point-query the sketch: -> (item, est) = min over the d cells.
+
+    ``probes`` is (item); d and w must match the build. The sketch is at
+    most d*w rows, so the join side is broadcast-sized by construction;
+    an empty cell reads as 0.
+    """
+    pc = probes.select(
+        "item",
+        F.posexplode(
+            F.array(*[_cms_cell(F.col("item"), i, w) for i in range(d)])
+        ).alias("hrow", "col"),
+    )
+    return (
+        pc.join(F.broadcast(sketch), ["hrow", "col"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

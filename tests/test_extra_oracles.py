@@ -114,6 +114,7 @@ def duck():
         "q122_jsonld_triples",
         "q123_bowtie",
         "q124_transe_eval",
+        "q125_cms_frequency",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
