@@ -2640,6 +2640,25 @@ def q125_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q126_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style walk corpus: 2 deterministic hash-driven walks of
+    length 4 from each of 30 graph nodes (dst-sorted neighbor pick by
+    salted md5 mod degree — the oracle replays every step). Node 100 is a
+    dangling sink, so walks reaching it end early."""
+    from spanluke_spark.graph.walks import deterministic_walks
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    m = d % 30
+    e1 = docs.select(m.alias("src"), ((m * 7 + 1) % 30).alias("dst"))
+    e2 = docs.select(m.alias("src"), ((m + 3) % 30).alias("dst"))
+    e3 = docs.where(m == 5).select(m.alias("src"), F.lit(100).alias("dst"))
+    edges = e1.unionByName(e2).unionByName(e3).distinct()
+    starts = docs.select(m.alias("node")).distinct()
+    out = deterministic_walks(edges, starts, length=4, repeats=2)
+    return out.orderBy("walk_id", "step")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4144,6 +4163,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_bowtie": q123_bowtie,
         "q124_transe_eval": q124_transe_eval,
         "q125_cms_frequency": q125_cms_frequency,
+        "q126_walk_corpus": q126_walk_corpus,
     }
 
 
@@ -5270,6 +5290,38 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT item, est, coalesce(exact_cnt, 0) AS exact_cnt
             FROM est LEFT JOIN exact USING (item)
             ORDER BY item
+        """,
+        "q126_walk_corpus": """
+            WITH RECURSIVE base AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT doc_id % 30 AS src, ((doc_id % 30) * 7 + 1) % 30 AS dst
+                    FROM documents
+                    UNION ALL
+                    SELECT doc_id % 30, (doc_id % 30 + 3) % 30 FROM documents
+                    UNION ALL
+                    SELECT doc_id % 30, 100 FROM documents WHERE doc_id % 30 = 5
+                )
+            ),
+            adj AS (
+                SELECT src, dst,
+                       row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS ord,
+                       count(*) OVER (PARTITION BY src) AS deg
+                FROM base
+            ),
+            starts AS (SELECT DISTINCT doc_id % 30 AS node FROM documents),
+            walk(walk_id, step, node) AS (
+                SELECT node || '#' || r, 0, node
+                FROM starts CROSS JOIN (SELECT unnest(range(0, 2)) AS r)
+                UNION ALL
+                SELECT w.walk_id, w.step + 1, a.dst
+                FROM walk w
+                JOIN adj a ON a.src = w.node
+                 AND a.ord = (('0x' || substr(md5(w.walk_id || ':'
+                                  || (w.step + 1) || ':' || w.node), 1, 15)
+                              )::BIGINT) % a.deg
+                WHERE w.step < 4
+            )
+            SELECT walk_id, step, node FROM walk ORDER BY walk_id, step
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

@@ -115,6 +115,7 @@ def duck():
         "q123_bowtie",
         "q124_transe_eval",
         "q125_cms_frequency",
+        "q126_walk_corpus",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
