@@ -2659,6 +2659,31 @@ def q126_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("walk_id", "step")
 
 
+def q127_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar / common-neighbor link prediction over an undirected
+    25-node graph: wedge self-join keyed on the middle node, existing
+    edges anti-joined out, scores rounded to 1e-6."""
+    from spanluke_spark.graph.linkpred import adamic_adar
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    m = d % 25
+    e1 = docs.select(m.alias("src"), ((m * 3 + 2) % 25).alias("dst"))
+    e2 = docs.select(m.alias("src"), ((m + 4) % 25).alias("dst"))
+    edges = e1.unionByName(e2)
+    return adamic_adar(edges).orderBy("u", "v")
+
+
+def q128_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair counts with window 2 over the
+    q126 deterministic walk corpus — the word2vec-style training-data
+    stage of a DeepWalk pipeline."""
+    from spanluke_spark.graph.walks import skipgram_pairs
+
+    walks = q126_walk_corpus(spark, sf_dir)
+    return skipgram_pairs(walks, window=2).orderBy("center", "context")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4164,6 +4189,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_transe_eval": q124_transe_eval,
         "q125_cms_frequency": q125_cms_frequency,
         "q126_walk_corpus": q126_walk_corpus,
+        "q127_adamic_adar": q127_adamic_adar,
+        "q128_skipgram_pairs": q128_skipgram_pairs,
     }
 
 
@@ -5322,6 +5349,75 @@ def extra_oracle_sql() -> dict[str, str]:
                 WHERE w.step < 4
             )
             SELECT walk_id, step, node FROM walk ORDER BY walk_id, step
+        """,
+        "q127_adamic_adar": """
+            WITH raw AS (
+                SELECT doc_id % 25 AS src, ((doc_id % 25) * 3 + 2) % 25 AS dst
+                FROM documents
+                UNION ALL
+                SELECT doc_id % 25, (doc_id % 25 + 4) % 25 FROM documents
+            ),
+            und AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM raw WHERE src <> dst
+            ),
+            nbr AS (
+                SELECT a AS node, b AS nbr FROM und
+                UNION ALL SELECT b, a FROM und
+            ),
+            deg AS (SELECT node, count(*) AS deg FROM nbr GROUP BY node),
+            nd AS (SELECT n.node AS w, n.nbr, d.deg
+                   FROM nbr n JOIN deg d ON d.node = n.node),
+            wedges AS (
+                SELECT l.nbr AS u, r.nbr AS v, l.deg
+                FROM nd l JOIN nd r ON l.w = r.w AND l.nbr < r.nbr
+            ),
+            scored AS (
+                SELECT u, v, count(*) AS common,
+                       round(sum(1.0 / ln(deg)), 6) AS aa
+                FROM wedges GROUP BY u, v
+            )
+            SELECT s.u, s.v, s.common, s.aa
+            FROM scored s
+            LEFT JOIN und ON und.a = s.u AND und.b = s.v
+            WHERE und.a IS NULL
+            ORDER BY s.u, s.v
+        """,
+        "q128_skipgram_pairs": """
+            WITH RECURSIVE base AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT doc_id % 30 AS src, ((doc_id % 30) * 7 + 1) % 30 AS dst
+                    FROM documents
+                    UNION ALL
+                    SELECT doc_id % 30, (doc_id % 30 + 3) % 30 FROM documents
+                    UNION ALL
+                    SELECT doc_id % 30, 100 FROM documents WHERE doc_id % 30 = 5
+                )
+            ),
+            adj AS (
+                SELECT src, dst,
+                       row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS ord,
+                       count(*) OVER (PARTITION BY src) AS deg
+                FROM base
+            ),
+            starts AS (SELECT DISTINCT doc_id % 30 AS node FROM documents),
+            walk(walk_id, step, node) AS (
+                SELECT node || '#' || r, 0, node
+                FROM starts CROSS JOIN (SELECT unnest(range(0, 2)) AS r)
+                UNION ALL
+                SELECT w.walk_id, w.step + 1, a.dst
+                FROM walk w
+                JOIN adj a ON a.src = w.node
+                 AND a.ord = (('0x' || substr(md5(w.walk_id || ':'
+                                  || (w.step + 1) || ':' || w.node), 1, 15)
+                              )::BIGINT) % a.deg
+                WHERE w.step < 4
+            )
+            SELECT a.node AS center, b.node AS context, count(*) AS cnt
+            FROM walk a JOIN walk b ON a.walk_id = b.walk_id
+             AND a.step <> b.step AND abs(a.step - b.step) <= 2
+            GROUP BY center, context
+            ORDER BY center, context
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

@@ -1,0 +1,83 @@
+"""Structural link prediction over the web/KG graph: common-neighbor and
+Adamic-Adar scores (Adamic & Adar 2003; the standard baselines of
+Liben-Nowell & Kleinberg 2007, "The Link-Prediction Problem for Social
+Networks"). Used for suggesting missing KG edges and crawl frontier
+prioritization ("pages co-cited with what we trust").
+
+Relational shape: candidate pairs are OPEN WEDGES — the self-join of the
+neighbor list keyed on the shared middle node — so the work is
+sum-over-nodes deg² , never |V|² . That sum is dominated by hubs; the
+``max_deg`` cap drops middle nodes above the cap before the self-join
+(the q112 hub-cap pattern): a 10^6-degree hub would alone contribute
+10^12 wedges while adding only 1/ln(10^6) ≈ 0.07 per pair — capping is
+both the scale fix and standard practice. Capped nodes are reported via
+``dropped_hubs`` so the truncation is never silent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["adamic_adar", "hub_capped_neighbors"]
+
+
+def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    return e.distinct()
+
+
+def hub_capped_neighbors(
+    edges: DataFrame, max_deg: int | None, src: str = "src", dst: str = "dst"
+) -> tuple[DataFrame, DataFrame]:
+    """-> (nbr, dropped_hubs): symmetric (node, nbr) pairs with middle
+    nodes of degree > max_deg removed, and the removed hubs (node, deg)."""
+    und = _undirected(edges, src, dst)
+    nbr = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = nbr.groupBy("node").agg(F.count("*").alias("deg"))
+    if max_deg is None:
+        return nbr.join(deg, "node"), deg.limit(0)
+    keep = deg.where(F.col("deg") <= max_deg)
+    dropped = deg.where(F.col("deg") > max_deg)
+    return nbr.join(keep, "node"), dropped
+
+
+def adamic_adar(
+    edges: DataFrame,
+    max_deg: int | None = None,
+    min_common: int = 1,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """-> (u, v, common, aa) for every NON-edge pair sharing >= min_common
+    neighbors; aa = sum over shared middles w of 1/ln(deg(w)), rounded to
+    1e-6 (integer ``common`` breaks engine ties). Treats the graph as
+    undirected; existing edges are anti-joined out.
+
+    Degree-1 middles are excluded (1/ln(1) diverges — a degree-1 node
+    cannot be a wedge middle anyway once self-pairs are removed).
+    """
+    nbrdeg, _ = hub_capped_neighbors(edges, max_deg, src=src, dst=dst)
+    left = nbrdeg.select(
+        F.col("node").alias("w"), F.col("nbr").alias("u"), F.col("deg")
+    )
+    right = nbrdeg.select(F.col("node").alias("w"), F.col("nbr").alias("v"))
+    wedges = left.join(right, "w").where(F.col("u") < F.col("v"))
+
+    scored = wedges.groupBy("u", "v").agg(
+        F.count("*").alias("common"),
+        F.round(F.sum(1.0 / F.log(F.col("deg"))), 6).alias("aa"),
+    )
+    und = _undirected(edges, src, dst).select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    )
+    return (
+        scored.join(und, ["u", "v"], "left_anti")
+        .where(F.col("common") >= min_common)
+        .select("u", "v", "common", "aa")
+    )

@@ -85,3 +85,31 @@ def deterministic_walks(
         out = out.unionByName(nxt)
         frontier = nxt
     return out.select("walk_id", "step", "node")
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(walk_id, step, node) -> (center, context, cnt): the skip-gram
+    training pairs a word2vec-style embedding trainer consumes, counted
+    over the whole walk corpus.
+
+    One self-join per corpus keyed on walk_id with a |step delta| in
+    [1, window] band predicate — walks are short (length L), so each walk
+    contributes <= 2*L*window rows and the join key (walk_id) is uniform
+    by construction (no hub skew possible). The final count is a
+    map-side-combinable groupBy on the (center, context) vocabulary.
+    """
+    a = walks.select(
+        F.col("walk_id"), F.col("step").alias("sa"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        F.col("walk_id"), F.col("step").alias("sb"), F.col("node").alias("context")
+    )
+    return (
+        a.join(b, "walk_id")
+        .where(
+            (F.col("sa") != F.col("sb"))
+            & (F.abs(F.col("sa") - F.col("sb")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count("*").alias("cnt"))
+    )

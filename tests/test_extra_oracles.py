@@ -116,6 +116,8 @@ def duck():
         "q124_transe_eval",
         "q125_cms_frequency",
         "q126_walk_corpus",
+        "q127_adamic_adar",
+        "q128_skipgram_pairs",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
