@@ -2684,6 +2684,18 @@ def q128_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipgram_pairs(walks, window=2).orderBy("center", "context")
 
 
+def q129_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs Jaccard >= 3/5 over word 3-shingle sets with
+    LOSSLESS prefix filtering. The oracle computes the same answer by
+    BRUTE FORCE (no filter), so every driver round empirically re-proves
+    the pruning loses nothing."""
+    from spanluke_spark.textops.allpairs import allpairs_jaccard, doc_term_sets
+
+    docs = _t(spark, sf_dir, "documents")
+    sets = doc_term_sets(docs, shingle=3)
+    return allpairs_jaccard(sets, t_num=3, t_den=5).orderBy("id_a", "id_b")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4191,6 +4203,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_walk_corpus": q126_walk_corpus,
         "q127_adamic_adar": q127_adamic_adar,
         "q128_skipgram_pairs": q128_skipgram_pairs,
+        "q129_allpairs_jaccard": q129_allpairs_jaccard,
     }
 
 
@@ -5418,6 +5431,31 @@ def extra_oracle_sql() -> dict[str, str]:
              AND a.step <> b.step AND abs(a.step - b.step) <= 2
             GROUP BY center, context
             ORDER BY center, context
+        """,
+        "q129_allpairs_jaccard": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS term
+                FROM toks, LATERAL (
+                    SELECT unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i
+                )
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            ins AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                FROM sh a JOIN sh b ON a.term = b.term AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, inter, sa.n + sb.n - inter AS uni,
+                   round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jac
+            FROM ins
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE 5 * inter >= 3 * (sa.n + sb.n - inter)
+            ORDER BY id_a, id_b
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

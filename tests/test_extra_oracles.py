@@ -118,6 +118,7 @@ def duck():
         "q126_walk_corpus",
         "q127_adamic_adar",
         "q128_skipgram_pairs",
+        "q129_allpairs_jaccard",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
