@@ -2696,6 +2696,33 @@ def q129_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allpairs_jaccard(sets, t_num=3, t_den=5).orderBy("id_a", "id_b")
 
 
+def q130_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT-keyed CDX capture index over synthesized crawl urls (mixed
+    case, www prefixes, default ports, query strings, fragments) — the
+    Common-Crawl cc-index row shape, derivation shuffle-free."""
+    from spanluke_spark.etl.cdx import build_cdx
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    port = F.when(d % 3 == 0, F.lit(":443")).otherwise(F.lit(""))
+    pages = docs.select(
+        F.concat(
+            F.lit("https://WWW.sub"),
+            (d % 5).cast("string"),
+            F.lit(".ExAmple.COM"),
+            port,
+            F.lit("/Path"),
+            (d % 4).cast("string"),
+            F.lit("/page?b=2&a="),
+            (d % 6).cast("string"),
+            F.lit("#frag"),
+        ).alias("url"),
+        (F.lit(20240101000000) + d).alias("warc_ts"),
+        F.col("text").alias("html"),
+    )
+    return build_cdx(pages).orderBy("surt_key", "ts")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4204,6 +4231,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_adamic_adar": q127_adamic_adar,
         "q128_skipgram_pairs": q128_skipgram_pairs,
         "q129_allpairs_jaccard": q129_allpairs_jaccard,
+        "q130_cdx_index": q130_cdx_index,
     }
 
 
@@ -5456,6 +5484,40 @@ def extra_oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE 5 * inter >= 3 * (sa.n + sb.n - inter)
             ORDER BY id_a, id_b
+        """,
+        "q130_cdx_index": """
+            WITH pages AS (
+                SELECT 'https://WWW.sub' || (doc_id % 5) || '.ExAmple.COM'
+                       || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+                       || '/Path' || (doc_id % 4) || '/page?b=2&a='
+                       || (doc_id % 6) || '#frag' AS url,
+                       20240101000000 + doc_id AS ts,
+                       text AS html
+                FROM documents
+            ),
+            derived AS (
+                SELECT lower(url) AS u, ts, url, html FROM pages
+            ),
+            hosts AS (
+                SELECT regexp_replace(
+                           regexp_replace(
+                               regexp_extract(u,
+                                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                               '^www\\.', ''),
+                           ':(80|443)$', '') AS host,
+                       regexp_extract(u,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)', 1)
+                           AS rest,
+                       ts, url, html
+                FROM derived
+            )
+            SELECT array_to_string(list_reverse(string_split(host, '.')), ',')
+                       || ')' || (CASE WHEN rest = '' THEN '/' ELSE rest END)
+                       AS surt_key,
+                   ts, url, sha256(html) AS digest,
+                   length(html) AS length
+            FROM hosts
+            ORDER BY surt_key, ts
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

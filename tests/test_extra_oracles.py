@@ -119,6 +119,7 @@ def duck():
         "q127_adamic_adar",
         "q128_skipgram_pairs",
         "q129_allpairs_jaccard",
+        "q130_cdx_index",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
