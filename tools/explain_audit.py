@@ -270,6 +270,93 @@ def main() -> None:
         "(rank filter pushed below the exchange)",
     )
 
+    # 18. BM25: query-term and df joins broadcast (the postings side never
+    # shuffles for them); per-query top-k is a WindowGroupLimit partial
+    from spanluke_spark.textops.bm25 import bm25_topk
+
+    queries = spark.createDataFrame(
+        [(1, "hash join"), (2, "stream window")], "query_id int, query_text string"
+    )
+    bplan = (
+        bm25_topk(docs, queries, topk=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    check(
+        "bm25_broadcast_and_partial_topk",
+        bplan.count("BroadcastHashJoin") >= 2
+        and "SortMergeJoin" not in bplan
+        and "WindowGroupLimit" in bplan,
+    )
+
+    # 19. JSON-LD extraction: pure codegen projection — zero Python, zero
+    # Exchange before the caller's dedupe
+    from spanluke_spark.etl.jsonld import jsonld_triples
+
+    pages = docs.select(
+        F.concat(F.lit("https://ex.org/d"), F.col("doc_id")).alias("url"),
+        F.concat(
+            F.lit('<script type="application/ld+json">{"@id":"e'),
+            F.col("doc_id") % 7,
+            F.lit('","name":"x"}</script>'),
+        ).alias("html"),
+    )
+    jplan = jsonld_triples(pages)._jdf.queryExecution().executedPlan().toString()
+    check(
+        "jsonld_no_shuffle_no_python",
+        "Exchange" not in jplan and "Python" not in jplan,
+    )
+
+    # 20. all-pairs prefix filter: the prefix window is keyed per doc
+    # (never a single global sort) and no cartesian product anywhere
+    from spanluke_spark.textops.allpairs import allpairs_jaccard, doc_term_sets
+
+    aplan = (
+        allpairs_jaccard(doc_term_sets(docs), 3, 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    check(
+        "allpairs_keyed_window_no_cartesian",
+        "Exchange hashpartitioning(doc_id" in aplan
+        and "Exchange SinglePartition" not in aplan
+        and "CartesianProduct" not in aplan,
+    )
+
+    # 21. TransE candidates: the test side rides in as a broadcast nested
+    # loop; the entity table is never shuffled for candidate generation
+    from spanluke_spark.graph.kge_eval import transe_filtered_ranks
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    entities = emb.select(
+        F.col("vec_id").alias("entity_id"), F.col("embedding").alias("vec")
+    )
+    relations = emb.where(F.col("vec_id") < 2).select(
+        F.concat(F.lit("r"), F.col("vec_id")).alias("rel"),
+        F.col("embedding").alias("vec"),
+    )
+    test = spark.createDataFrame([(0, "r0", 1)], "s long, rel string, o long")
+    kplan = (
+        transe_filtered_ranks(entities, relations, test, test)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    check("transe_candidates_broadcast", "BroadcastNestedLoopJoin" in kplan)
+
+    # 22. CDX derivation: shuffle-free pure projection
+    from spanluke_spark.etl.cdx import build_cdx
+
+    cpages = docs.select(
+        F.concat(F.lit("https://ex.org/"), F.col("doc_id")).alias("url"),
+        F.col("doc_id").alias("warc_ts"),
+        F.col("text").alias("html"),
+    )
+    cplan = build_cdx(cpages)._jdf.queryExecution().executedPlan().toString()
+    check("cdx_no_shuffle", "Exchange" not in cplan and "Python" not in cplan)
+
     spark.stop()
     sys.exit(1 if failures else 0)
 
