@@ -2723,6 +2723,36 @@ def q130_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_cdx(pages).orderBy("surt_key", "ts")
 
 
+_WEBTABLE_PAGE = (
+    "<html><body><h1>Case %1$s</h1><table class=x>"
+    "<TR><th>Judge</th><th >Court</th><th>Year</th></TR>"
+    "<tr><td>J%2$s</td><td>Court &amp; Co %3$s</td><td>19%4$s</td></tr>"
+    "<tr><td>J%5$s</td><td>  Annex\n Hall </td><td>20%4$s</td></tr>"
+    "</table></body></html>"
+)
+
+
+def q131_webtable_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebTables-style attribute-value fact mining from HTML <table>
+    markup (header row joined to data cells by position; entity decode,
+    tag strip, whitespace collapse). Constructive oracle pins the full
+    extraction semantics."""
+    from spanluke_spark.etl.webtables import table_facts
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    c = d % 50
+    j = c % 20
+    pages = docs.select(
+        F.format_string("https://ex.org/case%s", c).alias("url"),
+        F.format_string(
+            _WEBTABLE_PAGE, c, j, c % 7, c % 10, (j + 1) % 20
+        ).alias("html"),
+    )
+    out = table_facts(pages).distinct()
+    return out.orderBy("url", "table_idx", "row_idx", "header")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4232,6 +4262,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_skipgram_pairs": q128_skipgram_pairs,
         "q129_allpairs_jaccard": q129_allpairs_jaccard,
         "q130_cdx_index": q130_cdx_index,
+        "q131_webtable_facts": q131_webtable_facts,
     }
 
 
@@ -5518,6 +5549,20 @@ def extra_oracle_sql() -> dict[str, str]:
                    length(html) AS length
             FROM hosts
             ORDER BY surt_key, ts
+        """,
+        "q131_webtable_facts": """
+            WITH cases AS (SELECT DISTINCT doc_id % 50 AS c FROM documents)
+            SELECT 'https://ex.org/case' || c AS url,
+                   0 AS table_idx, row_idx, header, value
+            FROM cases, LATERAL (VALUES
+                (1, 'Judge', 'J' || (c % 20)),
+                (1, 'Court', 'Court & Co ' || (c % 7)),
+                (1, 'Year', '19' || (c % 10)),
+                (2, 'Judge', 'J' || ((c % 20 + 1) % 20)),
+                (2, 'Court', 'Annex Hall'),
+                (2, 'Year', '20' || (c % 10))
+            ) AS t(row_idx, header, value)
+            ORDER BY url, table_idx, row_idx, header
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

@@ -120,6 +120,7 @@ def duck():
         "q128_skipgram_pairs",
         "q129_allpairs_jaccard",
         "q130_cdx_index",
+        "q131_webtable_facts",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
