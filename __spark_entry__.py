@@ -2753,6 +2753,58 @@ def q131_webtable_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("url", "table_idx", "row_idx", "header")
 
 
+def q132_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order view->click->purchase funnel per user over the events
+    table: per-step earliest completion times via chained min-aggs on the
+    user key (no windows, no event arrays)."""
+    from spanluke_spark.etl.funnel import funnel
+
+    events = _t(spark, sf_dir, "events")
+    out = funnel(events, ["view", "click", "purchase"])
+    return out.select(
+        "user_id", "t1", "t2", "t3", "steps_completed"
+    ).orderBy("user_id")
+
+
+def q133_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage scoring: a deterministically perturbed
+    copy of the customer table is compared field-by-field (name / nation /
+    segment, with a NULL-comparison lane), each agreement pattern scored by
+    log-likelihood-ratio weights and thresholded link/possible/non_link."""
+    from spanluke_spark.link.fellegi import FieldParams, fs_score
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    right = cust.select(
+        k.alias("key"),
+        F.when(k % 7 == 0, F.lit(None).cast("string"))
+        .when(k % 3 == 1, F.concat(F.col("c_name"), F.lit("~")))
+        .otherwise(F.col("c_name"))
+        .alias("name2"),
+        F.when(k % 2 == 0, F.col("c_nationkey"))
+        .otherwise(F.col("c_nationkey") + 1)
+        .alias("nation2"),
+        F.when(k % 5 == 2, F.lit("OTHER_SEG"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment2"),
+    )
+    pairs = (
+        cust.join(right, k == F.col("key"))
+        .select(
+            "c_custkey",
+            (F.col("c_name") == F.col("name2")).alias("name_agree"),
+            (F.col("c_nationkey") == F.col("nation2")).alias("nation_agree"),
+            (F.col("c_mktsegment") == F.col("segment2")).alias("segment_agree"),
+        )
+    )
+    fields = [
+        FieldParams("name_agree", 0.95, 0.01),
+        FieldParams("nation_agree", 0.9, 0.04),
+        FieldParams("segment_agree", 0.9, 0.2),
+    ]
+    return fs_score(pairs, fields, upper=6.0, lower=0.0).orderBy("c_custkey")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4263,6 +4315,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_allpairs_jaccard": q129_allpairs_jaccard,
         "q130_cdx_index": q130_cdx_index,
         "q131_webtable_facts": q131_webtable_facts,
+        "q132_event_funnel": q132_event_funnel,
+        "q133_fellegi_sunter": q133_fellegi_sunter,
     }
 
 
@@ -5563,6 +5617,59 @@ def extra_oracle_sql() -> dict[str, str]:
                 (2, 'Year', '20' || (c % 10))
             ) AS t(row_idx, header, value)
             ORDER BY url, table_idx, row_idx, header
+        """,
+        "q132_event_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN s1 ON s1.user_id = e.user_id
+                 AND e.ts > s1.t1
+                WHERE e.event_type = 'click' GROUP BY e.user_id
+            ),
+            s3 AS (
+                SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN s2 ON s2.user_id = e.user_id
+                 AND e.ts > s2.t2
+                WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            )
+            SELECT s1.user_id, t1, t2, t3,
+                   1 + CAST(t2 IS NOT NULL AS INT)
+                     + CAST(t3 IS NOT NULL AS INT) AS steps_completed
+            FROM s1
+            LEFT JOIN s2 ON s2.user_id = s1.user_id
+            LEFT JOIN s3 ON s3.user_id = s1.user_id
+            ORDER BY s1.user_id
+        """,
+        "q133_fellegi_sunter": """
+            WITH ag AS (
+                SELECT c_custkey,
+                       CASE WHEN c_custkey % 7 = 0 THEN NULL
+                            WHEN c_custkey % 3 = 1 THEN false
+                            ELSE true END AS name_agree,
+                       c_custkey % 2 = 0 AS nation_agree,
+                       c_custkey % 5 <> 2 AS segment_agree
+                FROM customer
+            ),
+            sc AS (
+                SELECT c_custkey, name_agree, nation_agree, segment_agree,
+                       round(
+                           (CASE WHEN name_agree IS NULL THEN 0.0
+                                 WHEN name_agree THEN log2(0.95 / 0.01)
+                                 ELSE log2(0.05 / 0.99) END)
+                         + (CASE WHEN nation_agree THEN log2(0.9 / 0.04)
+                                 ELSE log2(0.1 / 0.96) END)
+                         + (CASE WHEN segment_agree THEN log2(0.9 / 0.2)
+                                 ELSE log2(0.1 / 0.8) END), 6) AS score
+                FROM ag
+            )
+            SELECT c_custkey, name_agree, nation_agree, segment_agree, score,
+                   CASE WHEN score >= 6.0 THEN 'link'
+                        WHEN score < 0.0 THEN 'non_link'
+                        ELSE 'possible' END AS decision
+            FROM sc ORDER BY c_custkey
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

@@ -1,0 +1,62 @@
+"""Ordered-funnel analysis over the event stream — the standard product /
+crawl-operations query ("of the users who viewed, how many then clicked,
+then purchased — in that order?"), same semantics as ClickHouse's
+``windowFunnel`` with strict ordering and no window cap.
+
+Step semantics: t1 = the user's earliest step-1 event; t_i = the earliest
+step-i event STRICTLY AFTER t_{i-1}. Users keep their longest prefix
+(left-join chain), so per-step conversion falls out of a count.
+
+Scale shape: one map-side-combinable groupBy per step, each keyed on the
+user — k steps = k aggs + k-1 equi-joins on the same key, so after the
+first shuffle every later stage reuses the (user) partitioning (no
+re-exchange under AQE); the event table is filtered to one step's type
+BEFORE each join (predicate pushdown into the scan). No windows, no
+per-user sorting, no event-list materialization — a user with 10^6 events
+costs min-agg rows, not an array.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel"]
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """-> (user_id, t1..tk, steps_completed): per-user earliest strict-order
+    completion times for ``steps``; t_i is NULL once the chain breaks."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+
+    u, ts, et = F.col(user_col), F.col(ts_col), F.col(type_col)
+    per_step: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for i, s in enumerate(steps, start=1):
+        e = events.where(et == s).select(u.alias("user_id"), ts.alias("ts"))
+        if prev is None:
+            cur = e.groupBy("user_id").agg(F.min("ts").alias(f"t{i}"))
+        else:
+            cur = (
+                e.join(prev.select("user_id", f"t{i-1}"), "user_id")
+                .where(F.col("ts") > F.col(f"t{i-1}"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias(f"t{i}"))
+            )
+        per_step.append(cur)
+        prev = cur
+
+    out = per_step[0]
+    for nxt in per_step[1:]:
+        out = out.join(nxt, "user_id", "left")
+    completed = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        completed = completed + F.col(f"t{i}").isNotNull().cast("int")
+    return out.withColumn("steps_completed", completed)

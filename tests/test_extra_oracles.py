@@ -121,6 +121,8 @@ def duck():
         "q129_allpairs_jaccard",
         "q130_cdx_index",
         "q131_webtable_facts",
+        "q132_event_funnel",
+        "q133_fellegi_sunter",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
