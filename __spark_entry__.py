@@ -2805,6 +2805,31 @@ def q133_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_score(pairs, fields, upper=6.0, lower=0.0).orderBy("c_custkey")
 
 
+def q134_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cho & Garcia-Molina change-rate estimation over synthetic capture
+    histories (40 urls with change-every-{1..4}-visits digests at weekly
+    cadence, plus a single-capture url exercising the NULL lane)."""
+    from spanluke_spark.etl.recrawl import change_rate
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    u = d % 40
+    v = F.floor(d / 40)
+    caps = docs.select(
+        F.concat(F.lit("u"), u.cast("string")).alias("url"),
+        (v * 7).alias("ts"),
+        F.concat(
+            F.lit("g"), F.floor(v / (u % 4 + 1)).cast("string")
+        ).alias("digest"),
+    )
+    single = docs.where(d == 0).select(
+        F.lit("u_single").alias("url"),
+        F.lit(0).cast("long").alias("ts"),
+        F.lit("g0").alias("digest"),
+    )
+    return change_rate(caps.unionByName(single)).orderBy("url")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4317,6 +4342,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_webtable_facts": q131_webtable_facts,
         "q132_event_funnel": q132_event_funnel,
         "q133_fellegi_sunter": q133_fellegi_sunter,
+        "q134_recrawl_schedule": q134_recrawl_schedule,
     }
 
 
@@ -5670,6 +5696,47 @@ def extra_oracle_sql() -> dict[str, str]:
                         WHEN score < 0.0 THEN 'non_link'
                         ELSE 'possible' END AS decision
             FROM sc ORDER BY c_custkey
+        """,
+        "q134_recrawl_schedule": """
+            WITH caps AS (
+                SELECT 'u' || (doc_id % 40) AS url,
+                       (doc_id // 40) * 7 AS ts,
+                       'g' || ((doc_id // 40) // (doc_id % 40 % 4 + 1)) AS digest
+                FROM documents
+                UNION ALL
+                SELECT 'u_single', 0, 'g0' FROM documents WHERE doc_id = 0
+            ),
+            seq AS (
+                SELECT url, ts, digest,
+                       lag(digest) OVER (PARTITION BY url ORDER BY ts)
+                           AS prev_digest
+                FROM caps
+            ),
+            agg AS (
+                SELECT url, count(*) AS n_obs,
+                       sum(CASE WHEN prev_digest IS NOT NULL
+                                 AND digest <> prev_digest
+                                THEN 1 ELSE 0 END) AS n_changes,
+                       min(ts) AS ts_min, max(ts) AS ts_max
+                FROM seq GROUP BY url
+            )
+            SELECT url, n_obs, n_changes,
+                   round(lam, 6) AS lambda_hat,
+                   round(CASE WHEN lam > 0 THEN 1.0 / lam END, 6)
+                       AS recrawl_interval
+            FROM (
+                SELECT *,
+                       CASE WHEN n_obs > 1
+                             AND (ts_max - ts_min)::DOUBLE / (n_obs - 1) > 0
+                            THEN -ln(1.0 - least(
+                                     n_changes::DOUBLE / (n_obs - 1),
+                                     (n_obs - 1 - 0.5) / (n_obs - 1)))
+                                 / ((ts_max - ts_min)::DOUBLE / (n_obs - 1))
+                                 + 0.0
+                       END AS lam
+                FROM agg
+            )
+            ORDER BY url
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

@@ -123,6 +123,7 @@ def duck():
         "q131_webtable_facts",
         "q132_event_funnel",
         "q133_fellegi_sunter",
+        "q134_recrawl_schedule",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
