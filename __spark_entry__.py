@@ -2830,6 +2830,36 @@ def q134_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return change_rate(caps.unionByName(single)).orderBy("url")
 
 
+_MICRODATA_PAGE = (
+    "<html><body><h1>ignored</h1>"
+    '<div itemscope itemtype="https://schema.org/LegalCase">'
+    '<span itemprop="name">Case %1$s</span>'
+    '<meta itemprop="caseNumber" content="%1$s">'
+    '<a itemprop="url" href="https://court.example/%1$s">link</a>'
+    '<div itemscope itemtype="https://schema.org/Person">'
+    '<span itemprop="name">Judge  %2$s</span>'
+    "</div></div></body></html>"
+)
+
+
+def q135_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML5 microdata extraction (flat-scope WDC model): itemscope split,
+    itemtype capture, the three value rules (meta@content, a/link@href,
+    element text), whitespace collapse; nested scopes become their own
+    items in document order."""
+    from spanluke_spark.etl.microdata import microdata_items
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    c = d % 50
+    pages = docs.select(
+        F.format_string("https://ex.org/md%s", c).alias("url"),
+        F.format_string(_MICRODATA_PAGE, c, c % 20).alias("html"),
+    ).distinct()  # one page per url (item_idx numbers WITHIN a page)
+    out = microdata_items(pages)
+    return out.orderBy("url", "item_idx", "prop")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4343,6 +4373,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_event_funnel": q132_event_funnel,
         "q133_fellegi_sunter": q133_fellegi_sunter,
         "q134_recrawl_schedule": q134_recrawl_schedule,
+        "q135_microdata": q135_microdata,
     }
 
 
@@ -5737,6 +5768,21 @@ def extra_oracle_sql() -> dict[str, str]:
                 FROM agg
             )
             ORDER BY url
+        """,
+        "q135_microdata": """
+            WITH cases AS (SELECT DISTINCT doc_id % 50 AS c FROM documents)
+            SELECT 'https://ex.org/md' || c AS url, item_idx, item_type,
+                   prop, value
+            FROM cases, LATERAL (VALUES
+                (0, 'https://schema.org/LegalCase', 'name', 'Case ' || c),
+                (0, 'https://schema.org/LegalCase', 'caseNumber',
+                 CAST(c AS VARCHAR)),
+                (0, 'https://schema.org/LegalCase', 'url',
+                 'https://court.example/' || c),
+                (1, 'https://schema.org/Person', 'name',
+                 'Judge ' || (c % 20))
+            ) AS t(item_idx, item_type, prop, value)
+            ORDER BY url, item_idx, prop
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

@@ -124,6 +124,7 @@ def duck():
         "q132_event_funnel",
         "q133_fellegi_sunter",
         "q134_recrawl_schedule",
+        "q135_microdata",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
