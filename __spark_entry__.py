@@ -2860,6 +2860,35 @@ def q135_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("url", "item_idx", "prop")
 
 
+_WEBFACTS_PAGE = (
+    '<html><head><script type="application/ld+json">'
+    '{"@id":"case:c%1$s","@type":"LegalCase","name":"Case %1$s"}'
+    "</script></head><body>"
+    '<div itemscope itemtype="https://schema.org/Person">'
+    '<span itemprop="name">Judge %2$s</span></div>'
+    "<table><tr><th>Year</th></tr><tr><td>19%3$s</td></tr></table>"
+    "</body></html>"
+)
+
+
+def q136_web_facts_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three markup lanes (JSON-LD + microdata + table) composed over
+    one crawl page stream into a single normalized fact relation — the
+    WDC quad-corpus shape. One pass over pages, three projection
+    branches, no extra shuffle."""
+    from spanluke_spark.etl.webfacts import extract_web_facts
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    c = d % 50
+    pages = docs.select(
+        F.format_string("https://ex.org/all%s", c).alias("url"),
+        F.format_string(_WEBFACTS_PAGE, c, c % 20, c % 10).alias("html"),
+    ).distinct()
+    out = extract_web_facts(pages)
+    return out.orderBy("url", "lane", "subj", "pred", "obj")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4374,6 +4403,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_fellegi_sunter": q133_fellegi_sunter,
         "q134_recrawl_schedule": q134_recrawl_schedule,
         "q135_microdata": q135_microdata,
+        "q136_web_facts_union": q136_web_facts_union,
     }
 
 
@@ -5783,6 +5813,21 @@ def extra_oracle_sql() -> dict[str, str]:
                  'Judge ' || (c % 20))
             ) AS t(item_idx, item_type, prop, value)
             ORDER BY url, item_idx, prop
+        """,
+        "q136_web_facts_union": """
+            WITH cases AS (SELECT DISTINCT doc_id % 50 AS c FROM documents)
+            SELECT 'https://ex.org/all' || c AS url, subj, pred, obj, lane
+            FROM cases, LATERAL (VALUES
+                ('case:c' || c, 'rdf:type', 'LegalCase', 'jsonld'),
+                ('case:c' || c, 'name', 'Case ' || c, 'jsonld'),
+                ('md:https://ex.org/all' || c || '#0', 'name',
+                 'Judge ' || (c % 20), 'microdata'),
+                ('md:https://ex.org/all' || c || '#0', 'rdf:type',
+                 'https://schema.org/Person', 'microdata'),
+                ('tbl:https://ex.org/all' || c || '#0.1', 'Year',
+                 '19' || (c % 10), 'table')
+            ) AS t(subj, pred, obj, lane)
+            ORDER BY url, lane, subj, pred, obj
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

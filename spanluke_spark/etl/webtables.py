@@ -75,19 +75,53 @@ def table_cells(
 def table_facts(
     pages: DataFrame, html_col: str = "html", url_col: str = "url"
 ) -> DataFrame:
-    """-> (url, table_idx, row_idx, header, value): data cells joined to
+    """-> (url, table_idx, row_idx, header, value): data cells matched to
     their column header by position. Tables whose first row is not a
-    header row yield no facts (the WDC relational-table criterion)."""
-    cells = table_cells(pages, html_col=html_col, url_col=url_col)
-    headers = cells.where(F.col("is_header") & (F.col("row_idx") == 0)).select(
-        "url",
-        "table_idx",
-        "col_idx",
-        F.col("cell").alias("header"),
+    header row yield no facts (the WDC relational-table criterion).
+
+    Shuffle-free: the header array is derived IN-ROW from each table
+    fragment (first <tr> re-parsed to a transformed array) instead of
+    joining a headers relation back onto the cell stream — at 10^12 pages
+    that join would shuffle every cell; this formulation is three nested
+    explodes with a positional element_at, zero exchanges."""
+    tables = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(html_col), F.lit(_TABLE_RE), 1)
+        ).alias("table_idx", "tbl"),
     )
-    data = cells.where(~F.col("is_header")).select(
-        "url", "table_idx", "row_idx", "col_idx", F.col("cell").alias("value")
+    trs = F.regexp_extract_all(F.col("tbl"), F.lit(_TR_RE), 1)
+    first_tr = F.element_at(trs, 1)
+    headers = F.transform(
+        F.regexp_extract_all(first_tr, F.lit(_CELL_RE), 1), _clean
     )
-    return data.join(headers, ["url", "table_idx", "col_idx"]).select(
-        "url", "table_idx", "row_idx", "header", "value"
+    rows = (
+        tables.withColumn("headers", headers)
+        .where(first_tr.rlike(r"(?is)<th[\s>]"))
+        .select(
+            "url",
+            "table_idx",
+            "headers",
+            F.posexplode(trs).alias("row_idx", "tr"),
+        )
+        .where(F.col("row_idx") > 0)
+        .where(~F.col("tr").rlike(r"(?is)<th[\s>]"))
+    )
+    return (
+        rows.select(
+            "url",
+            "table_idx",
+            "row_idx",
+            "headers",
+            F.posexplode(
+                F.regexp_extract_all(F.col("tr"), F.lit(_CELL_RE), 1)
+            ).alias("col_idx", "cell"),
+        )
+        .withColumn(
+            "header", F.try_element_at(F.col("headers"), F.col("col_idx") + 1)
+        )
+        .where(F.col("header").isNotNull())
+        .select(
+            "url", "table_idx", "row_idx", "header", _clean(F.col("cell")).alias("value")
+        )
     )

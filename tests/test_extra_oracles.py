@@ -125,6 +125,7 @@ def duck():
         "q133_fellegi_sunter",
         "q134_recrawl_schedule",
         "q135_microdata",
+        "q136_web_facts_union",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
