@@ -2889,6 +2889,22 @@ def q136_web_facts_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("url", "lane", "subj", "pred", "obj")
 
 
+def q137_kmv_ball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall-style 2-hop neighborhood-size estimation with the
+    deterministic KMV sketch (k=16): exact below k, estimator path
+    exercised by a 60-fanout hub. Oracle unrolls both sketch rounds."""
+    from spanluke_spark.graph.neighborhood import kmv_ball
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    m = d % 60
+    ring = docs.select(m.alias("src"), ((m + 1) % 60).alias("dst"))
+    chord = docs.where(m % 3 == 0).select(m.alias("src"), ((m + 9) % 60).alias("dst"))
+    hub = docs.select(F.lit(999).alias("src"), m.alias("dst"))
+    edges = ring.unionByName(chord).unionByName(hub)
+    return kmv_ball(edges, radius=2, k=16).orderBy("node")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4404,6 +4420,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_recrawl_schedule": q134_recrawl_schedule,
         "q135_microdata": q135_microdata,
         "q136_web_facts_union": q136_web_facts_union,
+        "q137_kmv_ball": q137_kmv_ball,
     }
 
 
@@ -5828,6 +5845,66 @@ def extra_oracle_sql() -> dict[str, str]:
                  '19' || (c % 10), 'table')
             ) AS t(subj, pred, obj, lane)
             ORDER BY url, lane, subj, pred, obj
+        """,
+        "q137_kmv_ball": """
+            WITH base AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT doc_id % 60 AS src, (doc_id % 60 + 1) % 60 AS dst
+                    FROM documents
+                    UNION ALL
+                    SELECT doc_id % 60, (doc_id % 60 + 9) % 60
+                    FROM documents WHERE doc_id % 60 % 3 = 0
+                    UNION ALL
+                    SELECT 999, doc_id % 60 FROM documents
+                )
+            ),
+            nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM base
+                    UNION ALL SELECT dst FROM base
+                )
+            ),
+            s0 AS (
+                SELECT node,
+                       ('0x' || substr(md5(node::VARCHAR), 1, 15))::BIGINT AS h
+                FROM nodes
+            ),
+            u1 AS (
+                SELECT DISTINCT node, h FROM (
+                    SELECT node, h FROM s0
+                    UNION ALL
+                    SELECT b.src AS node, s.h FROM base b
+                    JOIN s0 s ON s.node = b.dst
+                )
+            ),
+            s1 AS (
+                SELECT node, h FROM (
+                    SELECT node, h,
+                           row_number() OVER (PARTITION BY node ORDER BY h) AS rn
+                    FROM u1
+                ) WHERE rn <= 16
+            ),
+            u2 AS (
+                SELECT DISTINCT node, h FROM (
+                    SELECT node, h FROM s1
+                    UNION ALL
+                    SELECT b.src AS node, s.h FROM base b
+                    JOIN s1 s ON s.node = b.dst
+                )
+            ),
+            s2 AS (
+                SELECT node, h FROM (
+                    SELECT node, h,
+                           row_number() OVER (PARTITION BY node ORDER BY h) AS rn
+                    FROM u2
+                ) WHERE rn <= 16
+            )
+            SELECT node, count(*) AS n_kept,
+                   round(CASE WHEN count(*) < 16 THEN count(*)::DOUBLE
+                              ELSE 15.0 / (max(h)
+                                   / 1152921504606846976.0) END,
+                         6) AS ball_estimate
+            FROM s2 GROUP BY node ORDER BY node
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

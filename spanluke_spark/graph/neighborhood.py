@@ -1,0 +1,75 @@
+"""Neighborhood-function estimation over the web graph — the HyperBall
+algorithm (Boldi & Vigna 2013, "In-Core Computation of Geometric
+Centralities with HyperBall") with the engine's deterministic KMV sketch
+in place of HyperLogLog: per node, estimate |{m : dist(n, m) <= r}| for
+growing radii by iterating "my ball = merge of my out-neighbors' balls ∪
+me". Reach curves feed effective-diameter estimates and harmonic/closeness
+centrality at crawl scale, where an exact all-sources BFS is |V| BFS runs.
+
+Why KMV instead of HLL: identical estimator quality class, but the sketch
+content is a deterministic function of the node ids (portable md5), so the
+SQL oracle reproduces every sketch row and the estimate EXACTLY — the
+repo-wide no-RNG rule (see textops/sketch.py).
+
+Relational shape per round: one equi-join of the sketch relation against
+the edge list (neighbor rows re-keyed to the collecting node), one union
+with the previous sketch, one per-node k-min (WindowGroupLimit partial
+top-k — each task forwards <= k rows per node). Sketch size is k rows per
+node, FIXED: a 10^7-degree hub's ball costs k rows, not 10^7. Rounds =
+radius (web graphs: effective diameter ~6-16).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..dedup.dedup import portable_hash64
+from ..textops.sketch import M60
+
+__all__ = ["kmv_ball"]
+
+
+def kmv_ball(
+    edges: DataFrame,
+    radius: int = 2,
+    k: int = 16,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """-> (node, n_kept, ball_estimate): estimated count of distinct nodes
+    within <= radius directed hops of each node (self included; exact
+    whenever the true ball is smaller than k)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sketch = nodes.select(
+        "node", portable_hash64(F.col("node").cast("string")).alias("h")
+    ).localCheckpoint(eager=True)
+
+    w = Window.partitionBy("node").orderBy("h")
+    for _ in range(radius):
+        from_nbrs = e.join(
+            sketch.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "h")
+        sketch = (
+            sketch.unionByName(from_nbrs)
+            .distinct()
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+
+    return sketch.groupBy("node").agg(
+        F.count("*").alias("n_kept"),
+        F.round(
+            F.when(F.count("*") < k, F.count("*").cast("double")).otherwise(
+                (k - 1) / (F.max("h") / F.lit(M60))
+            ),
+            6,
+        ).alias("ball_estimate"),
+    )

@@ -126,6 +126,7 @@ def duck():
         "q134_recrawl_schedule",
         "q135_microdata",
         "q136_web_facts_union",
+        "q137_kmv_ball",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
