@@ -2905,6 +2905,38 @@ def q137_kmv_ball(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_ball(edges, radius=2, k=16).orderBy("node")
 
 
+def q138_entity_disambig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Milne-Witten style entity disambiguation: broadcast anchor
+    dictionary (commonness prior) x Jaccard context-profile overlap,
+    deterministic top-1 per mention."""
+    from spanluke_spark.link.disambig import disambiguate
+    from spanluke_spark.textops.bm25 import terms_of
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    terms = docs.select(
+        d.alias("id"), F.explode(terms_of(F.col("text"))).alias("term")
+    ).distinct()
+    mentions = docs.where(d < 50).select(
+        d.alias("mention_id"),
+        F.concat(F.lit("a"), (d % 5).cast("string")).alias("anchor"),
+    )
+    anchor_stats = spark.createDataFrame(
+        [(f"a{k}", k, 3) for k in range(5)]
+        + [(f"a{k}", k + 5, 1) for k in range(5)],
+        "anchor string, entity long, cnt long",
+    )
+    ents = spark.createDataFrame(
+        [(e, (e * 31) % 500) for e in range(10)], "entity long, pid long"
+    )
+    entity_terms = ents.join(terms, ents.pid == terms.id).select("entity", "term")
+    mention_terms = terms.where(F.col("id") < 50).select(
+        F.col("id").alias("mention_id"), "term"
+    )
+    out = disambiguate(mentions, anchor_stats, mention_terms, entity_terms)
+    return out.orderBy("mention_id")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4421,6 +4453,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_microdata": q135_microdata,
         "q136_web_facts_union": q136_web_facts_union,
         "q137_kmv_ball": q137_kmv_ball,
+        "q138_entity_disambig": q138_entity_disambig,
     }
 
 
@@ -5905,6 +5938,72 @@ def extra_oracle_sql() -> dict[str, str]:
                                    / 1152921504606846976.0) END,
                          6) AS ball_estimate
             FROM s2 GROUP BY node ORDER BY node
+        """,
+        "q138_entity_disambig": """
+            WITH toks AS (
+                SELECT doc_id AS id,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '')) AS term
+                FROM documents
+            ),
+            terms AS (SELECT DISTINCT id, term FROM toks),
+            mentions AS (
+                SELECT doc_id AS mention_id, 'a' || (doc_id % 5) AS anchor
+                FROM documents WHERE doc_id < 50
+            ),
+            stats AS (
+                SELECT 'a' || k AS anchor, k AS entity, 3 AS cnt
+                FROM range(0, 5) t(k)
+                UNION ALL
+                SELECT 'a' || k, k + 5, 1 FROM range(0, 5) t(k)
+            ),
+            dict AS (
+                SELECT anchor, entity,
+                       cnt::DOUBLE / sum(cnt) OVER (PARTITION BY anchor)
+                           AS commonness
+                FROM stats
+            ),
+            cands AS (
+                SELECT mention_id, entity, commonness
+                FROM mentions JOIN dict USING (anchor)
+            ),
+            ents AS (SELECT k AS entity, (k * 31) % 500 AS pid
+                     FROM range(0, 10) t(k)),
+            eterms AS (SELECT entity, term FROM ents
+                       JOIN terms ON terms.id = ents.pid),
+            mterms AS (SELECT id AS mention_id, term FROM terms WHERE id < 50),
+            msize AS (SELECT mention_id, count(*) AS n_m FROM mterms
+                      GROUP BY mention_id),
+            esize AS (SELECT entity, count(*) AS n_e FROM eterms
+                      GROUP BY entity),
+            ins AS (
+                SELECT c.mention_id, c.entity, count(*) AS inter
+                FROM cands c
+                JOIN mterms m ON m.mention_id = c.mention_id
+                JOIN eterms e ON e.entity = c.entity AND e.term = m.term
+                GROUP BY c.mention_id, c.entity
+            ),
+            scored AS (
+                SELECT c.mention_id, c.entity,
+                       round(c.commonness, 6) AS commonness,
+                       round(coalesce(i.inter, 0)::DOUBLE
+                             / (ms.n_m + es.n_e - coalesce(i.inter, 0)), 6)
+                           AS relatedness
+                FROM cands c
+                LEFT JOIN ins i ON i.mention_id = c.mention_id
+                 AND i.entity = c.entity
+                JOIN msize ms ON ms.mention_id = c.mention_id
+                JOIN esize es ON es.entity = c.entity
+            )
+            SELECT mention_id, entity, commonness, relatedness, score
+            FROM (
+                SELECT *, round(commonness * relatedness, 6) AS score,
+                       row_number() OVER (PARTITION BY mention_id
+                           ORDER BY round(commonness * relatedness, 6) DESC,
+                                    commonness DESC, entity) AS rn
+                FROM scored
+            ) WHERE rn = 1 ORDER BY mention_id
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

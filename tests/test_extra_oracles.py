@@ -127,6 +127,7 @@ def duck():
         "q135_microdata",
         "q136_web_facts_union",
         "q137_kmv_ball",
+        "q138_entity_disambig",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
