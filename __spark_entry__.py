@@ -2937,6 +2937,19 @@ def q138_entity_disambig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("mention_id")
 
 
+def q139_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment of a 1000-fetch crawl
+    budget across 23 hosts scored by total content volume; quotas are
+    integers summing exactly to the budget."""
+    from spanluke_spark.etl.budget import apportion_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = docs.groupBy(
+        F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string")).alias("host")
+    ).agg(F.sum("n_chars").alias("score"))
+    return apportion_budget(scores, 1000).orderBy("host")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4454,6 +4467,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_web_facts_union": q136_web_facts_union,
         "q137_kmv_ball": q137_kmv_ball,
         "q138_entity_disambig": q138_entity_disambig,
+        "q139_crawl_budget": q139_crawl_budget,
     }
 
 
@@ -6004,6 +6018,27 @@ def extra_oracle_sql() -> dict[str, str]:
                                     commonness DESC, entity) AS rn
                 FROM scored
             ) WHERE rn = 1 ORDER BY mention_id
+        """,
+        "q139_crawl_budget": """
+            WITH sc AS (
+                SELECT 'h' || (doc_id % 23) AS host, sum(n_chars) AS score
+                FROM documents GROUP BY 1
+            ),
+            ideal AS (
+                SELECT host, 1000 * score::DOUBLE
+                           / (SELECT sum(score) FROM sc) AS ideal
+                FROM sc
+            ),
+            parts AS (
+                SELECT host, floor(ideal) AS base, ideal - floor(ideal) AS rem
+                FROM ideal
+            )
+            SELECT host,
+                   CAST(base + CASE WHEN row_number() OVER (
+                            ORDER BY rem DESC, host)
+                        <= 1000 - (SELECT sum(base) FROM parts)
+                        THEN 1 ELSE 0 END AS BIGINT) AS quota
+            FROM parts ORDER BY host
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

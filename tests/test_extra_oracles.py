@@ -128,6 +128,7 @@ def duck():
         "q136_web_facts_union",
         "q137_kmv_ball",
         "q138_entity_disambig",
+        "q139_crawl_budget",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
