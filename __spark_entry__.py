@@ -2950,6 +2950,22 @@ def q139_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apportion_budget(scores, 1000).orderBy("host")
 
 
+def q140_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic centrality from the q137 ball curves (HyperBall
+    §4): HC = sum_r (|B_r| - |B_{r-1}|)/r at radius 2 over the same
+    chorded-ring-plus-hub graph."""
+    from spanluke_spark.graph.neighborhood import harmonic_centrality
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    m = d % 60
+    ring = docs.select(m.alias("src"), ((m + 1) % 60).alias("dst"))
+    chord = docs.where(m % 3 == 0).select(m.alias("src"), ((m + 9) % 60).alias("dst"))
+    hub = docs.select(F.lit(999).alias("src"), m.alias("dst"))
+    edges = ring.unionByName(chord).unionByName(hub)
+    return harmonic_centrality(edges, radius=2, k=16).orderBy("node")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4468,6 +4484,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_kmv_ball": q137_kmv_ball,
         "q138_entity_disambig": q138_entity_disambig,
         "q139_crawl_budget": q139_crawl_budget,
+        "q140_harmonic_centrality": q140_harmonic_centrality,
     }
 
 
@@ -5952,6 +5969,78 @@ def extra_oracle_sql() -> dict[str, str]:
                                    / 1152921504606846976.0) END,
                          6) AS ball_estimate
             FROM s2 GROUP BY node ORDER BY node
+        """,
+        "q140_harmonic_centrality": """
+            WITH base AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT doc_id % 60 AS src, (doc_id % 60 + 1) % 60 AS dst
+                    FROM documents
+                    UNION ALL
+                    SELECT doc_id % 60, (doc_id % 60 + 9) % 60
+                    FROM documents WHERE doc_id % 60 % 3 = 0
+                    UNION ALL
+                    SELECT 999, doc_id % 60 FROM documents
+                )
+            ),
+            nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM base
+                    UNION ALL SELECT dst FROM base
+                )
+            ),
+            s0 AS (
+                SELECT node,
+                       ('0x' || substr(md5(node::VARCHAR), 1, 15))::BIGINT AS h
+                FROM nodes
+            ),
+            u1 AS (
+                SELECT DISTINCT node, h FROM (
+                    SELECT node, h FROM s0
+                    UNION ALL
+                    SELECT b.src AS node, s.h FROM base b
+                    JOIN s0 s ON s.node = b.dst
+                )
+            ),
+            s1 AS (
+                SELECT node, h FROM (
+                    SELECT node, h,
+                           row_number() OVER (PARTITION BY node ORDER BY h) AS rn
+                    FROM u1
+                ) WHERE rn <= 16
+            ),
+            u2 AS (
+                SELECT DISTINCT node, h FROM (
+                    SELECT node, h FROM s1
+                    UNION ALL
+                    SELECT b.src AS node, s.h FROM base b
+                    JOIN s1 s ON s.node = b.dst
+                )
+            ),
+            s2 AS (
+                SELECT node, h FROM (
+                    SELECT node, h,
+                           row_number() OVER (PARTITION BY node ORDER BY h) AS rn
+                    FROM u2
+                ) WHERE rn <= 16
+            ),
+            est1 AS (
+                SELECT node,
+                       round(CASE WHEN count(*) < 16 THEN count(*)::DOUBLE
+                                  ELSE 15.0 / (max(h)
+                                       / 1152921504606846976.0) END, 6) AS b
+                FROM s1 GROUP BY node
+            ),
+            est2 AS (
+                SELECT node,
+                       round(CASE WHEN count(*) < 16 THEN count(*)::DOUBLE
+                                  ELSE 15.0 / (max(h)
+                                       / 1152921504606846976.0) END, 6) AS b
+                FROM s2 GROUP BY node
+            )
+            SELECT e1.node,
+                   round((e1.b - 1.0) / 1 + (e2.b - e1.b) / 2, 6) AS harmonic
+            FROM est1 e1 JOIN est2 e2 ON e2.node = e1.node
+            ORDER BY e1.node
         """,
         "q138_entity_disambig": """
             WITH toks AS (

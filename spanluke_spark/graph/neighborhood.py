@@ -73,3 +73,81 @@ def kmv_ball(
             6,
         ).alias("ball_estimate"),
     )
+
+
+def ball_curve(
+    edges: DataFrame,
+    radius: int = 2,
+    k: int = 16,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """-> (node, r, ball_estimate) for r = 0..radius: the per-node
+    neighborhood function, one row per radius (r=0 is always 1.0)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sketch = nodes.select(
+        "node", portable_hash64(F.col("node").cast("string")).alias("h")
+    ).localCheckpoint(eager=True)
+
+    def estimate(s: DataFrame, r: int) -> DataFrame:
+        return s.groupBy("node").agg(
+            F.lit(r).alias("r"),
+            F.round(
+                F.when(F.count("*") < k, F.count("*").cast("double")).otherwise(
+                    (k - 1) / (F.max("h") / F.lit(M60))
+                ),
+                6,
+            ).alias("ball_estimate"),
+        )
+
+    w = Window.partitionBy("node").orderBy("h")
+    curves = [estimate(sketch, 0)]
+    for r in range(1, radius + 1):
+        from_nbrs = e.join(
+            sketch.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "h")
+        sketch = (
+            sketch.unionByName(from_nbrs)
+            .distinct()
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+        curves.append(estimate(sketch, r))
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    radius: int = 2,
+    k: int = 16,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """-> (node, harmonic): HyperBall's harmonic-centrality estimate
+    HC(n) = sum over r of (|B_r| - |B_{r-1}|) / r, truncated at ``radius``
+    (Boldi & Vigna 2013 §4 — the truncation is the standard approximation;
+    contributions beyond the effective diameter are negligible). Note this
+    counts nodes REACHABLE FROM n over out-edges; pass reversed edges for
+    the in-reachability variant used for page importance."""
+    curve = ball_curve(edges, radius=radius, k=k, src=src, dst=dst)
+    w = Window.partitionBy("node").orderBy("r")
+    return (
+        curve.withColumn("prev", F.lag("ball_estimate").over(w))
+        .where(F.col("r") > 0)
+        .groupBy("node")
+        .agg(
+            F.round(
+                F.sum((F.col("ball_estimate") - F.col("prev")) / F.col("r")), 6
+            ).alias("harmonic")
+        )
+    )

@@ -129,6 +129,7 @@ def duck():
         "q137_kmv_ball",
         "q138_entity_disambig",
         "q139_crawl_budget",
+        "q140_harmonic_centrality",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):

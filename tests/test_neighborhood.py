@@ -41,3 +41,15 @@ def test_deterministic_reruns(spark):
     a = sorted(map(tuple, kmv_ball(e, radius=2, k=8).collect()))
     b = sorted(map(tuple, kmv_ball(e, radius=2, k=8).collect()))
     assert a == b
+
+
+def test_ball_curve_and_harmonic_exact_small(spark):
+    from spanluke_spark.graph.neighborhood import ball_curve, harmonic_centrality
+
+    # 0->1->2: exact below k. B(0): 1,2,3 at r=0,1,2 -> HC(0)=1/1+1/2=1.5
+    e = _edges(spark, [(0, 1), (1, 2)])
+    curve = {(r.node, r.r): r.ball_estimate for r in ball_curve(e, radius=2, k=8).collect()}
+    assert curve[(0, 0)] == 1.0 and curve[(0, 1)] == 2.0 and curve[(0, 2)] == 3.0
+    assert curve[(2, 2)] == 1.0
+    hc = {r.node: r.harmonic for r in harmonic_centrality(e, radius=2, k=8).collect()}
+    assert hc[0] == 1.5 and hc[1] == 1.0 and hc[2] == 0.0
