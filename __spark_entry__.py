@@ -2966,6 +2966,34 @@ def q140_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_centrality(edges, radius=2, k=16).orderBy("node")
 
 
+def q141_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components: fold a delta batch (bridge edges
+    merging chain components + brand-new nodes) into an existing labeling
+    via contraction — the oracle recomputes CC from scratch over
+    old ∪ delta, re-proving label equivalence every round."""
+    from spanluke_spark.canon.cc import connected_components, incremental_cc
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    g = d % 50
+    old_edges = (
+        docs.select((g * 4).alias("src"), (g * 4 + 1).alias("dst"))
+        .unionByName(docs.select((g * 4 + 1).alias("src"), (g * 4 + 2).alias("dst")))
+        .unionByName(docs.select((g * 4 + 2).alias("src"), (g * 4 + 3).alias("dst")))
+        .distinct()
+    )
+    bridges = docs.where((g % 5 == 0) & (g < 49)).select(
+        (g * 4 + 3).alias("src"), ((g + 1) * 4).alias("dst")
+    )
+    newcomers = docs.where(g % 7 == 0).select(
+        (F.lit(1000) + g).alias("src"), (g * 4).alias("dst")
+    )
+    delta = bridges.unionByName(newcomers).distinct()
+
+    old_labels = connected_components(old_edges)
+    return incremental_cc(old_labels, delta).orderBy("node")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4485,6 +4513,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_entity_disambig": q138_entity_disambig,
         "q139_crawl_budget": q139_crawl_budget,
         "q140_harmonic_centrality": q140_harmonic_centrality,
+        "q141_incremental_cc": q141_incremental_cc,
     }
 
 
@@ -6128,6 +6157,41 @@ def extra_oracle_sql() -> dict[str, str]:
                         <= 1000 - (SELECT sum(base) FROM parts)
                         THEN 1 ELSE 0 END AS BIGINT) AS quota
             FROM parts ORDER BY host
+        """,
+        "q141_incremental_cc": """
+            WITH RECURSIVE alledges AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT (doc_id % 50) * 4 AS src,
+                           (doc_id % 50) * 4 + 1 AS dst FROM documents
+                    UNION ALL
+                    SELECT (doc_id % 50) * 4 + 1, (doc_id % 50) * 4 + 2
+                    FROM documents
+                    UNION ALL
+                    SELECT (doc_id % 50) * 4 + 2, (doc_id % 50) * 4 + 3
+                    FROM documents
+                    UNION ALL
+                    SELECT (doc_id % 50) * 4 + 3, ((doc_id % 50) + 1) * 4
+                    FROM documents
+                    WHERE doc_id % 50 % 5 = 0 AND doc_id % 50 < 49
+                    UNION ALL
+                    SELECT 1000 + (doc_id % 50), (doc_id % 50) * 4
+                    FROM documents WHERE doc_id % 50 % 7 = 0
+                )
+            ),
+            und AS (
+                SELECT DISTINCT a, b FROM (
+                    SELECT src AS a, dst AS b FROM alledges
+                    UNION ALL SELECT dst, src FROM alledges
+                )
+            ),
+            nodes AS (SELECT DISTINCT a AS node FROM und),
+            reach(node, m) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT r.node, u.b FROM reach r JOIN und u ON u.a = r.m
+            )
+            SELECT node, min(m) AS component
+            FROM reach GROUP BY node ORDER BY node
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

@@ -130,6 +130,7 @@ def duck():
         "q138_entity_disambig",
         "q139_crawl_budget",
         "q140_harmonic_centrality",
+        "q141_incremental_cc",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
