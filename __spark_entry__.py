@@ -2994,6 +2994,20 @@ def q141_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_cc(old_labels, delta).orderBy("node")
 
 
+def q142_single_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-link clustering dendrogram cuts at Jaccard 3/5 and 1/5:
+    exact all-pairs graph -> connected components per threshold; the
+    oracle recomputes both cuts by brute force + recursive closure."""
+    from spanluke_spark.textops.allpairs import doc_term_sets, single_link_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    sets = doc_term_sets(docs, shingle=3)
+    out = single_link_clusters(
+        sets, [(3, 5), (1, 5)], all_ids=docs.select("doc_id")
+    )
+    return out.orderBy("doc_id")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4514,6 +4528,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_crawl_budget": q139_crawl_budget,
         "q140_harmonic_centrality": q140_harmonic_centrality,
         "q141_incremental_cc": q141_incremental_cc,
+        "q142_single_link": q142_single_link,
     }
 
 
@@ -6192,6 +6207,63 @@ def extra_oracle_sql() -> dict[str, str]:
             )
             SELECT node, min(m) AS component
             FROM reach GROUP BY node ORDER BY node
+        """,
+        "q142_single_link": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS term
+                FROM toks, LATERAL (
+                    SELECT unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i
+                )
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            ins AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+                       any_value(sa.n) + any_value(sb.n) - count(*) AS uni
+                FROM sh a
+                JOIN sh b ON a.term = b.term AND a.doc_id < b.doc_id
+                JOIN sz sa ON sa.doc_id = a.doc_id
+                JOIN sz sb ON sb.doc_id = b.doc_id
+                GROUP BY 1, 2
+            ),
+            u35 AS (
+                SELECT DISTINCT a, b FROM (
+                    SELECT id_a AS a, id_b AS b FROM ins
+                    WHERE 5 * inter >= 3 * uni
+                    UNION ALL
+                    SELECT id_b, id_a FROM ins WHERE 5 * inter >= 3 * uni
+                )
+            ),
+            r35(node, m) AS (
+                SELECT DISTINCT a, a FROM u35
+                UNION
+                SELECT r.node, u.b FROM r35 r JOIN u35 u ON u.a = r.m
+            ),
+            c35 AS (SELECT node, min(m) AS comp FROM r35 GROUP BY node),
+            u15 AS (
+                SELECT DISTINCT a, b FROM (
+                    SELECT id_a AS a, id_b AS b FROM ins
+                    WHERE 5 * inter >= 1 * uni
+                    UNION ALL
+                    SELECT id_b, id_a FROM ins WHERE 5 * inter >= 1 * uni
+                )
+            ),
+            r15(node, m) AS (
+                SELECT DISTINCT a, a FROM u15
+                UNION
+                SELECT r.node, u.b FROM r15 r JOIN u15 u ON u.a = r.m
+            ),
+            c15 AS (SELECT node, min(m) AS comp FROM r15 GROUP BY node)
+            SELECT d.doc_id,
+                   coalesce(c35.comp, d.doc_id) AS cluster_3_5,
+                   coalesce(c15.comp, d.doc_id) AS cluster_1_5
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN c35 ON c35.node = d.doc_id
+            LEFT JOIN c15 ON c15.node = d.doc_id
+            ORDER BY d.doc_id
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

@@ -107,3 +107,39 @@ def allpairs_jaccard(
             F.round(F.col("inter") / F.col("uni"), 6).alias("jac"),
         )
     )
+
+
+def single_link_clusters(
+    sets: DataFrame,
+    thresholds: list[tuple[int, int]],
+    all_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Single-link (connected-components) clustering of the exact
+    similarity graph at several Jaccard thresholds — the dendrogram cuts
+    a FineWeb-style near-dup analysis reports. -> (doc_id, cluster_<n>_<d>
+    per threshold), cluster id = min doc id of the component, singletons
+    label themselves.
+
+    Nesting invariant (tested): every cluster at a HIGHER threshold is
+    contained in one cluster at any lower threshold — single-link merges
+    monotonically as t drops. Composition: allpairs_jaccard (lossless
+    candidate generation) feeds canon.cc.connected_components (the same
+    CC that powers production dedup survivor selection).
+    """
+    from ..canon.cc import connected_components
+
+    ids = (all_ids or sets.select("doc_id")).select("doc_id").distinct()
+    out = ids
+    for t_num, t_den in thresholds:
+        pairs = allpairs_jaccard(sets, t_num=t_num, t_den=t_den).select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        labels = connected_components(pairs).select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias(f"cluster_{t_num}_{t_den}"),
+        )
+        out = out.join(labels, "doc_id", "left").withColumn(
+            f"cluster_{t_num}_{t_den}",
+            F.coalesce(F.col(f"cluster_{t_num}_{t_den}"), F.col("doc_id")),
+        )
+    return out

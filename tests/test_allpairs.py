@@ -77,3 +77,23 @@ def test_shingle_sets_and_threshold_edge(spark):
     # lowering the threshold to 1/5 admits the weak pair exactly at t
     got2 = {(r.id_a, r.id_b) for r in allpairs_jaccard(sets, 1, 5).collect()}
     assert got2 == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_single_link_nesting_invariant(spark):
+    from spanluke_spark.textops.allpairs import single_link_clusters
+
+    rng = random.Random(3)
+    vocab = [f"t{i}" for i in range(25)]
+    sets = {i: set(rng.sample(vocab, 8)) for i in range(40)}
+    rows = [(i, t) for i, ts in sets.items() for t in ts]
+    sdf = spark.createDataFrame(rows, "doc_id long, term string")
+    out = single_link_clusters(sdf, [(3, 5), (1, 5)]).collect()
+    assert len(out) == 40
+    # a higher-threshold cluster never splits across lower-threshold ones
+    low_of_high = {}
+    for r in out:
+        prev = low_of_high.setdefault(r.cluster_3_5, r.cluster_1_5)
+        assert prev == r.cluster_1_5
+    # cluster ids are member min ids
+    for r in out:
+        assert r.cluster_3_5 <= r.doc_id and r.cluster_1_5 <= r.doc_id

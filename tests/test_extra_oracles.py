@@ -131,6 +131,7 @@ def duck():
         "q139_crawl_budget",
         "q140_harmonic_centrality",
         "q141_incremental_cc",
+        "q142_single_link",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
