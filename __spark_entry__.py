@@ -3008,6 +3008,38 @@ def q142_single_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def q143_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation + bibliographic coupling counts over a directed link
+    graph (wedge self-joins on the shared middle; full-outer merge of the
+    two signals)."""
+    from spanluke_spark.graph.linkpred import cocitation_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    m = d % 35
+    e1 = docs.select(m.alias("src"), ((m * 4 + 1) % 35).alias("dst"))
+    e2 = docs.select(m.alias("src"), ((m + 6) % 35).alias("dst"))
+    edges = e1.unionByName(e2)
+    return cocitation_counts(edges).orderBy("u", "v")
+
+
+def q144_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL path-template mining with spider-trap flags: numeric segments
+    collapse to {n}, repeated-segment paths (/a/a/a/a) are trap-counted."""
+    from spanluke_spark.textops.urls import url_templates
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.when(
+        d % 10 == 0,
+        F.format_string("https://h%s.ex.com/a/a/a/a", d % 5),
+    ).otherwise(
+        F.format_string("https://h%s.ex.com/Item/%s/view", d % 5, d)
+    )
+    pages = docs.select(url.alias("url"))
+    return url_templates(pages).orderBy("host", "template")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4529,6 +4561,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_harmonic_centrality": q140_harmonic_centrality,
         "q141_incremental_cc": q141_incremental_cc,
         "q142_single_link": q142_single_link,
+        "q143_cocitation": q143_cocitation,
+        "q144_url_templates": q144_url_templates,
     }
 
 
@@ -6264,6 +6298,71 @@ def extra_oracle_sql() -> dict[str, str]:
             LEFT JOIN c35 ON c35.node = d.doc_id
             LEFT JOIN c15 ON c15.node = d.doc_id
             ORDER BY d.doc_id
+        """,
+        "q143_cocitation": """
+            WITH base AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT doc_id % 35 AS src,
+                           ((doc_id % 35) * 4 + 1) % 35 AS dst FROM documents
+                    UNION ALL
+                    SELECT doc_id % 35, (doc_id % 35 + 6) % 35 FROM documents
+                )
+            ),
+            cc AS (
+                SELECT l.dst AS u, r.dst AS v, count(*) AS cocited
+                FROM base l JOIN base r ON l.src = r.src AND l.dst < r.dst
+                GROUP BY 1, 2
+            ),
+            bc AS (
+                SELECT l.src AS u, r.src AS v, count(*) AS coupled
+                FROM base l JOIN base r ON l.dst = r.dst AND l.src < r.src
+                GROUP BY 1, 2
+            )
+            SELECT coalesce(cc.u, bc.u) AS u, coalesce(cc.v, bc.v) AS v,
+                   coalesce(cocited, 0) AS cocited,
+                   coalesce(coupled, 0) AS coupled
+            FROM cc FULL OUTER JOIN bc ON bc.u = cc.u AND bc.v = cc.v
+            ORDER BY u, v
+        """,
+        "q144_url_templates": """
+            WITH urls AS (
+                SELECT CASE WHEN doc_id % 10 = 0
+                            THEN 'https://h' || (doc_id % 5) || '.ex.com/a/a/a/a'
+                            ELSE 'https://h' || (doc_id % 5)
+                                 || '.ex.com/Item/' || doc_id || '/view'
+                       END AS url
+                FROM documents
+            ),
+            parts AS (
+                SELECT url,
+                       lower(regexp_extract(url,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+                       list_filter(string_split(
+                           regexp_extract(url,
+                               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+                           '/'), s -> s <> '') AS segs
+                FROM urls
+            ),
+            derived AS (
+                SELECT url, host,
+                       '/' || array_to_string(list_transform(segs,
+                           s -> CASE WHEN regexp_matches(s, '^[0-9]+$')
+                                     THEN '{n}'
+                                     WHEN regexp_matches(s, '^[0-9a-fA-F]{8,}$')
+                                     THEN '{h}'
+                                     ELSE lower(s) END), '/') AS template,
+                       len(segs) AS depth,
+                       CASE WHEN len(segs) >= 3 AND EXISTS (
+                                SELECT 1 FROM unnest(segs) t(s)
+                                GROUP BY s HAVING count(*) >= 3)
+                            THEN 1 ELSE 0 END AS is_trap
+                FROM parts
+            )
+            SELECT host, template, count(*) AS n_urls,
+                   max(depth) AS max_depth, sum(is_trap) AS n_trap_urls,
+                   min(url) AS example_url
+            FROM derived GROUP BY host, template
+            ORDER BY host, template
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

@@ -68,3 +68,54 @@ def host_stats(df: DataFrame, url_col: str = "url", text_col: str = "text") -> D
             F.round(F.avg(F.length(F.col(text_col))), 6).alias("avg_text_chars"),
         )
     )
+
+
+def url_templates(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL path-template mining — collapse id-carrying segments so
+    /item/8231/view and /item/77/view share the template /item/{n}/view:
+    the standard crawl-frontier analysis for finding infinite URL spaces
+    (calendars, session ids, spider traps) and for per-template sampling
+    quotas.
+
+    -> (host, template, n_urls, max_depth, n_trap_urls, example_url):
+    one row per (host, template). Segment classes: all-digits -> {n},
+    long hex (>= 8 chars) -> {h}, else the literal segment lowercased.
+    A url is trap-flagged when one segment value repeats >= 3 times in
+    its own path (the /a/a/a/... self-link pattern). Pure codegen
+    (split + transform + rlike), one map-side-combinable groupBy.
+    """
+    path = path_of(F.col(url_col))
+    segs = F.filter(F.split(path, "/"), lambda s: s != F.lit(""))
+    tmpl_segs = F.transform(
+        segs,
+        lambda s: F.when(s.rlike("^[0-9]+$"), F.lit("{n}"))
+        .when(s.rlike("^[0-9a-fA-F]{8,}$"), F.lit("{h}"))
+        .otherwise(F.lower(s)),
+    )
+    depth = F.size(segs)
+    # a path with any segment repeated >= 3 times: after sorting, some
+    # value occupies positions i and i+2
+    sorted_segs = F.array_sort(segs)
+    # CASE guards the probe: sequence(1, d-2) is DESCENDING for d < 3
+    has_rep3 = F.when(
+        depth >= 3,
+        F.exists(
+            F.sequence(F.lit(1), depth - 2),
+            lambda i: F.try_element_at(sorted_segs, i)
+            == F.try_element_at(sorted_segs, i + 2),
+        ),
+    ).otherwise(F.lit(False))
+
+    rows = df.select(
+        host_of(F.col(url_col)).alias("host"),
+        F.concat(F.lit("/"), F.array_join(tmpl_segs, "/")).alias("template"),
+        depth.alias("depth"),
+        has_rep3.cast("long").alias("is_trap"),
+        F.col(url_col).alias("url"),
+    )
+    return rows.groupBy("host", "template").agg(
+        F.count("*").alias("n_urls"),
+        F.max("depth").alias("max_depth"),
+        F.sum("is_trap").alias("n_trap_urls"),
+        F.min("url").alias("example_url"),
+    )

@@ -132,6 +132,8 @@ def duck():
         "q140_harmonic_centrality",
         "q141_incremental_cc",
         "q142_single_link",
+        "q143_cocitation",
+        "q144_url_templates",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
