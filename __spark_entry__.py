@@ -3040,6 +3040,24 @@ def q144_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_templates(pages).orderBy("host", "template")
 
 
+def q145_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease / FK grade over documents (a literal ' batch '
+    -> '. ' substitution seeds variable sentence boundaries); vowel-group
+    syllables with the silent-e rule, replayed per word in the oracle."""
+    from spanluke_spark.textops.quality import readability_features
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" batch "), F.lit(". ")).alias("text"),
+    )
+    out = readability_features(seeded)
+    return out.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        "flesch_ease", "fk_grade",
+    ).orderBy("doc_id")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4563,6 +4581,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_single_link": q142_single_link,
         "q143_cocitation": q143_cocitation,
         "q144_url_templates": q144_url_templates,
+        "q145_readability": q145_readability,
     }
 
 
@@ -6363,6 +6382,48 @@ def extra_oracle_sql() -> dict[str, str]:
                    min(url) AS example_url
             FROM derived GROUP BY host, template
             ORDER BY host, template
+        """,
+        "q145_readability": """
+            WITH t2 AS (
+                SELECT doc_id, replace(text, ' batch ', '. ') AS txt
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, txt,
+                       list_filter(string_split_regex(lower(txt), '[^a-z]+'),
+                                   t -> t <> '') AS ws
+                FROM t2
+            ),
+            words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+            per_word AS (
+                SELECT doc_id,
+                       len(list_filter(string_split_regex(w, '[^aeiouy]+'),
+                                       x -> x <> '')) AS g,
+                       regexp_matches(w, '[^aeiouy]e$') AS sil
+                FROM words
+            ),
+            syl AS (
+                SELECT doc_id,
+                       sum(greatest(g - CASE WHEN sil AND g > 1
+                                             THEN 1 ELSE 0 END, 1)) AS n_syll
+                FROM per_word GROUP BY doc_id
+            ),
+            base AS (
+                SELECT doc_id, greatest(len(ws), 1) AS n_words,
+                       greatest(len(regexp_extract_all(txt, '[.!?]+')), 1)
+                           AS n_sent
+                FROM toks
+            )
+            SELECT b.doc_id, b.n_words, b.n_sent AS n_sentences,
+                   coalesce(s.n_syll, 0) AS n_syllables,
+                   round(206.835 - 1.015 * (b.n_words::DOUBLE / b.n_sent)
+                         - 84.6 * (coalesce(s.n_syll, 0)::DOUBLE / b.n_words),
+                         6) AS flesch_ease,
+                   round(0.39 * (b.n_words::DOUBLE / b.n_sent)
+                         + 11.8 * (coalesce(s.n_syll, 0)::DOUBLE / b.n_words)
+                         - 15.59, 6) AS fk_grade
+            FROM base b LEFT JOIN syl s ON s.doc_id = b.doc_id
+            ORDER BY b.doc_id
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

@@ -216,3 +216,49 @@ def fingerprint(df: DataFrame, id_cols: list[str], text_col: str = "text") -> Da
             yield pd.DataFrame({**{c: pdf[c] for c in id_cols}, "fingerprint": fps})
 
     return df.select(*id_cols, text_col).mapInPandas(_fp, schema)
+
+
+def readability_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade per document — the
+    classic readability gate a quality-filtering pipeline runs next to
+    stopword/length heuristics (C4 and FineWeb both cut on sentence-shape
+    signals; Flesch 1948 / Kincaid 1975 are the canonical formulas).
+
+    Syllables use the standard vowel-group approximation (runs of
+    [aeiouy] count one syllable; a trailing silent 'e' is subtracted;
+    every word counts at least one) — deterministic, documented, and
+    replayable in SQL. Sentences = runs ending in [.!?] (min 1). All
+    pure codegen: two regexp counts + one HOF aggregate, no shuffle.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z]+"), lambda t: t != F.lit("")
+    )
+    n_words = F.greatest(F.size(toks), F.lit(1))
+
+    def word_syllables(w: Column) -> Column:
+        groups = F.size(
+            F.filter(F.split(w, "[^aeiouy]+"), lambda g: g != F.lit(""))
+        )
+        silent_e = (
+            w.rlike("[^aeiouy]e$") & (groups > 1)
+        ).cast("int")
+        return F.greatest(groups - silent_e, F.lit(1))
+
+    n_syll = F.aggregate(
+        toks, F.lit(0), lambda acc, w: acc + word_syllables(w)
+    )
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), 0)),
+        F.lit(1),
+    )
+    wps = n_words.cast("double") / n_sent
+    spw = n_syll.cast("double") / n_words
+    return df.withColumns(
+        {
+            "n_words": n_words,
+            "n_sentences": n_sent,
+            "n_syllables": n_syll,
+            "flesch_ease": F.round(206.835 - 1.015 * wps - 84.6 * spw, 6),
+            "fk_grade": F.round(0.39 * wps + 11.8 * spw - 15.59, 6),
+        }
+    )

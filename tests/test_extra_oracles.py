@@ -134,6 +134,7 @@ def duck():
         "q142_single_link",
         "q143_cocitation",
         "q144_url_templates",
+        "q145_readability",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
