@@ -3058,6 +3058,22 @@ def q145_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q146_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 hard negatives per anchor by int8-quantized cosine (DPR-style
+    contrastive mining): known positives anti-joined out, rounded-sim
+    ranking with candidate-id tie-break."""
+    from spanluke_spark.link.hardneg import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    positives = docs.select(
+        (d % 20).alias("anchor"), ((d % 20) * 13 + 7).alias("pos")
+    ).distinct()
+    out = hard_negatives(emb, positives, k=3)
+    return out.orderBy("anchor", "rank")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4582,6 +4598,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_cocitation": q143_cocitation,
         "q144_url_templates": q144_url_templates,
         "q145_readability": q145_readability,
+        "q146_hard_negatives": q146_hard_negatives,
     }
 
 
@@ -6424,6 +6441,55 @@ def extra_oracle_sql() -> dict[str, str]:
                          - 15.59, 6) AS fk_grade
             FROM base b LEFT JOIN syl s ON s.doc_id = b.doc_id
             ORDER BY b.doc_id
+        """,
+        "q146_hard_negatives": """
+            WITH q AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> CASE WHEN s = 0 THEN 0
+                                     ELSE CAST(round(x::DOUBLE / s) AS BIGINT)
+                                END) AS ql
+                FROM (SELECT vec_id, embedding,
+                             list_max(list_transform(embedding,
+                                 x -> abs(x::DOUBLE))) / 127.0 AS s
+                      FROM embeddings)
+            ),
+            n AS (
+                SELECT vec_id, ql,
+                       list_sum(list_transform(range(1, len(ql) + 1),
+                           i -> ql[i] * ql[i])) AS norm2
+                FROM q
+            ),
+            pos AS (
+                SELECT DISTINCT doc_id % 20 AS anchor,
+                       (doc_id % 20) * 13 + 7 AS pos
+                FROM documents
+            ),
+            anchors AS (SELECT DISTINCT anchor FROM pos),
+            cand AS (
+                SELECT a.anchor, e.vec_id AS cand
+                FROM anchors a CROSS JOIN embeddings e
+                WHERE e.vec_id <> a.anchor
+                  AND NOT EXISTS (SELECT 1 FROM pos p
+                                  WHERE p.anchor = a.anchor
+                                    AND p.pos = e.vec_id)
+            ),
+            scored AS (
+                SELECT c.anchor, c.cand,
+                       round(list_sum(list_transform(
+                                 range(1, len(na.ql) + 1),
+                                 i -> na.ql[i] * nc.ql[i]))
+                             / sqrt(na.norm2::DOUBLE * nc.norm2::DOUBLE),
+                             6) AS sim
+                FROM cand c
+                JOIN n na ON na.vec_id = c.anchor
+                JOIN n nc ON nc.vec_id = c.cand
+            )
+            SELECT anchor, cand, sim, "rank" FROM (
+                SELECT *, row_number() OVER (PARTITION BY anchor
+                              ORDER BY sim DESC, cand) AS "rank"
+                FROM scored
+            ) WHERE "rank" <= 3 ORDER BY anchor, "rank"
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

@@ -135,6 +135,7 @@ def duck():
         "q143_cocitation",
         "q144_url_templates",
         "q145_readability",
+        "q146_hard_negatives",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
