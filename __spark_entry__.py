@@ -3074,6 +3074,44 @@ def q146_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("anchor", "rank")
 
 
+def q147_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-banded Levenshtein near-match join (d<=2) over mutated
+    entity names; the oracle brute-forces all pairs, re-proving the
+    length band loses nothing."""
+    from spanluke_spark.link.editdist import levenshtein_pairs
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 300)
+    k = F.col("c_custkey")
+    name = (
+        F.when(k % 4 == 1, F.concat(F.lit("entity-"), (k % 40).cast("string"), F.lit("x")))
+        .when(k % 4 == 2, F.concat(F.lit("entity_"), (k % 40).cast("string")))
+        .when(k % 4 == 3, F.concat(F.lit("entity-"), (k % 40).cast("string"), F.lit("zz")))
+        .otherwise(F.concat(F.lit("entity-"), (k % 40).cast("string")))
+    )
+    names = cust.select(k.alias("id"), name.alias("name"))
+    return levenshtein_pairs(names, d=2).orderBy("id_a", "id_b")
+
+
+def q148_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins + ECE for a synthetic quality scorer
+    (score and label derived from doc_id arithmetic): per-bin mean score
+    vs observed positive rate, ECE broadcast onto every bin row."""
+    from spanluke_spark.evaluation.calibration import (
+        expected_calibration_error,
+        reliability_bins,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    scored = docs.select(
+        (((d * 37) % 100) / 100.0).alias("score"),
+        (((d * 53) % 100) < (d * 37) % 100).alias("label"),
+    )
+    bins = reliability_bins(scored, n_bins=10)
+    ece = expected_calibration_error(scored, n_bins=10).select("ece")
+    return bins.crossJoin(F.broadcast(ece)).orderBy("bin")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4599,6 +4637,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_url_templates": q144_url_templates,
         "q145_readability": q145_readability,
         "q146_hard_negatives": q146_hard_negatives,
+        "q147_levenshtein_pairs": q147_levenshtein_pairs,
+        "q148_calibration": q148_calibration,
     }
 
 
@@ -6490,6 +6530,47 @@ def extra_oracle_sql() -> dict[str, str]:
                               ORDER BY sim DESC, cand) AS "rank"
                 FROM scored
             ) WHERE "rank" <= 3 ORDER BY anchor, "rank"
+        """,
+        "q147_levenshtein_pairs": """
+            WITH names AS (
+                SELECT c_custkey AS id,
+                       CASE WHEN c_custkey % 4 = 1
+                                THEN 'entity-' || (c_custkey % 40) || 'x'
+                            WHEN c_custkey % 4 = 2
+                                THEN 'entity_' || (c_custkey % 40)
+                            WHEN c_custkey % 4 = 3
+                                THEN 'entity-' || (c_custkey % 40) || 'zz'
+                            ELSE 'entity-' || (c_custkey % 40) END AS name
+                FROM customer WHERE c_custkey < 300
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   a.name AS name_a, b.name AS name_b,
+                   levenshtein(a.name, b.name) AS dist
+            FROM names a JOIN names b ON a.id < b.id
+            WHERE levenshtein(a.name, b.name) <= 2
+            ORDER BY id_a, id_b
+        """,
+        "q148_calibration": """
+            WITH scored AS (
+                SELECT ((doc_id * 37) % 100) / 100.0 AS score,
+                       ((doc_id * 53) % 100) < ((doc_id * 37) % 100) AS label
+                FROM documents
+            ),
+            bins AS (
+                SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
+                       count(*) AS n,
+                       round(avg(score), 6) AS avg_score,
+                       round(avg(CASE WHEN label THEN 1.0 ELSE 0.0 END), 6)
+                           AS pos_rate
+                FROM scored GROUP BY 1
+            ),
+            e AS (
+                SELECT round(sum(n * abs(avg_score - pos_rate)) / sum(n), 6)
+                           AS ece
+                FROM bins
+            )
+            SELECT bin, n, avg_score, pos_rate, ece
+            FROM bins CROSS JOIN e ORDER BY bin
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

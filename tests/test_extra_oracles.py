@@ -136,6 +136,8 @@ def duck():
         "q144_url_templates",
         "q145_readability",
         "q146_hard_negatives",
+        "q147_levenshtein_pairs",
+        "q148_calibration",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
