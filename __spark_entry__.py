@@ -3112,6 +3112,31 @@ def q148_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bins.crossJoin(F.broadcast(ece)).orderBy("bin")
 
 
+def q149_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-WL color refinement (2 rounds) over 25 isomorphic page-template
+    components plus one anomalous component — corresponding nodes of
+    isomorphic components share colors; the tampered component diverges.
+    Oracle replays both refinement rounds with the same md5 canonical
+    strings."""
+    from spanluke_spark.graph.wl import wl_colors
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    c = d % 25
+    hub = F.lit(1000) + c
+    e1 = docs.select(hub.alias("src"), (c * 10).alias("dst"))
+    e2 = docs.select(hub.alias("src"), (c * 10 + 1).alias("dst"))
+    e3 = docs.select(hub.alias("src"), (c * 10 + 2).alias("dst"))
+    e4 = docs.select((c * 10 + 2).alias("src"), (c * 10 + 3).alias("dst"))
+    anomaly = docs.where(d == 0).select(
+        F.lit(3).alias("src"), F.lit(0).alias("dst")
+    )
+    edges = (
+        e1.unionByName(e2).unionByName(e3).unionByName(e4).unionByName(anomaly)
+    )
+    return wl_colors(edges, rounds=2).orderBy("node")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4639,6 +4664,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_hard_negatives": q146_hard_negatives,
         "q147_levenshtein_pairs": q147_levenshtein_pairs,
         "q148_calibration": q148_calibration,
+        "q149_wl_colors": q149_wl_colors,
     }
 
 
@@ -6571,6 +6597,57 @@ def extra_oracle_sql() -> dict[str, str]:
             )
             SELECT bin, n, avg_score, pos_rate, ece
             FROM bins CROSS JOIN e ORDER BY bin
+        """,
+        "q149_wl_colors": """
+            WITH raw AS (
+                SELECT src, dst FROM (
+                    SELECT 1000 + doc_id % 25 AS src,
+                           (doc_id % 25) * 10 AS dst FROM documents
+                    UNION ALL
+                    SELECT 1000 + doc_id % 25, (doc_id % 25) * 10 + 1
+                    FROM documents
+                    UNION ALL
+                    SELECT 1000 + doc_id % 25, (doc_id % 25) * 10 + 2
+                    FROM documents
+                    UNION ALL
+                    SELECT (doc_id % 25) * 10 + 2, (doc_id % 25) * 10 + 3
+                    FROM documents
+                    UNION ALL
+                    SELECT 3, 0 FROM documents WHERE doc_id = 0
+                ) WHERE src <> dst
+            ),
+            und AS (
+                SELECT DISTINCT a, b FROM (
+                    SELECT src AS a, dst AS b FROM raw
+                    UNION ALL SELECT dst, src FROM raw
+                )
+            ),
+            c0 AS (
+                SELECT a AS node,
+                       substr(md5(count(*)::VARCHAR), 1, 16) AS color
+                FROM und GROUP BY a
+            ),
+            c1 AS (
+                SELECT u.a AS node,
+                       substr(md5(any_value(c.color) || '|' ||
+                           array_to_string(list_sort(list(n.color)), ',')),
+                           1, 16) AS color
+                FROM und u
+                JOIN c0 n ON n.node = u.b
+                JOIN c0 c ON c.node = u.a
+                GROUP BY u.a
+            ),
+            c2 AS (
+                SELECT u.a AS node,
+                       substr(md5(any_value(c.color) || '|' ||
+                           array_to_string(list_sort(list(n.color)), ',')),
+                           1, 16) AS color
+                FROM und u
+                JOIN c1 n ON n.node = u.b
+                JOIN c1 c ON c.node = u.a
+                GROUP BY u.a
+            )
+            SELECT node, color FROM c2 ORDER BY node
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

@@ -138,6 +138,7 @@ def duck():
         "q146_hard_negatives",
         "q147_levenshtein_pairs",
         "q148_calibration",
+        "q149_wl_colors",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
