@@ -3137,6 +3137,16 @@ def q149_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wl_colors(edges, rounds=2).orderBy("node")
 
 
+def q150_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    (lag on the user-keyed window, per-prev-type probability
+    normalization)."""
+    from spanluke_spark.etl.funnel import transition_matrix
+
+    events = _t(spark, sf_dir, "events")
+    return transition_matrix(events).orderBy("prev_type", "event_type")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4665,6 +4675,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_levenshtein_pairs": q147_levenshtein_pairs,
         "q148_calibration": q148_calibration,
         "q149_wl_colors": q149_wl_colors,
+        "q150_transition_matrix": q150_transition_matrix,
     }
 
 
@@ -6648,6 +6659,23 @@ def extra_oracle_sql() -> dict[str, str]:
                 GROUP BY u.a
             )
             SELECT node, color FROM c2 ORDER BY node
+        """,
+        "q150_transition_matrix": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_type
+                FROM events
+            ),
+            counts AS (
+                SELECT prev_type, event_type, count(*) AS n
+                FROM seq WHERE prev_type IS NOT NULL
+                GROUP BY prev_type, event_type
+            )
+            SELECT prev_type, event_type, n,
+                   round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type), 6)
+                       AS p
+            FROM counts ORDER BY prev_type, event_type
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

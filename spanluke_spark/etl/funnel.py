@@ -60,3 +60,34 @@ def funnel(
     for i in range(2, len(steps) + 1):
         completed = completed + F.col(f"t{i}").isNotNull().cast("int")
     return out.withColumn("steps_completed", completed)
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition counts/probabilities over each user's
+    time-ordered event stream: -> (prev_type, event_type, n, p) with p
+    normalized per prev_type — the "what happens after a click" model
+    behind next-action prediction and anomaly scoring on session streams.
+
+    One window keyed on the user (partition size = that user's events,
+    never global) for the lag, then a map-side-combinable count on the
+    (prev, next) pair — output is |types|² rows, tiny. Ties in ts are
+    ordered by (ts, event id) so the lag is deterministic under re-runs.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    seq = events.withColumn("prev_type", F.lag(type_col).over(w)).where(
+        F.col("prev_type").isNotNull()
+    )
+    counts = seq.groupBy(
+        F.col("prev_type"), F.col(type_col).alias("event_type")
+    ).agg(F.count("*").alias("n"))
+    total = Window.partitionBy("prev_type")
+    return counts.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(total), 6)
+    )

@@ -139,6 +139,7 @@ def duck():
         "q147_levenshtein_pairs",
         "q148_calibration",
         "q149_wl_colors",
+        "q150_transition_matrix",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):

@@ -71,3 +71,23 @@ def test_fs_rejects_bad_params(spark):
         FieldParams("x", 0.5, 0.5)
     with pytest.raises(ValueError):
         FieldParams("x", 0.1, 0.9)
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from spanluke_spark.etl.funnel import transition_matrix
+
+    rows = [
+        (1, 1, 0, "a"), (2, 1, 1, "b"), (3, 1, 2, "a"), (4, 1, 3, "b"),
+        (5, 2, 0, "a"), (6, 2, 1, "a"),
+    ]
+    ev = spark.createDataFrame(
+        [(eid, u, datetime(2024, 1, 1, 0, 0, s), t) for eid, u, s, t in rows],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    got = {(r.prev_type, r.event_type): (r.n, r.p) for r in transition_matrix(ev).collect()}
+    # user1: a->b, b->a, a->b; user2: a->a — prev 'a' has 3 transitions
+    assert got[("a", "b")] == (2, 0.666667)
+    assert got[("a", "a")] == (1, 0.333333)
+    assert got[("b", "a")] == (1, 1.0)
+    # first event of each user contributes no transition
+    assert sum(n for n, _ in got.values()) == 4
