@@ -1,25 +1,47 @@
 """Edit-distance near-match join — the fuzzy-string verify lane of entity
 canonicalization (complements canon/canonicalize.py's normalization-key
-blocking): find every pair of names within Levenshtein distance d, without
+blocking): find every pair of names within Levenshtein distance d without
 the all-pairs cross join.
 
-Candidate generation is LOSSLESS for the length dimension: |len(a) -
-len(b)| <= d is necessary for distance <= d, so names are bucketed by
-length and each bucket joins only its d-neighborhood of buckets (a band
-join on the length key — 2d+1 bucket pairs per bucket, never |V|²).
+Candidate generation is Pass-Join segment signatures (Li, Deng & Feng
+2011, "PASS-JOIN: A Partition-based Method for Similarity Joins"):
+partition every string into d+1 segments — by pigeonhole, two strings
+within distance d must agree on at least one segment, and that segment
+can only sit within ±d of its home position in the partner. So the index
+side emits its d+1 segments keyed (len, segment_idx, text); the probe
+side emits, for each partner length in [len-d, len+d] and each segment
+slot, the (2d+1) position-shifted substrings of the partner segment
+length — a CONSTANT fan-out of at most (d+1)(2d+1)² keys per string
+(75 for d=2). The join key carries the segment TEXT, so selectivity is
+content-driven (unlike a bare length-band join, whose key cardinality is
+the handful of distinct lengths — a skew bomb at 10^9 names).
 Verification is the exact JVM levenshtein — no Python anywhere.
 
-At 10^9 names the length-band join is the right first cut within a name
-blocking key; for heavier workloads layer the q113 LSH planner's
-character-shingle bands in front and keep this operator as the verifier.
+Strings shorter than d+1 characters cannot be partitioned into d+1
+non-empty segments; they are routed through a direct length-band join —
+at crawl scale that lane is the handful of 1-2-char names, negligible.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["levenshtein_pairs"]
+
+
+def _seg_pos(i: Column, length: Column, d: int) -> Column:
+    """0-based start of segment i when a string of ``length`` is split
+    into d+1 segments (first ``length mod (d+1)`` segments one longer)."""
+    base = F.floor(length / (d + 1))
+    rem = length % (d + 1)
+    return (i * base + F.least(i, rem)).cast("int")
+
+
+def _seg_len(i: Column, length: Column, d: int) -> Column:
+    base = F.floor(length / (d + 1))
+    rem = length % (d + 1)
+    return (base + (i < rem).cast("int")).cast("int")
 
 
 def levenshtein_pairs(
@@ -29,28 +51,109 @@ def levenshtein_pairs(
     name_col: str = "name",
 ) -> DataFrame:
     """(id, name) -> (id_a, id_b, name_a, name_b, dist): every unordered
-    pair with Levenshtein distance <= d. Length-banded candidates, exact
-    verification, integer decisions only."""
+    pair with Levenshtein distance <= d. Pass-Join segment candidates
+    (lossless by pigeonhole), exact verification."""
     n = names.select(
         F.col(id_col).alias("id"),
         F.col(name_col).alias("name"),
-        F.length(name_col).alias("len"),
+        F.length(name_col).cast("int").alias("len"),
     )
-    offsets = list(range(-d, d + 1))
-    a = n.select(
-        F.col("id").alias("id_a"),
-        F.col("name").alias("name_a"),
-        F.col("len").alias("len_a"),
+    long_n = n.where(F.col("len") >= d + 1)
+    short_n = n.where(F.col("len") < d + 1)
+
+    i_col = F.explode(F.sequence(F.lit(0), F.lit(d))).alias("i")
+    index = long_n.select("id", "name", "len", i_col).select(
+        F.col("id").alias("id_i"),
+        F.col("name").alias("name_i"),
+        F.col("len").alias("len_i"),
+        "i",
+        F.substring(
+            F.col("name"), _seg_pos(F.col("i"), F.col("len"), d) + 1,
+            _seg_len(F.col("i"), F.col("len"), d),
+        ).alias("seg"),
     )
-    b = n.select(
-        F.col("id").alias("id_b"),
-        F.col("name").alias("name_b"),
-        F.col("len").alias("len_b"),
-        F.explode(
-            F.array(*[F.col("len") + o for o in offsets])
-        ).alias("len_a"),
+
+    probe = (
+        long_n.select("id", "name", "len", i_col)
+        .select(
+            "id", "name", "len", "i",
+            F.explode(
+                F.sequence(F.greatest(F.col("len") - d, F.lit(d + 1)), F.col("len") + d)
+            ).alias("plen"),
+        )
+        .select(
+            "id", "name", "len", "i", "plen",
+            F.explode(F.sequence(F.lit(-d), F.lit(d))).alias("shift"),
+        )
+        .select(
+            F.col("id").alias("id_p"),
+            F.col("name").alias("name_p"),
+            F.col("len").alias("len_p"),
+            "i",
+            F.col("plen"),
+            (_seg_pos(F.col("i"), F.col("plen"), d) + F.col("shift")).alias("start"),
+            _seg_len(F.col("i"), F.col("plen"), d).alias("slen"),
+        )
+        .where(
+            (F.col("start") >= 0)
+            & (F.col("start") + F.col("slen") <= F.col("len_p"))
+            & (F.col("slen") > 0)
+        )
+        .select(
+            "id_p", "name_p", "len_p", "i", "plen",
+            F.substring(F.col("name_p"), F.col("start") + 1, F.col("slen")).alias(
+                "seg"
+            ),
+        )
     )
-    cands = a.join(b, ["len_a"]).where(F.col("id_a") < F.col("id_b"))
+
+    seg_cands = (
+        index.join(
+            probe,
+            (index.i == probe.i)
+            & (index.seg == probe.seg)
+            & (index.len_i == probe.plen),
+        )
+        .where(F.col("id_i") != F.col("id_p"))
+        .select(
+            F.least("id_i", "id_p").alias("id_a"),
+            F.greatest("id_i", "id_p").alias("id_b"),
+            F.when(F.col("id_i") < F.col("id_p"), F.col("name_i"))
+            .otherwise(F.col("name_p"))
+            .alias("name_a"),
+            F.when(F.col("id_i") < F.col("id_p"), F.col("name_p"))
+            .otherwise(F.col("name_i"))
+            .alias("name_b"),
+        )
+        .distinct()
+    )
+
+    # short-string lane: strings that cannot host d+1 segments join any
+    # name within the length band directly (tiny by construction)
+    short_cands = (
+        short_n.select(
+            F.col("id").alias("id_s"),
+            F.col("name").alias("name_s"),
+            F.explode(
+                F.sequence(F.greatest(F.col("len") - d, F.lit(0)), F.col("len") + d)
+            ).alias("len"),
+        )
+        .join(n.select("id", "name", "len"), "len")
+        .where(F.col("id_s") != F.col("id"))
+        .select(
+            F.least("id_s", "id").alias("id_a"),
+            F.greatest("id_s", "id").alias("id_b"),
+            F.when(F.col("id_s") < F.col("id"), F.col("name_s"))
+            .otherwise(F.col("name"))
+            .alias("name_a"),
+            F.when(F.col("id_s") < F.col("id"), F.col("name"))
+            .otherwise(F.col("name_s"))
+            .alias("name_b"),
+        )
+        .distinct()
+    )
+
+    cands = seg_cands.unionByName(short_cands).distinct()
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
     return (
         cands.withColumn("dist", dist)

@@ -61,3 +61,35 @@ def test_levenshtein_pairs_complete_vs_brute(spark):
     assert got == want
     assert (0, 1) in got and got[(0, 1)] == 1  # graph/graphs
     assert not any(d > 2 for d in got.values())
+
+
+def test_levenshtein_passjoin_random_with_short_strings(spark):
+    import random
+
+    rng = random.Random(5)
+    alpha = "abcde"
+    names = ["x", "ab", ""] + [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(3, 9)))
+        for _ in range(60)
+    ]
+    names = [n for n in names if n]  # empty name dropped by caller contract
+    df = spark.createDataFrame(list(enumerate(names)), "id long, name string")
+    got = {(r.id_a, r.id_b): r.dist for r in levenshtein_pairs(df, d=2).collect()}
+    want = {
+        (i, j): _lev(a, b)
+        for (i, a), (j, b) in itertools.combinations(enumerate(names), 2)
+        if _lev(a, b) <= 2
+    }
+    assert got == want  # pigeonhole candidates + short lane are complete
+
+
+def test_levenshtein_d1_and_probe_fanout_bound(spark):
+    names = ["kitten", "sitten", "mitten", "kitchen", "sittin"]
+    df = spark.createDataFrame(list(enumerate(names)), "id long, name string")
+    got = {(r.id_a, r.id_b): r.dist for r in levenshtein_pairs(df, d=1).collect()}
+    want = {
+        (i, j): _lev(a, b)
+        for (i, a), (j, b) in itertools.combinations(enumerate(names), 2)
+        if _lev(a, b) <= 1
+    }
+    assert got == want
