@@ -3147,6 +3147,33 @@ def q150_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix(events).orderBy("prev_type", "event_type")
 
 
+def q151_sparql_path_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property-path forms: inverse + alternation + closure in one
+    token (?root ^subclass_of|part_of+ ?c) over a chain that alternates
+    the two predicates — the closure only exists over their UNION."""
+    from spanluke_spark.graph.sparql import bgp_query
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    i = d % 9
+    chain = docs.select(
+        F.concat(F.lit("k"), i.cast("string")).alias("subj"),
+        F.when(i % 2 == 0, F.lit("subclass_of"))
+        .otherwise(F.lit("part_of"))
+        .alias("pred"),
+        F.concat(F.lit("k"), (i + 1).cast("string")).alias("obj"),
+    )
+    types = docs.select(
+        F.concat(F.lit("e"), (d % 30).cast("string")).alias("subj"),
+        F.lit("type").alias("pred"),
+        F.concat(F.lit("k"), (d % 3).cast("string")).alias("obj"),
+    )
+    sol = bgp_query(
+        chain.unionByName(types), "?e type ?c . ?root ^subclass_of|part_of+ ?c"
+    )
+    return sol.select("e", "c", "root").orderBy("e", "c", "root")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4676,6 +4703,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_calibration": q148_calibration,
         "q149_wl_colors": q149_wl_colors,
         "q150_transition_matrix": q150_transition_matrix,
+        "q151_sparql_path_forms": q151_sparql_path_forms,
     }
 
 
@@ -6676,6 +6704,27 @@ def extra_oracle_sql() -> dict[str, str]:
                    round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type), 6)
                        AS p
             FROM counts ORDER BY prev_type, event_type
+        """,
+        "q151_sparql_path_forms": """
+            WITH RECURSIVE chain AS (
+                SELECT DISTINCT 'k' || (doc_id % 9) AS src,
+                       'k' || (doc_id % 9 + 1) AS dst
+                FROM documents
+            ),
+            closure(src, dst) AS (
+                SELECT src, dst FROM chain
+                UNION
+                SELECT c.src, ch.dst FROM closure c
+                JOIN chain ch ON ch.src = c.dst
+            ),
+            types AS (
+                SELECT DISTINCT 'e' || (doc_id % 30) AS e,
+                       'k' || (doc_id % 3) AS c
+                FROM documents
+            )
+            SELECT DISTINCT t.e, t.c, cl.dst AS root
+            FROM types t JOIN closure cl ON cl.src = t.c
+            ORDER BY e, c, root
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

@@ -18,9 +18,12 @@ repeated WITHIN one pattern (e.g. ``?x knows ?x``) compiles to an
 equality filter. One property path is supported: a LITERAL predicate
 ending in ``+`` (``?c subclass_of+ ?top``) compiles to the transitive
 closure of that predicate's edge set via graph/closure.py path doubling
-— O(log diameter) joins, materialized once per pattern. No OPTIONAL /
-FILTER / other paths — the documented cut line (compose DataFrame ops
-on the result instead).
+— O(log diameter) joins, materialized once per pattern. Two more path
+forms compose with it: INVERSE ``^pred`` (edge reversed) and
+ALTERNATION ``a|b`` (either predicate); modifiers wrap the whole token,
+so ``^a|b+`` means inverse-closure over the union edge set of a and b.
+No OPTIONAL / FILTER / negation — the documented cut line (compose
+DataFrame ops on the result instead).
 """
 
 from __future__ import annotations
@@ -54,15 +57,31 @@ def bgp_query(
     for terms in _parse(pattern):
         step = triples
         positions = _POSITIONS
-        if terms[1].endswith("+") and len(terms[1]) > 1:
-            if terms[1].startswith("?"):
-                raise ValueError("property path needs a literal predicate")
-            from .closure import transitive_closure
+        pred = terms[1]
+        inv = pred.startswith("^")
+        plus = pred.endswith("+") and len(pred.rstrip("+")) > 0
+        body = pred.lstrip("^").rstrip("+")
+        alts = body.split("|") if body else [body]
+        has_path = inv or plus or len(alts) > 1
+        if has_path and pred.startswith("?"):
+            raise ValueError("property path needs a literal predicate")
+        if has_path:
+            # property-path pattern: ^inverse, a|b alternation, + closure
+            # (composable: "^(a|b)+" without the parens — ^a|b+ reads as
+            # modifiers around the whole alternation)
+            if any(a.startswith("?") or not a for a in alts):
+                raise ValueError("property path needs literal predicates")
+            base = triples.where(F.col("pred").isin(alts)).select("subj", "obj")
+            if inv:
+                base = base.select(
+                    F.col("obj").alias("subj"), F.col("subj").alias("obj")
+                )
+            if plus:
+                from .closure import transitive_closure
 
-            base = triples.where(F.col("pred") == terms[1][:-1]).select(
-                "subj", "obj"
-            )
-            step = transitive_closure(base, "subj", "obj")
+                step = transitive_closure(base, "subj", "obj")
+            else:
+                step = base
             terms = (terms[0], terms[2])
             positions = ["subj", "obj"]
         cols: dict[str, str] = {}  # var -> first position bound

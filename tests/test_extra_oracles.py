@@ -140,6 +140,7 @@ def duck():
         "q148_calibration",
         "q149_wl_colors",
         "q150_transition_matrix",
+        "q151_sparql_path_forms",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):

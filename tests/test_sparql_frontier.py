@@ -132,3 +132,30 @@ def test_bgp_transitive_property_path(spark):
     assert sup == {("sc", "authority"), ("sc", "org")}
     with pytest.raises(ValueError):
         bgp_query(t, "?x ?p+ ?y")
+
+
+def test_bgp_inverse_and_alternation_paths(spark):
+    t = spark.createDataFrame(
+        _KG + [
+            ("a", "subclass_of", "b"),
+            ("b", "part_of", "c"),
+            ("c", "subclass_of", "d"),
+        ],
+        _T,
+    )
+    # inverse: ?j ^decided_by ?c binds (j, c) where c decided_by j
+    inv = {(r.j, r.c) for r in bgp_query(t, "?j ^decided_by ?c").collect()}
+    assert inv == {("j1", "c1"), ("j1", "c2"), ("j2", "c3")}
+    # alternation without closure: either predicate matches
+    alt = {(r.x, r.y) for r in bgp_query(t, "?x subclass_of|part_of ?y").collect()}
+    assert ("a", "b") in alt and ("b", "c") in alt and len(alt) == 3
+    # closure exists only over the UNION of the two predicates
+    only_sub = {(r.x, r.y) for r in bgp_query(t, "?x subclass_of+ ?y").collect()}
+    assert ("a", "d") not in only_sub
+    both = {(r.x, r.y) for r in bgp_query(t, "?x subclass_of|part_of+ ?y").collect()}
+    assert ("a", "d") in both and ("a", "c") in both
+    # inverse of the closed union
+    invc = {(r.x, r.y) for r in bgp_query(t, "?x ^subclass_of|part_of+ ?y").collect()}
+    assert ("d", "a") in invc
+    with pytest.raises(ValueError):
+        bgp_query(t, "?x ^?p ?y")
