@@ -3174,6 +3174,19 @@ def q151_sparql_path_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sol.select("e", "c", "root").orderBy("e", "c", "root")
 
 
+def q152_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watts-Strogatz local clustering coefficient over a 30-node ring
+    with distance-2 chords (every consecutive triple closes a triangle) —
+    the link-farm density signal."""
+    from spanluke_spark.graph.analytics import clustering_coefficient
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 30
+    e1 = docs.select(m.alias("src"), ((m + 1) % 30).alias("dst"))
+    e2 = docs.select(m.alias("src"), ((m + 2) % 30).alias("dst"))
+    return clustering_coefficient(e1.unionByName(e2)).orderBy("node")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4704,6 +4717,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_wl_colors": q149_wl_colors,
         "q150_transition_matrix": q150_transition_matrix,
         "q151_sparql_path_forms": q151_sparql_path_forms,
+        "q152_clustering_coefficient": q152_clustering_coefficient,
     }
 
 
@@ -6725,6 +6739,37 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT DISTINCT t.e, t.c, cl.dst AS root
             FROM types t JOIN closure cl ON cl.src = t.c
             ORDER BY e, c, root
+        """,
+        "q152_clustering_coefficient": """
+            WITH raw AS (
+                SELECT doc_id % 30 AS src, (doc_id % 30 + 1) % 30 AS dst
+                FROM documents
+                UNION ALL
+                SELECT doc_id % 30, (doc_id % 30 + 2) % 30 FROM documents
+            ),
+            und AS (
+                SELECT DISTINCT a, b FROM (
+                    SELECT src AS a, dst AS b FROM raw WHERE src <> dst
+                    UNION ALL
+                    SELECT dst, src FROM raw WHERE src <> dst
+                )
+            ),
+            pairs AS (SELECT a, b FROM und WHERE a < b),
+            deg AS (SELECT a AS node, count(*) AS deg FROM und GROUP BY a),
+            tri AS (
+                SELECT x.a AS node, count(*) AS triangles
+                FROM und x
+                JOIN und y ON y.a = x.a AND x.b < y.b
+                JOIN pairs e ON e.a = x.b AND e.b = y.b
+                GROUP BY x.a
+            )
+            SELECT d.node, d.deg, coalesce(t.triangles, 0) AS triangles,
+                   CASE WHEN d.deg >= 2
+                        THEN round(coalesce(t.triangles, 0)
+                             / (d.deg * (d.deg - 1) / 2.0), 6)
+                        ELSE 0.0 END AS coefficient
+            FROM deg d LEFT JOIN tri t ON t.node = d.node
+            ORDER BY d.node
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

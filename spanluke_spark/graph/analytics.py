@@ -193,3 +193,36 @@ def k_core(
     return e.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("core_degree")
     ).where(F.col("core_degree") >= k)
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """-> (node, deg, triangles, coefficient): Watts-Strogatz local
+    clustering coefficient = triangles(n) / C(deg(n), 2) over the
+    undirected simple graph (0.0 for degree-1 nodes; the web-spam
+    literature's link-farm signal — farms cluster, organic pages don't).
+
+    Composes triangle_count (degree-oriented wedge join — no all-pairs)
+    with the degree relation; one extra equi-join, coefficient rounded
+    to 1e-6.
+    """
+    und = _undirected(edges, src, dst)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_count(edges, src=src, dst=dst)
+    wedges = (F.col("deg") * (F.col("deg") - 1) / 2).cast("double")
+    return (
+        deg.join(tri, "node", "left")
+        .withColumn("triangles", F.coalesce(F.col("triangles"), F.lit(0)))
+        .withColumn(
+            "coefficient",
+            F.when(F.col("deg") >= 2, F.round(F.col("triangles") / wedges, 6))
+            .otherwise(F.lit(0.0)),
+        )
+        .select("node", "deg", "triangles", "coefficient")
+    )

@@ -141,6 +141,7 @@ def duck():
         "q149_wl_colors",
         "q150_transition_matrix",
         "q151_sparql_path_forms",
+        "q152_clustering_coefficient",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):

@@ -231,3 +231,27 @@ def test_extract_anchor_texts_pairs(spark):
     df = spark.createDataFrame([("p", bytearray(html))], "url string, html binary")
     got = sorted(map(tuple, extract_anchor_texts(df).collect()))
     assert got == [("p", "u1", "One"), ("p", "u2", "Two words")]
+
+
+def test_clustering_coefficient_hand_computed(spark):
+    from spanluke_spark.graph.analytics import clustering_coefficient
+
+    # triangle 0-1-2 plus pendant 2-3
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "src long, dst long"
+    )
+    got = {r.node: (r.deg, r.triangles, r.coefficient)
+           for r in clustering_coefficient(e).collect()}
+    assert got[0] == (2, 1, 1.0)
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (3, 1, round(1 / 3, 6))
+    assert got[3] == (1, 0, 0.0)  # degree-1: defined as 0
+
+
+def test_clustering_coefficient_clique(spark):
+    from spanluke_spark.graph.analytics import clustering_coefficient
+
+    clique = [(i, j) for i in range(4) for j in range(4) if i < j]
+    e = spark.createDataFrame(clique, "src long, dst long")
+    got = {r.node: r.coefficient for r in clustering_coefficient(e).collect()}
+    assert all(c == 1.0 for c in got.values())
