@@ -3187,6 +3187,26 @@ def q152_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(e1.unionByName(e2)).orderBy("node")
 
 
+def q153_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: BM25 top-50 recall -> int8-cosine rerank
+    top-10 (query vectors = embedding rows 100/200/300); the oracle
+    replays both stages."""
+    from spanluke_spark.textops.retrieval import hybrid_search
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, query_text string"
+    )
+    qvecs = emb.where(F.col("vec_id") % 100 == 0).where(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") <= 300)
+    ).select(
+        (F.col("vec_id") / 100).cast("int").alias("query_id"), "embedding"
+    )
+    out = hybrid_search(docs, queries, emb, qvecs, recall_k=50, final_k=10)
+    return out.orderBy("query_id", "rank")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4718,6 +4738,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q150_transition_matrix": q150_transition_matrix,
         "q151_sparql_path_forms": q151_sparql_path_forms,
         "q152_clustering_coefficient": q152_clustering_coefficient,
+        "q153_hybrid_search": q153_hybrid_search,
     }
 
 
@@ -6770,6 +6791,81 @@ def extra_oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS coefficient
             FROM deg d LEFT JOIN tri t ON t.node = d.node
             ORDER BY d.node
+        """,
+        "q153_hybrid_search": """
+            WITH q(query_id, query_text) AS (VALUES
+                (1, 'hash join merge'),
+                (2, 'stream window batch'),
+                (3, 'customer order query')),
+            toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   t -> t <> '') AS t
+                FROM documents
+            ),
+            post AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+            tf AS (SELECT term, doc_id, dl, count(*) AS tf FROM post GROUP BY ALL),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            consts AS (SELECT count(*)::DOUBLE AS n_docs,
+                              sum(len(t))::DOUBLE / count(*) AS avgdl
+                       FROM toks),
+            qt AS (
+                SELECT DISTINCT query_id,
+                       unnest(list_filter(string_split_regex(lower(query_text),
+                                                             '[^a-z0-9]+'),
+                                          x -> x <> '')) AS term
+                FROM q
+            ),
+            bm AS (
+                SELECT qt.query_id, tf.doc_id,
+                       round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                                 * (tf * 2.2)
+                                 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))),
+                             6) AS bm25_score
+                FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+                CROSS JOIN consts
+                GROUP BY qt.query_id, tf.doc_id
+            ),
+            cands AS (
+                SELECT query_id, doc_id, bm25_score FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY bm25_score DESC, doc_id) AS rn
+                    FROM bm
+                ) WHERE rn <= 50
+            ),
+            qz AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> CASE WHEN s = 0 THEN 0
+                                     ELSE CAST(round(x::DOUBLE / s) AS BIGINT)
+                                END) AS ql
+                FROM (SELECT vec_id, embedding,
+                             list_max(list_transform(embedding,
+                                 x -> abs(x::DOUBLE))) / 127.0 AS s
+                      FROM embeddings)
+            ),
+            nz AS (
+                SELECT vec_id, ql,
+                       list_sum(list_transform(range(1, len(ql) + 1),
+                           i -> ql[i] * ql[i])) AS norm2
+                FROM qz
+            ),
+            scored AS (
+                SELECT c.query_id, c.doc_id, c.bm25_score,
+                       round(list_sum(list_transform(
+                                 range(1, len(dv.ql) + 1),
+                                 i -> qv.ql[i] * dv.ql[i]))
+                             / sqrt(qv.norm2::DOUBLE * dv.norm2::DOUBLE),
+                             6) AS sim
+                FROM cands c
+                JOIN nz dv ON dv.vec_id = c.doc_id
+                JOIN nz qv ON qv.vec_id = c.query_id * 100
+            )
+            SELECT query_id, doc_id, bm25_score, sim, "rank" FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, doc_id) AS "rank"
+                FROM scored
+            ) WHERE "rank" <= 10 ORDER BY query_id, "rank"
         """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (

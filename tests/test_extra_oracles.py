@@ -142,6 +142,7 @@ def duck():
         "q150_transition_matrix",
         "q151_sparql_path_forms",
         "q152_clustering_coefficient",
+        "q153_hybrid_search",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
