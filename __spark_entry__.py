@@ -3207,6 +3207,16 @@ def q153_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", "rank")
 
 
+def q154_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall/precision of the MinHash-LSH candidate generator
+    against the exact all-pairs Jaccard >= 3/5 truth — the audit the q113
+    banding planner predicts; the oracle replays BOTH pipelines."""
+    from spanluke_spark.evaluation.dedup_eval import lsh_recall_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return lsh_recall_report(docs, t_num=3, t_den=5, portable=True)
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -3396,6 +3406,67 @@ def _minhash_sql(
         SELECT id_a, id_b, round(jaccard, 6) AS jaccard
         FROM verified WHERE jaccard >= {threshold}
         ORDER BY id_a, id_b
+    """
+
+
+def _lsh_recall_sql(num_hashes: int = 32, bands: int = 8) -> str:
+    """q154 oracle: replay the LSH candidate pipeline (q17 machinery) AND
+    the brute-force exact truth, then the recall/precision arithmetic."""
+    from spanluke_spark.dedup.dedup import BUCKET_BASE, P31, universal_hash_constants
+
+    consts = universal_hash_constants(num_hashes)
+    mh_defs = ",\n                   ".join(
+        f"min((bh * {a} + {b}) % {P31}) AS mh_{i}" for i, (a, b) in enumerate(consts)
+    )
+    rows = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        expr = "0"
+        for r in range(rows):
+            expr = f"(({expr}) * {BUCKET_BASE} + mh_{b * rows + r}) % {P31}"
+        band_selects.append(f"SELECT id, {b} AS band, {expr} AS bucket FROM sig")
+    bands_sql = "\n            UNION ALL ".join(band_selects)
+    return f"""
+        WITH t AS (SELECT doc_id AS id, string_split(trim(text), ' ') AS toks
+                   FROM documents),
+        s AS (
+            SELECT id,
+                   list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+            FROM t WHERE len(toks) >= 3
+        ), e AS (SELECT id, unnest(sh) AS shingle FROM s),
+        h AS (SELECT id, (('0x' || substr(md5(shingle),1,15))::BIGINT) % {P31} AS bh FROM e),
+        sig AS (SELECT id, {mh_defs} FROM h GROUP BY id),
+        bb AS ({bands_sql}),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+            WHERE a.id < b.id
+        ),
+        sz AS (SELECT id, len(sh) AS n FROM s),
+        ins AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+            FROM (SELECT id, unnest(sh) AS term FROM s) a
+            JOIN (SELECT id, unnest(sh) AS term FROM s) b
+              ON a.term = b.term AND a.id < b.id
+            GROUP BY 1, 2
+        ),
+        truth AS (
+            SELECT id_a, id_b FROM ins
+            JOIN sz sa ON sa.id = ins.id_a
+            JOIN sz sb ON sb.id = ins.id_b
+            WHERE 5 * inter >= 3 * (sa.n + sb.n - inter)
+        ),
+        hits AS (SELECT * FROM truth WHERE EXISTS (
+            SELECT 1 FROM cand c WHERE c.id_a = truth.id_a
+              AND c.id_b = truth.id_b))
+        SELECT (SELECT count(*) FROM truth) AS n_true,
+               (SELECT count(*) FROM cand) AS n_candidates,
+               (SELECT count(*) FROM hits) AS n_hit,
+               round((SELECT count(*) FROM hits)::DOUBLE
+                     / nullif((SELECT count(*) FROM truth), 0), 6) AS recall,
+               round((SELECT count(*) FROM hits)::DOUBLE
+                     / nullif((SELECT count(*) FROM cand), 0), 6) AS precision
     """
 
 
@@ -4739,6 +4810,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_sparql_path_forms": q151_sparql_path_forms,
         "q152_clustering_coefficient": q152_clustering_coefficient,
         "q153_hybrid_search": q153_hybrid_search,
+        "q154_lsh_recall": q154_lsh_recall,
     }
 
 
@@ -6867,6 +6939,7 @@ def extra_oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE "rank" <= 10 ORDER BY query_id, "rank"
         """,
+        "q154_lsh_recall": _lsh_recall_sql(),
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (
                 SELECT 'c' || (doc_id%50) AS subj, 'decided_by' AS pred,

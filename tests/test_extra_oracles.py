@@ -143,6 +143,7 @@ def duck():
         "q151_sparql_path_forms",
         "q152_clustering_coefficient",
         "q153_hybrid_search",
+        "q154_lsh_recall",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
