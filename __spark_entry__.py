@@ -3217,6 +3217,37 @@ def q154_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_recall_report(docs, t_num=3, t_den=5, portable=True)
 
 
+def q155_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (window 16, 6 mask bits) over documents:
+    boundaries follow content, chunk hashes content-address repeats."""
+    from spanluke_spark.textops.chunking import content_defined_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    out = content_defined_chunks(docs, window=16, mask_bits=6)
+    return out.orderBy("doc_id", "chunk_idx")
+
+
+def q156_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host robust outlier flags by MAD over page sizes, with a
+    planted 10x blow-up every 97th page."""
+    from spanluke_spark.textops.profile import mad_outliers
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    metrics = docs.select(
+        d.alias("doc_id"),
+        F.concat(F.lit("h"), (d % 7).cast("string")).alias("host"),
+        F.when(d % 97 == 0, F.col("n_chars") * 10)
+        .otherwise(F.col("n_chars"))
+        .cast("double")
+        .alias("bytes"),
+    )
+    out = mad_outliers(metrics, "host", "bytes", k=3.0)
+    return out.select(
+        "host", "doc_id", "bytes", "med", "mad", "is_outlier"
+    ).orderBy("host", "doc_id")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4811,6 +4842,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_clustering_coefficient": q152_clustering_coefficient,
         "q153_hybrid_search": q153_hybrid_search,
         "q154_lsh_recall": q154_lsh_recall,
+        "q155_cdc_chunks": q155_cdc_chunks,
+        "q156_mad_outliers": q156_mad_outliers,
     }
 
 
@@ -6940,6 +6973,55 @@ def extra_oracle_sql() -> dict[str, str]:
             ) WHERE "rank" <= 10 ORDER BY query_id, "rank"
         """,
         "q154_lsh_recall": _lsh_recall_sql(),
+        "q156_mad_outliers": """
+            WITH m AS (
+                SELECT doc_id, 'h' || (doc_id % 7) AS host,
+                       CASE WHEN doc_id % 97 = 0 THEN n_chars * 10
+                            ELSE n_chars END::DOUBLE AS bytes
+                FROM documents
+            ),
+            med AS (SELECT host, median(bytes) AS med FROM m GROUP BY host),
+            mad AS (
+                SELECT m.host, median(abs(m.bytes - med.med)) AS mad
+                FROM m JOIN med ON med.host = m.host
+                GROUP BY m.host
+            )
+            SELECT m.host, m.doc_id, m.bytes,
+                   round(med.med, 6) AS med, round(mad.mad, 6) AS mad,
+                   abs(m.bytes - med.med) > 3.0 * mad.mad AS is_outlier
+            FROM m
+            JOIN med ON med.host = m.host
+            JOIN mad ON mad.host = m.host
+            ORDER BY m.host, m.doc_id
+        """,
+        "q155_cdc_chunks": """
+            WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+            cuts AS (
+                SELECT doc_id, i
+                FROM d, LATERAL (SELECT unnest(range(16, n + 1)) AS i)
+                WHERE (('0x' || substr(md5(substr(text, i - 15, 16)), 1, 15)
+                       )::BIGINT & 63) = 0
+                  AND i < n
+            ),
+            starts AS (
+                SELECT doc_id, 0 AS s FROM d
+                UNION ALL
+                SELECT doc_id, i FROM cuts
+            ),
+            numbered AS (
+                SELECT doc_id, s,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+                           AS chunk_idx,
+                       lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+                FROM starts
+            )
+            SELECT nb.doc_id, chunk_idx, s AS start,
+                   coalesce(nxt, d.n) - s AS length,
+                   md5(substr(d.text, s + 1, coalesce(nxt, d.n) - s))
+                       AS chunk_hash
+            FROM numbered nb JOIN d ON d.doc_id = nb.doc_id
+            ORDER BY nb.doc_id, chunk_idx
+        """,
         "q117_ntriples_roundtrip": """
             SELECT DISTINCT subj, pred, obj, is_literal FROM (
                 SELECT 'c' || (doc_id%50) AS subj, 'decided_by' AS pred,

@@ -108,3 +108,40 @@ def zipf_fit(
         "n_tokens",
         "n_freq_classes",
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier flags by Median Absolute Deviation —
+    the host-metrics anomaly rule (a crawler watching bytes/page or
+    latency per host wants flags that one legitimate 100 MB page cannot
+    move, which rules mean/stddev out): flag rows with
+    |x - median| > k * MAD.
+
+    -> input columns + (med, mad, is_outlier). Exact medians (two
+    map-side-combinable percentile aggs keyed on the group — never a
+    global sort); an all-identical group has MAD 0, so any deviation
+    flags, the conventional degenerate-case reading.
+    """
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    with_med = df.join(med, group_col)
+    mad = (
+        with_med.withColumn("_dev", F.abs(F.col(value_col) - F.col("med")))
+        .groupBy(group_col)
+        .agg(F.expr("percentile(_dev, 0.5)").alias("mad"))
+    )
+    return (
+        with_med.join(mad, group_col)
+        .withColumn(
+            "is_outlier",
+            F.abs(F.col(value_col) - F.col("med")) > k * F.col("mad"),
+        )
+        .withColumn("med", F.round("med", 6))
+        .withColumn("mad", F.round("mad", 6))
+    )

@@ -144,6 +144,8 @@ def duck():
         "q152_clustering_coefficient",
         "q153_hybrid_search",
         "q154_lsh_recall",
+        "q155_cdc_chunks",
+        "q156_mad_outliers",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
