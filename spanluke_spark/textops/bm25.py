@@ -94,8 +94,14 @@ def bm25_topk(
         .distinct()
     )
 
-    # vocab-sized; map-side combine collapses each term before the shuffle.
-    df_by_term = postings.groupBy("term").agg(F.count("*").alias("df"))
+    # document frequency ONLY for query terms (the full-vocab df relation
+    # would be 10^8-row at web scale — too big to broadcast); the semi-join
+    # against the tiny query-term set prunes the agg to |query terms| rows
+    df_by_term = (
+        postings.join(F.broadcast(qterms.select("term").distinct()), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
 
     consts = docs.agg(
         F.count("*").cast("double").alias("n_docs"),
