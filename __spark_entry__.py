@@ -3248,6 +3248,15 @@ def q156_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("host", "doc_id")
 
 
+def q157_session_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session anomaly score: average log2 likelihood of the
+    user's transitions under the Laplace-smoothed corpus Markov matrix."""
+    from spanluke_spark.etl.funnel import session_likelihood
+
+    events = _t(spark, sf_dir, "events")
+    return session_likelihood(events).orderBy("user_id")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4844,6 +4853,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_lsh_recall": q154_lsh_recall,
         "q155_cdc_chunks": q155_cdc_chunks,
         "q156_mad_outliers": q156_mad_outliers,
+        "q157_session_likelihood": q157_session_likelihood,
     }
 
 
@@ -6973,6 +6983,41 @@ def extra_oracle_sql() -> dict[str, str]:
             ) WHERE "rank" <= 10 ORDER BY query_id, "rank"
         """,
         "q154_lsh_recall": _lsh_recall_sql(),
+        "q157_session_likelihood": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_type
+                FROM events
+            ),
+            tr AS (
+                SELECT prev_type, event_type, count(*) AS n
+                FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+            ),
+            nt AS (SELECT count(DISTINCT event_type) AS k FROM tr),
+            sm AS (
+                SELECT prev_type, event_type,
+                       round((n + 0.5)
+                             / (sum(n) OVER (PARTITION BY prev_type)
+                                + 0.5 * (SELECT k FROM nt)), 6) AS p_s
+                FROM tr
+            ),
+            tots AS (SELECT prev_type, sum(n) AS t_prev FROM tr GROUP BY 1),
+            sc AS (
+                SELECT s.user_id,
+                       log2(coalesce(sm.p_s,
+                           round(0.5 / (t.t_prev + 0.5 * (SELECT k FROM nt)),
+                                 6))) AS lp
+                FROM seq s
+                JOIN tots t ON t.prev_type = s.prev_type
+                LEFT JOIN sm ON sm.prev_type = s.prev_type
+                 AND sm.event_type = s.event_type
+                WHERE s.prev_type IS NOT NULL
+            )
+            SELECT user_id, count(*) AS n_transitions,
+                   round(avg(lp), 6) AS avg_log2_p
+            FROM sc GROUP BY user_id ORDER BY user_id
+        """,
         "q156_mad_outliers": """
             WITH m AS (
                 SELECT doc_id, 'h' || (doc_id % 7) AS host,

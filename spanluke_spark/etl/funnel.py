@@ -91,3 +91,65 @@ def transition_matrix(
     return counts.withColumn(
         "p", F.round(F.col("n") / F.sum("n").over(total), 6)
     )
+
+
+def session_likelihood(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    laplace: float = 0.5,
+) -> DataFrame:
+    """Score each user's event stream by its average per-transition log2
+    likelihood under the corpus transition matrix — bot/anomaly detection
+    on session streams (an automated scraper's transition pattern scores
+    far from the organic model). -> (user_id, n_transitions, avg_log2_p),
+    most-anomalous = most-negative.
+
+    Laplace-smoothed over the observed next-type alphabet so unseen
+    transitions score finitely; the matrix is |types|² rows and rides in
+    as a broadcast. Deterministic: same lag ordering as
+    transition_matrix, probabilities rounded at 1e-6 before the log.
+    """
+    from pyspark.sql import Window
+
+    tm = transition_matrix(
+        events, user_col=user_col, ts_col=ts_col, type_col=type_col
+    )
+    n_types = tm.select("event_type").distinct().count()
+    totals = Window.partitionBy("prev_type")
+    smoothed = tm.withColumn(
+        "p_s",
+        F.round(
+            (F.col("n") + laplace)
+            / (F.sum("n").over(totals) + laplace * n_types),
+            6,
+        ),
+    ).select("prev_type", "event_type", "p_s")
+    prev_totals = tm.groupBy("prev_type").agg(F.sum("n").alias("t_prev"))
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    seq = events.withColumn("prev_type", F.lag(type_col).over(w)).where(
+        F.col("prev_type").isNotNull()
+    )
+    scored = (
+        seq.join(F.broadcast(smoothed), ["prev_type", type_col], "left")
+        .join(F.broadcast(prev_totals), "prev_type")
+        .withColumn(
+            "log2p",
+            F.log2(
+                F.coalesce(
+                    F.col("p_s"),
+                    # (prev, next) never co-observed: the pure-smoothing
+                    # mass for that prev's row of the matrix
+                    F.round(
+                        laplace / (F.col("t_prev") + laplace * n_types), 6
+                    ),
+                )
+            ),
+        )
+    )
+    return scored.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.count("*").alias("n_transitions"),
+        F.round(F.avg("log2p"), 6).alias("avg_log2_p"),
+    )

@@ -146,6 +146,7 @@ def duck():
         "q154_lsh_recall",
         "q155_cdc_chunks",
         "q156_mad_outliers",
+        "q157_session_likelihood",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):

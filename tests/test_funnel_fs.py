@@ -91,3 +91,36 @@ def test_transition_matrix_counts_and_probs(spark):
     assert got[("b", "a")] == (1, 1.0)
     # first event of each user contributes no transition
     assert sum(n for n, _ in got.values()) == 4
+
+
+def test_session_likelihood_flags_weird_sessions(spark):
+    from math import log2 as _l2
+
+    from spanluke_spark.etl.funnel import session_likelihood
+
+    # 10 organic users alternate a->b; one bot repeats the rare b->b
+    rows = []
+    eid = 0
+    for u in range(10):
+        for s, t in enumerate(["a", "b", "a", "b"]):
+            rows.append((eid, u, s, t)); eid += 1
+    for s, t in enumerate(["b", "b", "b", "b"]):
+        rows.append((eid, 99, s, t)); eid += 1
+    ev = spark.createDataFrame(
+        [(e, u, datetime(2024, 1, 1, 0, 0, s), t) for e, u, s, t in rows],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    got = {r.user_id: r for r in session_likelihood(ev).collect()}
+    assert got[99].n_transitions == 3
+    # the bot's transitions are corpus-rare -> lower avg log-likelihood
+    assert got[99].avg_log2_p < got[0].avg_log2_p
+    # organic users all share one score
+    assert len({got[u].avg_log2_p for u in range(10)}) == 1
+    # hand-check one organic value: transitions a->b (20+bot?) ...
+    # a->b observed 20, b->a 10, b->b 3; k=3 distinct next types? next
+    # types seen: b (from a), a and b (from b) -> k counts DISTINCT
+    # event_type in tr = {a, b} -> k=2
+    p_ab = round((20 + 0.5) / (20 + 0.5 * 2), 6)
+    p_ba = round((10 + 0.5) / (13 + 0.5 * 2), 6)
+    exp = round((2 * _l2(p_ab) + _l2(p_ba)) / 3, 6)
+    assert abs(got[0].avg_log2_p - exp) < 2e-6
