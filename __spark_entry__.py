@@ -3257,6 +3257,25 @@ def q157_session_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_likelihood(events).orderBy("user_id")
 
 
+def q158_missing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing missing-mass per language slice: singletons / tokens
+    plus the frequency-of-frequencies head."""
+    from spanluke_spark.textops.profile import missing_mass
+
+    docs = _t(spark, sf_dir, "documents")
+    return missing_mass(docs, group_col="lang").orderBy("lang")
+
+
+def q159_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monroe 'Fightin' Words' log-odds with informative Dirichlet prior
+    between two source slices."""
+    from spanluke_spark.textops.profile import log_odds_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    out = log_odds_ratio(docs, "source", "src0", "src1", min_count=5)
+    return out.orderBy("term")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4854,6 +4873,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_cdc_chunks": q155_cdc_chunks,
         "q156_mad_outliers": q156_mad_outliers,
         "q157_session_likelihood": q157_session_likelihood,
+        "q158_missing_mass": q158_missing_mass,
+        "q159_log_odds": q159_log_odds,
     }
 
 
@@ -6983,6 +7004,59 @@ def extra_oracle_sql() -> dict[str, str]:
             ) WHERE "rank" <= 10 ORDER BY query_id, "rank"
         """,
         "q154_lsh_recall": _lsh_recall_sql(),
+        "q158_missing_mass": """
+            WITH toks AS (
+                SELECT lang,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '')) AS term
+                FROM documents
+            ),
+            counts AS (
+                SELECT lang, term, count(*) AS c FROM toks GROUP BY 1, 2
+            )
+            SELECT lang, sum(c) AS n_tokens, count(*) AS vocab,
+                   sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+                   sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2,
+                   round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE
+                         / sum(c), 6) AS p_unseen
+            FROM counts GROUP BY lang ORDER BY lang
+        """,
+        "q159_log_odds": """
+            WITH toks AS (
+                SELECT source AS g,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '')) AS term
+                FROM documents WHERE source IN ('src0', 'src1')
+            ),
+            counts AS (
+                SELECT term,
+                       sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS cnt_a,
+                       sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS cnt_b
+                FROM toks GROUP BY term
+                HAVING sum(1) >= 5
+            ),
+            tot AS (SELECT sum(cnt_a) AS n_a, sum(cnt_b) AS n_b,
+                           sum(cnt_a + cnt_b) AS n_all FROM counts)
+            SELECT term, cnt_a, cnt_b,
+                   round(delta, 6) AS delta,
+                   round(delta / sqrt(1.0 / (cnt_a + a_w)
+                                      + 1.0 / (cnt_b + a_w)), 6) AS z
+            FROM (
+                SELECT term, cnt_a, cnt_b, a_w,
+                       ln((cnt_a + a_w)
+                          / (n_a + a0 - cnt_a - a_w))
+                       - ln((cnt_b + a_w)
+                            / (n_b + a0 - cnt_b - a_w)) AS delta
+                FROM (
+                    SELECT c.*, 0.01 * (cnt_a + cnt_b) AS a_w,
+                           0.01 * t.n_all AS a0, t.n_a, t.n_b
+                    FROM counts c CROSS JOIN tot t
+                )
+            )
+            ORDER BY term
+        """,
         "q157_session_likelihood": """
             WITH seq AS (
                 SELECT user_id, event_type,

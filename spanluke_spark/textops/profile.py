@@ -145,3 +145,105 @@ def mad_outliers(
         .withColumn("med", F.round("med", 6))
         .withColumn("mad", F.round("mad", 6))
     )
+
+
+def missing_mass(
+    df: DataFrame, text_col: str = "text", group_col: str | None = None
+) -> DataFrame:
+    """Good-Turing missing-mass estimate: P(next token is UNSEEN) =
+    singletons / total tokens (Good 1953) — the corpus-coverage dial for
+    "have we crawled enough of this language/domain yet", plus the
+    frequency-of-frequencies head (n1, n2) that simple Good-Turing
+    smoothing consumes.
+
+    -> [group_col,] n_tokens, vocab, n1, n2, p_unseen (round 6). Two
+    map-side-combinable aggs (token counts, then counts-of-counts);
+    nothing driver-side.
+    """
+    from .bm25 import terms_of
+
+    keys = [group_col] if group_col else []
+    toks = df.select(
+        *keys, F.explode(terms_of(F.col(text_col))).alias("term")
+    )
+    counts = toks.groupBy(*keys, "term").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy(*keys)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("vocab"),
+            F.sum((F.col("c") == 1).cast("long")).alias("n1"),
+            F.sum((F.col("c") == 2).cast("long")).alias("n2"),
+        )
+        .withColumn(
+            "p_unseen",
+            F.round(F.col("n1") / F.col("n_tokens"), 6),
+        )
+    )
+
+
+def log_odds_ratio(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    text_col: str = "text",
+    alpha: float = 0.01,
+    min_count: int = 5,
+) -> DataFrame:
+    """Which words DISTINGUISH corpus slice A from slice B — weighted
+    log-odds-ratio with an informative Dirichlet prior and its z-score
+    (Monroe, Colaresi & Quinn 2008, "Fightin' Words"): the principled
+    replacement for raw tf-idf deltas when comparing sources, languages
+    or time slices before mixing them.
+
+    delta = ln((y_aw + a_w)/(n_a + a0 - y_aw - a_w))
+          - ln((y_bw + a_w)/(n_b + a0 - y_bw - a_w));
+    var = 1/(y_aw + a_w) + 1/(y_bw + a_w); z = delta/sqrt(var), with the
+    prior a_w = alpha * corpus count of w (a0 = alpha * corpus total).
+    -> (term, cnt_a, cnt_b, delta, z), terms below min_count total
+    dropped. All aggregates map-side combinable; the final arithmetic is
+    a projection.
+    """
+    from .bm25 import terms_of
+
+    toks = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("g"),
+        F.explode(terms_of(F.col(text_col))).alias("term"),
+    )
+    counts = (
+        toks.groupBy("term")
+        .agg(
+            F.sum((F.col("g") == group_a).cast("long")).alias("cnt_a"),
+            F.sum((F.col("g") == group_b).cast("long")).alias("cnt_b"),
+        )
+        .where(F.col("cnt_a") + F.col("cnt_b") >= min_count)
+    )
+    tot = counts.agg(
+        F.sum("cnt_a").alias("n_a"),
+        F.sum("cnt_b").alias("n_b"),
+        F.sum(F.col("cnt_a") + F.col("cnt_b")).alias("n_all"),
+    )
+    w = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "a_w", alpha * (F.col("cnt_a") + F.col("cnt_b"))
+    ).withColumn("a0", alpha * F.col("n_all"))
+    delta = (
+        F.log(
+            (F.col("cnt_a") + F.col("a_w"))
+            / (F.col("n_a") + F.col("a0") - F.col("cnt_a") - F.col("a_w"))
+        )
+        - F.log(
+            (F.col("cnt_b") + F.col("a_w"))
+            / (F.col("n_b") + F.col("a0") - F.col("cnt_b") - F.col("a_w"))
+        )
+    )
+    var = 1.0 / (F.col("cnt_a") + F.col("a_w")) + 1.0 / (
+        F.col("cnt_b") + F.col("a_w")
+    )
+    return w.select(
+        "term",
+        "cnt_a",
+        "cnt_b",
+        F.round(delta, 6).alias("delta"),
+        F.round(delta / F.sqrt(var), 6).alias("z"),
+    )

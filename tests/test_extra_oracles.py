@@ -147,6 +147,8 @@ def duck():
         "q155_cdc_chunks",
         "q156_mad_outliers",
         "q157_session_likelihood",
+        "q158_missing_mass",
+        "q159_log_odds",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
