@@ -3276,6 +3276,41 @@ def q159_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("term")
 
 
+def q160_corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card — one composed dashboard row per
+    source: volume, mean length, Flesch readability mean, Good-Turing
+    missing mass, and exact-duplicate rate (dedup.exact_dedup by_hash).
+    Every column reuses an existing audited operator."""
+    from spanluke_spark.dedup.dedup import exact_dedup
+    from spanluke_spark.textops.profile import missing_mass
+    from spanluke_spark.textops.quality import readability_features
+
+    docs = _t(spark, sf_dir, "documents")
+    base = readability_features(docs).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg("flesch_ease"), 6).alias("avg_flesch"),
+    )
+    mm = missing_mass(docs, group_col="source").select(
+        "source", "p_unseen"
+    )
+    dups = exact_dedup(docs, by_hash=True)
+    dup_docs = dups.where(F.col("n_copies") > 1).select(
+        F.explode("members").alias("doc_id")
+    )
+    dup_rate = (
+        docs.join(dup_docs, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_dup_docs"))
+    )
+    return (
+        base.join(mm, "source")
+        .join(dup_rate, "source", "left")
+        .withColumn("n_dup_docs", F.coalesce("n_dup_docs", F.lit(0)))
+        .orderBy("source")
+    )
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4875,6 +4910,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q157_session_likelihood": q157_session_likelihood,
         "q158_missing_mass": q158_missing_mass,
         "q159_log_odds": q159_log_odds,
+        "q160_corpus_report_card": q160_corpus_report_card,
     }
 
 
@@ -7004,6 +7040,81 @@ def extra_oracle_sql() -> dict[str, str]:
             ) WHERE "rank" <= 10 ORDER BY query_id, "rank"
         """,
         "q154_lsh_recall": _lsh_recall_sql(),
+        "q160_corpus_report_card": """
+            WITH toks AS (
+                SELECT doc_id, source, n_chars, text,
+                       list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                   t -> t <> '') AS ws
+                FROM documents
+            ),
+            words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+            per_word AS (
+                SELECT doc_id,
+                       len(list_filter(string_split_regex(w, '[^aeiouy]+'),
+                                       x -> x <> '')) AS g,
+                       regexp_matches(w, '[^aeiouy]e$') AS sil
+                FROM words
+            ),
+            syl AS (
+                SELECT doc_id,
+                       sum(greatest(g - CASE WHEN sil AND g > 1
+                                             THEN 1 ELSE 0 END, 1)) AS n_syll
+                FROM per_word GROUP BY doc_id
+            ),
+            rb AS (
+                SELECT t.source, t.n_chars,
+                       round(206.835
+                             - 1.015 * (greatest(len(t.ws), 1)::DOUBLE
+                                 / greatest(len(regexp_extract_all(t.text,
+                                     '[.!?]+')), 1))
+                             - 84.6 * (coalesce(s.n_syll, 0)::DOUBLE
+                                 / greatest(len(t.ws), 1)),
+                             6) AS flesch
+                FROM toks t LEFT JOIN syl s ON s.doc_id = t.doc_id
+            ),
+            base AS (
+                SELECT source, count(*) AS n_docs,
+                       round(avg(n_chars), 6) AS avg_chars,
+                       round(avg(flesch), 6) AS avg_flesch
+                FROM rb GROUP BY source
+            ),
+            mtoks AS (
+                SELECT source,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '')) AS term
+                FROM documents
+            ),
+            mcounts AS (
+                SELECT source, term, count(*) AS c FROM mtoks GROUP BY 1, 2
+            ),
+            mm AS (
+                SELECT source,
+                       round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE
+                             / sum(c), 6) AS p_unseen
+                FROM mcounts GROUP BY source
+            ),
+            dup_ids AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id,
+                           count(*) OVER (PARTITION BY
+                               regexp_replace(lower(trim(text)),
+                                              '\\s+', ' ', 'g')) AS nc
+                    FROM documents
+                ) WHERE nc > 1
+            ),
+            dr AS (
+                SELECT d.source, count(*) AS n_dup_docs
+                FROM documents d JOIN dup_ids u ON u.doc_id = d.doc_id
+                GROUP BY d.source
+            )
+            SELECT b.source, b.n_docs, b.avg_chars, b.avg_flesch,
+                   mm.p_unseen, coalesce(dr.n_dup_docs, 0) AS n_dup_docs
+            FROM base b
+            JOIN mm ON mm.source = b.source
+            LEFT JOIN dr ON dr.source = b.source
+            ORDER BY b.source
+        """,
         "q158_missing_mass": """
             WITH toks AS (
                 SELECT lang,

@@ -149,6 +149,7 @@ def duck():
         "q157_session_likelihood",
         "q158_missing_mass",
         "q159_log_odds",
+        "q160_corpus_report_card",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
