@@ -3311,6 +3311,35 @@ def q160_corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q161_hearst_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hearst-pattern taxonomy induction (Hearst 1992; WebIsALOD's Common
+    Crawl pipeline): synthesize deterministic pattern-bearing sentences
+    from each document's first five tokens ("W0 such as W1, W2 and W3.
+    W4, including W0 and W2. W1, W3 or other W2. W4, especially W1."),
+    then mine is-a pairs with all four regex lanes (pure codegen, zero
+    shuffle until the tiny edge aggregate). The oracle derives the
+    expected pair multiset constructively from the same token positions —
+    independent of the extraction regexes it validates."""
+    from spanluke_spark.etl.hearst import hearst_isa_pairs, taxonomy_support
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+
+    def w(i: int):
+        return F.lower(F.element_at(t, i + 1))
+
+    sent = F.concat(
+        w(0), F.lit(" such as "), w(1), F.lit(", "), w(2), F.lit(" and "),
+        w(3), F.lit(". "),
+        w(4), F.lit(", including "), w(0), F.lit(" and "), w(2), F.lit(". "),
+        w(1), F.lit(", "), w(3), F.lit(" or other "), w(2), F.lit(". "),
+        w(4), F.lit(", especially "), w(1), F.lit("."),
+    )
+    synth = docs.where(F.size(t) >= 5).select("doc_id", sent.alias("text"))
+    pairs = hearst_isa_pairs(synth)
+    return taxonomy_support(pairs).orderBy("hyponym", "hypernym")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4911,6 +4940,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_missing_mass": q158_missing_mass,
         "q159_log_odds": q159_log_odds,
         "q160_corpus_report_card": q160_corpus_report_card,
+        "q161_hearst_taxonomy": q161_hearst_taxonomy,
     }
 
 
@@ -7040,6 +7070,32 @@ def extra_oracle_sql() -> dict[str, str]:
             ) WHERE "rank" <= 10 ORDER BY query_id, "rank"
         """,
         "q154_lsh_recall": _lsh_recall_sql(),
+        "q161_hearst_taxonomy": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_transform(string_split_regex(trim(text), '\\s+'),
+                                      x -> lower(x)) AS w
+                FROM documents
+                WHERE len(string_split_regex(trim(text), '\\s+')) >= 5
+            ),
+            p AS (
+                SELECT doc_id, w[2] AS hyponym, w[1] AS hypernym,
+                       'such_as' AS pattern FROM t
+                UNION ALL SELECT doc_id, w[3], w[1], 'such_as' FROM t
+                UNION ALL SELECT doc_id, w[4], w[1], 'such_as' FROM t
+                UNION ALL SELECT doc_id, w[1], w[5], 'including' FROM t
+                UNION ALL SELECT doc_id, w[3], w[5], 'including' FROM t
+                UNION ALL SELECT doc_id, w[2], w[3], 'other' FROM t
+                UNION ALL SELECT doc_id, w[4], w[3], 'other' FROM t
+                UNION ALL SELECT doc_id, w[2], w[5], 'especially' FROM t
+            )
+            SELECT hyponym, hypernym,
+                   count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_mentions,
+                   count(DISTINCT pattern) AS n_patterns
+            FROM p WHERE hyponym <> hypernym
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "q160_corpus_report_card": """
             WITH toks AS (
                 SELECT doc_id, source, n_chars, text,
