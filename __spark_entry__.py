@@ -3340,6 +3340,26 @@ def q161_hearst_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return taxonomy_support(pairs).orderBy("hyponym", "hypernym")
 
 
+def q162_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR pretraining-data selection (Xie et al. 2023): hashed word-bigram
+    importance weights of every document against the src0 slice as the
+    target domain, top-100 selected. Histograms are 4096-bucket aggregates
+    with the portable md5 hash; the log-ratio relation is broadcast so the
+    corpus never shuffles on gram. Oracle replays hash, smoothing, and the
+    rounded-weight ranking bit-for-bit."""
+    from spanluke_spark.textops.dsir import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    out = dsir_select(docs, target, k=100)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        F.round("log_weight", 6).alias("log_weight"),
+        "selected",
+    ).orderBy("doc_id")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4941,6 +4961,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_log_odds": q159_log_odds,
         "q160_corpus_report_card": q160_corpus_report_card,
         "q161_hearst_taxonomy": q161_hearst_taxonomy,
+        "q162_dsir_selection": q162_dsir_selection,
     }
 
 
@@ -7070,6 +7091,54 @@ def extra_oracle_sql() -> dict[str, str]:
             ) WHERE "rank" <= 10 ORDER BY query_id, "rank"
         """,
         "q154_lsh_recall": _lsh_recall_sql(),
+        "q162_dsir_selection": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(toks) - 1, 0) + 1),
+                           i -> toks[i] || ' ' || toks[i+1])) AS gram
+                FROM t WHERE len(toks) >= 2
+            ),
+            b AS (
+                SELECT doc_id,
+                       (('0x' || substr(md5(gram), 1, 15))::BIGINT) % 4096 AS bkt
+                FROM g
+            ),
+            tb AS (
+                SELECT b.bkt FROM b
+                JOIN documents d ON d.doc_id = b.doc_id
+                WHERE d.source = 'src0'
+            ),
+            rd AS (SELECT bkt, count(*) AS cr FROM b GROUP BY 1),
+            td AS (SELECT bkt, count(*) AS ct FROM tb GROUP BY 1),
+            rt AS (SELECT count(*) AS tr FROM b),
+            tt AS (SELECT count(*) AS ttot FROM tb),
+            lr AS (
+                SELECT rd.bkt,
+                       ln((coalesce(td.ct, 0) + 1.0) / (tt.ttot + 4096.0))
+                       - ln((rd.cr + 1.0) / (rt.tr + 4096.0)) AS lrv
+                FROM rd LEFT JOIN td USING (bkt), rt, tt
+            ),
+            w AS (
+                SELECT b.doc_id, count(*) AS n_grams, sum(lr.lrv) AS lw
+                FROM b JOIN lr USING (bkt) GROUP BY 1
+            ),
+            r AS (
+                SELECT doc_id, n_grams, lw,
+                       row_number() OVER (ORDER BY round(lw, 6) DESC, doc_id)
+                           AS rn
+                FROM w
+            )
+            SELECT doc_id, n_grams, round(lw, 6) AS log_weight,
+                   CASE WHEN rn <= 100 THEN 1 ELSE 0 END AS selected
+            FROM r ORDER BY doc_id
+        """,
         "q161_hearst_taxonomy": """
             WITH t AS (
                 SELECT doc_id,
