@@ -3360,6 +3360,35 @@ def q162_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q163_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom-filter semi-join (Kirsch-Mitzenmacher double
+    hashing over the portable md5 hash): prune orders by the customer keys
+    of nations 0-4 through a deliberately small m=997 filter so false
+    positives actually occur and are themselves oracle-replayed. The probe
+    side never shuffles: k=3 broadcast left-semi joins against the one
+    distinct-position relation (broadcast exchange reused). true_match
+    labels each surviving row via the exact key set for the fp-rate audit."""
+    from spanluke_spark.storage.bloom import bloom_semi_join
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_nationkey") < 5)
+    passed = bloom_semi_join(orders, cust, "o_custkey", "c_custkey", m=997, k=3)
+    truth = (
+        cust.select(F.col("c_custkey").alias("o_custkey"))
+        .distinct()
+        .withColumn("_tm", F.lit(1))
+    )
+    return (
+        passed.join(F.broadcast(truth), "o_custkey", "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.coalesce("_tm", F.lit(0)).alias("true_match"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4962,6 +4991,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_corpus_report_card": q160_corpus_report_card,
         "q161_hearst_taxonomy": q161_hearst_taxonomy,
         "q162_dsir_selection": q162_dsir_selection,
+        "q163_bloom_semi_join": q163_bloom_semi_join,
     }
 
 
@@ -7091,6 +7121,46 @@ def extra_oracle_sql() -> dict[str, str]:
             ) WHERE "rank" <= 10 ORDER BY query_id, "rank"
         """,
         "q154_lsh_recall": _lsh_recall_sql(),
+        "q163_bloom_semi_join": """
+            WITH fk AS (
+                SELECT DISTINCT c_custkey AS key FROM customer
+                WHERE c_nationkey < 5
+            ),
+            fh AS (
+                SELECT key,
+                       (('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT)
+                           % 997 AS h1,
+                       ((('0x' || substr(md5(CAST(key AS VARCHAR) || '#2'), 1, 15))::BIGINT)
+                           % 996) + 1 AS h2
+                FROM fk
+            ),
+            fpos AS (
+                SELECT DISTINCT (h1 + t.i * h2) % 997 AS pos
+                FROM fh, range(3) t(i)
+            ),
+            ph AS (
+                SELECT o_orderkey, o_custkey,
+                       (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT)
+                           % 997 AS h1,
+                       ((('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || '#2'), 1, 15))::BIGINT)
+                           % 996) + 1 AS h2
+                FROM orders
+            ),
+            pp AS (
+                SELECT o_orderkey, o_custkey, (h1 + t.i * h2) % 997 AS pos
+                FROM ph, range(3) t(i)
+            ),
+            pass AS (
+                SELECT pp.o_orderkey, pp.o_custkey
+                FROM pp LEFT JOIN fpos ON pp.pos = fpos.pos
+                GROUP BY pp.o_orderkey, pp.o_custkey
+                HAVING count(fpos.pos) = 3
+            )
+            SELECT p.o_orderkey, p.o_custkey,
+                   CASE WHEN p.o_custkey IN (SELECT key FROM fk)
+                        THEN 1 ELSE 0 END AS true_match
+            FROM pass p ORDER BY o_orderkey
+        """,
         "q162_dsir_selection": """
             WITH t AS (
                 SELECT doc_id,
