@@ -3389,6 +3389,32 @@ def q163_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q164_heading_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML5 heading-outline recovery: synthesize a 6-heading page per
+    document (h1/h2/h3/h2/h3/h4 from its first five tokens), extract the
+    outline with one codegen regex pass + one windowed parent resolution
+    (no recursion, no self-join). The oracle constructs the expected
+    outline rows — positions, levels, and nearest-smaller-level parents —
+    directly from the token positions."""
+    from spanluke_spark.etl.outline import heading_outline
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+
+    def w(i: int):
+        return F.lower(F.element_at(t, i + 1))
+
+    html = F.concat(
+        F.lit("<html><body><h1>"), w(0), F.lit("</h1><p>filler</p><h2>"),
+        w(1), F.lit("</h2><h3>"), w(2), F.lit("</h3><h2>"), w(3),
+        F.lit("</h2><h3>"), w(4), F.lit("</h3><h4>"), w(0), F.lit(" "),
+        w(1), F.lit("</h4></body></html>"),
+    )
+    synth = docs.where(F.size(t) >= 5).select("doc_id", html.alias("html"))
+    out = heading_outline(synth, html_col="html", id_col="doc_id")
+    return out.orderBy("doc_id", "pos")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -4992,6 +5018,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_hearst_taxonomy": q161_hearst_taxonomy,
         "q162_dsir_selection": q162_dsir_selection,
         "q163_bloom_semi_join": q163_bloom_semi_join,
+        "q164_heading_outline": q164_heading_outline,
     }
 
 
@@ -7121,6 +7148,24 @@ def extra_oracle_sql() -> dict[str, str]:
             ) WHERE "rank" <= 10 ORDER BY query_id, "rank"
         """,
         "q154_lsh_recall": _lsh_recall_sql(),
+        "q164_heading_outline": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_transform(string_split_regex(trim(text), '\\s+'),
+                                      x -> lower(x)) AS w
+                FROM documents
+                WHERE len(string_split_regex(trim(text), '\\s+')) >= 5
+            )
+            SELECT doc_id, pos, level, heading, parent_pos FROM (
+                SELECT doc_id, 1::BIGINT AS pos, 1 AS level,
+                       w[1] AS heading, NULL::BIGINT AS parent_pos FROM t
+                UNION ALL SELECT doc_id, 2, 2, w[2], 1 FROM t
+                UNION ALL SELECT doc_id, 3, 3, w[3], 2 FROM t
+                UNION ALL SELECT doc_id, 4, 2, w[4], 1 FROM t
+                UNION ALL SELECT doc_id, 5, 3, w[5], 4 FROM t
+                UNION ALL SELECT doc_id, 6, 4, w[1] || ' ' || w[2], 5 FROM t
+            ) ORDER BY doc_id, pos
+        """,
         "q163_bloom_semi_join": """
             WITH fk AS (
                 SELECT DISTINCT c_custkey AS key FROM customer
