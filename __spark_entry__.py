@@ -3415,6 +3415,19 @@ def q164_heading_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id", "pos")
 
 
+def q165_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI on mean doc length per source (Chamandy et
+    al. 2012): 64 deterministic hash-derived Poisson(1) replicates,
+    map-side explode + partial agg so the shuffle carries only
+    |sources| x 64 rows, exact interpolated percentiles over replicate
+    means. Oracle replays hash, inverse-CDF weights, and quantile_cont."""
+    from spanluke_spark.textops.bootstrap import bootstrap_mean_ci
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bootstrap_mean_ci(docs, "n_chars", "source", n_reps=64)
+    return out.orderBy("source")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -3604,6 +3617,50 @@ def _minhash_sql(
         SELECT id_a, id_b, round(jaccard, 6) AS jaccard
         FROM verified WHERE jaccard >= {threshold}
         ORDER BY id_a, id_b
+    """
+
+
+def _bootstrap_ci_sql(n_reps: int = 64) -> str:
+    """DuckDB twin of q165: same portable-hash uniforms, same Poisson(1)
+    inverse-CDF thresholds (repr round-trips the exact doubles), same
+    interpolated percentiles (quantile_cont == Spark percentile)."""
+    from spanluke_spark.textops.bootstrap import POISSON1_CDF
+
+    cases = " ".join(
+        f"WHEN u < {POISSON1_CDF[k]!r} THEN {k}" for k in range(len(POISSON1_CDF))
+    )
+    return f"""
+        WITH r AS (
+            SELECT doc_id, source, n_chars, unnest(range(0, {n_reps})) AS b
+            FROM documents
+        ),
+        u AS (
+            SELECT source, b,
+                   ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                        || CAST(b AS VARCHAR)), 1, 15))::BIGINT
+                     % 1073741824) + 0.5) / 1073741824.0 AS u,
+                   n_chars::DOUBLE AS v
+            FROM r
+        ),
+        w AS (SELECT source, b, CASE {cases} ELSE 6 END AS w, v FROM u),
+        reps AS (
+            SELECT source, b, sum(w * v) / nullif(sum(w), 0) AS m
+            FROM w GROUP BY 1, 2
+        ),
+        ci AS (
+            SELECT source,
+                   round(quantile_cont(m, 0.025), 6) AS ci_lo,
+                   round(quantile_cont(m, 0.5), 6) AS median_boot,
+                   round(quantile_cont(m, 0.975), 6) AS ci_hi
+            FROM reps GROUP BY 1
+        ),
+        obs AS (
+            SELECT source, count(*) AS n_docs,
+                   round(avg(n_chars::DOUBLE), 6) AS mean_obs
+            FROM documents GROUP BY 1
+        )
+        SELECT o.source, o.n_docs, o.mean_obs, ci.ci_lo, ci.median_boot, ci.ci_hi
+        FROM obs o JOIN ci USING (source) ORDER BY source
     """
 
 
@@ -5019,6 +5076,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q162_dsir_selection": q162_dsir_selection,
         "q163_bloom_semi_join": q163_bloom_semi_join,
         "q164_heading_outline": q164_heading_outline,
+        "q165_bootstrap_ci": q165_bootstrap_ci,
     }
 
 
@@ -7148,6 +7206,7 @@ def extra_oracle_sql() -> dict[str, str]:
             ) WHERE "rank" <= 10 ORDER BY query_id, "rank"
         """,
         "q154_lsh_recall": _lsh_recall_sql(),
+        "q165_bootstrap_ci": _bootstrap_ci_sql(),
         "q164_heading_outline": """
             WITH t AS (
                 SELECT doc_id,
