@@ -3428,6 +3428,19 @@ def q165_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("source")
 
 
+def q166_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization ANN (Jégou et al. 2011): train 4 subspace
+    codebooks (k=4, one Lloyd round, deterministic seeds) over the 64-dim
+    embeddings, encode every vector as 4 codes, answer query vec 0 by ADC
+    lookup-table summation, and report exact_d2 alongside for the
+    approximation audit. Oracle unrolls train/encode/query end-to-end."""
+    from spanluke_spark.link.pq import pq_adc_topk, pq_train_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books, codes = pq_train_encode(emb, n_sub=4, k=4, iters=1, sub_dim=16)
+    return pq_adc_topk(emb, books, codes, query_id=0, topk=10, sub_dim=16)
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -3661,6 +3674,81 @@ def _bootstrap_ci_sql(n_reps: int = 64) -> str:
         )
         SELECT o.source, o.n_docs, o.mean_obs, ci.ci_lo, ci.median_boot, ci.ci_hi
         FROM obs o JOIN ci USING (source) ORDER BY source
+    """
+
+
+def _pq_sql(
+    k: int = 4, sub_dim: int = 16, query: int = 0, topk: int = 10
+) -> str:
+    """q166 oracle: PQ train (1 Lloyd round per subspace from the k
+    lowest-id seeds) + encode + ADC query, unrolled in SQL with the same
+    round-6 rank convention as _kmeans_sql."""
+    return f"""
+        WITH p0 AS (
+            SELECT vec_id AS vid,
+                   unnest(generate_series(0, len(embedding) - 1)) AS pos,
+                   unnest(embedding)::DOUBLE AS v
+            FROM embeddings
+        ), pos AS (
+            SELECT vid, CAST(pos // {sub_dim} AS INT) AS sub,
+                   pos % {sub_dim} AS spos, v
+            FROM p0
+        ), seeds AS (
+            SELECT vid, CAST(row_number() OVER (ORDER BY vid) - 1 AS INT) AS cid
+            FROM (SELECT DISTINCT vid FROM pos ORDER BY vid LIMIT {k})
+        ), cent0 AS (
+            SELECT p.sub, s.cid, p.spos, p.v AS c
+            FROM pos p JOIN seeds s ON p.vid = s.vid
+        ), d0 AS (
+            SELECT p.vid, p.sub, c.cid,
+                   round(sum((p.v - c.c) * (p.v - c.c)), 6) AS d2
+            FROM pos p JOIN cent0 c ON p.sub = c.sub AND p.spos = c.spos
+            GROUP BY 1, 2, 3
+        ), a0 AS (
+            SELECT vid, sub, cid FROM (
+                SELECT vid, sub, cid,
+                       row_number() OVER (PARTITION BY vid, sub
+                                          ORDER BY d2, cid) AS rn
+                FROM d0
+            ) WHERE rn = 1
+        ), cent1 AS (
+            SELECT p.sub, a.cid, p.spos, avg(p.v) AS c
+            FROM pos p JOIN a0 a ON p.vid = a.vid AND p.sub = a.sub
+            GROUP BY 1, 2, 3
+        ), d1 AS (
+            SELECT p.vid, p.sub, c.cid,
+                   round(sum((p.v - c.c) * (p.v - c.c)), 6) AS d2
+            FROM pos p JOIN cent1 c ON p.sub = c.sub AND p.spos = c.spos
+            GROUP BY 1, 2, 3
+        ), codes AS (
+            SELECT vid, sub, cid FROM (
+                SELECT vid, sub, cid,
+                       row_number() OVER (PARTITION BY vid, sub
+                                          ORDER BY d2, cid) AS rn
+                FROM d1
+            ) WHERE rn = 1
+        ), q AS (
+            SELECT sub, spos, v AS qv FROM pos WHERE vid = {query}
+        ), lut AS (
+            SELECT c.sub, c.cid,
+                   round(sum((c.c - q.qv) * (c.c - q.qv)), 6) AS d
+            FROM cent1 c JOIN q ON c.sub = q.sub AND c.spos = q.spos
+            GROUP BY 1, 2
+        ), adc AS (
+            SELECT codes.vid, round(sum(lut.d), 6) AS adc_d2
+            FROM codes JOIN lut ON codes.sub = lut.sub AND codes.cid = lut.cid
+            GROUP BY 1
+        ), ex AS (
+            SELECT p.vid, round(sum((p.v - q.qv) * (p.v - q.qv)), 6) AS exact_d2
+            FROM pos p JOIN q ON p.sub = q.sub AND p.spos = q.spos
+            GROUP BY 1
+        ), r AS (
+            SELECT adc.vid, adc.adc_d2, ex.exact_d2,
+                   row_number() OVER (ORDER BY adc.adc_d2, adc.vid) AS rnk
+            FROM adc JOIN ex ON ex.vid = adc.vid
+        )
+        SELECT rnk AS "rank", vid AS vec_id, adc_d2, exact_d2
+        FROM r WHERE rnk <= {topk} ORDER BY rnk
     """
 
 
@@ -5077,6 +5165,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q163_bloom_semi_join": q163_bloom_semi_join,
         "q164_heading_outline": q164_heading_outline,
         "q165_bootstrap_ci": q165_bootstrap_ci,
+        "q166_pq_adc_topk": q166_pq_adc_topk,
     }
 
 
@@ -7207,6 +7296,7 @@ def extra_oracle_sql() -> dict[str, str]:
         """,
         "q154_lsh_recall": _lsh_recall_sql(),
         "q165_bootstrap_ci": _bootstrap_ci_sql(),
+        "q166_pq_adc_topk": _pq_sql(),
         "q164_heading_outline": """
             WITH t AS (
                 SELECT doc_id,
