@@ -3441,6 +3441,19 @@ def q166_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, books, codes, query_id=0, topk=10, sub_dim=16)
 
 
+def q167_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the first 200 embeddings
+    (k=4, 2 deterministic Lloyd rounds), within-cluster cosine pairs at
+    0.3, connected-component duplicate groups, keep the member with the
+    LOWEST centroid cosine per group (diversity-preserving rule from the
+    paper). Oracle unrolls kmeans, replays the pair join, and runs the CC
+    as a recursive min-label propagation."""
+    from spanluke_spark.dedup.semdedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return semdedup(emb, k=4, iters=2, threshold=0.3).orderBy("vec_id")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -3749,6 +3762,97 @@ def _pq_sql(
         )
         SELECT rnk AS "rank", vid AS vec_id, adc_d2, exact_d2
         FROM r WHERE rnk <= {topk} ORDER BY rnk
+    """
+
+
+def _semdedup_sql(
+    k: int = 4, limit_id: int = 200, threshold: float = 0.3
+) -> str:
+    """q167 oracle: 2 unrolled Lloyd rounds (same convention as
+    _kmeans_sql) restricted to vec_id < limit_id, post-assignment
+    centroids, within-cluster cosine pairs, recursive min-label CC, and
+    the lowest-centroid-cosine keep rule."""
+    cos = """list_sum(list_transform(range(1, len({a}) + 1),
+                           i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(range(1, len({a}) + 1),
+                              i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
+                        * sqrt(list_sum(list_transform(range(1, len({b}) + 1),
+                              i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))"""
+    pair_cos = cos.format(a="x.embedding", b="y.embedding")
+    return f"""
+        WITH RECURSIVE emb AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id < {limit_id}
+        ), pos AS (
+            SELECT vec_id AS vid,
+                   unnest(generate_series(0, len(embedding) - 1)) AS pos,
+                   unnest(embedding)::DOUBLE AS v
+            FROM emb
+        ), seeds AS (
+            SELECT vid, CAST(row_number() OVER (ORDER BY vid) - 1 AS INT) AS cid
+            FROM (SELECT DISTINCT vid FROM pos ORDER BY vid LIMIT {k})
+        ), cent0 AS (
+            SELECT s.cid, p.pos, p.v AS c FROM pos p JOIN seeds s ON p.vid = s.vid
+        ), d0 AS (
+            SELECT p.vid, c.cid, round(sum((p.v - c.c) * (p.v - c.c)), 6) AS d2
+            FROM pos p JOIN cent0 c ON p.pos = c.pos GROUP BY 1, 2
+        ), a0 AS (
+            SELECT vid, cid FROM (
+                SELECT vid, cid,
+                       row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+                FROM d0
+            ) WHERE rn = 1
+        ), cent1 AS (
+            SELECT a.cid, p.pos, avg(p.v) AS c
+            FROM pos p JOIN a0 a ON p.vid = a.vid GROUP BY 1, 2
+        ), d1 AS (
+            SELECT p.vid, c.cid, round(sum((p.v - c.c) * (p.v - c.c)), 6) AS d2
+            FROM pos p JOIN cent1 c ON p.pos = c.pos GROUP BY 1, 2
+        ), a1 AS (
+            SELECT vid, cid FROM (
+                SELECT vid, cid,
+                       row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+                FROM d1
+            ) WHERE rn = 1
+        ), cent2 AS (
+            SELECT a.cid, p.pos, avg(p.v) AS c
+            FROM pos p JOIN a1 a ON p.vid = a.vid GROUP BY 1, 2
+        ), ccos AS (
+            SELECT p.vid, a.cid AS cluster,
+                   round(sum(p.v * c.c)
+                         / (sqrt(sum(p.v * p.v)) * sqrt(sum(c.c * c.c))),
+                         6) AS cos_centroid
+            FROM pos p
+            JOIN a1 a ON a.vid = p.vid
+            JOIN cent2 c ON c.cid = a.cid AND c.pos = p.pos
+            GROUP BY 1, 2
+        ), ev AS (
+            SELECT e.vec_id AS vid, a.cid AS cluster, e.embedding
+            FROM emb e JOIN a1 a ON a.vid = e.vec_id
+        ), pr AS (
+            SELECT x.vid AS sa, y.vid AS sb
+            FROM ev x JOIN ev y ON x.cluster = y.cluster AND x.vid < y.vid
+            WHERE round({pair_cos}, 6) >= {threshold}
+        ), edges AS (
+            SELECT sa AS s, sb AS d FROM pr
+            UNION ALL SELECT sb, sa FROM pr
+        ), nodes AS (
+            SELECT DISTINCT s AS n FROM edges
+        ), reach AS (
+            SELECT n, n AS l FROM nodes
+            UNION
+            SELECT e.d AS n, r.l AS l FROM reach r JOIN edges e ON e.s = r.n
+        ), comp AS (
+            SELECT n, min(l) AS group_id FROM reach GROUP BY n
+        ), lab AS (
+            SELECT s.vid, s.cluster,
+                   coalesce(c.group_id, s.vid) AS group_id, s.cos_centroid
+            FROM ccos s LEFT JOIN comp c ON c.n = s.vid
+        )
+        SELECT vid AS vec_id, cluster, group_id, cos_centroid,
+               CASE WHEN row_number() OVER (PARTITION BY group_id
+                        ORDER BY cos_centroid, vid) = 1
+                    THEN 1 ELSE 0 END AS keep
+        FROM lab ORDER BY vec_id
     """
 
 
@@ -5166,6 +5270,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_heading_outline": q164_heading_outline,
         "q165_bootstrap_ci": q165_bootstrap_ci,
         "q166_pq_adc_topk": q166_pq_adc_topk,
+        "q167_semdedup": q167_semdedup,
     }
 
 
@@ -7297,6 +7402,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "q154_lsh_recall": _lsh_recall_sql(),
         "q165_bootstrap_ci": _bootstrap_ci_sql(),
         "q166_pq_adc_topk": _pq_sql(),
+        "q167_semdedup": _semdedup_sql(),
         "q164_heading_outline": """
             WITH t AS (
                 SELECT doc_id,
