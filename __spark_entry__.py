@@ -3454,6 +3454,19 @@ def q167_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, k=4, iters=2, threshold=0.3).orderBy("vec_id")
 
 
+def q168_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank (Carbonell & Goldstein 1998) of the first 100
+    embeddings against query vec 0: 5 greedy rounds, lambda=0.7, rounded
+    cosine scores with id tie-break. Oracle unrolls all 5 selection rounds
+    (argmax + running-max similarity) in chained CTEs."""
+    from spanluke_spark.link.mmr import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    pool = emb.where((F.col("vec_id") < 100) & (F.col("vec_id") != 0))
+    return mmr_rerank(pool, qvec, k=5, lam=0.7).orderBy("rank")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -3763,6 +3776,48 @@ def _pq_sql(
         SELECT rnk AS "rank", vid AS vec_id, adc_d2, exact_d2
         FROM r WHERE rnk <= {topk} ORDER BY rnk
     """
+
+
+def _mmr_sql(
+    k: int = 5, lam: float = 0.7, pool: int = 100, query: int = 0
+) -> str:
+    """q168 oracle: k unrolled MMR rounds. (1-lam) is interpolated via
+    repr so the SQL double equals Python's 1.0-lam bit-for-bit."""
+    cos = """round(list_sum(list_transform(range(1, len({a}) + 1),
+                   i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(range(1, len({a}) + 1),
+                      i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(range(1, len({b}) + 1),
+                      i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))), 6)"""
+    one_m = repr(1.0 - lam)
+    sql = f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query}),
+        c0 AS (
+            SELECT e.vec_id, e.embedding,
+                   {cos.format(a="e.embedding", b="q.qv")} AS rel,
+                   0.0::DOUBLE AS ms
+            FROM embeddings e, q
+            WHERE e.vec_id < {pool} AND e.vec_id <> {query}
+        )"""
+    for r in range(k):
+        sql += f""", s{r} AS (
+            SELECT vec_id, embedding, rel, ms,
+                   round({lam!r} * rel - {one_m} * ms, 6) AS score
+            FROM c{r} ORDER BY score DESC, vec_id LIMIT 1
+        )"""
+        if r < k - 1:
+            sql += f""", c{r + 1} AS (
+            SELECT c.vec_id, c.embedding, c.rel,
+                   greatest(c.ms,
+                            {cos.format(a="c.embedding", b="s.embedding")}) AS ms
+            FROM c{r} c, s{r} s WHERE c.vec_id <> s.vec_id
+        )"""
+    parts = " UNION ALL ".join(
+        f"SELECT {r + 1} AS \"rank\", vec_id, rel, ms AS max_sim, score AS mmr_score FROM s{r}"
+        for r in range(k)
+    )
+    sql += f" SELECT * FROM ({parts}) ORDER BY \"rank\""
+    return sql
 
 
 def _semdedup_sql(
@@ -5271,6 +5326,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q165_bootstrap_ci": q165_bootstrap_ci,
         "q166_pq_adc_topk": q166_pq_adc_topk,
         "q167_semdedup": q167_semdedup,
+        "q168_mmr_rerank": q168_mmr_rerank,
     }
 
 
@@ -7403,6 +7459,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "q165_bootstrap_ci": _bootstrap_ci_sql(),
         "q166_pq_adc_topk": _pq_sql(),
         "q167_semdedup": _semdedup_sql(),
+        "q168_mmr_rerank": _mmr_sql(),
         "q164_heading_outline": """
             WITH t AS (
                 SELECT doc_id,
