@@ -3467,6 +3467,31 @@ def q168_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(pool, qvec, k=5, lam=0.7).orderBy("rank")
 
 
+def q169_ontology_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARIS-style instance-based class alignment: two synthetic ontologies
+    from each document (class A = first token, class B = second token,
+    shared instance set = remaining distinct tokens), aligned by extent
+    Jaccard with mutual top-1 filtering. The overlap is an inverted-index
+    join on the instance key — no class-pair cross product."""
+    from spanluke_spark.graph.align import align_classes
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.where(F.size(t) >= 3).select(
+        t.alias("_w")
+    )
+    rest = F.expr("slice(_w, 3, size(_w) - 2)")
+    a_ext = base.select(
+        F.element_at("_w", 1).alias("cls"), F.explode(rest).alias("inst")
+    )
+    b_ext = base.select(
+        F.element_at("_w", 2).alias("cls"), F.explode(rest).alias("inst")
+    )
+    return align_classes(a_ext, b_ext, min_jaccard=0.1).orderBy(
+        "class_a", "class_b"
+    )
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -5327,6 +5352,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_pq_adc_topk": q166_pq_adc_topk,
         "q167_semdedup": q167_semdedup,
         "q168_mmr_rerank": q168_mmr_rerank,
+        "q169_ontology_align": q169_ontology_align,
     }
 
 
@@ -7460,6 +7486,43 @@ def extra_oracle_sql() -> dict[str, str]:
         "q166_pq_adc_topk": _pq_sql(),
         "q167_semdedup": _semdedup_sql(),
         "q168_mmr_rerank": _mmr_sql(),
+        "q169_ontology_align": """
+            WITH t3 AS (
+                SELECT string_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+                WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+            ),
+            a0 AS (SELECT w[1] AS class_a, unnest(w[3:]) AS i FROM t3),
+            b0 AS (SELECT w[2] AS class_b, unnest(w[3:]) AS i FROM t3),
+            a AS (SELECT DISTINCT class_a, i FROM a0),
+            b AS (SELECT DISTINCT class_b, i FROM b0),
+            na AS (SELECT class_a, count(*) AS n_a FROM a GROUP BY 1),
+            nb AS (SELECT class_b, count(*) AS n_b FROM b GROUP BY 1),
+            inter AS (
+                SELECT a.class_a, b.class_b, count(*) AS n_common
+                FROM a JOIN b USING (i) GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT i.class_a, i.class_b, na.n_a, nb.n_b, i.n_common,
+                       round(i.n_common::DOUBLE
+                             / (na.n_a + nb.n_b - i.n_common), 6) AS jaccard
+                FROM inter i
+                JOIN na USING (class_a) JOIN nb USING (class_b)
+                WHERE round(i.n_common::DOUBLE
+                            / (na.n_a + nb.n_b - i.n_common), 6) >= 0.1
+            ),
+            ranked AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY class_a
+                           ORDER BY jaccard DESC, class_b) AS ra,
+                       row_number() OVER (PARTITION BY class_b
+                           ORDER BY jaccard DESC, class_a) AS rb
+                FROM pairs
+            )
+            SELECT class_a, class_b, n_a, n_b, n_common, jaccard
+            FROM ranked WHERE ra = 1 AND rb = 1
+            ORDER BY class_a, class_b
+        """,
         "q164_heading_outline": """
             WITH t AS (
                 SELECT doc_id,
