@@ -3492,6 +3492,31 @@ def q169_ontology_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q170_quote_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote-attribution mining: synthesize three journalistic quote
+    constructions per document (speaker = initcapped first two tokens),
+    extract (speaker, quote, pattern) with the codegen regex lanes, strip
+    trailing in-quote punctuation. Constructive oracle from the same
+    token positions."""
+    from spanluke_spark.etl.quotes import quote_attributions
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+
+    def w(i: int):
+        return F.lower(F.element_at(t, i + 1))
+
+    spk = F.concat(F.initcap(w(0)), F.lit(" "), F.initcap(w(1)))
+    text = F.concat(
+        F.lit('"'), w(2), F.lit(" "), w(3), F.lit('," said '), spk,
+        F.lit(". "), spk, F.lit(' said: "'), w(4), F.lit(" "), w(2),
+        F.lit('." According to '), spk, F.lit(', "'), w(3), F.lit(" "),
+        w(4), F.lit('."'),
+    )
+    synth = docs.where(F.size(t) >= 5).select("doc_id", text.alias("text"))
+    return quote_attributions(synth).orderBy("doc_id", "pattern")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -5353,6 +5378,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q167_semdedup": q167_semdedup,
         "q168_mmr_rerank": q168_mmr_rerank,
         "q169_ontology_align": q169_ontology_align,
+        "q170_quote_attribution": q170_quote_attribution,
     }
 
 
@@ -7486,6 +7512,29 @@ def extra_oracle_sql() -> dict[str, str]:
         "q166_pq_adc_topk": _pq_sql(),
         "q167_semdedup": _semdedup_sql(),
         "q168_mmr_rerank": _mmr_sql(),
+        "q170_quote_attribution": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_transform(string_split_regex(trim(text), '\\s+'),
+                                      x -> lower(x)) AS w
+                FROM documents
+                WHERE len(string_split_regex(trim(text), '\\s+')) >= 5
+            ), s AS (
+                SELECT doc_id, w,
+                       upper(substr(w[1], 1, 1)) || substr(w[1], 2) || ' '
+                       || upper(substr(w[2], 1, 1)) || substr(w[2], 2) AS spk
+                FROM t
+            )
+            SELECT doc_id, speaker, quote, pattern FROM (
+                SELECT doc_id, spk AS speaker,
+                       w[3] || ' ' || w[4] AS quote,
+                       'said_after' AS pattern FROM s
+                UNION ALL
+                SELECT doc_id, spk, w[5] || ' ' || w[3], 'said_before' FROM s
+                UNION ALL
+                SELECT doc_id, spk, w[4] || ' ' || w[5], 'according' FROM s
+            ) ORDER BY doc_id, pattern
+        """,
         "q169_ontology_align": """
             WITH t3 AS (
                 SELECT string_split_regex(trim(text), '\\s+') AS w
