@@ -3517,6 +3517,38 @@ def q170_quote_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quote_attributions(synth).orderBy("doc_id", "pattern")
 
 
+def q171_quote_coref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pronoun-coref quote attribution: synthesize a 4-quote document
+    interleaving two named speakers with She/They pronouns, extract in
+    document order via the single combined-alternation regex, resolve
+    each pronoun to the nearest preceding named speaker with one
+    per-document window. Constructive oracle replays the known layout."""
+    from spanluke_spark.etl.quotes import (
+        quote_attributions_ordered,
+        resolve_pronoun_speakers,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+
+    def w(i: int):
+        return F.lower(F.element_at(t, i + 1))
+
+    spk1 = F.concat(F.lit("Mr "), F.initcap(w(0)))
+    spk2 = F.concat(F.lit("Dr "), F.initcap(w(1)))
+    text = F.concat(
+        F.lit('"'), w(3), F.lit(" "), w(4), F.lit('," said '), spk1,
+        F.lit('. "'), w(4), F.lit(" "), w(2), F.lit('," said She. '),
+        F.lit("According to "), spk2, F.lit(', "'), w(2), F.lit(" "),
+        w(3), F.lit('." They said: "'), w(4), F.lit(" "), w(3),
+        F.lit(" "), w(2), F.lit('."'),
+    )
+    synth = docs.where(F.size(t) >= 5).select("doc_id", text.alias("text"))
+    return resolve_pronoun_speakers(quote_attributions_ordered(synth)).orderBy(
+        "doc_id", "idx"
+    )
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -5379,6 +5411,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q168_mmr_rerank": q168_mmr_rerank,
         "q169_ontology_align": q169_ontology_align,
         "q170_quote_attribution": q170_quote_attribution,
+        "q171_quote_coref": q171_quote_coref,
     }
 
 
@@ -7534,6 +7567,35 @@ def extra_oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT doc_id, spk, w[4] || ' ' || w[5], 'according' FROM s
             ) ORDER BY doc_id, pattern
+        """,
+        "q171_quote_coref": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_transform(string_split_regex(trim(text), '\\s+'),
+                                      x -> lower(x)) AS w
+                FROM documents
+                WHERE len(string_split_regex(trim(text), '\\s+')) >= 5
+            ), s AS (
+                SELECT doc_id, w,
+                       'Mr ' || upper(substr(w[1], 1, 1)) || substr(w[1], 2) AS spk1,
+                       'Dr ' || upper(substr(w[2], 1, 1)) || substr(w[2], 2) AS spk2
+                FROM t
+            )
+            SELECT doc_id, idx, speaker, quote, pattern, is_pronoun,
+                   resolved_speaker FROM (
+                SELECT doc_id, 0 AS idx, spk1 AS speaker,
+                       w[4] || ' ' || w[5] AS quote, 'said_after' AS pattern,
+                       FALSE AS is_pronoun, spk1 AS resolved_speaker FROM s
+                UNION ALL
+                SELECT doc_id, 1, 'She', w[5] || ' ' || w[3], 'said_after',
+                       TRUE, spk1 FROM s
+                UNION ALL
+                SELECT doc_id, 2, spk2, w[3] || ' ' || w[4], 'according',
+                       FALSE, spk2 FROM s
+                UNION ALL
+                SELECT doc_id, 3, 'They', w[5] || ' ' || w[4] || ' ' || w[3],
+                       'said_before', TRUE, spk2 FROM s
+            ) ORDER BY doc_id, idx
         """,
         "q169_ontology_align": """
             WITH t3 AS (
