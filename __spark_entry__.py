@@ -3549,6 +3549,32 @@ def q171_quote_coref(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q172_statute_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indian statute-citation normalization: synthesize four citation
+    constructions per document (slash list, comma/and list, Article,
+    dotted abbreviation) with doc_id-derived section numbers, extract
+    and canonicalize with the codegen citation lanes. Constructive
+    oracle recomputes the same numbers."""
+    from spanluke_spark.etl.statutes import statute_citations
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+
+    def n(base: int, mod: int):
+        return (i % mod + base).cast("string")
+
+    text = F.concat(
+        F.lit("Accused convicted u/s "), n(100, 400), F.lit("/"), n(34, 6),
+        F.lit(" IPC. Charged under Sections "), n(145, 5), F.lit(", "),
+        n(201, 50), F.lit(" and "), n(307, 90),
+        F.lit(" of the Indian Penal Code. Petition under Article "),
+        n(14, 18), F.lit(" of the Constitution of India. Court invoked Section "),
+        n(437, 46), F.lit(" Cr.P.C."),
+    )
+    synth = docs.select("doc_id", text.alias("text"))
+    return statute_citations(synth).orderBy("doc_id", "cite_idx", "sec_idx")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -5412,6 +5438,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q169_ontology_align": q169_ontology_align,
         "q170_quote_attribution": q170_quote_attribution,
         "q171_quote_coref": q171_quote_coref,
+        "q172_statute_citations": q172_statute_citations,
     }
 
 
@@ -7596,6 +7623,29 @@ def extra_oracle_sql() -> dict[str, str]:
                 SELECT doc_id, 3, 'They', w[5] || ' ' || w[4] || ' ' || w[3],
                        'said_before', TRUE, spk2 FROM s
             ) ORDER BY doc_id, idx
+        """,
+        "q172_statute_citations": """
+            WITH n AS (
+                SELECT doc_id,
+                       CAST(doc_id % 400 + 100 AS VARCHAR) AS a,
+                       CAST(doc_id % 6 + 34 AS VARCHAR) AS b,
+                       CAST(doc_id % 5 + 145 AS VARCHAR) AS c,
+                       CAST(doc_id % 50 + 201 AS VARCHAR) AS d,
+                       CAST(doc_id % 90 + 307 AS VARCHAR) AS e,
+                       CAST(doc_id % 18 + 14 AS VARCHAR) AS f,
+                       CAST(doc_id % 46 + 437 AS VARCHAR) AS g
+                FROM documents
+            )
+            SELECT doc_id, cite_idx, sec_idx, provision, kind, statute FROM (
+                SELECT doc_id, 0 AS cite_idx, 0 AS sec_idx, a AS provision,
+                       'section' AS kind, 'IPC' AS statute FROM n
+                UNION ALL SELECT doc_id, 0, 1, b, 'section', 'IPC' FROM n
+                UNION ALL SELECT doc_id, 1, 0, c, 'section', 'IPC' FROM n
+                UNION ALL SELECT doc_id, 1, 1, d, 'section', 'IPC' FROM n
+                UNION ALL SELECT doc_id, 1, 2, e, 'section', 'IPC' FROM n
+                UNION ALL SELECT doc_id, 2, 0, f, 'article', 'Constitution' FROM n
+                UNION ALL SELECT doc_id, 3, 0, g, 'section', 'CrPC' FROM n
+            ) ORDER BY doc_id, cite_idx, sec_idx
         """,
         "q169_ontology_align": """
             WITH t3 AS (
