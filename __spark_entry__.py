@@ -3575,6 +3575,31 @@ def q172_statute_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return statute_citations(synth).orderBy("doc_id", "cite_idx", "sec_idx")
 
 
+def q173_case_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-name precedent mentions: synthesize two X-v.-Y constructions
+    per document from initcapped tokens, extract (petitioner, respondent)
+    in document order and derive the canonical case_key. Constructive
+    oracle rebuilds both mentions from the same tokens."""
+    from spanluke_spark.graph.citations import case_mentions
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+
+    def w(i: int):
+        return F.lower(F.element_at(t, i + 1))
+
+    def c(i: int):
+        return F.initcap(w(i))
+
+    text = F.concat(
+        F.lit("the matter of State of "), c(0), F.lit(" v. "), c(1),
+        F.lit(" "), c(2), F.lit(" was heard. see also "), c(3),
+        F.lit(" vs. Union of India."),
+    )
+    synth = docs.where(F.size(t) >= 4).select("doc_id", text.alias("text"))
+    return case_mentions(synth).orderBy("doc_id", "idx")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -5439,6 +5464,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_quote_attribution": q170_quote_attribution,
         "q171_quote_coref": q171_quote_coref,
         "q172_statute_citations": q172_statute_citations,
+        "q173_case_mentions": q173_case_mentions,
     }
 
 
@@ -7646,6 +7672,34 @@ def extra_oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT doc_id, 2, 0, f, 'article', 'Constitution' FROM n
                 UNION ALL SELECT doc_id, 3, 0, g, 'section', 'CrPC' FROM n
             ) ORDER BY doc_id, cite_idx, sec_idx
+        """,
+        "q173_case_mentions": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_transform(string_split_regex(trim(text), '\\s+'),
+                                      x -> lower(x)) AS w
+                FROM documents
+                WHERE len(string_split_regex(trim(text), '\\s+')) >= 4
+            ), s AS (
+                SELECT doc_id, w,
+                       upper(substr(w[1], 1, 1)) || substr(w[1], 2) AS c1,
+                       upper(substr(w[2], 1, 1)) || substr(w[2], 2) AS c2,
+                       upper(substr(w[3], 1, 1)) || substr(w[3], 2) AS c3,
+                       upper(substr(w[4], 1, 1)) || substr(w[4], 2) AS c4
+                FROM t
+            )
+            SELECT doc_id, idx, petitioner, respondent, case_key FROM (
+                SELECT doc_id, 0 AS idx,
+                       'State of ' || c1 AS petitioner,
+                       c2 || ' ' || c3 AS respondent,
+                       'state of ' || w[1] || ' v ' || w[2] || ' ' || w[3]
+                           AS case_key
+                FROM s
+                UNION ALL
+                SELECT doc_id, 1, c4, 'Union of India',
+                       w[4] || ' v union of india'
+                FROM s
+            ) ORDER BY doc_id, idx
         """,
         "q169_ontology_align": """
             WITH t3 AS (

@@ -57,6 +57,55 @@ def extract_citations(
     )
 
 
+# A case-name party: capitalized tokens (words or dotted initials like
+# "K.S.") joined by optional lowercase connectors; every connector run
+# must END in a capitalized token so the party cannot absorb a trailing
+# "the"/"of" from the surrounding sentence.
+_CAP = r"(?:[A-Z](?:\.[A-Z])*\.|[A-Z]\w*)"
+_PARTY = rf"{_CAP}(?:(?:\s+(?:of|the|and))*\s+{_CAP})*"
+CASE_RE = rf"({_PARTY})\s+(?:[Vv]s?\.?|versus)\s+({_PARTY})"
+# sentence openers that greedy left-party matching absorbs ("In Roe v.
+# Wade" -> petitioner "In Roe"); stripped post-extraction, the standard
+# eyecite-style heuristic
+_OPENERS = r"^(?:In|On|At|See|As|The)\s+"
+
+
+def case_mentions(
+    docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """docs -> (doc_id, idx, petitioner, respondent, case_key): one row
+    per ``X v. Y`` case-name mention in DOCUMENT ORDER (idx), the
+    precedent-mention surface form the reference's PRECEDENT label marks
+    (LegalNER labels, `/root/reference/legal_ner/` data config). The
+    ``case_key`` is the canonical node id: lowercased, dots stripped,
+    whitespace collapsed, parties joined by `` v `` — so "K.S. Puttaswamy
+    v. Union of India" and "KS Puttaswamy vs Union of India" key the
+    same precedent.
+
+    Same scale shape as extract_citations: one regexp pass at the scan,
+    classification codegen, no shuffle."""
+    mention = F.posexplode(
+        F.regexp_extract_all(F.col(text_col), F.lit(CASE_RE), F.lit(0))
+    ).alias("idx", "_m")
+    m = F.col("_m")
+    pet = F.regexp_replace(F.regexp_extract(m, CASE_RE, 1), _OPENERS, "")
+    resp = F.regexp_extract(m, CASE_RE, 2)
+
+    def norm(c):
+        return F.lower(
+            F.regexp_replace(F.regexp_replace(c, r"\.", " "), r"\s+", " ")
+        )
+
+    key = F.concat(F.trim(norm(pet)), F.lit(" v "), F.trim(norm(resp)))
+    return docs.select(F.col(doc_col).alias("doc_id"), mention).select(
+        "doc_id",
+        "idx",
+        pet.alias("petitioner"),
+        resp.alias("respondent"),
+        key.alias("case_key"),
+    )
+
+
 def citation_authority(cites: DataFrame) -> DataFrame:
     """(doc_id, citation) -> (citation, n_citing_docs, auth_rank):
     distinct citing documents per citation, dense-ranked descending
