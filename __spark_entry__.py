@@ -3600,6 +3600,32 @@ def q173_case_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return case_mentions(synth).orderBy("doc_id", "idx")
 
 
+def q174_date_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal scoping: synthesize three dated constructions per
+    document (numeric dd.mm.yyyy, '5 March 1998', 'January 5, 2003')
+    with doc_id-derived day/month/year, extract and ISO-normalize with
+    the codegen date lanes. Constructive oracle rebuilds surfaces and
+    make_date values."""
+    from spanluke_spark.etl.dates import extract_dates
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    d1 = F.lpad((i % 28 + 1).cast("string"), 2, "0")
+    m1 = F.lpad((i % 12 + 1).cast("string"), 2, "0")
+    y1 = (i % 70 + 1950).cast("string")
+    d2 = (i % 28 + 1).cast("string")
+    y2 = (i % 100 + 1900).cast("string")
+    d3 = (i % 28 + 1).cast("string")
+    y3 = (i % 25 + 2000).cast("string")
+    text = F.concat(
+        F.lit("order dated "), d1, F.lit("."), m1, F.lit("."), y1,
+        F.lit(" affirmed on "), d2, F.lit(" March "), y2,
+        F.lit(". filed January "), d3, F.lit(", "), y3, F.lit("."),
+    )
+    synth = docs.select("doc_id", text.alias("text"))
+    return extract_dates(synth).orderBy("doc_id", "idx")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -5465,6 +5491,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q171_quote_coref": q171_quote_coref,
         "q172_statute_citations": q172_statute_citations,
         "q173_case_mentions": q173_case_mentions,
+        "q174_date_extraction": q174_date_extraction,
     }
 
 
@@ -7648,6 +7675,38 @@ def extra_oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT doc_id, 3, 'They', w[5] || ' ' || w[4] || ' ' || w[3],
                        'said_before', TRUE, spk2 FROM s
+            ) ORDER BY doc_id, idx
+        """,
+        "q174_date_extraction": """
+            WITH n AS (
+                SELECT doc_id,
+                       doc_id % 28 + 1 AS dd,
+                       doc_id % 12 + 1 AS mm,
+                       doc_id % 70 + 1950 AS y1,
+                       doc_id % 100 + 1900 AS y2,
+                       doc_id % 25 + 2000 AS y3
+                FROM documents
+            )
+            SELECT doc_id, idx, surface, pattern, iso, ambiguous FROM (
+                SELECT doc_id, 0 AS idx,
+                       lpad(CAST(dd AS VARCHAR), 2, '0') || '.'
+                       || lpad(CAST(mm AS VARCHAR), 2, '0') || '.'
+                       || CAST(y1 AS VARCHAR) AS surface,
+                       'numeric' AS pattern,
+                       make_date(y1, mm, dd) AS iso,
+                       dd <= 12 AS ambiguous
+                FROM n
+                UNION ALL
+                SELECT doc_id, 1,
+                       CAST(dd AS VARCHAR) || ' March ' || CAST(y2 AS VARCHAR),
+                       'dmy_name', make_date(y2, 3, dd), FALSE
+                FROM n
+                UNION ALL
+                SELECT doc_id, 2,
+                       'January ' || CAST(dd AS VARCHAR) || ', '
+                       || CAST(y3 AS VARCHAR),
+                       'mdy_name', make_date(y3, 1, dd), FALSE
+                FROM n
             ) ORDER BY doc_id, idx
         """,
         "q172_statute_citations": """
