@@ -3626,6 +3626,28 @@ def q174_date_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_dates(synth).orderBy("doc_id", "idx")
 
 
+def q175_bench_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench extraction: synthesize a CORAM line with three honorific
+    judge mentions per document, extract with the codegen Justice lane,
+    aggregate the sorted distinct bench. Constructive oracle rebuilds
+    the canonical keys with list_distinct/list_sort."""
+    from spanluke_spark.etl.judges import bench_composition, judge_mentions
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+
+    def u(i: int):
+        return F.upper(F.element_at(t, i + 1))
+
+    text = F.concat(
+        F.lit("CORAM: HON'BLE MR. JUSTICE "), u(0), F.lit(" "), u(1),
+        F.lit(", HON'BLE MRS. JUSTICE "), u(2),
+        F.lit(" and HON'BLE MR. JUSTICE "), u(3), F.lit(" "), u(0),
+    )
+    synth = docs.where(F.size(t) >= 4).select("doc_id", text.alias("text"))
+    return bench_composition(judge_mentions(synth)).orderBy("doc_id")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -5492,6 +5514,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q172_statute_citations": q172_statute_citations,
         "q173_case_mentions": q173_case_mentions,
         "q174_date_extraction": q174_date_extraction,
+        "q175_bench_composition": q175_bench_composition,
     }
 
 
@@ -7708,6 +7731,22 @@ def extra_oracle_sql() -> dict[str, str]:
                        'mdy_name', make_date(y3, 1, dd), FALSE
                 FROM n
             ) ORDER BY doc_id, idx
+        """,
+        "q175_bench_composition": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_transform(string_split_regex(trim(text), '\\s+'),
+                                      x -> lower(x)) AS w
+                FROM documents
+                WHERE len(string_split_regex(trim(text), '\\s+')) >= 4
+            ), k AS (
+                SELECT doc_id,
+                       list_distinct([w[1] || ' ' || w[2], w[3],
+                                      w[4] || ' ' || w[1]]) AS ks
+                FROM t
+            )
+            SELECT doc_id, len(ks) AS n_judges, list_sort(ks) AS bench
+            FROM k ORDER BY doc_id
         """,
         "q172_statute_citations": """
             WITH n AS (
