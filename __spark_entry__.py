@@ -3648,6 +3648,38 @@ def q175_bench_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bench_composition(judge_mentions(synth)).orderBy("doc_id")
 
 
+def q176_legal_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified legal-fact union: synthesize one judgment-shaped document
+    per row exercising ALL five lanes (coram, statute, precedent, quote,
+    date), run legal_facts, and check the six expected facts per doc.
+    Constructive oracle rebuilds the union."""
+    from spanluke_spark.etl.legalfacts import legal_facts
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    i = F.col("doc_id")
+
+    def w(k: int):
+        return F.lower(F.element_at(t, k + 1))
+
+    a = (i % 400 + 100).cast("string")
+    b = (i % 6 + 34).cast("string")
+    dd = F.lpad((i % 28 + 1).cast("string"), 2, "0")
+    mm = F.lpad((i % 12 + 1).cast("string"), 2, "0")
+    y1 = (i % 70 + 1950).cast("string")
+    text = F.concat(
+        F.lit("CORAM: HON'BLE MR. JUSTICE "), F.upper(w(3)), F.lit(" "),
+        F.upper(w(0)), F.lit(". he was convicted u/s "), a, F.lit("/"), b,
+        F.lit(" IPC. the matter of State of "), F.initcap(w(0)),
+        F.lit(" v. "), F.initcap(w(1)), F.lit(" "), F.initcap(w(2)),
+        F.lit(' was heard. "'), w(2), F.lit(" "), w(3),
+        F.lit('," said Mr '), F.initcap(w(4)), F.lit(". order dated "),
+        dd, F.lit("."), mm, F.lit("."), y1, F.lit("."),
+    )
+    synth = docs.where(F.size(t) >= 5).select("doc_id", text.alias("text"))
+    return legal_facts(synth).orderBy("doc_id", "lane", "obj")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -5515,6 +5547,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_case_mentions": q173_case_mentions,
         "q174_date_extraction": q174_date_extraction,
         "q175_bench_composition": q175_bench_composition,
+        "q176_legal_facts": q176_legal_facts,
     }
 
 
@@ -7731,6 +7764,44 @@ def extra_oracle_sql() -> dict[str, str]:
                        'mdy_name', make_date(y3, 1, dd), FALSE
                 FROM n
             ) ORDER BY doc_id, idx
+        """,
+        "q176_legal_facts": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_transform(string_split_regex(trim(text), '\\s+'),
+                                      x -> lower(x)) AS w,
+                       doc_id % 400 + 100 AS a,
+                       doc_id % 6 + 34 AS b,
+                       doc_id % 28 + 1 AS dd,
+                       doc_id % 12 + 1 AS mm,
+                       doc_id % 70 + 1950 AS y1
+                FROM documents
+                WHERE len(string_split_regex(trim(text), '\\s+')) >= 5
+            )
+            SELECT doc_id, subj, pred, obj, lane FROM (
+                SELECT doc_id, 'doc:' || CAST(doc_id AS VARCHAR) AS subj,
+                       'charged_under' AS pred,
+                       'IPC s.' || CAST(a AS VARCHAR) AS obj,
+                       'statute' AS lane FROM t
+                UNION ALL
+                SELECT doc_id, 'doc:' || CAST(doc_id AS VARCHAR),
+                       'charged_under', 'IPC s.' || CAST(b AS VARCHAR),
+                       'statute' FROM t
+                UNION ALL
+                SELECT doc_id, 'doc:' || CAST(doc_id AS VARCHAR), 'cites_case',
+                       'state of ' || w[1] || ' v ' || w[2] || ' ' || w[3],
+                       'precedent' FROM t
+                UNION ALL
+                SELECT doc_id, 'doc:' || CAST(doc_id AS VARCHAR), 'heard_by',
+                       w[4] || ' ' || w[1], 'bench' FROM t
+                UNION ALL
+                SELECT doc_id, 'doc:' || CAST(doc_id AS VARCHAR), 'dated',
+                       CAST(make_date(y1, mm, dd) AS VARCHAR), 'date' FROM t
+                UNION ALL
+                SELECT doc_id,
+                       'Mr ' || upper(substr(w[5], 1, 1)) || substr(w[5], 2),
+                       'stated', w[3] || ' ' || w[4], 'quote' FROM t
+            ) ORDER BY doc_id, lane, obj
         """,
         "q175_bench_composition": """
             WITH t AS (

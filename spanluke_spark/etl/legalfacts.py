@@ -1,0 +1,91 @@
+"""Unified legal-fact extraction: run every legal surface lane — statute
+citations, case-name precedents, Justice mentions, in-text dates, quote
+attributions — over a judgment/page stream and emit ONE normalized
+(doc_id, subj, pred, obj, lane) fact relation, the legal analogue of
+etl/webfacts.py (which unions the three Web Data Commons markup lanes).
+
+This is the KG-construction join point for the reference's LegalNER
+label set (`/root/reference/legal_ner/` data config): STATUTE/PROVISION
+become ``charged_under`` edges, PRECEDENT becomes ``cites_case``, JUDGE
+becomes ``heard_by``, dates become ``dated`` validity anchors, and quote
+attributions carry speaker-as-subject ``stated`` claims with the
+document as provenance.
+
+Scale shape: every lane is a pure-codegen scan-side extraction (see the
+lane modules); the union is plan concatenation, not a shuffle, and the
+only exchange in an extract->dedupe job is the closing ``distinct()``
+on the already-tiny fact relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dates import extract_dates
+from .judges import judge_mentions
+from .quotes import quote_attributions
+from .statutes import statute_citations
+from ..graph.citations import case_mentions
+
+__all__ = ["legal_facts"]
+
+
+def legal_facts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """-> (doc_id, subj, pred, obj, lane), distinct. The document node
+    ``doc:<id>`` is the subject everywhere except the quote lane, where
+    the SPEAKER is the subject (a quote is the speaker's claim; the
+    doc_id column carries provenance)."""
+    doc_node = F.concat(F.lit("doc:"), F.col(id_col).cast("string"))
+
+    st = statute_citations(docs, text_col, id_col).select(
+        F.col(id_col),
+        doc_node.alias("subj"),
+        F.lit("charged_under").alias("pred"),
+        F.concat(
+            F.col("statute"),
+            F.when(F.col("kind") == "article", F.lit(" art.")).otherwise(
+                F.lit(" s.")
+            ),
+            F.col("provision"),
+        ).alias("obj"),
+        F.lit("statute").alias("lane"),
+    )
+    ca = case_mentions(docs, id_col, text_col).select(
+        F.col(id_col),
+        doc_node.alias("subj"),
+        F.lit("cites_case").alias("pred"),
+        F.col("case_key").alias("obj"),
+        F.lit("precedent").alias("lane"),
+    )
+    ju = judge_mentions(docs, text_col, id_col).select(
+        F.col(id_col),
+        doc_node.alias("subj"),
+        F.lit("heard_by").alias("pred"),
+        F.col("judge_key").alias("obj"),
+        F.lit("bench").alias("lane"),
+    )
+    dt = (
+        extract_dates(docs, text_col, id_col)
+        .where(F.col("iso").isNotNull())
+        .select(
+            F.col(id_col),
+            doc_node.alias("subj"),
+            F.lit("dated").alias("pred"),
+            F.col("iso").cast("string").alias("obj"),
+            F.lit("date").alias("lane"),
+        )
+    )
+    qu = quote_attributions(docs, text_col, id_col).select(
+        F.col(id_col),
+        F.col("speaker").alias("subj"),
+        F.lit("stated").alias("pred"),
+        F.col("quote").alias("obj"),
+        F.lit("quote").alias("lane"),
+    )
+    out = st
+    for lane in (ca, ju, dt, qu):
+        out = out.unionByName(lane)
+    return out.distinct()
