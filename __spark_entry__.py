@@ -3680,6 +3680,52 @@ def q176_legal_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return legal_facts(synth).orderBy("doc_id", "lane", "obj")
 
 
+def q177_court_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Court-forum extraction: synthesize four court constructions per
+    document (supreme, high-judicature, sessions, district) and extract
+    canonical court keys + level classes. Constructive oracle."""
+    from spanluke_spark.etl.courts import court_mentions
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+
+    def c(k: int):
+        return F.initcap(F.lower(F.element_at(t, k + 1)))
+
+    text = F.concat(
+        F.lit("IN THE SUPREME COURT OF INDIA. appeal from the High Court of "),
+        c(0), F.lit(". remanded to the Sessions Court and the District Court of "),
+        c(1), F.lit("."),
+    )
+    synth = docs.where(F.size(t) >= 2).select("doc_id", text.alias("text"))
+    return (
+        court_mentions(synth)
+        .select("doc_id", "idx", "court", "level")
+        .orderBy("doc_id", "idx")
+    )
+
+
+def q178_witness_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Witness-numbering extraction: synthesize PW/DW/CW references with
+    doc_id-derived numbers across the three separator styles, extract
+    (surface, witness_no, side). Constructive oracle."""
+    from spanluke_spark.etl.courts import witness_refs
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    n1 = (i % 9 + 1).cast("string")
+    n2 = (i % 17 + 2).cast("string")
+    n3 = (i % 7 + 1).cast("string")
+    n4 = (i % 3 + 1).cast("string")
+    text = F.concat(
+        F.lit("PW-"), n1, F.lit(" deposed and PW "), n2,
+        F.lit(" corroborated while DW-"), n3, F.lit(" denied; CW."), n4,
+        F.lit(" was recalled."),
+    )
+    synth = docs.select("doc_id", text.alias("text"))
+    return witness_refs(synth).orderBy("doc_id", "idx")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -5548,6 +5594,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q174_date_extraction": q174_date_extraction,
         "q175_bench_composition": q175_bench_composition,
         "q176_legal_facts": q176_legal_facts,
+        "q177_court_mentions": q177_court_mentions,
+        "q178_witness_refs": q178_witness_refs,
     }
 
 
@@ -7763,6 +7811,47 @@ def extra_oracle_sql() -> dict[str, str]:
                        || CAST(y3 AS VARCHAR),
                        'mdy_name', make_date(y3, 1, dd), FALSE
                 FROM n
+            ) ORDER BY doc_id, idx
+        """,
+        "q177_court_mentions": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_transform(string_split_regex(trim(text), '\\s+'),
+                                      x -> lower(x)) AS w
+                FROM documents
+                WHERE len(string_split_regex(trim(text), '\\s+')) >= 2
+            )
+            SELECT doc_id, idx, court, level FROM (
+                SELECT doc_id, 0 AS idx, 'supreme court of india' AS court,
+                       'supreme' AS level FROM t
+                UNION ALL
+                SELECT doc_id, 1, 'high court of ' || w[1], 'high' FROM t
+                UNION ALL
+                SELECT doc_id, 2, 'sessions court', 'sessions' FROM t
+                UNION ALL
+                SELECT doc_id, 3, 'district court of ' || w[2], 'district' FROM t
+            ) ORDER BY doc_id, idx
+        """,
+        "q178_witness_refs": """
+            WITH n AS (
+                SELECT doc_id,
+                       CAST(doc_id % 9 + 1 AS VARCHAR) AS n1,
+                       CAST(doc_id % 17 + 2 AS VARCHAR) AS n2,
+                       CAST(doc_id % 7 + 1 AS VARCHAR) AS n3,
+                       CAST(doc_id % 3 + 1 AS VARCHAR) AS n4
+                FROM documents
+            )
+            SELECT doc_id, idx, surface, witness_no, side FROM (
+                SELECT doc_id, 0 AS idx, 'PW-' || n1 AS surface,
+                       CAST(n1 AS INT) AS witness_no,
+                       'prosecution' AS side FROM n
+                UNION ALL
+                SELECT doc_id, 1, 'PW ' || n2, CAST(n2 AS INT),
+                       'prosecution' FROM n
+                UNION ALL
+                SELECT doc_id, 2, 'DW-' || n3, CAST(n3 AS INT), 'defence' FROM n
+                UNION ALL
+                SELECT doc_id, 3, 'CW.' || n4, CAST(n4 AS INT), 'court' FROM n
             ) ORDER BY doc_id, idx
         """,
         "q176_legal_facts": """
