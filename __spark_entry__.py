@@ -3726,6 +3726,30 @@ def q178_witness_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return witness_refs(synth).orderBy("doc_id", "idx")
 
 
+def q179_paragraph_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph segmentation: synthesize a preamble plus three numbered
+    paragraphs per document, segment with the zero-width multiline split
+    and verify para numbers, char offsets (arithmetic in the oracle) and
+    stripped bodies."""
+    from spanluke_spark.etl.paragraphs import split_paragraphs
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+
+    def w(k: int):
+        return F.lower(F.element_at(t, k + 1))
+
+    nl = F.lit("\n")
+    text = F.concat(
+        F.lit("intro line"), nl,
+        F.lit("1. "), w(0), F.lit(" "), w(1), F.lit(" text."), nl,
+        F.lit("2. "), w(2), F.lit(" text two."), nl,
+        F.lit("3. "), w(3), F.lit(" "), w(4), F.lit(" end."),
+    )
+    synth = docs.where(F.size(t) >= 5).select("doc_id", text.alias("text"))
+    return split_paragraphs(synth).orderBy("doc_id", "para_no")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -5596,6 +5620,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q176_legal_facts": q176_legal_facts,
         "q177_court_mentions": q177_court_mentions,
         "q178_witness_refs": q178_witness_refs,
+        "q179_paragraph_segmentation": q179_paragraph_segmentation,
     }
 
 
@@ -7812,6 +7837,31 @@ def extra_oracle_sql() -> dict[str, str]:
                        'mdy_name', make_date(y3, 1, dd), FALSE
                 FROM n
             ) ORDER BY doc_id, idx
+        """,
+        "q179_paragraph_segmentation": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_transform(string_split_regex(trim(text), '\\s+'),
+                                      x -> lower(x)) AS w
+                FROM documents
+                WHERE len(string_split_regex(trim(text), '\\s+')) >= 5
+            ), s AS (
+                SELECT doc_id,
+                       w[1] || ' ' || w[2] || ' text.' AS b1,
+                       w[3] || ' text two.' AS b2,
+                       w[4] || ' ' || w[5] || ' end.' AS b3
+                FROM t
+            )
+            SELECT doc_id, para_no, char_start, body FROM (
+                SELECT doc_id, 1 AS para_no, CAST(11 AS BIGINT) AS char_start,
+                       b1 AS body FROM s
+                UNION ALL
+                SELECT doc_id, 2, CAST(11 + 3 + len(b1) + 1 AS BIGINT), b2 FROM s
+                UNION ALL
+                SELECT doc_id, 3,
+                       CAST(11 + 3 + len(b1) + 1 + 3 + len(b2) + 1 AS BIGINT),
+                       b3 FROM s
+            ) ORDER BY doc_id, para_no
         """,
         "q177_court_mentions": """
             WITH t AS (
