@@ -3750,6 +3750,43 @@ def q179_paragraph_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_paragraphs(synth).orderBy("doc_id", "para_no")
 
 
+def q180_optimal_span_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal non-overlapping span selection: per document, a 3-word
+    sentence with 6 enumerated spans, power-of-two scores (unique
+    subset totals) and a doc_id-derived availability mask; the weighted
+    interval scheduling DP runs in the Arrow decode kernel. Oracle
+    brute-forces all 64 subsets in SQL and picks the argmax."""
+    from spanluke_spark.ner.optimal import optimal_decode
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    mask = (i % 63 + 1).cast("int")
+    scores = F.array(
+        *[
+            (F.lit(float(2**s)) * (i % 5 + 1).cast("double") / F.lit(100.0))
+            for s in range(6)
+        ]
+    )
+    preds = F.array(
+        *[
+            F.when(mask.bitwiseAND(F.lit(1 << s)) != 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            for s in range(6)
+        ]
+    )
+    scored = docs.select(
+        "doc_id",
+        F.lit(3).alias("num_words"),
+        scores.alias("scores"),
+        preds.alias("preds"),
+    )
+    out = optimal_decode(scored, ["doc_id"], {0: "O", 1: "B-SPAN"})
+    return out.select("doc_id", "w_start", "w_end", "score").orderBy(
+        "doc_id", "w_start"
+    )
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -5621,6 +5658,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_court_mentions": q177_court_mentions,
         "q178_witness_refs": q178_witness_refs,
         "q179_paragraph_segmentation": q179_paragraph_segmentation,
+        "q180_optimal_span_select": q180_optimal_span_select,
     }
 
 
@@ -7837,6 +7875,42 @@ def extra_oracle_sql() -> dict[str, str]:
                        'mdy_name', make_date(y3, 1, dd), FALSE
                 FROM n
             ) ORDER BY doc_id, idx
+        """,
+        "q180_optimal_span_select": """
+            WITH sp AS (
+                SELECT d.doc_id, s.s, s.ws, s.we,
+                       POWER(2, s.s) * (d.doc_id % 5 + 1) / 100.0 AS score
+                FROM documents d
+                CROSS JOIN (VALUES (0,0,1),(1,0,2),(2,0,3),
+                                   (3,1,2),(4,1,3),(5,2,3)) s(s, ws, we)
+                WHERE ((d.doc_id % 63 + 1) >> s.s) & 1 = 1
+            ), c AS (
+                SELECT d.doc_id, r.range AS c
+                FROM documents d CROSS JOIN range(64) r
+                WHERE (r.range & (d.doc_id % 63 + 1)) = r.range
+            ), sel AS (
+                SELECT c.doc_id, c.c, sp.s, sp.ws, sp.we, sp.score
+                FROM c JOIN sp ON sp.doc_id = c.doc_id
+                              AND ((c.c >> sp.s) & 1) = 1
+            ), pairs AS (
+                SELECT DISTINCT a.doc_id, a.c
+                FROM sel a JOIN sel b
+                  ON a.doc_id = b.doc_id AND a.c = b.c AND a.s < b.s
+                 AND a.ws < b.we AND b.ws < a.we
+            ), valid AS (
+                SELECT doc_id, c FROM c
+                EXCEPT SELECT doc_id, c FROM pairs
+            ), tot AS (
+                SELECT v.doc_id, v.c, COALESCE(SUM(s.score), 0) AS total
+                FROM valid v LEFT JOIN sel s
+                  ON s.doc_id = v.doc_id AND s.c = v.c
+                GROUP BY v.doc_id, v.c
+            ), best AS (
+                SELECT doc_id, arg_max(c, total) AS c FROM tot GROUP BY doc_id
+            )
+            SELECT s.doc_id, s.ws AS w_start, s.we AS w_end, s.score
+            FROM best b JOIN sel s ON s.doc_id = b.doc_id AND s.c = b.c
+            ORDER BY s.doc_id, s.ws
         """,
         "q179_paragraph_segmentation": """
             WITH t AS (
