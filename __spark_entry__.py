@@ -3787,6 +3787,32 @@ def q180_optimal_span_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q181_acronym_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parenthetical acronym mining: one valid Schwartz-Hearst pair and
+    one mismatched parenthetical per document; only the validated pair
+    survives. Constructive oracle rebuilds long form and initials."""
+    from spanluke_spark.etl.acronyms import acronym_definitions
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+
+    def w(k: int):
+        return F.lower(F.element_at(t, k + 1))
+
+    def c(k: int):
+        return F.initcap(w(k))
+
+    acro = F.concat(
+        F.upper(F.substring(w(0), 1, 1)), F.upper(F.substring(w(1), 1, 1)), F.lit("A")
+    )
+    text = F.concat(
+        F.lit("the "), c(0), F.lit(" of "), c(1), F.lit(" Act ("), acro,
+        F.lit(") applies. the "), c(2), F.lit(" Bureau (ZZZZ) fails."),
+    )
+    synth = docs.where(F.size(t) >= 3).select("doc_id", text.alias("text"))
+    return acronym_definitions(synth).orderBy("doc_id", "idx")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -5659,6 +5685,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q178_witness_refs": q178_witness_refs,
         "q179_paragraph_segmentation": q179_paragraph_segmentation,
         "q180_optimal_span_select": q180_optimal_span_select,
+        "q181_acronym_mining": q181_acronym_mining,
     }
 
 
@@ -7875,6 +7902,22 @@ def extra_oracle_sql() -> dict[str, str]:
                        'mdy_name', make_date(y3, 1, dd), FALSE
                 FROM n
             ) ORDER BY doc_id, idx
+        """,
+        "q181_acronym_mining": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_transform(string_split_regex(trim(text), '\\s+'),
+                                      x -> lower(x)) AS w
+                FROM documents
+                WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+            )
+            SELECT doc_id, 0 AS idx,
+                   upper(substr(w[1], 1, 1)) || substr(w[1], 2) || ' of '
+                   || upper(substr(w[2], 1, 1)) || substr(w[2], 2)
+                   || ' Act' AS long_form,
+                   upper(substr(w[1], 1, 1)) || upper(substr(w[2], 1, 1))
+                   || 'A' AS acronym
+            FROM t ORDER BY doc_id
         """,
         "q180_optimal_span_select": """
             WITH sp AS (
