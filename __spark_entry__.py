@@ -3813,6 +3813,28 @@ def q181_acronym_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acronym_definitions(synth).orderBy("doc_id", "idx")
 
 
+def q182_case_treatments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precedent-treatment edges: three treatment-verb constructions per
+    document (followed/overruled/distinguished) against token-derived
+    case names. Constructive oracle."""
+    from spanluke_spark.graph.citations import case_treatments
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+
+    def c(k: int):
+        return F.initcap(F.lower(F.element_at(t, k + 1)))
+
+    text = F.concat(
+        F.lit("the ratio was followed in "), c(0), F.lit(" v. "), c(1),
+        F.lit(". it was later overruled by "), c(2), F.lit(" vs. "), c(3),
+        F.lit(". and distinguished in "), c(4), F.lit(" v. "), c(0),
+        F.lit("."),
+    )
+    synth = docs.where(F.size(t) >= 5).select("doc_id", text.alias("text"))
+    return case_treatments(synth).orderBy("doc_id", "idx")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -5686,6 +5708,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_paragraph_segmentation": q179_paragraph_segmentation,
         "q180_optimal_span_select": q180_optimal_span_select,
         "q181_acronym_mining": q181_acronym_mining,
+        "q182_case_treatments": q182_case_treatments,
     }
 
 
@@ -7901,6 +7924,23 @@ def extra_oracle_sql() -> dict[str, str]:
                        || CAST(y3 AS VARCHAR),
                        'mdy_name', make_date(y3, 1, dd), FALSE
                 FROM n
+            ) ORDER BY doc_id, idx
+        """,
+        "q182_case_treatments": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_transform(string_split_regex(trim(text), '\\s+'),
+                                      x -> lower(x)) AS w
+                FROM documents
+                WHERE len(string_split_regex(trim(text), '\\s+')) >= 5
+            )
+            SELECT doc_id, idx, treatment, case_key FROM (
+                SELECT doc_id, 0 AS idx, 'followed' AS treatment,
+                       w[1] || ' v ' || w[2] AS case_key FROM t
+                UNION ALL
+                SELECT doc_id, 1, 'overruled', w[3] || ' v ' || w[4] FROM t
+                UNION ALL
+                SELECT doc_id, 2, 'distinguished', w[5] || ' v ' || w[1] FROM t
             ) ORDER BY doc_id, idx
         """,
         "q181_acronym_mining": """

@@ -106,6 +106,50 @@ def case_mentions(
     )
 
 
+# precedent-treatment verbs, the citator signal (followed/overruled/
+# distinguished/... are the treatment classes legal citators publish)
+_TREAT = r"(?i:overruled|followed|distinguished|relied\s+upon|referred\s+to|affirmed|reversed)"
+TREAT_RX = rf"({_TREAT})\s+(?i:in|by)\s+({_PARTY})\s+(?:[Vv]s?\.?|versus)\s+({_PARTY})"
+
+
+def case_treatments(
+    docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """docs -> (doc_id, idx, treatment, case_key): one row per
+    treatment-verb-plus-case-name construction ("the ratio was followed
+    in X v. Y") in document order. ``treatment`` is the lowercased head
+    verb (followed/overruled/distinguished/relied/referred/affirmed/
+    reversed); ``case_key`` uses the same canonicalization as
+    :func:`case_mentions`, so treatment edges join the mention graph.
+
+    Same scan-side shape as the other extractors: one regexp pass,
+    codegen classification, zero shuffle."""
+    mention = F.posexplode(
+        F.regexp_extract_all(F.col(text_col), F.lit(TREAT_RX), F.lit(0))
+    ).alias("idx", "_m")
+    m = F.col("_m")
+    treatment = F.regexp_extract(
+        F.lower(F.regexp_extract(m, TREAT_RX, 1)), r"^(\w+)", 1
+    )
+    pet = F.regexp_extract(m, TREAT_RX, 2)
+    resp = F.regexp_extract(m, TREAT_RX, 3)
+
+    def norm(c):
+        return F.trim(
+            F.lower(
+                F.regexp_replace(F.regexp_replace(c, r"\.", " "), r"\s+", " ")
+            )
+        )
+
+    key = F.concat(norm(pet), F.lit(" v "), norm(resp))
+    return docs.select(F.col(doc_col).alias("doc_id"), mention).select(
+        "doc_id",
+        "idx",
+        treatment.alias("treatment"),
+        key.alias("case_key"),
+    )
+
+
 def citation_authority(cites: DataFrame) -> DataFrame:
     """(doc_id, citation) -> (citation, n_citing_docs, auth_rank):
     distinct citing documents per citation, dense-ranked descending

@@ -70,3 +70,47 @@ def test_document_order_multiple_mentions(spark):
 def test_versus_spelled_out_and_no_match(spark):
     got = _rows(spark, ["Marbury versus Madison settled it.", "no case names here"])
     assert got == [(0, "Marbury", "Madison", "marbury v madison")]
+
+
+# --- treatment edges ---
+
+from spanluke_spark.graph.citations import case_treatments  # noqa: E402
+
+
+def _treats(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = case_treatments(df).orderBy("doc_id", "idx")
+    return [(r.idx, r.treatment, r.case_key) for r in out.collect()]
+
+
+def test_treatment_verbs_and_order(spark):
+    got = _treats(
+        spark,
+        [
+            "the ratio was followed in Roe v. Wade. it was later "
+            "overruled by Dobbs vs. Jackson. and distinguished in "
+            "Brown v. Board of Education."
+        ],
+    )
+    assert got == [
+        (0, "followed", "roe v wade"),
+        (1, "overruled", "dobbs v jackson"),
+        (2, "distinguished", "brown v board of education"),
+    ]
+
+
+def test_multiword_treatment_head_verb(spark):
+    got = _treats(
+        spark,
+        ["relied upon in K.S. Puttaswamy v. Union of India as binding."],
+    )
+    assert got == [(0, "relied", "k s puttaswamy v union of india")]
+
+
+def test_case_insensitive_verb_but_not_parties(spark):
+    got = _treats(spark, ["FOLLOWED IN Maneka Gandhi v. Union of India."])
+    assert got == [(0, "followed", "maneka gandhi v union of india")]
+    # lowercase parties never match
+    assert _treats(spark, ["followed in john v. doe."]) == []
