@@ -3835,6 +3835,24 @@ def q182_case_treatments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return case_treatments(synth).orderBy("doc_id", "idx")
 
 
+def q183_doc_outcome(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operative disposition: three disposition statements per document
+    whose final (operative) outcome flips with doc parity; doc_outcome
+    must pick the LAST statement. Constructive parity oracle."""
+    from spanluke_spark.etl.outcomes import doc_outcome, outcome_mentions
+
+    docs = _t(spark, sf_dir, "documents")
+    even = F.col("doc_id") % 2 == 0
+    x = F.when(even, F.lit("dismissed")).otherwise(F.lit("allowed"))
+    y = F.when(even, F.lit("allowed")).otherwise(F.lit("dismissed"))
+    text = F.concat(
+        F.lit("the petition is quashed. the appeal was "), x,
+        F.lit(". finally the appeal is "), y, F.lit("."),
+    )
+    synth = docs.select("doc_id", text.alias("text"))
+    return doc_outcome(outcome_mentions(synth)).orderBy("doc_id")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -5709,6 +5727,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_optimal_span_select": q180_optimal_span_select,
         "q181_acronym_mining": q181_acronym_mining,
         "q182_case_treatments": q182_case_treatments,
+        "q183_doc_outcome": q183_doc_outcome,
     }
 
 
@@ -7925,6 +7944,12 @@ def extra_oracle_sql() -> dict[str, str]:
                        'mdy_name', make_date(y3, 1, dd), FALSE
                 FROM n
             ) ORDER BY doc_id, idx
+        """,
+        "q183_doc_outcome": """
+            SELECT doc_id, 3 AS n_mentions, 'appeal' AS subject,
+                   CASE WHEN doc_id % 2 = 0 THEN 'allowed'
+                        ELSE 'dismissed' END AS outcome
+            FROM documents ORDER BY doc_id
         """,
         "q182_case_treatments": """
             WITH t AS (
