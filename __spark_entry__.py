@@ -3853,6 +3853,41 @@ def q183_doc_outcome(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_outcome(outcome_mentions(synth)).orderBy("doc_id")
 
 
+def q184_case_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal aggregation over the date lane: the q174 synthesized
+    three-date documents reduced to per-doc (n_dates, first_date,
+    last_date, span_days) — the case-duration signal. Oracle computes
+    least/greatest/make_date arithmetic directly."""
+    from spanluke_spark.etl.dates import extract_dates
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    d1 = F.lpad((i % 28 + 1).cast("string"), 2, "0")
+    m1 = F.lpad((i % 12 + 1).cast("string"), 2, "0")
+    y1 = (i % 70 + 1950).cast("string")
+    d2 = (i % 28 + 1).cast("string")
+    y2 = (i % 100 + 1900).cast("string")
+    d3 = (i % 28 + 1).cast("string")
+    y3 = (i % 25 + 2000).cast("string")
+    text = F.concat(
+        F.lit("order dated "), d1, F.lit("."), m1, F.lit("."), y1,
+        F.lit(" affirmed on "), d2, F.lit(" March "), y2,
+        F.lit(". filed January "), d3, F.lit(", "), y3, F.lit("."),
+    )
+    synth = docs.select("doc_id", text.alias("text"))
+    d = extract_dates(synth).where(F.col("iso").isNotNull())
+    return (
+        d.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dates"),
+            F.min("iso").alias("first_date"),
+            F.max("iso").alias("last_date"),
+            F.datediff(F.max("iso"), F.min("iso")).alias("span_days"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -5728,6 +5763,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q181_acronym_mining": q181_acronym_mining,
         "q182_case_treatments": q182_case_treatments,
         "q183_doc_outcome": q183_doc_outcome,
+        "q184_case_timeline": q184_case_timeline,
     }
 
 
@@ -7944,6 +7980,28 @@ def extra_oracle_sql() -> dict[str, str]:
                        'mdy_name', make_date(y3, 1, dd), FALSE
                 FROM n
             ) ORDER BY doc_id, idx
+        """,
+        "q184_case_timeline": """
+            WITH n AS (
+                SELECT doc_id,
+                       doc_id % 28 + 1 AS dd,
+                       doc_id % 12 + 1 AS mm,
+                       doc_id % 70 + 1950 AS y1,
+                       doc_id % 100 + 1900 AS y2,
+                       doc_id % 25 + 2000 AS y3
+                FROM documents
+            ), d AS (
+                SELECT doc_id,
+                       make_date(y1, mm, dd) AS d1,
+                       make_date(y2, 3, dd) AS d2,
+                       make_date(y3, 1, dd) AS d3
+                FROM n
+            )
+            SELECT doc_id, 3 AS n_dates,
+                   least(d1, d2, d3) AS first_date,
+                   greatest(d1, d2, d3) AS last_date,
+                   greatest(d1, d2, d3) - least(d1, d2, d3) AS span_days
+            FROM d ORDER BY doc_id
         """,
         "q183_doc_outcome": """
             SELECT doc_id, 3 AS n_mentions, 'appeal' AS subject,
