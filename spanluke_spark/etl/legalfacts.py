@@ -53,9 +53,10 @@ def legal_facts(
         ).alias("obj"),
         F.lit("statute").alias("lane"),
     )
+    # case_mentions fixes its id column name to "doc_id"; alias it back
     ca = case_mentions(docs, id_col, text_col).select(
-        F.col(id_col),
-        doc_node.alias("subj"),
+        F.col("doc_id").alias(id_col),
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("subj"),
         F.lit("cites_case").alias("pred"),
         F.col("case_key").alias("obj"),
         F.lit("precedent").alias("lane"),

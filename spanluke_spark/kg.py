@@ -137,6 +137,86 @@ def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "triples"))
 
 
+def run_legal_facts_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    run_id: str = "run0",
+    n_buckets: int = 16,
+) -> dict:
+    """Resumable materialization of the five legal surface lanes
+    (etl/legalfacts.py: statute / precedent / bench / date / quote) into
+    a partitioned facts table with per-partition lineage — the same
+    checkpoint-resume discipline as run_kg_pipeline (S7/S8), applied to
+    the codegen extraction lanes instead of the span scorer.
+
+    pages: (url, text, ...). Facts land under ``out_dir/facts``
+    partitioned by part_key; lineage rows (same schema as the span
+    pipeline) under ``out_dir/lineage``. Re-running after a crash
+    recomputes only partitions without lineage rows and OVERWRITES their
+    directories — exactly-once per partition, no duplicate facts."""
+    facts_path = os.path.join(out_dir, "facts")
+    lineage_path = os.path.join(out_dir, "lineage")
+
+    from .etl.legalfacts import legal_facts
+
+    keyed = with_part_key(pages, "url", n_buckets)
+    lineage = read_lineage(spark, lineage_path)
+    todo = pending_partitions(keyed, lineage)
+    part_pages = [
+        (r["part_key"], r["n"])
+        for r in todo.groupBy("part_key").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    n_pages = sum(n for _, n in part_pages)
+    if n_pages == 0:
+        return {"n_pages": 0, "n_facts": 0}
+
+    # extraction lanes are scan-side codegen; re-keying the tiny fact
+    # relation by url is one hash expression, so part_key never forces
+    # the page text through a shuffle
+    facts = with_part_key(
+        legal_facts(todo, text_col="text", id_col="url"), "url", n_buckets
+    )
+    overwrite_partitions(facts, facts_path, "part_key")
+
+    parts = [int(pk) for pk, _ in part_pages]
+    agg = (
+        spark.read.parquet(facts_path)
+        .filter(F.col("part_key").isin(parts))
+        .groupBy("part_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            F.sum(
+                F.pmod(F.xxhash64("subj", "pred", "obj"), F.lit(2147483647))
+            ).alias("checksum"),
+            F.countDistinct("url", "lane").alias("n_mentions"),
+        )
+    )
+    p = spark.createDataFrame(
+        [(int(pk), int(n)) for pk, n in part_pages], "part_key int, n_pages long"
+    )
+    lin = p.join(agg, "part_key", "left").select(
+        F.lit(run_id).alias("run_id"),
+        "part_key",
+        "n_pages",
+        F.coalesce("n_mentions", F.lit(0)).alias("n_mentions"),
+        F.coalesce("n_triples", F.lit(0)).alias("n_triples"),
+        F.coalesce("checksum", F.lit(0)).alias("checksum"),
+        F.current_timestamp().alias("completed_at"),
+    )
+    rows = lin.collect()
+    n_facts = sum(r["n_triples"] for r in rows)
+    append_parquet(
+        spark.createDataFrame(rows, read_lineage(spark, lineage_path).schema),
+        lineage_path,
+    )
+    return {"n_pages": n_pages, "n_facts": n_facts}
+
+
+def read_legal_facts(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "facts"))
+
+
 def recanonicalize(spark: SparkSession, out_dir: str) -> int:
     """Compaction pass: canonicalize over the FULL accumulated triples table
     and rewrite it, converging subjects that were canonicalized against
