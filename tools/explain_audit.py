@@ -357,6 +357,65 @@ def main() -> None:
     cplan = build_cdx(cpages)._jdf.queryExecution().executedPlan().toString()
     check("cdx_no_shuffle", "Exchange" not in cplan and "Python" not in cplan)
 
+    # 23. legal extraction lanes (quotes/statutes/cases/judges/dates/
+    # courts/outcomes): every lane is scan-side codegen — no Exchange,
+    # no Python stage; the generate+project pipeline dies at the scan
+    from spanluke_spark.etl.courts import court_mentions, witness_refs
+    from spanluke_spark.etl.dates import extract_dates
+    from spanluke_spark.etl.judges import judge_mentions
+    from spanluke_spark.etl.outcomes import outcome_mentions
+    from spanluke_spark.etl.quotes import quote_attributions
+    from spanluke_spark.etl.statutes import statute_citations
+    from spanluke_spark.graph.citations import case_mentions, case_treatments
+
+    for lane_name, lane in [
+        ("quotes", quote_attributions),
+        ("statutes", statute_citations),
+        ("cases", lambda d: case_mentions(d)),
+        ("treatments", lambda d: case_treatments(d)),
+        ("judges", judge_mentions),
+        ("dates", extract_dates),
+        ("courts", court_mentions),
+        ("witnesses", witness_refs),
+        ("outcomes", outcome_mentions),
+    ]:
+        lplan = lane(docs)._jdf.queryExecution().executedPlan().toString()
+        check(
+            f"legal_lane_scan_side[{lane_name}]",
+            "Exchange" not in lplan and "Python" not in lplan,
+        )
+
+    # 24. unified legal facts: the five-lane union is plan concatenation;
+    # the ONLY exchange is the closing distinct's hash aggregation
+    from spanluke_spark.etl.legalfacts import legal_facts
+
+    fplan = legal_facts(docs)._jdf.queryExecution().executedPlan().toString()
+    check(
+        "legal_facts_single_exchange",
+        fplan.count("Exchange hashpartitioning") <= 2  # partial/final agg pair
+        and "Exchange SinglePartition" not in fplan
+        and "Python" not in fplan,
+        "(union concatenates; distinct is the only shuffle)",
+    )
+
+    # 25. pronoun coref: exactly one keyed window exchange per document id
+    from spanluke_spark.etl.quotes import (
+        quote_attributions_ordered,
+        resolve_pronoun_speakers,
+    )
+
+    qplan = (
+        resolve_pronoun_speakers(quote_attributions_ordered(docs))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    check(
+        "coref_one_keyed_window",
+        qplan.count("Exchange") == 1
+        and "Exchange hashpartitioning(doc_id" in qplan,
+    )
+
     spark.stop()
     sys.exit(1 if failures else 0)
 
