@@ -160,6 +160,44 @@ def make_batch_processor(
     return _process
 
 
+def make_legal_facts_processor(out_dir: str, n_buckets: int = 16):
+    """foreachBatch body for the legal surface lanes (etl/legalfacts.py):
+    batch pages -> five-lane fact union -> dynamic partition overwrite
+    keyed by (epoch, part_key) — the same exactly-once-per-epoch contract
+    as make_batch_processor, directly testable by replaying an epoch."""
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..etl.legalfacts import legal_facts
+        from ..storage.lineage import overwrite_partitions
+
+        facts = legal_facts(batch_df, text_col="text", id_col="url")
+        keyed = with_part_key(facts, "url", n_buckets).withColumn(
+            "epoch", F.lit(epoch_id)
+        )
+        overwrite_partitions(keyed, f"{out_dir}/facts", ["epoch", "part_key"])
+
+    return _process
+
+
+def streaming_legal_facts(
+    pages: DataFrame,
+    out_dir: str,
+    n_buckets: int = 16,
+    checkpoint_dir: str | None = None,
+):
+    """pages stream -> legal facts, written idempotently per epoch (the
+    streaming twin of kg.run_legal_facts_pipeline; availableNow trigger
+    drains the backlog then stops, the incremental-crawl mode)."""
+    writer = (
+        pages.writeStream.outputMode("update")
+        .foreachBatch(make_legal_facts_processor(out_dir, n_buckets))
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
 def streaming_kg_query(
     pages: DataFrame,
     gazetteer: Gazetteer,
