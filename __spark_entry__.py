@@ -3888,6 +3888,49 @@ def q184_case_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q185_docket_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docket identifiers: three registry-number constructions per
+    document (of-form, slash-form, abbreviated W.P. (C)) with
+    doc_id-derived numbers; canonical docket keys. Constructive oracle."""
+    from spanluke_spark.etl.dockets import docket_refs
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    n1 = (i % 900 + 1).cast("string")
+    y1 = (i % 30 + 1990).cast("string")
+    n2 = (i % 500 + 1).cast("string")
+    y2 = (i % 20 + 2000).cast("string")
+    n3 = (i % 2000 + 1).cast("string")
+    y3 = (i % 15 + 2005).cast("string")
+    text = F.concat(
+        F.lit("in Criminal Appeal No. "), n1, F.lit(" of "), y1,
+        F.lit(" arising from FIR No. "), n2, F.lit("/"), y2,
+        F.lit(", the W.P. (C) No. "), n3, F.lit("/"), y3,
+        F.lit(" was tagged."),
+    )
+    synth = docs.select("doc_id", text.alias("text"))
+    return docket_refs(synth).orderBy("doc_id", "idx")
+
+
+def q186_para_crossrefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document paragraph anchors: three numbered paragraphs and
+    one 'see para N' reference whose target exists only for N<=3;
+    validated against split_paragraphs with a left join. Constructive
+    parity oracle on the resolved flag."""
+    from spanluke_spark.etl.dockets import para_crossrefs, validated_crossrefs
+    from spanluke_spark.etl.paragraphs import split_paragraphs
+
+    docs = _t(spark, sf_dir, "documents")
+    p = (F.col("doc_id") % 4 + 1).cast("string")
+    text = F.concat(
+        F.lit("1. intro.\n2. see para "), p, F.lit(" above.\n3. end."),
+    )
+    synth = docs.select("doc_id", text.alias("text"))
+    return validated_crossrefs(
+        para_crossrefs(synth), split_paragraphs(synth)
+    ).orderBy("doc_id", "idx")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -5764,6 +5807,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q182_case_treatments": q182_case_treatments,
         "q183_doc_outcome": q183_doc_outcome,
         "q184_case_timeline": q184_case_timeline,
+        "q185_docket_refs": q185_docket_refs,
+        "q186_para_crossrefs": q186_para_crossrefs,
     }
 
 
@@ -7980,6 +8025,35 @@ def extra_oracle_sql() -> dict[str, str]:
                        'mdy_name', make_date(y3, 1, dd), FALSE
                 FROM n
             ) ORDER BY doc_id, idx
+        """,
+        "q185_docket_refs": """
+            WITH n AS (
+                SELECT doc_id,
+                       doc_id % 900 + 1 AS n1, doc_id % 30 + 1990 AS y1,
+                       doc_id % 500 + 1 AS n2, doc_id % 20 + 2000 AS y2,
+                       doc_id % 2000 + 1 AS n3, doc_id % 15 + 2005 AS y3
+                FROM documents
+            )
+            SELECT doc_id, idx, kind, number, year, docket_key FROM (
+                SELECT doc_id, 0 AS idx, 'Criminal Appeal' AS kind,
+                       n1 AS number, y1 AS year,
+                       'criminalappeal:' || CAST(n1 AS VARCHAR) || ':'
+                       || CAST(y1 AS VARCHAR) AS docket_key FROM n
+                UNION ALL
+                SELECT doc_id, 1, 'FIR', n2, y2,
+                       'fir:' || CAST(n2 AS VARCHAR) || ':'
+                       || CAST(y2 AS VARCHAR) FROM n
+                UNION ALL
+                SELECT doc_id, 2, 'W.P. (C)', n3, y3,
+                       'wpc:' || CAST(n3 AS VARCHAR) || ':'
+                       || CAST(y3 AS VARCHAR) FROM n
+            ) ORDER BY doc_id, idx
+        """,
+        "q186_para_crossrefs": """
+            SELECT doc_id, 0 AS idx,
+                   CAST(doc_id % 4 + 1 AS INT) AS ref_para,
+                   doc_id % 4 + 1 <= 3 AS resolved
+            FROM documents ORDER BY doc_id
         """,
         "q184_case_timeline": """
             WITH n AS (
