@@ -3931,6 +3931,46 @@ def q186_para_crossrefs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "idx")
 
 
+def q187_money_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monetary normalization: plain rupees, lakh-unit rupees and a
+    dollar-million amount per document; unit factors applied in codegen.
+    Constructive oracle multiplies the same factors."""
+    from spanluke_spark.etl.money import money_amounts
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    a = (i % 9000 + 1000).cast("string")
+    b = (i % 90 + 10).cast("string")
+    c = (i % 9 + 1).cast("string")
+    text = F.concat(
+        F.lit("fine of Rs. "), a, F.lit(" imposed with Rs. "), b,
+        F.lit(" lakhs more and a $"), c, F.lit(" million settlement."),
+    )
+    synth = docs.select("doc_id", text.alias("text"))
+    return (
+        money_amounts(synth)
+        .select("doc_id", "idx", "currency", "amount")
+        .orderBy("doc_id", "idx")
+    )
+
+
+def q188_sentence_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-term normalization: rigorous years + simple months per
+    document, normalized to months. Constructive oracle."""
+    from spanluke_spark.etl.money import sentence_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    y = (i % 10 + 1).cast("string")
+    mth = (i % 11 + 1).cast("string")
+    text = F.concat(
+        F.lit("sentenced to rigorous imprisonment for "), y,
+        F.lit(" years and simple imprisonment of "), mth, F.lit(" months."),
+    )
+    synth = docs.select("doc_id", text.alias("text"))
+    return sentence_terms(synth).orderBy("doc_id", "idx")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -5809,6 +5849,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q184_case_timeline": q184_case_timeline,
         "q185_docket_refs": q185_docket_refs,
         "q186_para_crossrefs": q186_para_crossrefs,
+        "q187_money_amounts": q187_money_amounts,
+        "q188_sentence_terms": q188_sentence_terms,
     }
 
 
@@ -8024,6 +8066,33 @@ def extra_oracle_sql() -> dict[str, str]:
                        || CAST(y3 AS VARCHAR),
                        'mdy_name', make_date(y3, 1, dd), FALSE
                 FROM n
+            ) ORDER BY doc_id, idx
+        """,
+        "q187_money_amounts": """
+            WITH n AS (
+                SELECT doc_id,
+                       doc_id % 9000 + 1000 AS a,
+                       doc_id % 90 + 10 AS b,
+                       doc_id % 9 + 1 AS c
+                FROM documents
+            )
+            SELECT doc_id, idx, currency, amount FROM (
+                SELECT doc_id, 0 AS idx, 'INR' AS currency,
+                       CAST(a AS DOUBLE) AS amount FROM n
+                UNION ALL
+                SELECT doc_id, 1, 'INR', CAST(b AS DOUBLE) * 100000 FROM n
+                UNION ALL
+                SELECT doc_id, 2, 'USD', CAST(c AS DOUBLE) * 1000000 FROM n
+            ) ORDER BY doc_id, idx
+        """,
+        "q188_sentence_terms": """
+            SELECT doc_id, idx, regime, term_months FROM (
+                SELECT doc_id, 0 AS idx, 'rigorous' AS regime,
+                       CAST((doc_id % 10 + 1) * 12 AS INT) AS term_months
+                FROM documents
+                UNION ALL
+                SELECT doc_id, 1, 'simple', CAST(doc_id % 11 + 1 AS INT)
+                FROM documents
             ) ORDER BY doc_id, idx
         """,
         "q185_docket_refs": """
