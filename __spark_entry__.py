@@ -3971,6 +3971,29 @@ def q188_sentence_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sentence_terms(synth).orderBy("doc_id", "idx")
 
 
+def q189_org_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Organization extraction: Ltd./Private Limited/Inc. suffixed names
+    from initcapped tokens; suffix variants collapse on one org_key.
+    Constructive oracle."""
+    from spanluke_spark.etl.orgs import org_mentions
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+
+    def w(k: int):
+        return F.lower(F.element_at(t, k + 1))
+
+    def c(k: int):
+        return F.initcap(w(k))
+
+    text = F.concat(
+        c(0), F.lit(" "), c(1), F.lit(" Ltd. sued "), c(2),
+        F.lit(" Private Limited while "), c(3), F.lit(" Inc. watched."),
+    )
+    synth = docs.where(F.size(t) >= 4).select("doc_id", text.alias("text"))
+    return org_mentions(synth).orderBy("doc_id", "idx")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -5851,6 +5874,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q186_para_crossrefs": q186_para_crossrefs,
         "q187_money_amounts": q187_money_amounts,
         "q188_sentence_terms": q188_sentence_terms,
+        "q189_org_mentions": q189_org_mentions,
     }
 
 
@@ -8066,6 +8090,31 @@ def extra_oracle_sql() -> dict[str, str]:
                        || CAST(y3 AS VARCHAR),
                        'mdy_name', make_date(y3, 1, dd), FALSE
                 FROM n
+            ) ORDER BY doc_id, idx
+        """,
+        "q189_org_mentions": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_transform(string_split_regex(trim(text), '\\s+'),
+                                      x -> lower(x)) AS w
+                FROM documents
+                WHERE len(string_split_regex(trim(text), '\\s+')) >= 4
+            ), s AS (
+                SELECT doc_id, w,
+                       upper(substr(w[1], 1, 1)) || substr(w[1], 2) AS c1,
+                       upper(substr(w[2], 1, 1)) || substr(w[2], 2) AS c2,
+                       upper(substr(w[3], 1, 1)) || substr(w[3], 2) AS c3,
+                       upper(substr(w[4], 1, 1)) || substr(w[4], 2) AS c4
+                FROM t
+            )
+            SELECT doc_id, idx, name, suffix, org_key FROM (
+                SELECT doc_id, 0 AS idx, c1 || ' ' || c2 AS name,
+                       'ltd' AS suffix,
+                       w[1] || ' ' || w[2] || ' ltd' AS org_key FROM s
+                UNION ALL
+                SELECT doc_id, 1, c3, 'pvt ltd', w[3] || ' pvt ltd' FROM s
+                UNION ALL
+                SELECT doc_id, 2, c4, 'inc', w[4] || ' inc' FROM s
             ) ORDER BY doc_id, idx
         """,
         "q187_money_amounts": """
