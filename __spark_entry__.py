@@ -3994,6 +3994,49 @@ def q189_org_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return org_mentions(synth).orderBy("doc_id", "idx")
 
 
+def q190_legal_facts_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fact surface: one judgment-shaped document exercising ALL
+    twelve lanes (court, docket, bench, statute, precedent, quote,
+    witness, org, money, penalty, date, outcome); 13 facts per doc.
+    Constructive oracle rebuilds the entire union."""
+    from spanluke_spark.etl.legalfacts import legal_facts_extended
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    i = F.col("doc_id")
+
+    def w(k: int):
+        return F.lower(F.element_at(t, k + 1))
+
+    a = (i % 400 + 100).cast("string")
+    b = (i % 6 + 34).cast("string")
+    dd = F.lpad((i % 28 + 1).cast("string"), 2, "0")
+    mm = F.lpad((i % 12 + 1).cast("string"), 2, "0")
+    y2 = (i % 70 + 1950).cast("string")
+    n1 = (i % 900 + 1).cast("string")
+    y1 = (i % 30 + 1990).cast("string")
+    n2 = (i % 9 + 1).cast("string")
+    m = (i % 90 + 10).cast("string")
+    yy = (i % 10 + 1).cast("string")
+    text = F.concat(
+        F.lit("IN THE SUPREME COURT OF INDIA. Criminal Appeal No. "), n1,
+        F.lit(" of "), y1, F.lit(". CORAM: HON'BLE MR. JUSTICE "),
+        F.upper(w(3)), F.lit(" "), F.upper(w(0)),
+        F.lit(". he was convicted u/s "), a, F.lit("/"), b,
+        F.lit(" IPC. the matter of State of "), F.initcap(w(0)),
+        F.lit(" v. "), F.initcap(w(1)), F.lit(" "), F.initcap(w(2)),
+        F.lit(' was heard. "'), w(2), F.lit(" "), w(3),
+        F.lit('," said Mr '), F.initcap(w(4)), F.lit(". PW-"), n2,
+        F.lit(" deposed. "), F.initcap(w(1)), F.lit(" "), F.initcap(w(2)),
+        F.lit(" Ltd. paid Rs. "), m,
+        F.lit(" lakhs. sentenced to rigorous imprisonment for "), yy,
+        F.lit(" years. order dated "), dd, F.lit("."), mm, F.lit("."), y2,
+        F.lit(". the appeal is allowed."),
+    )
+    synth = docs.where(F.size(t) >= 5).select("doc_id", text.alias("text"))
+    return legal_facts_extended(synth).orderBy("doc_id", "lane", "pred", "obj")
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -5875,6 +5918,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q187_money_amounts": q187_money_amounts,
         "q188_sentence_terms": q188_sentence_terms,
         "q189_org_mentions": q189_org_mentions,
+        "q190_legal_facts_extended": q190_legal_facts_extended,
     }
 
 
@@ -8091,6 +8135,68 @@ def extra_oracle_sql() -> dict[str, str]:
                        'mdy_name', make_date(y3, 1, dd), FALSE
                 FROM n
             ) ORDER BY doc_id, idx
+        """,
+        "q190_legal_facts_extended": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_transform(string_split_regex(trim(text), '\\s+'),
+                                      x -> lower(x)) AS w,
+                       doc_id % 400 + 100 AS a,
+                       doc_id % 6 + 34 AS b,
+                       doc_id % 28 + 1 AS dd,
+                       doc_id % 12 + 1 AS mm,
+                       doc_id % 70 + 1950 AS y2,
+                       doc_id % 900 + 1 AS n1,
+                       doc_id % 30 + 1990 AS y1,
+                       doc_id % 9 + 1 AS n2,
+                       doc_id % 90 + 10 AS m,
+                       doc_id % 10 + 1 AS yy
+                FROM documents
+                WHERE len(string_split_regex(trim(text), '\\s+')) >= 5
+            )
+            SELECT doc_id, subj, pred, obj, lane FROM (
+                SELECT doc_id, 'doc:' || CAST(doc_id AS VARCHAR) AS subj,
+                       'charged_under' AS pred,
+                       'IPC s.' || CAST(a AS VARCHAR) AS obj,
+                       'statute' AS lane FROM t
+                UNION ALL SELECT doc_id, 'doc:' || CAST(doc_id AS VARCHAR),
+                       'charged_under', 'IPC s.' || CAST(b AS VARCHAR),
+                       'statute' FROM t
+                UNION ALL SELECT doc_id, 'doc:' || CAST(doc_id AS VARCHAR),
+                       'cites_case',
+                       'state of ' || w[1] || ' v ' || w[2] || ' ' || w[3],
+                       'precedent' FROM t
+                UNION ALL SELECT doc_id, 'doc:' || CAST(doc_id AS VARCHAR),
+                       'heard_by', w[4] || ' ' || w[1], 'bench' FROM t
+                UNION ALL SELECT doc_id, 'doc:' || CAST(doc_id AS VARCHAR),
+                       'dated', CAST(make_date(y2, mm, dd) AS VARCHAR),
+                       'date' FROM t
+                UNION ALL SELECT doc_id,
+                       'Mr ' || upper(substr(w[5], 1, 1)) || substr(w[5], 2),
+                       'stated', w[3] || ' ' || w[4], 'quote' FROM t
+                UNION ALL SELECT doc_id, 'doc:' || CAST(doc_id AS VARCHAR),
+                       'heard_in', 'supreme court of india', 'court' FROM t
+                UNION ALL SELECT doc_id, 'doc:' || CAST(doc_id AS VARCHAR),
+                       'docketed_as',
+                       'criminalappeal:' || CAST(n1 AS VARCHAR) || ':'
+                       || CAST(y1 AS VARCHAR), 'docket' FROM t
+                UNION ALL SELECT doc_id, 'doc:' || CAST(doc_id AS VARCHAR),
+                       'disposed_as', 'allowed', 'outcome' FROM t
+                UNION ALL SELECT doc_id, 'doc:' || CAST(doc_id AS VARCHAR),
+                       'heard_witness',
+                       'prosecution:' || CAST(n2 AS VARCHAR), 'witness' FROM t
+                UNION ALL SELECT doc_id, 'doc:' || CAST(doc_id AS VARCHAR),
+                       'mentions_org', w[2] || ' ' || w[3] || ' ltd',
+                       'org' FROM t
+                UNION ALL SELECT doc_id, 'doc:' || CAST(doc_id AS VARCHAR),
+                       'sentenced_to',
+                       'rigorous:' || CAST(yy * 12 AS VARCHAR),
+                       'penalty' FROM t
+                UNION ALL SELECT doc_id, 'doc:' || CAST(doc_id AS VARCHAR),
+                       'awards',
+                       'INR:' || CAST(CAST(m AS BIGINT) * 100000 AS VARCHAR)
+                       || '.00', 'money' FROM t
+            ) ORDER BY doc_id, lane, pred, obj
         """,
         "q189_org_mentions": """
             WITH t AS (

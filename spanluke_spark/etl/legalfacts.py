@@ -28,7 +28,7 @@ from .quotes import quote_attributions
 from .statutes import statute_citations
 from ..graph.citations import case_mentions
 
-__all__ = ["legal_facts"]
+__all__ = ["legal_facts", "legal_facts_extended"]
 
 
 def legal_facts(
@@ -89,4 +89,86 @@ def legal_facts(
     out = st
     for lane in (ca, ju, dt, qu):
         out = out.unionByName(lane)
+    return out.distinct()
+
+
+def legal_facts_extended(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The five core lanes plus the forum/docket/outcome/witness/org/
+    penalty lanes — the full fact surface a judgment page yields:
+
+      heard_in      canonical court key        (etl/courts.py)
+      docketed_as   canonical docket key       (etl/dockets.py)
+      disposed_as   operative outcome          (etl/outcomes.py, LAST rule)
+      heard_witness pw/dw/cw + number          (etl/courts.py)
+      mentions_org  canonical org key          (etl/orgs.py)
+      sentenced_to  regime:months              (etl/money.py)
+      awards        currency:amount            (etl/money.py)
+
+    Same plan shape: every added lane is scan-side codegen; the outcome
+    lane alone adds one keyed aggregate (its max_by reduction), and the
+    closing distinct remains the union's only other shuffle."""
+    from .courts import court_mentions, witness_refs
+    from .dockets import docket_refs
+    from .money import money_amounts, sentence_terms
+    from .orgs import org_mentions
+    from .outcomes import doc_outcome, outcome_mentions
+
+    def lane(extracted: DataFrame, pred: str, obj, lane_name: str) -> DataFrame:
+        return extracted.select(
+            F.col(id_col),
+            F.concat(F.lit("doc:"), F.col(id_col).cast("string")).alias("subj"),
+            F.lit(pred).alias("pred"),
+            obj.alias("obj"),
+            F.lit(lane_name).alias("lane"),
+        )
+
+    co = lane(
+        court_mentions(docs, text_col, id_col), "heard_in", F.col("court"), "court"
+    )
+    dk = lane(
+        docket_refs(docs, text_col, id_col),
+        "docketed_as",
+        F.col("docket_key"),
+        "docket",
+    )
+    oc = lane(
+        doc_outcome(outcome_mentions(docs, text_col, id_col), id_col),
+        "disposed_as",
+        F.col("outcome"),
+        "outcome",
+    )
+    wt = lane(
+        witness_refs(docs, text_col, id_col),
+        "heard_witness",
+        F.concat_ws(":", F.col("side"), F.col("witness_no").cast("string")),
+        "witness",
+    )
+    og = lane(
+        org_mentions(docs, text_col, id_col),
+        "mentions_org",
+        F.col("org_key"),
+        "org",
+    )
+    sn = lane(
+        sentence_terms(docs, text_col, id_col),
+        "sentenced_to",
+        F.concat_ws(":", F.col("regime"), F.col("term_months").cast("string")),
+        "penalty",
+    )
+    mo = lane(
+        money_amounts(docs, text_col, id_col),
+        "awards",
+        F.concat_ws(
+            ":",
+            F.col("currency"),
+            F.col("amount").cast("decimal(20,2)").cast("string"),
+        ),
+        "money",
+    )
+
+    out = legal_facts(docs, text_col, id_col)
+    for extra in (co, dk, oc, wt, og, sn, mo):
+        out = out.unionByName(extra)
     return out.distinct()

@@ -47,3 +47,27 @@ def test_distinct_collapses_repeats(spark):
 def test_invalid_date_excluded(spark):
     got = _facts(spark, ["entry 31.02.2001 is impossible."])
     assert got == set()
+
+
+def test_extended_lanes(spark):
+    from spanluke_spark.etl.legalfacts import legal_facts_extended
+
+    doc = (
+        "IN THE SUPREME COURT OF INDIA. Criminal Appeal No. 9 of 2001. "
+        "PW-2 deposed. Acme Widgets Ltd. paid Rs. 2 lakhs. "
+        "sentenced to rigorous imprisonment for 5 years. "
+        "the appeal is dismissed. finally the appeal is allowed."
+    )
+    df = spark.createDataFrame([(7, doc)], "doc_id long, text string")
+    got = {
+        (r.pred, r.obj, r.lane) for r in legal_facts_extended(df).collect()
+    }
+    assert ("heard_in", "supreme court of india", "court") in got
+    assert ("docketed_as", "criminalappeal:9:2001", "docket") in got
+    assert ("heard_witness", "prosecution:2", "witness") in got
+    assert ("mentions_org", "acme widgets ltd", "org") in got
+    assert ("awards", "INR:200000.00", "money") in got
+    assert ("sentenced_to", "rigorous:60", "penalty") in got
+    # operative outcome is the LAST disposition
+    assert ("disposed_as", "allowed", "outcome") in got
+    assert ("disposed_as", "dismissed", "outcome") not in got
