@@ -4001,6 +4001,13 @@ def q190_legal_facts_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     Constructive oracle rebuilds the entire union."""
     from spanluke_spark.etl.legalfacts import legal_facts_extended
 
+    return legal_facts_extended(_q190_synth(spark, sf_dir)).orderBy(
+        "doc_id", "lane", "pred", "obj"
+    )
+
+
+def _q190_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q190 synthesized judgment corpus (shared by q190/q191)."""
     docs = _t(spark, sf_dir, "documents")
     t = F.split(F.trim(F.col("text")), r"\s+")
     i = F.col("doc_id")
@@ -4033,8 +4040,19 @@ def q190_legal_facts_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" years. order dated "), dd, F.lit("."), mm, F.lit("."), y2,
         F.lit(". the appeal is allowed."),
     )
-    synth = docs.where(F.size(t) >= 5).select("doc_id", text.alias("text"))
-    return legal_facts_extended(synth).orderBy("doc_id", "lane", "pred", "obj")
+    return docs.where(F.size(t) >= 5).select("doc_id", text.alias("text"))
+
+
+def q191_legal_facts_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan fact extraction: the SAME corpus and oracle as q190,
+    computed by legal_facts_onepass (array-transform lanes, one scan,
+    one explode) — the oracle replay proves the 14-scan union and the
+    1-scan formulation byte-identical."""
+    from spanluke_spark.etl.legalfacts import legal_facts_onepass
+
+    return legal_facts_onepass(_q190_synth(spark, sf_dir)).orderBy(
+        "doc_id", "lane", "pred", "obj"
+    )
 
 
 _DISTANT_KB = [
@@ -5919,13 +5937,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q188_sentence_terms": q188_sentence_terms,
         "q189_org_mentions": q189_org_mentions,
         "q190_legal_facts_extended": q190_legal_facts_extended,
+        "q191_legal_facts_onepass": q191_legal_facts_onepass,
     }
 
 
 def extra_oracle_sql() -> dict[str, str]:
     """DuckDB twins for ``extra_queries`` (the round-1/2 registry entries,
     verbatim — they were driver-green in r01/r02)."""
-    return {
+    out = {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
@@ -9421,3 +9440,7 @@ def extra_oracle_sql() -> dict[str, str]:
             ) ORDER BY subj, pred, obj
         """,
     }
+    # q191 runs the SAME synthesized corpus through the one-pass
+    # formulation; identical expected output, identical oracle
+    out["q191_legal_facts_onepass"] = out["q190_legal_facts_extended"]
+    return out

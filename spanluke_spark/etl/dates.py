@@ -59,6 +59,27 @@ def _month_num(name_col):
     )
 
 
+def snippet_iso(m):
+    """ISO date Column from a matched date snippet Column (NULL when the
+    surface is not a valid calendar date). Shared by extract_dates and
+    the one-pass fact extractor (legalfacts.legal_facts_onepass)."""
+    day = F.lit(None).cast("string")
+    month = F.lit(None).cast("string")
+    year = F.lit(None).cast("string")
+    for n, (rx, dg, mg, yg, named) in reversed(DATE_PATTERNS.items()):
+        hit = F.regexp_extract(m, rx, 0) != F.lit("")
+        mon = F.regexp_extract(m, rx, mg)
+        if named:
+            mon = _month_num(mon)
+        day = F.when(hit, F.regexp_extract(m, rx, dg)).otherwise(day)
+        month = F.when(hit, mon).otherwise(month)
+        year = F.when(hit, F.regexp_extract(m, rx, yg)).otherwise(year)
+    return F.try_to_date(
+        F.concat_ws("-", year, F.lpad(month, 2, "0"), F.lpad(day, 2, "0")),
+        "yyyy-MM-dd",
+    )
+
+
 def extract_dates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -144,8 +144,9 @@ def run_legal_facts_pipeline(
     run_id: str = "run0",
     n_buckets: int = 16,
 ) -> dict:
-    """Resumable materialization of the five legal surface lanes
-    (etl/legalfacts.py: statute / precedent / bench / date / quote) into
+    """Resumable materialization of the legal surface lanes
+    (etl/legalfacts.py one-pass formulation: all twelve lanes in ONE
+    scan of the page table) into
     a partitioned facts table with per-partition lineage — the same
     checkpoint-resume discipline as run_kg_pipeline (S7/S8), applied to
     the codegen extraction lanes instead of the span scorer.
@@ -158,7 +159,7 @@ def run_legal_facts_pipeline(
     facts_path = os.path.join(out_dir, "facts")
     lineage_path = os.path.join(out_dir, "lineage")
 
-    from .etl.legalfacts import legal_facts
+    from .etl.legalfacts import legal_facts_onepass
 
     keyed = with_part_key(pages, "url", n_buckets)
     lineage = read_lineage(spark, lineage_path)
@@ -175,7 +176,7 @@ def run_legal_facts_pipeline(
     # relation by url is one hash expression, so part_key never forces
     # the page text through a shuffle
     facts = with_part_key(
-        legal_facts(todo, text_col="text", id_col="url"), "url", n_buckets
+        legal_facts_onepass(todo, text_col="text", id_col="url"), "url", n_buckets
     )
     overwrite_partitions(facts, facts_path, "part_key")
 

@@ -161,16 +161,17 @@ def make_batch_processor(
 
 
 def make_legal_facts_processor(out_dir: str, n_buckets: int = 16):
-    """foreachBatch body for the legal surface lanes (etl/legalfacts.py):
-    batch pages -> five-lane fact union -> dynamic partition overwrite
-    keyed by (epoch, part_key) — the same exactly-once-per-epoch contract
-    as make_batch_processor, directly testable by replaying an epoch."""
+    """foreachBatch body for the legal surface lanes (etl/legalfacts.py
+    one-pass twelve-lane formulation — one scan per micro-batch) ->
+    dynamic partition overwrite keyed by (epoch, part_key) — the same
+    exactly-once-per-epoch contract as make_batch_processor, directly
+    testable by replaying an epoch."""
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        from ..etl.legalfacts import legal_facts
+        from ..etl.legalfacts import legal_facts_onepass
         from ..storage.lineage import overwrite_partitions
 
-        facts = legal_facts(batch_df, text_col="text", id_col="url")
+        facts = legal_facts_onepass(batch_df, text_col="text", id_col="url")
         keyed = with_part_key(facts, "url", n_buckets).withColumn(
             "epoch", F.lit(epoch_id)
         )

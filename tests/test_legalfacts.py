@@ -71,3 +71,36 @@ def test_extended_lanes(spark):
     # operative outcome is the LAST disposition
     assert ("disposed_as", "allowed", "outcome") in got
     assert ("disposed_as", "dismissed", "outcome") not in got
+
+
+def test_onepass_matches_extended(spark):
+    from spanluke_spark.etl.legalfacts import (
+        legal_facts_extended,
+        legal_facts_onepass,
+    )
+
+    docs = [
+        "IN THE SUPREME COURT OF INDIA. Criminal Appeal No. 9 of 2001. "
+        "CORAM: HON'BLE MR. JUSTICE D.Y. CHANDRACHUD. "
+        "he was convicted u/s 302/34 IPC and Article 21 of the Constitution. "
+        "the matter of State of Punjab v. Baldev Singh was heard. "
+        '"we allow the appeal," said Kevin Rao. PW-2 deposed; DW 3 denied. '
+        "Acme Widgets Pvt. Ltd. paid Rs. 2 lakhs and $5 million. "
+        "sentenced to rigorous imprisonment for 5 years and simple "
+        "imprisonment of 45 days. order dated 25.03.2004 and on "
+        "5th January, 1998. the appeal was dismissed. the appeal is allowed.",
+        "no legal content at all in this document",
+        "only a date 31.02.2001 that is invalid and a quote-less sentence.",
+        'relied upon in Roe v. Wade. "short," said Jo Kim. FIR No. 3/2004.',
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    a = {
+        tuple(r) for r in legal_facts_extended(df).collect()
+    }
+    b = {
+        tuple(r) for r in legal_facts_onepass(df).collect()
+    }
+    assert a == b
+    assert len(a) > 15  # the rich doc alone yields a full lane spread

@@ -416,6 +416,22 @@ def main() -> None:
         and "Exchange hashpartitioning(doc_id" in qplan,
     )
 
+    # 26. one-pass fact extraction: ONE parquet scan (vs 14 in the union
+    # formulation), no join, and the distinct is the only exchange
+    from spanluke_spark.etl.legalfacts import legal_facts_onepass
+
+    oplan = (
+        legal_facts_onepass(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "legal_facts_onepass_single_scan",
+        oplan.count("Scan parquet") == 1
+        and oplan.count("Exchange") == 1
+        and "Join" not in oplan
+        and "Python" not in oplan,
+        "(scan -> project -> generate -> distinct)",
+    )
+
     spark.stop()
     sys.exit(1 if failures else 0)
 
