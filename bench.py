@@ -127,6 +127,22 @@ def main() -> None:
             cur_samples[name].append(time.perf_counter() - t0)
     curation_timings = {n: round(min(s), 3) for n, s in cur_samples.items()}
 
+    # Legal-facts lanes (single-scan formulation): pages/sec through all
+    # twelve codegen extraction lanes over the synthesized page corpus
+    from spanluke_spark.etl.legalfacts import legal_facts_onepass
+
+    # repartition to core width: the sf0.1 parquet has few splits, and
+    # scan-side lanes parallelize with input splits (as a 100 TB table does)
+    lf_pages = entrymod._q190_synth(spark, sf_dir).repartition(int(cpus)).cache()
+    n_lf_pages = lf_pages.count()
+    legal_facts_onepass(lf_pages).count()  # warm
+    lf_secs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        legal_facts_onepass(lf_pages).count()
+        lf_secs.append(time.perf_counter() - t0)
+    lf_sec = min(lf_secs)
+
     print(
         json.dumps(
             {
@@ -142,6 +158,8 @@ def main() -> None:
                 "cpus": int(cpus),
                 "curation_queries": curation_timings,
                 "curation_total": round(sum(curation_timings.values()), 3),
+                "legalfacts_sec": round(lf_sec, 3),
+                "legalfacts_pages_per_sec": round(n_lf_pages / lf_sec, 1),
             }
         )
     )
