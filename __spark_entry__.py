@@ -4055,6 +4055,119 @@ def q191_legal_facts_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _truss_edges(spark: SparkSession) -> DataFrame:
+    """Three-density edge fixture for k-truss: a complete-K20 core
+    (double mixed-affine maps over 20 nodes saturate all 190 pairs), a
+    medium tier over nodes 10..34 overlapping the core, and a sparse
+    60-node periphery. At k=17 peeling cascades 607 -> 407 -> 371 ->
+    284 -> 192 -> 190 canonical edges (5 real rounds, fixpoint = the K20
+    core) — exercising the multi-round fixpoint, not a single cut.
+    Constant-by-construction (spark.range), so SF-stable."""
+    v = lambda c: F.concat(F.lit("v"), F.lpad(c.cast("string"), 2, "0"))  # noqa: E731
+    r = spark.range(0, 400).select(F.col("id").alias("r"))
+    dense = r.select(
+        v(F.col("r") % 20).alias("src"),
+        v(((F.col("r") * 37 + 11) % 97) % 20).alias("dst"),
+    ).unionByName(
+        r.select(
+            v(((F.col("r") * 53 + 29) % 89) % 20).alias("src"),
+            v((F.col("r") * 13 + 3) % 20).alias("dst"),
+        )
+    )
+    r3 = spark.range(0, 350).select(F.col("id").alias("r"))
+    med = r3.select(
+        v(10 + F.col("r") % 25).alias("src"),
+        v(10 + ((F.col("r") * 29 + 5) % 83) % 25).alias("dst"),
+    )
+    r2 = spark.range(0, 300).select(F.col("id").alias("r"))
+    sparse = r2.select(
+        v(F.col("r") % 60).alias("src"),
+        v(((F.col("r") * 41 + 7) % 101) % 60).alias("dst"),
+    )
+    return dense.unionByName(med).unionByName(sparse)
+
+
+def q192_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss decomposition (k=17) over the three-density fixture:
+    iterative edge peeling by triangle support (degree-oriented wedge
+    joins per round, hub-safe), confluent fixpoint. The oracle unrolls
+    all 6 rounds in SQL — the 6th reproduces the 5th, PROVING the
+    fixpoint — then recomputes final supports, exactly what k_truss
+    emits."""
+    from spanluke_spark.graph.analytics import k_truss
+
+    return k_truss(_truss_edges(spark), k=17).orderBy("a", "b")
+
+
+def _k_truss_oracle_sql(k: int, rounds: int) -> str:
+    """Generate the unrolled DuckDB twin of q192: e0 = canonical
+    undirected fixture edges; each round enumerates triangles with the
+    id-ordered formulation (orientation-invariant — same triangle set as
+    the Spark side's degree orientation), counts per-edge support, and
+    keeps edges with support >= k-2."""
+    parts = [
+        """
+        WITH gen AS (
+            SELECT 'v' || lpad((r % 20)::VARCHAR, 2, '0') AS src,
+                   'v' || lpad((((r * 37 + 11) % 97) % 20)::VARCHAR, 2, '0') AS dst
+            FROM (SELECT range AS r FROM range(0, 400))
+            UNION ALL
+            SELECT 'v' || lpad(((((r * 53 + 29) % 89)) % 20)::VARCHAR, 2, '0'),
+                   'v' || lpad(((r * 13 + 3) % 20)::VARCHAR, 2, '0')
+            FROM (SELECT range AS r FROM range(0, 400))
+            UNION ALL
+            SELECT 'v' || lpad((10 + (r % 25))::VARCHAR, 2, '0'),
+                   'v' || lpad((10 + (((r * 29 + 5) % 83) % 25))::VARCHAR, 2, '0')
+            FROM (SELECT range AS r FROM range(0, 350))
+            UNION ALL
+            SELECT 'v' || lpad((r % 60)::VARCHAR, 2, '0'),
+                   'v' || lpad((((r * 41 + 7) % 101) % 60)::VARCHAR, 2, '0')
+            FROM (SELECT range AS r FROM range(0, 300))
+        ),
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM gen WHERE src <> dst
+        )"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+        tri{i} AS MATERIALIZED (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e{i} e1
+            JOIN e{i} e2 ON e2.a = e1.b
+            JOIN e{i} e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        sup{i} AS MATERIALIZED (
+            SELECT a, b, COUNT(*) AS support FROM (
+                SELECT x AS a, y AS b FROM tri{i}
+                UNION ALL SELECT x AS a, z AS b FROM tri{i}
+                UNION ALL SELECT y AS a, z AS b FROM tri{i}
+            ) GROUP BY a, b
+        ),
+        e{i + 1} AS MATERIALIZED (
+            SELECT a, b FROM sup{i} WHERE support >= {k - 2}
+        )"""
+        )
+    # final supports recomputed on the fixpoint edge set (= what k_truss emits)
+    parts.append(
+        f""",
+        ftri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e{rounds} e1
+            JOIN e{rounds} e2 ON e2.a = e1.b
+            JOIN e{rounds} e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT a, b, COUNT(*) AS support FROM (
+            SELECT x AS a, y AS b FROM ftri
+            UNION ALL SELECT x AS a, z AS b FROM ftri
+            UNION ALL SELECT y AS a, z AS b FROM ftri
+        ) GROUP BY a, b HAVING COUNT(*) >= {k - 2}
+        ORDER BY a, b"""
+    )
+    return "".join(parts)
+
+
 _DISTANT_KB = [
     ("spark", "query", "executes"),
     ("hash", "join", "algorithm_of"),
@@ -5938,6 +6051,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q189_org_mentions": q189_org_mentions,
         "q190_legal_facts_extended": q190_legal_facts_extended,
         "q191_legal_facts_onepass": q191_legal_facts_onepass,
+        "q192_k_truss": q192_k_truss,
     }
 
 
@@ -9443,4 +9557,6 @@ def extra_oracle_sql() -> dict[str, str]:
     # q191 runs the SAME synthesized corpus through the one-pass
     # formulation; identical expected output, identical oracle
     out["q191_legal_facts_onepass"] = out["q190_legal_facts_extended"]
+    # q192: 6 peel rounds unrolled (round 6 == round 5 proves fixpoint)
+    out["q192_k_truss"] = _k_truss_oracle_sql(k=17, rounds=6)
     return out

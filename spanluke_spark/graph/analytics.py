@@ -41,18 +41,11 @@ def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
-def triangle_count(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
-) -> DataFrame:
-    """edges -> (node, triangles): per-node triangle membership counts
-    (nodes in no triangle are omitted; self-loops and edge direction /
-    multiplicity ignored, the standard convention).
-
-    Shape: degree-oriented wedge join — both joins are equi-joins on
-    (node) / (node, node) keys, so AQE handles residual skew; no
-    all-pairs stage anywhere.
-    """
-    und = _undirected(edges, src, dst)
+def _oriented_triangles(und: DataFrame) -> DataFrame:
+    """Canonical undirected edges (a < b) -> one row per triangle as
+    (pivot, x, y) with x < y, via degree-oriented wedge enumeration
+    (see module docstring): wedge count bounded by sum(min-deg per edge)
+    = O(m^1.5), hub-safe. Shared by triangle_count and k_truss."""
     deg = (
         und.select(F.col("a").alias("n"))
         .unionByName(und.select(F.col("b").alias("n")))
@@ -80,12 +73,99 @@ def triangle_count(
     # close the wedge against the canonical undirected set (the oriented
     # edges re-canonicalized ARE und, so no second orientation pass)
     closing = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    tris = wedges.join(closing, ["x", "y"]).select("pivot", "x", "y")
+    return wedges.join(closing, ["x", "y"]).select("pivot", "x", "y")
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """edges -> (node, triangles): per-node triangle membership counts
+    (nodes in no triangle are omitted; self-loops and edge direction /
+    multiplicity ignored, the standard convention).
+
+    Shape: degree-oriented wedge join — both joins are equi-joins on
+    (node) / (node, node) keys, so AQE handles residual skew; no
+    all-pairs stage anywhere.
+    """
+    tris = _oriented_triangles(_undirected(edges, src, dst))
     return (
         tris.select(F.explode(F.array("pivot", "x", "y")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
+
+
+def _edge_support(und: DataFrame) -> DataFrame:
+    """Canonical undirected edges -> (a, b, support): the number of
+    triangles each edge participates in. Every triangle (pivot, x, y)
+    contributes one to each of its three canonical edges; edges in no
+    triangle are omitted (support 0)."""
+    tris = _oriented_triangles(und)
+    contrib = tris.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("pivot", "x").alias("a"),
+                    F.greatest("pivot", "x").alias("b"),
+                ),
+                F.struct(
+                    F.least("pivot", "y").alias("a"),
+                    F.greatest("pivot", "y").alias("b"),
+                ),
+                # x < y already canonical
+                F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+            )
+        ).alias("e")
+    )
+    return contrib.groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b")).agg(
+        F.count(F.lit(1)).alias("support")
+    )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-truss decomposition membership: the maximal subgraph in which
+    every EDGE lies in >= k-2 triangles -> (a, b, support) over canonical
+    undirected edges, support measured on the final truss subgraph. The
+    truss is the edge-cohesion analogue of k_core and the standard
+    link-farm / citation-clique extractor: a k-truss is always inside the
+    (k-1)-core but far denser, so it isolates genuinely tight communities
+    that degree alone (k_core) cannot.
+
+    Like the k-core, truss peeling is CONFLUENT (the k-truss is unique
+    regardless of peel order), so the relational fixpoint — drop ALL
+    under-supported edges simultaneously, recompute supports on the
+    induced subgraph, repeat — terminates at the sequential answer.
+    Each round is one degree-oriented triangle enumeration (O(m^1.5)
+    wedges, hub-safe) + one per-edge count + one filter over the
+    SHRINKING edge set; the round-closing count() doubles as the fixpoint
+    test and lineage is truncated per round (localCheckpoint), exactly
+    the k_core/pagerank iteration discipline. Power-law graphs shed most
+    edges in round 1 (an edge between two leaf pages is in no triangle
+    at all), so rounds stay small at crawl scale.
+    """
+    if k < 3:
+        raise ValueError(f"k-truss requires k >= 3, got {k}")
+    und = _undirected(edges, src, dst).localCheckpoint(eager=True)
+    n_prev = und.count()
+    for _ in range(max_rounds):
+        kept = (
+            _edge_support(und)
+            .where(F.col("support") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_now = kept.count()
+        und = kept
+        if n_now == n_prev or n_now == 0:
+            break
+        n_prev = n_now
+    return _edge_support(und).where(F.col("support") >= k - 2)
 
 
 def label_propagation(

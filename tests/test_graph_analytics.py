@@ -255,3 +255,63 @@ def test_clustering_coefficient_clique(spark):
     e = spark.createDataFrame(clique, "src long, dst long")
     got = {r.node: r.coefficient for r in clustering_coefficient(e).collect()}
     assert all(c == 1.0 for c in got.values())
+
+
+def ref_k_truss(edges, k):
+    """Sequential-peel reference: simultaneous under-supported edge
+    removal until fixpoint; returns {canonical_edge: final_support}."""
+    und = und_set(edges)
+    while True:
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {(a, b): len(adj[a] & adj[b]) for a, b in und}
+        drop = {e for e in und if sup[e] < k - 2}
+        if not drop:
+            return sup
+        und -= drop
+
+
+def test_k_truss_clique_closed_form(spark):
+    from spanluke_spark.graph.analytics import k_truss
+
+    # K6: every edge has support 4, so the truss is all of K6 for
+    # k <= 6 and empty for k = 7 (peeling everything at once)
+    clique = [(f"n{i}", f"n{j}") for i in range(6) for j in range(6) if i < j]
+    got = {(r.a, r.b): r.support for r in k_truss(to_df(spark, clique), 6).collect()}
+    assert got == {tuple(sorted(e)): 4 for e in clique}
+    assert k_truss(to_df(spark, clique), 7).count() == 0
+
+
+def test_k_truss_core_vs_periphery(spark):
+    from spanluke_spark.graph.analytics import k_truss
+
+    # K5 core + pendant path + a hanging triangle: at k=4 only the K5
+    # survives (path edges have support 0, triangle edges support 1)
+    k5 = [(f"c{i}", f"c{j}") for i in range(5) for j in range(5) if i < j]
+    extra = [("c0", "p1"), ("p1", "p2"), ("c1", "t1"), ("c1", "t2"), ("t1", "t2")]
+    out = {(r.a, r.b): r.support
+           for r in k_truss(to_df(spark, k5 + extra), 4).collect()}
+    assert out == {tuple(sorted(e)): 3 for e in k5}
+    # at k=3 the hanging triangle (support 1 >= 1) survives too
+    out3 = {(r.a, r.b) for r in k_truss(to_df(spark, k5 + extra), 3).collect()}
+    assert out3 == {tuple(sorted(e)) for e in k5} | {("c1", "t1"), ("c1", "t2"), ("t1", "t2")}
+
+
+def test_k_truss_random_parity(spark):
+    from spanluke_spark.graph.analytics import k_truss
+
+    rng = np.random.default_rng(192)
+    for k in (3, 4, 5):
+        edges = rand_edges(rng, 12, 70)
+        got = {(r.a, r.b): r.support
+               for r in k_truss(to_df(spark, edges), k).collect()}
+        assert got == ref_k_truss(edges, k)
+
+
+def test_k_truss_rejects_small_k(spark):
+    from spanluke_spark.graph.analytics import k_truss
+
+    with pytest.raises(ValueError):
+        k_truss(to_df(spark, [("a", "b")]), 2)
