@@ -4099,6 +4099,64 @@ def q192_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_truss(_truss_edges(spark), k=17).orderBy("a", "b")
 
 
+def q193_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS 2.0 / Atom 1.0 feed parsing: the engine REALLY parses
+    synthesized feed XML (RFC-822 pubDates with GMT/+0530/-0800 zones,
+    ISO-8601 Atom timestamps with Z/+05:30, XML entities, missing guids,
+    rel="self" decoys before the alternate link) via pure codegen; the
+    oracle states the closed form every field was built from, with the
+    zone offsets applied as make_timestamp minus interval arithmetic."""
+    from spanluke_spark.etl.feeds import parse_feeds
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    p2 = lambda c: F.lpad(s(c), 2, "0")  # noqa: E731
+    host = F.concat(F.lit("h"), s(d % 7))
+    mon_name = F.element_at(
+        F.array(*[F.lit(m) for m in
+                  "Jan Feb Mar Apr May Jun Jul Aug Sep Oct Nov Dec".split()]),
+        (d % 12 + 1).cast("int"),
+    )
+    rss_zone = F.element_at(
+        F.array(F.lit("GMT"), F.lit("+0530"), F.lit("-0800")),
+        (d % 3 + 1).cast("int"),
+    )
+    guid_tag = F.when(d % 13 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("<guid>g"), s(d), F.lit("</guid>"))
+    )
+    rss = F.concat(
+        F.lit('<?xml version="1.0"?><rss version="2.0"><channel><item>'),
+        guid_tag,
+        F.lit("<title>T&amp;"), s(d), F.lit("</title>"),
+        F.lit("<link>https://"), host, F.lit("/a"), s(d), F.lit("</link>"),
+        F.lit("<pubDate>Mon, "), s(d % 28 + 1), F.lit(" "), mon_name,
+        F.lit(" 2024 "), p2(d % 24), F.lit(":"), p2(d * 7 % 60), F.lit(":"),
+        p2(d * 13 % 60), F.lit(" "), rss_zone, F.lit("</pubDate>"),
+        F.lit("<description>D "), s(d), F.lit("</description>"),
+        F.lit("</item></channel></rss>"),
+    )
+    atom_zone = F.when(d % 2 == 0, F.lit("Z")).otherwise(F.lit("+05:30"))
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><entry>'),
+        F.lit("<id>urn:e"), s(d), F.lit("</id>"),
+        F.lit("<title>A"), s(d), F.lit("</title>"),
+        F.lit('<link rel="self" href="https://self/x"/>'),
+        F.lit('<link rel="alternate" href="https://'), host, F.lit("/e"),
+        s(d), F.lit('"/>'),
+        F.lit("<published>2024-"), p2(d % 12 + 1), F.lit("-"), p2(d % 28 + 1),
+        F.lit("T"), p2(d % 24), F.lit(":"), p2(d * 7 % 60), F.lit(":"),
+        p2(d * 13 % 60), atom_zone, F.lit("</published>"),
+        F.lit("<summary>S "), s(d), F.lit("</summary>"),
+        F.lit("</entry></feed>"),
+    )
+    feeds = docs.select(
+        F.concat(F.lit("https://"), host, F.lit("/feed"), s(d)).alias("url"),
+        F.when(d % 5 == 0, atom).otherwise(rss).alias("xml"),
+    )
+    return parse_feeds(feeds).orderBy("url")
+
+
 def _k_truss_oracle_sql(k: int, rounds: int) -> str:
     """Generate the unrolled DuckDB twin of q192: e0 = canonical
     undirected fixture edges; each round enumerates triangles with the
@@ -6052,6 +6110,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q190_legal_facts_extended": q190_legal_facts_extended,
         "q191_legal_facts_onepass": q191_legal_facts_onepass,
         "q192_k_truss": q192_k_truss,
+        "q193_feed_parse": q193_feed_parse,
     }
 
 
@@ -9559,4 +9618,38 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q191_legal_facts_onepass"] = out["q190_legal_facts_extended"]
     # q192: 6 peel rounds unrolled (round 6 == round 5 proves fixpoint)
     out["q192_k_truss"] = _k_truss_oracle_sql(k=17, rounds=6)
+    out["q193_feed_parse"] = """
+        WITH base AS (
+            SELECT doc_id AS d, 'h' || (doc_id % 7) AS host FROM documents
+        ),
+        rss AS (
+            SELECT 'https://' || host || '/feed' || d AS url,
+                   'rss' AS feed_type,
+                   CASE WHEN d % 13 = 0 THEN NULL ELSE 'g' || d END AS entry_id,
+                   'T&' || d AS entry_title,
+                   'https://' || host || '/a' || d AS entry_link,
+                   make_timestamp(2024, d % 12 + 1, d % 28 + 1,
+                                  d % 24, (d * 7) % 60, (d * 13) % 60)
+                   - (CASE d % 3 WHEN 0 THEN 0 WHEN 1 THEN 330
+                                 ELSE -480 END) * INTERVAL 1 MINUTE
+                       AS published_ts,
+                   'D ' || d AS summary
+            FROM base WHERE d % 5 <> 0
+        ),
+        atom AS (
+            SELECT 'https://' || host || '/feed' || d AS url,
+                   'atom' AS feed_type,
+                   'urn:e' || d AS entry_id,
+                   'A' || d AS entry_title,
+                   'https://' || host || '/e' || d AS entry_link,
+                   make_timestamp(2024, d % 12 + 1, d % 28 + 1,
+                                  d % 24, (d * 7) % 60, (d * 13) % 60)
+                   - (CASE d % 2 WHEN 0 THEN 0 ELSE 330 END)
+                     * INTERVAL 1 MINUTE AS published_ts,
+                   'S ' || d AS summary
+            FROM base WHERE d % 5 = 0
+        )
+        SELECT * FROM (SELECT * FROM rss UNION ALL SELECT * FROM atom)
+        ORDER BY url
+    """
     return out
