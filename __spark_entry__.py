@@ -4157,6 +4157,52 @@ def q193_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_feeds(feeds).orderBy("url")
 
 
+def q194_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical collapse composed with redirect-chain resolution:
+    six canonical-declaration variants (absent, absolute with XML
+    entities, root-relative, single-quoted href-before-rel,
+    protocol-relative cross-host, unresolvable ../ dot-segment), a
+    stylesheet <link> decoy ahead of every canonical, and a redirect map
+    with a direct hop, a 2-hop chain, and a genuine loop. The oracle
+    states the closed form of every resolution case."""
+    from spanluke_spark.etl.canonical import canonicalize_urls
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    host = F.concat(F.lit("h"), s(d % 7))
+    url = F.concat(F.lit("https://"), host, F.lit("/dir/p"), s(d))
+    c = s(d % 10)
+    link = lambda body: F.concat(  # noqa: E731
+        F.lit('<link rel="stylesheet" href="/style.css"><link '), body,
+        F.lit(">"),
+    )
+    variants = [
+        F.lit("<p>no canonical</p>"),
+        link(F.concat(F.lit('rel="canonical" href="https://'), host,
+                      F.lit("/c"), c, F.lit('?a=1&amp;b=2"'))),
+        link(F.concat(F.lit('rel="canonical" href="/c'), c, F.lit('"'))),
+        link(F.concat(F.lit("href='https://"), host, F.lit("/c"), c,
+                      F.lit("' rel='canonical'"))),
+        link(F.concat(F.lit('rel="canonical" href="//h'), s((d + 1) % 7),
+                      F.lit("/c"), c, F.lit('"'))),
+        link(F.concat(F.lit('rel="canonical" href="../c'), c, F.lit('"'))),
+    ]
+    html = F.element_at(F.array(*variants), (d % 6 + 1).cast("int"))
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    redirects = spark.createDataFrame(
+        [
+            ("https://h0/c0", "https://h0/final0"),
+            ("https://h1/c1", "https://h1/mid"),
+            ("https://h1/mid", "https://h1/final1"),
+            ("https://h2/c2", "https://h2/c2x"),
+            ("https://h2/c2x", "https://h2/c2"),
+        ],
+        "src string, dst string",
+    )
+    return canonicalize_urls(pages, redirects).orderBy("url")
+
+
 def _k_truss_oracle_sql(k: int, rounds: int) -> str:
     """Generate the unrolled DuckDB twin of q192: e0 = canonical
     undirected fixture edges; each round enumerates triangles with the
@@ -6111,6 +6157,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q191_legal_facts_onepass": q191_legal_facts_onepass,
         "q192_k_truss": q192_k_truss,
         "q193_feed_parse": q193_feed_parse,
+        "q194_canonical_collapse": q194_canonical_collapse,
     }
 
 
@@ -9651,5 +9698,39 @@ def extra_oracle_sql() -> dict[str, str]:
         )
         SELECT * FROM (SELECT * FROM rss UNION ALL SELECT * FROM atom)
         ORDER BY url
+    """
+    out["q194_canonical_collapse"] = """
+        WITH base AS (
+            SELECT doc_id AS d,
+                   'https://h' || (doc_id % 7) || '/dir/p' || doc_id AS url,
+                   'https://h' || (doc_id % 7) || '/c' || (doc_id % 10) AS cabs,
+                   'https://h' || ((doc_id + 1) % 7) || '/c' || (doc_id % 10)
+                       AS cproto
+            FROM documents
+        ),
+        keyed AS (
+            SELECT url,
+                   CASE d % 6
+                       WHEN 0 THEN url                    -- no canonical
+                       WHEN 1 THEN cabs || '?a=1&b=2'     -- absolute + entity
+                       WHEN 2 THEN cabs                   -- root-relative
+                       WHEN 3 THEN cabs                   -- quoted, href first
+                       WHEN 4 THEN cproto                 -- protocol-relative
+                       ELSE url                           -- ../ unresolvable
+                   END AS key0
+            FROM base
+        )
+        SELECT url,
+               CASE key0
+                   WHEN 'https://h0/c0' THEN 'https://h0/final0'
+                   WHEN 'https://h1/c1' THEN 'https://h1/final1'
+                   ELSE key0                              -- incl. the loop
+               END AS canonical_key,
+               url = CASE key0
+                   WHEN 'https://h0/c0' THEN 'https://h0/final0'
+                   WHEN 'https://h1/c1' THEN 'https://h1/final1'
+                   ELSE key0
+               END AS is_canonical
+        FROM keyed ORDER BY url
     """
     return out
