@@ -4203,6 +4203,27 @@ def q194_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_urls(pages, redirects).orderBy("url")
 
 
+def q195_metablocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-blocking candidate-pair pruning: token blocks with block
+    purging (the 'b'/'s' stop-tokens exceed the 50-member cap and are
+    dropped), CBS pair weights (same-g pairs share two blocks, same-e
+    pairs one), and exact-integer WNP pruning. The oracle replays every
+    stage relationally."""
+    from spanluke_spark.link.metablocking import metablock_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    ents = docs.select(
+        d.alias("id"),
+        F.concat(
+            F.lit("b"), s(d % 3), F.lit(" e"), s(d % 25),
+            F.lit(" g"), s(d % 50), F.lit(" s"), s(d % 2),
+        ).alias("name"),
+    )
+    return metablock_pairs(ents).orderBy("id_a", "id_b")
+
+
 def _k_truss_oracle_sql(k: int, rounds: int) -> str:
     """Generate the unrolled DuckDB twin of q192: e0 = canonical
     undirected fixture edges; each round enumerates triangles with the
@@ -6158,6 +6179,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q192_k_truss": q192_k_truss,
         "q193_feed_parse": q193_feed_parse,
         "q194_canonical_collapse": q194_canonical_collapse,
+        "q195_metablocking": q195_metablocking,
     }
 
 
@@ -9732,5 +9754,40 @@ def extra_oracle_sql() -> dict[str, str]:
                    ELSE key0
                END AS is_canonical
         FROM keyed ORDER BY url
+    """
+    out["q195_metablocking"] = """
+        WITH ents AS (
+            SELECT doc_id AS id,
+                   'b' || (doc_id % 3) || ' e' || (doc_id % 25) ||
+                   ' g' || (doc_id % 50) || ' s' || (doc_id % 2) AS name
+            FROM documents
+        ),
+        toks AS (
+            SELECT DISTINCT id, t.token
+            FROM ents, unnest(string_split_regex(lower(name), '[^a-z0-9]+'))
+                 AS t(token)
+            WHERE length(t.token) >= 2
+        ),
+        kept AS (
+            SELECT token FROM toks GROUP BY token
+            HAVING count(*) BETWEEN 2 AND 50
+        ),
+        b AS (SELECT toks.token, id FROM toks JOIN kept USING (token)),
+        pairs AS (
+            SELECT l.id AS id_a, r.id AS id_b, count(*) AS weight
+            FROM b l JOIN b r ON l.token = r.token AND l.id < r.id
+            GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT id, sum(weight) AS sum_w, count(*) AS n_w FROM (
+                SELECT id_a AS id, weight FROM pairs
+                UNION ALL SELECT id_b AS id, weight FROM pairs
+            ) GROUP BY id
+        )
+        SELECT id_a, id_b, weight FROM pairs
+        JOIN stats sa ON sa.id = pairs.id_a
+        JOIN stats sb ON sb.id = pairs.id_b
+        WHERE weight * sa.n_w >= sa.sum_w OR weight * sb.n_w >= sb.sum_w
+        ORDER BY id_a, id_b
     """
     return out
