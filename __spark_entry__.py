@@ -4224,6 +4224,29 @@ def q195_metablocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metablock_pairs(ents).orderBy("id_a", "id_b")
 
 
+def q196_trending_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending detection: sliding-window (1h window / 15m slide) mention
+    counts per entity + deterministic top-3 per window — the exact
+    expression that runs watermarked in streaming
+    (tests/test_streaming_trending.py proves stream == batch); the
+    oracle replays Spark's epoch-aligned overlapping-window assignment
+    with an explicit 4-offset unnest."""
+    from spanluke_spark.streaming.stream import (
+        sliding_entity_counts,
+        top_k_per_window,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    mentions = ev.select(
+        "ts",
+        F.concat(F.lit("ent"), (F.col("user_id") % 17).cast("string")).alias(
+            "entity"
+        ),
+    )
+    counts = sliding_entity_counts(mentions)
+    return top_k_per_window(counts, k=3).orderBy("window_start", "rank")
+
+
 def _k_truss_oracle_sql(k: int, rounds: int) -> str:
     """Generate the unrolled DuckDB twin of q192: e0 = canonical
     undirected fixture edges; each round enumerates triangles with the
@@ -6180,6 +6203,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q193_feed_parse": q193_feed_parse,
         "q194_canonical_collapse": q194_canonical_collapse,
         "q195_metablocking": q195_metablocking,
+        "q196_trending_entities": q196_trending_entities,
     }
 
 
@@ -9789,5 +9813,34 @@ def extra_oracle_sql() -> dict[str, str]:
         JOIN stats sb ON sb.id = pairs.id_b
         WHERE weight * sa.n_w >= sa.sum_w OR weight * sb.n_w >= sb.sum_w
         ORDER BY id_a, id_b
+    """
+    out["q196_trending_entities"] = """
+        WITH m AS (
+            SELECT ts, 'ent' || (user_id % 17) AS entity FROM events
+        ),
+        wins AS (
+            -- Spark's sliding windows: epoch-aligned starts every 15m;
+            -- an event at t lands in the 4 windows starting at
+            -- slide_floor(t) - {0,1,2,3} * 15m
+            SELECT TIMESTAMP '1970-01-01'
+                   + (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900
+                      - o.off * 900) * INTERVAL 1 SECOND AS window_start,
+                   entity
+            FROM m, (SELECT unnest([0, 1, 2, 3]) AS off) o
+        ),
+        counts AS (
+            SELECT window_start,
+                   window_start + INTERVAL 1 HOUR AS window_end,
+                   entity, count(*) AS n_mentions
+            FROM wins GROUP BY 1, 2, 3
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY window_start
+                ORDER BY n_mentions DESC, entity ASC) AS rank
+            FROM counts
+        )
+        SELECT window_start, window_end, entity, n_mentions, rank
+        FROM ranked WHERE rank <= 3 ORDER BY window_start, rank
     """
     return out

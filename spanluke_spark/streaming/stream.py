@@ -115,6 +115,53 @@ def interval_join(
     )
 
 
+def sliding_entity_counts(
+    mentions: DataFrame,
+    entity: str = "entity",
+    ts: str = "ts",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked SLIDING-window mention counts per entity — the
+    trending-detection primitive (each event lands in window/slide
+    overlapping windows, so a burst registers the moment it starts, not
+    at the next tumbling boundary). Append mode emits each window once,
+    when the watermark closes it. The same expression runs batch-side,
+    which is how q196's oracle replays the epoch-aligned window
+    assignment exactly."""
+    return (
+        mentions.withWatermark(ts, watermark)
+        .groupBy(F.window(F.col(ts), window, slide).alias("w"), F.col(entity))
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            entity,
+            "n_mentions",
+        )
+    )
+
+
+def top_k_per_window(counts: DataFrame, k: int = 3,
+                     entity: str = "entity") -> DataFrame:
+    """Closed-window counts -> the k most-mentioned entities per window
+    (count desc, entity asc — fully deterministic). Ranking is a batch
+    transform by design: rank-over-window after a streaming aggregation
+    is not append-mode expressible, so trending pipelines rank in the
+    foreachBatch consumer or over the sink table — exactly where this
+    composes."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_mentions"), F.asc(entity)
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def stateful_lang_totals(pages: DataFrame):
     """Custom stateful streaming operator (applyInPandasWithState): running
     cumulative page count per language, state carried ACROSS micro-batches
