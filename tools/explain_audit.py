@@ -432,6 +432,72 @@ def main() -> None:
         "(scan -> project -> generate -> distinct)",
     )
 
+    # 27. feed parsing: scan-side codegen — one generate (entry explode),
+    # zero shuffles, zero Python; 10^8 feeds parallelize as input splits
+    from spanluke_spark.etl.feeds import parse_feeds
+
+    feeds_df = spark.createDataFrame(
+        [("u", "<rss><channel><item><guid>g</guid></item></channel></rss>")],
+        "url string, xml string",
+    )
+    fplan = parse_feeds(feeds_df)._jdf.queryExecution().executedPlan().toString()
+    check(
+        "feeds_no_shuffle_no_python",
+        "Exchange" not in fplan and "Python" not in fplan
+        and "Generate" in fplan,
+    )
+
+    # 28. canonical extraction: pure codegen projection; the full
+    # canonicalize composes ONE left equi-join against the (tiny)
+    # resolved-redirect map — the page side never shuffles for it
+    from spanluke_spark.etl.canonical import canonicalize_urls, extract_canonical
+
+    pages_df = spark.createDataFrame(
+        [("https://a/p", '<link rel="canonical" href="https://a/c">')],
+        "url string, html string",
+    )
+    explan = (
+        extract_canonical(pages_df)._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "canonical_extract_no_shuffle_no_python",
+        "Exchange" not in explan and "Python" not in explan,
+    )
+
+    # 29. meta-blocking: every join is an equi-join on (token)/(id) —
+    # no all-pairs stage (nested-loop/cartesian) anywhere in the plan
+    from spanluke_spark.link.metablocking import metablock_pairs
+
+    ents_df = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.lit("e"), (F.col("doc_id") % 25).cast("string")).alias("name"),
+    )
+    mbplan = (
+        metablock_pairs(ents_df)._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "metablocking_equi_joins_only",
+        "NestedLoop" not in mbplan and "Cartesian" not in mbplan
+        and "Python" not in mbplan,
+    )
+
+    # 30. trending sliding windows: partial+final hash aggregate around a
+    # single (window, entity) exchange; window fan-out is a generator,
+    # not a join; no Python anywhere
+    from spanluke_spark.streaming.stream import sliding_entity_counts
+
+    ev_df = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "ts", F.col("event_type").alias("entity")
+    )
+    tplan = (
+        sliding_entity_counts(ev_df)._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "trending_partial_agg_single_exchange",
+        tplan.count("Exchange") == 1 and "Join" not in tplan
+        and "Python" not in tplan,
+    )
+
     spark.stop()
     sys.exit(1 if failures else 0)
 
