@@ -4247,6 +4247,43 @@ def q196_trending_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_per_window(counts, k=3).orderBy("window_start", "rank")
 
 
+def q197_hreflang_reciprocal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang alternate validation: 4-language groups where every page
+    annotates every variant (incl. the self-row), except pages with
+    d%7==0 omit one outbound link — making the REVERSE edge
+    non-reciprocal — and the corpus-tail partial group references
+    variants that don't exist. The engine parses the tags and validates
+    reciprocity; the oracle replays edge construction + the reciprocal
+    self-join relationally."""
+    from spanluke_spark.etl.hreflang import reciprocal_alternates
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    langs = ["en", "de", "fr", "hi"]
+    own = d % 4
+    g = F.floor(d / 4).cast("long")
+    page_url = F.concat(
+        F.lit("https://ex.com/"),
+        F.element_at(F.array(*[F.lit(x) for x in langs]), (own + 1).cast("int")),
+        F.lit("/g"), s(g),
+    )
+    pieces = []
+    for i, lang in enumerate(langs):
+        tag = F.concat(
+            F.lit(f'<link rel="alternate" hreflang="{lang}" href="https://ex.com/{lang}/g'),
+            s(g), F.lit('"/>'),
+        )
+        pieces.append(
+            F.when((d % 7 == 0) & (F.lit(i) == (own + 1) % 4), F.lit(""))
+            .otherwise(tag)
+        )
+    pages = docs.select(
+        page_url.alias("url"), F.concat(*pieces).alias("html")
+    )
+    return reciprocal_alternates(pages).orderBy("url", "alt_url")
+
+
 def _k_truss_oracle_sql(k: int, rounds: int) -> str:
     """Generate the unrolled DuckDB twin of q192: e0 = canonical
     undirected fixture edges; each round enumerates triangles with the
@@ -6204,6 +6241,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q194_canonical_collapse": q194_canonical_collapse,
         "q195_metablocking": q195_metablocking,
         "q196_trending_entities": q196_trending_entities,
+        "q197_hreflang_reciprocal": q197_hreflang_reciprocal,
     }
 
 
@@ -9842,5 +9880,30 @@ def extra_oracle_sql() -> dict[str, str]:
         )
         SELECT window_start, window_end, entity, n_mentions, rank
         FROM ranked WHERE rank <= 3 ORDER BY window_start, rank
+    """
+    out["q197_hreflang_reciprocal"] = """
+        WITH langs(i, l) AS (VALUES (0, 'en'), (1, 'de'), (2, 'fr'), (3, 'hi')),
+        pages AS (
+            SELECT doc_id AS d, doc_id % 4 AS own, doc_id // 4 AS g
+            FROM documents
+        ),
+        edges AS (
+            SELECT DISTINCT
+                   'https://ex.com/' || lo.l || '/g' || p.g AS url,
+                   lt.l AS hreflang,
+                   'https://ex.com/' || lt.l || '/g' || p.g AS alt_url
+            FROM pages p
+            JOIN langs lo ON lo.i = p.own
+            CROSS JOIN langs lt
+            WHERE NOT (p.d % 7 = 0 AND lt.i = (p.own + 1) % 4)
+        ),
+        e2 AS (
+            SELECT url, alt_url, min(hreflang) AS hreflang
+            FROM edges GROUP BY 1, 2
+        )
+        SELECT e2.url, e2.hreflang, e2.alt_url
+        FROM e2 JOIN e2 r ON r.url = e2.alt_url AND r.alt_url = e2.url
+        WHERE e2.url <> e2.alt_url
+        ORDER BY e2.url, e2.alt_url
     """
     return out
