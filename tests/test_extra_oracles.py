@@ -1,9 +1,10 @@
-"""Value checks for queries retired from the 50-row driver registry
-(q01-q03): nothing outside the registry may silently rot — every implemented
-query keeps a per-round value gate (VERDICT r4 'What's missing' item 3).
+"""Value checks for every query outside the 50-row driver registry:
+nothing outside the registry may silently rot — every implemented query
+keeps a per-round value gate (VERDICT r4 'What's missing' item 3),
+covering ALL local extras (q01-q03 retirees + q64-q197).
 
 Runs at sf0.001 so the whole file stays cheap; ``tools/check_oracle.py``
-re-runs the same comparison at sf0.01 (53 queries total)."""
+re-runs the same comparison at sf0.01 (187 queries total)."""
 
 from __future__ import annotations
 
@@ -150,6 +151,43 @@ def duck():
         "q158_missing_mass",
         "q159_log_odds",
         "q160_corpus_report_card",
+        "q161_hearst_taxonomy",
+        "q162_dsir_selection",
+        "q163_bloom_semi_join",
+        "q164_heading_outline",
+        "q165_bootstrap_ci",
+        "q166_pq_adc_topk",
+        "q167_semdedup",
+        "q168_mmr_rerank",
+        "q169_ontology_align",
+        "q170_quote_attribution",
+        "q171_quote_coref",
+        "q172_statute_citations",
+        "q173_case_mentions",
+        "q174_date_extraction",
+        "q175_bench_composition",
+        "q176_legal_facts",
+        "q177_court_mentions",
+        "q178_witness_refs",
+        "q179_paragraph_segmentation",
+        "q180_optimal_span_select",
+        "q181_acronym_mining",
+        "q182_case_treatments",
+        "q183_doc_outcome",
+        "q184_case_timeline",
+        "q185_docket_refs",
+        "q186_para_crossrefs",
+        "q187_money_amounts",
+        "q188_sentence_terms",
+        "q189_org_mentions",
+        "q190_legal_facts_extended",
+        "q191_legal_facts_onepass",
+        "q192_k_truss",
+        "q193_feed_parse",
+        "q194_canonical_collapse",
+        "q195_metablocking",
+        "q196_trending_entities",
+        "q197_hreflang_reciprocal",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
