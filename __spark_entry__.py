@@ -4284,6 +4284,52 @@ def q197_hreflang_reciprocal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reciprocal_alternates(pages).orderBy("url", "alt_url")
 
 
+def q198_metatags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open Graph / Twitter Card metadata extraction: property= and
+    name= attributes, content-before-property ordering, single/double
+    quotes, XML entities, duplicate og:title tags (first wins),
+    og:description -> name=description fallback, and
+    article:published_time normalized to UTC (Z and +05:30 zones). The
+    oracle states the closed form per field."""
+    from spanluke_spark.etl.metatags import extract_metatags
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    p2 = lambda c: F.lpad(s(c), 2, "0")  # noqa: E731
+    empty = F.lit("")
+    iso = F.concat(
+        F.lit("2024-"), p2(d % 12 + 1), F.lit("-"), p2(d % 28 + 1),
+        F.lit("T"), p2(d % 24), F.lit(":"), p2(d * 7 % 60), F.lit(":"),
+        p2(d * 13 % 60),
+        F.when(d % 4 == 0, F.lit("Z")).otherwise(F.lit("+05:30")),
+    )
+    html = F.concat(
+        F.lit('<meta property="og:title" content="OT&amp;'), s(d), F.lit('"/>'),
+        F.when(d % 2 == 0,
+               F.concat(F.lit('<meta content="article" property="og:type"/>'
+                              '<meta property="article:published_time" '
+                              'content="'), iso, F.lit('"/>'))).otherwise(empty),
+        F.when(d % 4 == 0,
+               F.concat(F.lit("<meta property='og:image' content='https://img/"),
+                        s(d), F.lit("'/>"))).otherwise(empty),
+        F.when(d % 5 == 0,
+               F.concat(F.lit('<meta property="og:description" content="OD '),
+                        s(d), F.lit('"/>'))
+               ).when(d % 5 == 1,
+                      F.concat(F.lit('<meta name="description" content="ND '),
+                               s(d), F.lit('"/>'))).otherwise(empty),
+        F.when(d % 6 == 0,
+               F.lit('<meta name="twitter:card" content="summary"/>')
+               ).otherwise(empty),
+        F.lit('<meta property="og:title" content="DUP"/>'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://m/p"), s(d)).alias("url"), html.alias("html")
+    )
+    return extract_metatags(pages).orderBy("url")
+
+
 def _k_truss_oracle_sql(k: int, rounds: int) -> str:
     """Generate the unrolled DuckDB twin of q192: e0 = canonical
     undirected fixture edges; each round enumerates triangles with the
@@ -6242,6 +6288,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q195_metablocking": q195_metablocking,
         "q196_trending_entities": q196_trending_entities,
         "q197_hreflang_reciprocal": q197_hreflang_reciprocal,
+        "q198_metatags": q198_metatags,
     }
 
 
@@ -9905,5 +9952,24 @@ def extra_oracle_sql() -> dict[str, str]:
         FROM e2 JOIN e2 r ON r.url = e2.alt_url AND r.alt_url = e2.url
         WHERE e2.url <> e2.alt_url
         ORDER BY e2.url, e2.alt_url
+    """
+    out["q198_metatags"] = """
+        SELECT 'https://m/p' || doc_id AS url,
+               'OT&' || doc_id AS og_title,
+               CASE WHEN doc_id % 2 = 0 THEN 'article' END AS og_type,
+               CASE WHEN doc_id % 4 = 0
+                    THEN 'https://img/' || doc_id END AS og_image,
+               CASE WHEN doc_id % 5 = 0 THEN 'OD ' || doc_id
+                    WHEN doc_id % 5 = 1 THEN 'ND ' || doc_id END
+                   AS description,
+               CASE WHEN doc_id % 2 = 0 THEN
+                   make_timestamp(2024, doc_id % 12 + 1, doc_id % 28 + 1,
+                                  doc_id % 24, (doc_id * 7) % 60,
+                                  (doc_id * 13) % 60)
+                   - (CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 330 END)
+                     * INTERVAL 1 MINUTE
+               END AS published_ts,
+               CASE WHEN doc_id % 6 = 0 THEN 'summary' END AS twitter_card
+        FROM documents ORDER BY url
     """
     return out

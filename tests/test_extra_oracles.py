@@ -188,6 +188,7 @@ def duck():
         "q195_metablocking",
         "q196_trending_entities",
         "q197_hreflang_reciprocal",
+        "q198_metatags",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
