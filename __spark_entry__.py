@@ -4330,6 +4330,34 @@ def q198_metatags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_metatags(pages).orderBy("url")
 
 
+def q199_entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity salience: per-(doc, entity) frequency/first-position/
+    title-membership features combined by the fixed replayable formula,
+    ranked per document. The oracle replays the synthesized mention
+    stream (generate_series twin of the sequence explode), the
+    aggregation, the formula, and the rank."""
+    from spanluke_spark.link.salience import entity_salience
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    mentions = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), (d % 4).cast("int"))).alias("i"),
+    ).select(
+        "doc_id",
+        F.concat(F.lit("ent"), (F.col("i") % 3).cast("string")).alias("entity"),
+        (F.col("i") * 10 + d % 10).cast("long").alias("start"),
+    )
+    meta = docs.select(
+        "doc_id",
+        (100 + d % 50).cast("long").alias("n_chars"),
+        F.when(d % 2 == 0, F.lit("About ENT0 today")).otherwise(
+            F.lit("misc")
+        ).alias("title"),
+    )
+    return entity_salience(mentions, meta).orderBy("doc_id", "rank")
+
+
 def _k_truss_oracle_sql(k: int, rounds: int) -> str:
     """Generate the unrolled DuckDB twin of q192: e0 = canonical
     undirected fixture edges; each round enumerates triangles with the
@@ -6289,6 +6317,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q196_trending_entities": q196_trending_entities,
         "q197_hreflang_reciprocal": q197_hreflang_reciprocal,
         "q198_metatags": q198_metatags,
+        "q199_entity_salience": q199_entity_salience,
     }
 
 
@@ -9971,5 +10000,42 @@ def extra_oracle_sql() -> dict[str, str]:
                END AS published_ts,
                CASE WHEN doc_id % 6 = 0 THEN 'summary' END AS twitter_card
         FROM documents ORDER BY url
+    """
+    out["q199_entity_salience"] = """
+        WITH mentions AS (
+            SELECT doc_id, 'ent' || (t.i % 3) AS entity,
+                   t.i * 10 + doc_id % 10 AS start
+            FROM documents,
+                 unnest(generate_series(0, doc_id % 4)) AS t(i)
+        ),
+        meta AS (
+            SELECT doc_id, 100 + doc_id % 50 AS n_chars,
+                   CASE WHEN doc_id % 2 = 0 THEN 'About ENT0 today'
+                        ELSE 'misc' END AS title
+            FROM documents
+        ),
+        agg AS (
+            SELECT doc_id, entity, count(*) AS n_mentions,
+                   min(start) AS first_pos
+            FROM mentions GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT a.doc_id, a.entity, a.n_mentions, a.first_pos,
+                   strpos(lower(m.title), lower(a.entity)) > 0 AS in_title,
+                   round(
+                       (1 + CASE WHEN strpos(lower(m.title),
+                                             lower(a.entity)) > 0
+                                 THEN 1 ELSE 0 END)
+                       * ln(1 + a.n_mentions)
+                       * (1 - 0.5 * least(
+                             a.first_pos * 1.0 / greatest(m.n_chars, 1),
+                             1.0)),
+                       6) AS salience
+            FROM agg a JOIN meta m USING (doc_id)
+        )
+        SELECT doc_id, entity, n_mentions, first_pos, in_title, salience,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY salience DESC, entity ASC) AS rank
+        FROM scored ORDER BY doc_id, rank
     """
     return out

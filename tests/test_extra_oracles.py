@@ -189,6 +189,7 @@ def duck():
         "q196_trending_entities",
         "q197_hreflang_reciprocal",
         "q198_metatags",
+        "q199_entity_salience",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
