@@ -498,6 +498,50 @@ def main() -> None:
         and "Python" not in tplan,
     )
 
+    # 31. hreflang reciprocity: ONE left-semi equi-join on the reversed
+    # key — no nested-loop/cartesian, no Python
+    from spanluke_spark.etl.hreflang import reciprocal_alternates
+
+    hpages = spark.createDataFrame(
+        [("u", '<link rel="alternate" hreflang="de" href="v"/>')],
+        "url string, html string",
+    )
+    hplan = (
+        reciprocal_alternates(hpages)._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "hreflang_semi_equi_join_only",
+        "NestedLoop" not in hplan and "Cartesian" not in hplan
+        and "Python" not in hplan and "LeftSemi" in hplan,
+    )
+
+    # 32. metatags: scan-side codegen projection — zero shuffles, zero
+    # Python (the whole metadata bundle is one pass over the html bytes)
+    from spanluke_spark.etl.metatags import extract_metatags
+
+    mtplan = (
+        extract_metatags(hpages)._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "metatags_no_shuffle_no_python",
+        "Exchange" not in mtplan and "Python" not in mtplan,
+    )
+
+    # 33. entity salience: one (doc, entity) hash aggregate, one equi-join
+    # back to docs, one keyed window — and nothing else
+    from spanluke_spark.link.salience import entity_salience
+
+    sm = spark.createDataFrame([(1, "e", 0)], "doc_id long, entity string, start long")
+    sd = spark.createDataFrame([(1, 10, "t")], "doc_id long, n_chars long, title string")
+    splan = (
+        entity_salience(sm, sd)._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "salience_keyed_agg_join_window",
+        "NestedLoop" not in splan and "Cartesian" not in splan
+        and "Python" not in splan and "Window" in splan,
+    )
+
     spark.stop()
     sys.exit(1 if failures else 0)
 
