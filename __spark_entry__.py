@@ -4204,11 +4204,15 @@ def q194_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q195_metablocking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Meta-blocking candidate-pair pruning: token blocks with block
-    purging (the 'b'/'s' stop-tokens exceed the 50-member cap and are
-    dropped), CBS pair weights (same-g pairs share two blocks, same-e
-    pairs one), and exact-integer WNP pruning. The oracle replays every
-    stage relationally."""
+    """Meta-blocking candidate-pair pruning: token blocks with a
+    250-member purge cap — at sf0.01 the 's' block sits EXACTLY on the
+    cap (inclusive boundary exercised) and everything survives; at
+    sf0.1 the 'b'/'s' stop-token blocks (1667/2500 members) purge while
+    the discriminative 'e'/'g' blocks (200/100) stay — so one fixture
+    covers both regimes across the growth check. CBS pair weights
+    (same-g pairs share two blocks, same-e one) and exact-integer WNP
+    pruning; the oracle replays every stage relationally. Hard purge
+    gates live in tests/test_metablocking.py."""
     from spanluke_spark.link.metablocking import metablock_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -4221,7 +4225,7 @@ def q195_metablocking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" g"), s(d % 50), F.lit(" s"), s(d % 2),
         ).alias("name"),
     )
-    return metablock_pairs(ents).orderBy("id_a", "id_b")
+    return metablock_pairs(ents, max_block_size=250).orderBy("id_a", "id_b")
 
 
 def q196_trending_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9908,7 +9912,7 @@ def extra_oracle_sql() -> dict[str, str]:
         ),
         kept AS (
             SELECT token FROM toks GROUP BY token
-            HAVING count(*) BETWEEN 2 AND 50
+            HAVING count(*) BETWEEN 2 AND 250
         ),
         b AS (SELECT toks.token, id FROM toks JOIN kept USING (token)),
         pairs AS (

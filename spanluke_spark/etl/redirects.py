@@ -32,13 +32,22 @@ def resolve_redirects(
     URL, the true chain length, and the redirect-loop flag per source.
     Duplicate out-edges for one src resolve to min(dst). ``max_rounds``
     = 16 resolves chains up to 2^16 hops."""
+    import math
+
     m = (
         redirects.groupBy(F.col(src).alias("src"))
         .agg(F.min(F.col(dst)).alias("cur"))
         .withColumn("hops", F.lit(1).cast("long"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
+    # no acyclic chain can be longer than the map itself, and pointer
+    # jumping resolves distance-d chains in ceil(log2(d)) rounds — so
+    # cap rounds at ceil(log2(n)): without this, a single redirect LOOP
+    # keeps "moving" forever and forces all max_rounds rounds even when
+    # every real chain resolved in round 1
+    n_srcs = m.count()
+    rounds = min(max_rounds, max(1, math.ceil(math.log2(max(n_srcs, 2)))))
+    for _ in range(rounds):
         nxt = m.select(
             F.col("src").alias("_s"),
             F.col("cur").alias("_c"),
