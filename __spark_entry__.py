@@ -4362,6 +4362,26 @@ def q199_entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_salience(mentions, meta).orderBy("doc_id", "rank")
 
 
+def q200_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank fusion of two deterministic top-100 rankings
+    (affine-permuted doc orders standing in for lexical vs vector
+    retrievers, partial overlap): score = sum 1/(60+rank); the oracle
+    replays both rankings and the fusion exactly."""
+    from spanluke_spark.textops.retrieval import rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def ranking(mult: int, mod: int) -> DataFrame:
+        w = Window.orderBy((d * mult % mod).asc(), d.asc())
+        return (
+            docs.select("doc_id", F.row_number().over(w).alias("rank"))
+            .where(F.col("rank") <= 100)
+        )
+
+    return rrf_fuse([ranking(37, 101), ranking(53, 97)]).orderBy("fused_rank")
+
+
 def _k_truss_oracle_sql(k: int, rounds: int) -> str:
     """Generate the unrolled DuckDB twin of q192: e0 = canonical
     undirected fixture edges; each round enumerates triangles with the
@@ -6322,6 +6342,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q197_hreflang_reciprocal": q197_hreflang_reciprocal,
         "q198_metatags": q198_metatags,
         "q199_entity_salience": q199_entity_salience,
+        "q200_rrf_fusion": q200_rrf_fusion,
     }
 
 
@@ -10041,5 +10062,29 @@ def extra_oracle_sql() -> dict[str, str]:
                row_number() OVER (PARTITION BY doc_id
                                   ORDER BY salience DESC, entity ASC) AS rank
         FROM scored ORDER BY doc_id, rank
+    """
+    out["q200_rrf_fusion"] = """
+        WITH r1 AS (
+            SELECT doc_id, row_number() OVER (
+                ORDER BY (doc_id * 37) % 101, doc_id) AS rank
+            FROM documents QUALIFY rank <= 100
+        ),
+        r2 AS (
+            SELECT doc_id, row_number() OVER (
+                ORDER BY (doc_id * 53) % 97, doc_id) AS rank
+            FROM documents QUALIFY rank <= 100
+        ),
+        u AS (
+            SELECT doc_id, rank FROM r1
+            UNION ALL SELECT doc_id, rank FROM r2
+        ),
+        fused AS (
+            SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+            FROM u GROUP BY doc_id
+        )
+        SELECT doc_id, rrf_score,
+               row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                   AS fused_rank
+        FROM fused ORDER BY fused_rank
     """
     return out

@@ -22,7 +22,43 @@ from ..link.quantize import quantize_int8
 from .bitext import _int_dot
 from .bm25 import bm25_topk
 
-__all__ = ["hybrid_search"]
+__all__ = ["hybrid_search", "rrf_fuse"]
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack et al., SIGIR 2009): combine N
+    ranked lists into one by score = sum over lists of 1/(k + rank) —
+    the standard way to merge lexical and vector rankings WITHOUT score
+    calibration (ranks are comparable across retrievers, raw scores are
+    not; k=60 is the paper's constant). Items absent from a list simply
+    contribute nothing — no outer-join NULL handling.
+
+    -> (id, rrf_score, fused_rank), score rounded 1e-6 (sums of a
+    handful of exact reciprocals — engine-stable), rank deterministic
+    (score desc, id asc). Shape: union of the (tiny, top-N) candidate
+    lists + one hash aggregate + one rank window over the fused
+    candidates — the corpus is never touched."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    u = rankings[0].select(F.col(id_col).alias("id"), F.col(rank_col).alias("r"))
+    for nxt in rankings[1:]:
+        u = u.unionByName(
+            nxt.select(F.col(id_col).alias("id"), F.col(rank_col).alias("r"))
+        )
+    scored = u.groupBy("id").agg(
+        F.round(F.sum(1.0 / (F.lit(k) + F.col("r"))), 6).alias("rrf_score")
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("id"))
+    return scored.select(
+        F.col("id").alias(id_col),
+        "rrf_score",
+        F.row_number().over(w).alias("fused_rank"),
+    )
 
 
 def hybrid_search(

@@ -190,6 +190,7 @@ def duck():
         "q197_hreflang_reciprocal",
         "q198_metatags",
         "q199_entity_salience",
+        "q200_rrf_fusion",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
