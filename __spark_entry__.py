@@ -4382,6 +4382,38 @@ def q200_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([ranking(37, 101), ranking(53, 97)]).orderBy("fused_rank")
 
 
+def q201_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed autodiscovery from page HTML: rss+xml / atom+xml link
+    declarations across quote/order variants, root-relative hrefs,
+    titled and untitled feeds, a stylesheet decoy, and pages declaring
+    nothing. The oracle states the closed form per case."""
+    from spanluke_spark.etl.feeds import discover_feeds
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    host = F.concat(F.lit("h"), s(d % 7))
+    rss_tag = F.concat(
+        F.lit('<link rel="alternate" type="application/rss+xml" '
+              'title="Feed &amp; more" href="/feed'), s(d), F.lit('.xml">'),
+    )
+    atom_tag = F.concat(
+        F.lit("<link type='application/atom+xml' href='https://"), host,
+        F.lit("/atom"), s(d), F.lit("' rel='alternate'>"),
+    )
+    decoy = F.lit('<link rel="stylesheet" type="text/css" href="/s.css">')
+    html = F.concat(
+        decoy,
+        F.when(d % 3 == 0, rss_tag).otherwise(F.lit("")),
+        F.when(d % 4 == 0, atom_tag).otherwise(F.lit("")),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://"), host, F.lit("/dir/p"), s(d)).alias("url"),
+        html.alias("html"),
+    )
+    return discover_feeds(pages).orderBy("url", "feed_url")
+
+
 def _k_truss_oracle_sql(k: int, rounds: int) -> str:
     """Generate the unrolled DuckDB twin of q192: e0 = canonical
     undirected fixture edges; each round enumerates triangles with the
@@ -6343,6 +6375,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q198_metatags": q198_metatags,
         "q199_entity_salience": q199_entity_salience,
         "q200_rrf_fusion": q200_rrf_fusion,
+        "q201_feed_discovery": q201_feed_discovery,
     }
 
 
@@ -10086,5 +10119,26 @@ def extra_oracle_sql() -> dict[str, str]:
                row_number() OVER (ORDER BY rrf_score DESC, doc_id)
                    AS fused_rank
         FROM fused ORDER BY fused_rank
+    """
+    out["q201_feed_discovery"] = """
+        WITH base AS (
+            SELECT doc_id AS d, 'h' || (doc_id % 7) AS host FROM documents
+        ),
+        rss AS (
+            SELECT 'https://' || host || '/dir/p' || d AS url,
+                   'rss' AS feed_type,
+                   'https://' || host || '/feed' || d || '.xml' AS feed_url,
+                   'Feed & more' AS feed_title
+            FROM base WHERE d % 3 = 0
+        ),
+        atom AS (
+            SELECT 'https://' || host || '/dir/p' || d AS url,
+                   'atom' AS feed_type,
+                   'https://' || host || '/atom' || d AS feed_url,
+                   CAST(NULL AS VARCHAR) AS feed_title
+            FROM base WHERE d % 4 = 0
+        )
+        SELECT * FROM (SELECT * FROM rss UNION ALL SELECT * FROM atom)
+        ORDER BY url, feed_url
     """
     return out

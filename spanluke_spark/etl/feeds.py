@@ -136,6 +136,54 @@ def _atom_link(entry: Column) -> Column:
     return F.when(href != "", _unescape(href))
 
 
+def discover_feeds(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """pages -> (url, feed_type, feed_url, feed_title): feed
+    autodiscovery — the ``<link rel="alternate" type="application/
+    rss+xml|atom+xml" href=...>`` declarations that tell a crawler WHERE
+    a site's feeds live (this module's parse side then reads them).
+    Root-relative and protocol-relative hrefs resolve against the page
+    URL; attribute order / quote style / case insensitive; pages
+    without declarations emit nothing (explode drops empty arrays)."""
+    html_str = F.col(html_col).cast("string")
+    tags = F.regexp_extract_all(html_str, F.lit(r"(?is)(<link\b[^>]*>)"), 1)
+    hits = F.filter(
+        tags,
+        lambda t: t.rlike(
+            r"""(?is)type\s*=\s*["']application/(rss|atom)\+xml["']"""
+        ),
+    )
+    out = pages.select(
+        F.col(url_col).alias("url"), F.explode(hits).alias("tag")
+    )
+    t = F.col("tag")
+    href = _unescape(
+        F.regexp_extract(t, r"""(?is)href\s*=\s*["']([^"']+)["']""", 1)
+    )
+    url = F.col("url")
+    origin = F.regexp_extract(url, r"^([a-z][a-z0-9+.-]*://[^/?#]+)", 1)
+    scheme = F.regexp_extract(url, r"^([a-z][a-z0-9+.-]*):", 1)
+    resolved = (
+        F.when(href.rlike(r"^[a-z][a-z0-9+.-]*://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .otherwise(F.concat(F.regexp_replace(url, r"[^/]*$", ""), href))
+    )
+    title = F.regexp_extract(t, r"""(?is)title\s*=\s*["']([^"']*)["']""", 1)
+    return (
+        out.select(
+            "url",
+            F.when(
+                t.rlike(r"(?is)application/atom\+xml"), F.lit("atom")
+            ).otherwise(F.lit("rss")).alias("feed_type"),
+            resolved.alias("feed_url"),
+            F.when(title != "", _unescape(title)).alias("feed_title"),
+        )
+        .where(F.col("feed_url") != "")
+    )
+
+
 def parse_feeds(
     feeds: DataFrame, url_col: str = "url", xml_col: str = "xml"
 ) -> DataFrame:

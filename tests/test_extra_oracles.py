@@ -191,6 +191,7 @@ def duck():
         "q198_metatags",
         "q199_entity_salience",
         "q200_rrf_fusion",
+        "q201_feed_discovery",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):

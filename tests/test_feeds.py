@@ -100,3 +100,24 @@ def test_feed_type_detection_and_rss_dc_date_fallback(spark):
     assert rows["r"].feed_type == "rss"
     assert rows["r"].published_ts == datetime(2024, 5, 6, 7, 8, 9)
     assert rows["a"].feed_type == "atom"
+
+
+def test_discover_feeds(spark):
+    from spanluke_spark.etl.feeds import discover_feeds
+
+    rows = [
+        ("https://a/x/p", '<link rel="alternate" type="application/rss+xml" '
+                          'title="R &amp; B" href="/f.xml">'
+                          "<link type='application/atom+xml' href='a.xml'>"
+                          '<link rel="stylesheet" type="text/css" href="/c">'),
+        ("https://b/p", "<p>no feeds</p>"),
+        ("https://c/p", '<link type="application/rss+xml" href="//cdn/f">'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = {(r.url, r.feed_type, r.feed_url, r.feed_title)
+           for r in discover_feeds(df).collect()}
+    assert got == {
+        ("https://a/x/p", "rss", "https://a/f.xml", "R & B"),
+        ("https://a/x/p", "atom", "https://a/x/a.xml", None),  # path-relative
+        ("https://c/p", "rss", "https://cdn/f", None),  # protocol-relative
+    }
