@@ -4414,6 +4414,78 @@ def q201_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return discover_feeds(pages).orderBy("url", "feed_url")
 
 
+def q202_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charikar greedy densest-subgraph peel trace over the three-density
+    fixture: 60 nodes/607 edges -> 35/435 (the density peak, 12.43) ->
+    the K10 remnant -> empty; the oracle unrolls all three rounds with
+    the exact integer deg*n > 2m comparison."""
+    from spanluke_spark.graph.analytics import densest_subgraph_trace
+
+    return densest_subgraph_trace(_truss_edges(spark)).orderBy("round")
+
+
+_DENSEST_GEN_SQL = """
+        WITH gen AS (
+            SELECT 'v' || lpad((r % 20)::VARCHAR, 2, '0') AS src,
+                   'v' || lpad((((r * 37 + 11) % 97) % 20)::VARCHAR, 2, '0') AS dst
+            FROM (SELECT range AS r FROM range(0, 400))
+            UNION ALL
+            SELECT 'v' || lpad(((((r * 53 + 29) % 89)) % 20)::VARCHAR, 2, '0'),
+                   'v' || lpad(((r * 13 + 3) % 20)::VARCHAR, 2, '0')
+            FROM (SELECT range AS r FROM range(0, 400))
+            UNION ALL
+            SELECT 'v' || lpad((10 + (r % 25))::VARCHAR, 2, '0'),
+                   'v' || lpad((10 + (((r * 29 + 5) % 83) % 25))::VARCHAR, 2, '0')
+            FROM (SELECT range AS r FROM range(0, 350))
+            UNION ALL
+            SELECT 'v' || lpad((r % 60)::VARCHAR, 2, '0'),
+                   'v' || lpad((((r * 41 + 7) % 101) % 60)::VARCHAR, 2, '0')
+            FROM (SELECT range AS r FROM range(0, 300))
+        ),
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM gen WHERE src <> dst
+        ),
+        s0 AS MATERIALIZED (
+            SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
+        )"""
+
+
+def _densest_oracle_sql(rounds: int) -> str:
+    """Unrolled DuckDB twin of q202: per round, degree aggregate + the
+    exact integer average-degree peel (deg * n > 2m on both endpoints),
+    emitting the (round, n_nodes, n_edges, density) row."""
+    parts = [_DENSEST_GEN_SQL]
+    selects = []
+    for i in range(rounds):
+        parts.append(
+            f""",
+        d{i} AS MATERIALIZED (
+            SELECT a AS node, count(*) AS deg FROM s{i} GROUP BY a
+        ),
+        s{i + 1} AS MATERIALIZED (
+            SELECT s.a, s.b FROM s{i} s
+            JOIN d{i} da ON da.node = s.a
+            JOIN d{i} db ON db.node = s.b
+            WHERE da.deg * (SELECT count(*) FROM d{i})
+                      > (SELECT count(*) FROM s{i})
+              AND db.deg * (SELECT count(*) FROM d{i})
+                      > (SELECT count(*) FROM s{i})
+        )"""
+        )
+        selects.append(
+            f"""
+        SELECT CAST({i} AS INTEGER) AS round,
+               (SELECT count(*) FROM d{i}) AS n_nodes,
+               (SELECT count(*) FROM s{i}) // 2 AS n_edges,
+               round(((SELECT count(*) FROM s{i}) / 2.0)
+                     / (SELECT count(*) FROM d{i}), 6) AS density"""
+        )
+    parts.append(" UNION ALL ".join(selects))
+    parts.append(" ORDER BY round")
+    return "".join(parts)
+
+
 def _k_truss_oracle_sql(k: int, rounds: int) -> str:
     """Generate the unrolled DuckDB twin of q192: e0 = canonical
     undirected fixture edges; each round enumerates triangles with the
@@ -6376,6 +6448,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q199_entity_salience": q199_entity_salience,
         "q200_rrf_fusion": q200_rrf_fusion,
         "q201_feed_discovery": q201_feed_discovery,
+        "q202_densest_subgraph": q202_densest_subgraph,
     }
 
 
@@ -10141,4 +10214,6 @@ def extra_oracle_sql() -> dict[str, str]:
         SELECT * FROM (SELECT * FROM rss UNION ALL SELECT * FROM atom)
         ORDER BY url, feed_url
     """
+    # q202: all 3 peel rounds unrolled with the integer deg*n > 2m test
+    out["q202_densest_subgraph"] = _densest_oracle_sql(rounds=3)
     return out

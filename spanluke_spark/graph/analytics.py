@@ -275,6 +275,53 @@ def k_core(
     ).where(F.col("core_degree") >= k)
 
 
+def densest_subgraph_trace(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Charikar's greedy 2-approximation for the densest subgraph,
+    returned as its peel TRACE: one row per round with (round, n_nodes,
+    n_edges, density = m/n) of the subgraph ENTERING that round. Each
+    round removes every node whose degree <= the current average
+    (2m/n), so rounds are O(log n) — the max-density row identifies the
+    (>= OPT/2) densest prefix, and density spikes across rounds are the
+    link-farm/citation-cabal alarm at crawl scale (a k-core needs k
+    chosen in advance; density does not).
+
+    Relational fixpoint discipline matches k_core/k_truss: one degree
+    aggregate + two semi-joins per round on the shrinking edge set,
+    localCheckpoint lineage truncation, counts double as the loop test.
+    """
+    und = _undirected(edges, src, dst).localCheckpoint(eager=True)
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    rows = []
+    for rnd in range(max_rounds):
+        m2 = sym.count()  # 2 * edges
+        if m2 == 0:
+            break
+        deg = sym.groupBy(F.col("a").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        n = deg.count()
+        rows.append((rnd, n, m2 // 2, round((m2 / 2) / n, 6)))
+        # average degree = 2m/n; exact integer comparison deg * n <= 2m
+        survivors = deg.where(F.col("deg") * n > m2).select("node")
+        sym = (
+            sym.join(survivors.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(survivors.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        rows, "round int, n_nodes long, n_edges long, density double"
+    )
+
+
 def clustering_coefficient(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

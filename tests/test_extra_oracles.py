@@ -192,6 +192,7 @@ def duck():
         "q199_entity_salience",
         "q200_rrf_fusion",
         "q201_feed_discovery",
+        "q202_densest_subgraph",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):

@@ -315,3 +315,48 @@ def test_k_truss_rejects_small_k(spark):
 
     with pytest.raises(ValueError):
         k_truss(to_df(spark, [("a", "b")]), 2)
+
+
+def ref_densest_trace(edges):
+    und = und_set(edges)
+    sym = set()
+    for a, b in und:
+        sym.add((a, b))
+        sym.add((b, a))
+    rows = []
+    rnd = 0
+    while sym:
+        deg = Counter(a for a, _ in sym)
+        n, m2 = len(deg), len(sym)
+        rows.append((rnd, n, m2 // 2, round((m2 / 2) / n, 6)))
+        keep = {v for v, d in deg.items() if d * n > m2}
+        sym = {(a, b) for a, b in sym if a in keep and b in keep}
+        rnd += 1
+    return rows
+
+
+def test_densest_trace_random_parity(spark):
+    from spanluke_spark.graph.analytics import densest_subgraph_trace
+
+    rng = np.random.default_rng(202)
+    for trial in range(3):
+        edges = rand_edges(rng, 14, 60)
+        got = [(r.round, r.n_nodes, r.n_edges, r.density)
+               for r in densest_subgraph_trace(to_df(spark, edges))
+               .orderBy("round").collect()]
+        assert got == ref_densest_trace(edges), trial
+
+
+def test_densest_finds_planted_clique(spark):
+    from spanluke_spark.graph.analytics import densest_subgraph_trace
+
+    # K8 (density 3.5) + long sparse path (density ~0.5 alone)
+    k8 = [(f"c{i}", f"c{j}") for i in range(8) for j in range(8) if i < j]
+    path = [(f"p{i}", f"p{i+1}") for i in range(30)]
+    trace = [(r.round, r.density)
+             for r in densest_subgraph_trace(to_df(spark, k8 + path))
+             .orderBy("round").collect()]
+    # the max-density round is the clique: 28/8 = 3.5
+    assert max(d for _, d in trace) == 3.5
+    # and it is NOT round 0 (the mixed graph is diluted by the path)
+    assert trace[0][1] < 3.5
