@@ -242,3 +242,99 @@ def recanonicalize(spark: SparkSession, out_dir: str) -> int:
     os.rename(tmp_path, triples_path)
     shutil.rmtree(old_path)
     return n
+
+
+def purge_urls(
+    spark: SparkSession,
+    out_dir: str,
+    urls: list[str],
+    n_buckets: int = 16,
+    run_id: str = "purge0",
+) -> dict:
+    """Right-to-be-forgotten retraction over the partitioned facts store:
+    delete every fact row for ``urls``, touching ONLY the partitions that
+    can hold them (each url maps to one part_key, so a k-url purge
+    rewrites <= k partition directories out of the store's thousands —
+    never a full-table pass), then append corrective lineage rows so the
+    audit trail carries the post-purge counts/checksums and a later
+    pipeline rerun still sees the partitions as complete (purged urls are
+    NOT re-extracted).
+
+    A partition whose facts are entirely purged is physically removed
+    (dynamic overwrite cannot write an empty partition, so the directory
+    is deleted through the Hadoop FileSystem API — what an Iceberg
+    DELETE's rewrite would do). Returns {n_purged, parts_rewritten,
+    parts_deleted}.
+    """
+    facts_path = os.path.join(out_dir, "facts")
+    lineage_path = os.path.join(out_dir, "lineage")
+    purge = with_part_key(
+        spark.createDataFrame([(u,) for u in urls], "url string"),
+        "url",
+        n_buckets,
+    )
+    parts = [int(r["part_key"]) for r in purge.select("part_key").distinct().collect()]
+    if not parts:
+        return {"n_purged": 0, "parts_rewritten": 0, "parts_deleted": 0}
+    store = spark.read.parquet(facts_path)
+    affected = store.where(F.col("part_key").isin(parts))
+    survivors = affected.join(purge.select("url"), "url", "left_anti")
+    n_before = affected.count()
+    per_part = {
+        int(r["part_key"]): int(r["n"])
+        for r in survivors.groupBy("part_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_purged = n_before - sum(per_part.values())
+    if n_purged == 0:
+        return {"n_purged": 0, "parts_rewritten": 0, "parts_deleted": 0}
+    live = [pk for pk in parts if per_part.get(pk, 0) > 0]
+    dead = [pk for pk in parts if per_part.get(pk, 0) == 0]
+    if live:
+        overwrite_partitions(
+            survivors.where(F.col("part_key").isin(live)), facts_path, "part_key"
+        )
+    if dead:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for pk in dead:
+            p = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(facts_path, f"part_key={pk}")
+            )
+            p.getFileSystem(conf).delete(p, True)
+    # corrective lineage: post-purge counts + checksum per touched
+    # partition (n_pages=0 — no pages were processed by the purge)
+    agg = (
+        spark.read.parquet(facts_path)
+        .where(F.col("part_key").isin(parts))
+        .groupBy("part_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            F.sum(
+                F.pmod(F.xxhash64("subj", "pred", "obj"), F.lit(2147483647))
+            ).alias("checksum"),
+            F.countDistinct("url", "lane").alias("n_mentions"),
+        )
+    )
+    base = spark.createDataFrame([(pk,) for pk in parts], "part_key int")
+    lin = base.join(agg, "part_key", "left").select(
+        F.lit(run_id).alias("run_id"),
+        "part_key",
+        F.lit(0).cast("long").alias("n_pages"),
+        F.coalesce("n_mentions", F.lit(0)).alias("n_mentions"),
+        F.coalesce("n_triples", F.lit(0)).alias("n_triples"),
+        F.coalesce("checksum", F.lit(0)).alias("checksum"),
+        F.current_timestamp().alias("completed_at"),
+    )
+    append_parquet(
+        spark.createDataFrame(
+            lin.collect(), read_lineage(spark, lineage_path).schema
+        ),
+        lineage_path,
+    )
+    return {
+        "n_purged": int(n_purged),
+        "parts_rewritten": len(live),
+        "parts_deleted": len(dead),
+    }
