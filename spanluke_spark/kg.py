@@ -250,6 +250,7 @@ def purge_urls(
     urls: list[str],
     n_buckets: int = 16,
     run_id: str = "purge0",
+    table: str = "facts",
 ) -> dict:
     """Right-to-be-forgotten retraction over the partitioned facts store:
     delete every fact row for ``urls``, touching ONLY the partitions that
@@ -266,7 +267,7 @@ def purge_urls(
     DELETE's rewrite would do). Returns {n_purged, parts_rewritten,
     parts_deleted}.
     """
-    facts_path = os.path.join(out_dir, "facts")
+    facts_path = os.path.join(out_dir, table)
     lineage_path = os.path.join(out_dir, "lineage")
     purge = with_part_key(
         spark.createDataFrame([(u,) for u in urls], "url string"),
@@ -304,18 +305,21 @@ def purge_urls(
             )
             p.getFileSystem(conf).delete(p, True)
     # corrective lineage: post-purge counts + checksum per touched
-    # partition (n_pages=0 — no pages were processed by the purge)
-    agg = (
-        spark.read.parquet(facts_path)
-        .where(F.col("part_key").isin(parts))
-        .groupBy("part_key")
-        .agg(
-            F.count(F.lit(1)).alias("n_triples"),
-            F.sum(
-                F.pmod(F.xxhash64("subj", "pred", "obj"), F.lit(2147483647))
-            ).alias("checksum"),
-            F.countDistinct("url", "lane").alias("n_mentions"),
-        )
+    # partition (n_pages=0 — no pages were processed by the purge).
+    # Mention-site identity matches the store flavor: (url, lane) for
+    # the legal-facts table, (url, start, end) for span triples.
+    post = spark.read.parquet(facts_path).where(F.col("part_key").isin(parts))
+    site = (
+        ["url", "lane"]
+        if "lane" in post.columns
+        else (["url", "start", "end"] if "start" in post.columns else ["url"])
+    )
+    agg = post.groupBy("part_key").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.sum(
+            F.pmod(F.xxhash64("subj", "pred", "obj"), F.lit(2147483647))
+        ).alias("checksum"),
+        F.countDistinct(*site).alias("n_mentions"),
     )
     base = spark.createDataFrame([(pk,) for pk in parts], "part_key int")
     lin = base.join(agg, "part_key", "left").select(

@@ -132,3 +132,42 @@ def test_purge_absent_urls_is_noop(spark, tmp_path):
     res = purge_urls(spark, out, ["https://nowhere/x"], n_buckets=4)
     assert res == {"n_purged": 0, "parts_rewritten": 0, "parts_deleted": 0}
     assert sorted(map(tuple, read_legal_facts(spark, out).collect())) == before
+
+
+def test_purge_span_triples_store(spark, tmp_path):
+    from spanluke_spark.fixtures import PIPELINE_GAZETTEER
+    from spanluke_spark.kg import read_triples, run_kg_pipeline
+
+    out = str(tmp_path / "kg")
+    rows = [
+        (f"https://court.example/case/{i}",
+         b"<html><body><p>the hash join beat the table scan "
+         b"inside spark again</p></body></html>")
+        for i in range(6)
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    alias_df = spark.createDataFrame(
+        [("hash join", 10, "Hash Join", "COURT", 0.9),
+         ("spark", 12, "Apache Spark", "ORG", 0.9)],
+        "alias string, canonical_id long, canonical_name string, "
+        "entity_type string, prior double",
+    )
+    run_kg_pipeline(spark, pages, PIPELINE_GAZETTEER, alias_df, out,
+                    run_id="r1", n_buckets=4)
+
+    url0 = "https://court.example/case/2"
+    before = read_triples(spark, out)
+    assert before.where(before.url == url0).count() > 0
+    keep = sorted(map(tuple, before.where(before.url != url0).collect()))
+
+    res = purge_urls(spark, out, [url0], n_buckets=4, run_id="p1",
+                     table="triples")
+    assert res["n_purged"] > 0
+    after = read_triples(spark, out)
+    assert after.where(after.url == url0).count() == 0
+    assert sorted(map(tuple, after.collect())) == keep
+    # corrective lineage row uses the span-store mention identity
+    lineage = spark.read.parquet(os.path.join(out, "lineage"))
+    prow = lineage.where(lineage.run_id == "p1").collect()
+    assert len(prow) == 1 and prow[0]["n_triples"] == after.where(
+        F.col("part_key") == prow[0]["part_key"]).count()
