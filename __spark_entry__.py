@@ -4486,6 +4486,60 @@ def _densest_oracle_sql(rounds: int) -> str:
     return "".join(parts)
 
 
+def q203_host_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level authority: the full composed workload — extract
+    hrefs from raw HTML, roll page links up to the HOST graph
+    (host_of both endpoints, self-host edges dropped, distinct), then
+    PageRank with dangling-mass correction over the 20-host graph. The
+    oracle restates the closed-form host edges and unrolls both power
+    iterations (the q59 builder over the host edge set)."""
+    from spanluke_spark.graph.links import extract_links
+    from spanluke_spark.graph.pagerank import pagerank
+    from spanluke_spark.textops.urls import host_of
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    a = (d * 7 + 3) % 500
+    b = (d * 13 + 11) % 500
+    link = lambda t: F.concat(  # noqa: E731
+        F.lit('<a href="https://h'), s(t % 20), F.lit("/p"), s(t),
+        F.lit('">x</a>'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://h"), s(d % 20), F.lit("/p"), s(d)).alias("url"),
+        F.concat(
+            F.lit("<html><body>"), link(a), link(b), F.lit("</body></html>")
+        ).cast("binary").alias("html"),
+    )
+    edges = extract_links(pages)
+    hosts = (
+        edges.select(
+            host_of(F.col("src")).alias("src"), host_of(F.col("dst")).alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return (
+        pagerank(hosts, iters=2)
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy("node")
+    )
+
+
+_HOST_EDGES_SQL = """
+            SELECT DISTINCT 'h' || (doc_id % 20) AS src,
+                   'h' || (((doc_id * 7 + 3) % 500) % 20) AS dst
+            FROM documents
+            WHERE (doc_id % 20) <> (((doc_id * 7 + 3) % 500) % 20)
+            UNION
+            SELECT DISTINCT 'h' || (doc_id % 20) AS src,
+                   'h' || (((doc_id * 13 + 11) % 500) % 20) AS dst
+            FROM documents
+            WHERE (doc_id % 20) <> (((doc_id * 13 + 11) % 500) % 20)
+"""
+
+
 def _k_truss_oracle_sql(k: int, rounds: int) -> str:
     """Generate the unrolled DuckDB twin of q192: e0 = canonical
     undirected fixture edges; each round enumerates triangles with the
@@ -5224,12 +5278,15 @@ def _hits_sql(iters: int = 2) -> str:
     return sql
 
 
-def _pagerank_sql(iters: int = 2, damping: float = 0.85) -> str:
+def _pagerank_sql(
+    iters: int = 2, damping: float = 0.85, edges_sql: str | None = None
+) -> str:
     """q59 oracle: power iteration unrolled — per round, dangling mass +
-    inflow join + rank update, mirroring graph/pagerank.py expression order."""
+    inflow join + rank update, mirroring graph/pagerank.py expression
+    order. ``edges_sql`` swaps the edge fixture (q203 host graph)."""
     d = damping
     sql = f"""
-        WITH e AS ({_LINK_EDGES_SQL}),
+        WITH e AS ({edges_sql or _LINK_EDGES_SQL}),
         nodes AS (
             SELECT DISTINCT node FROM (
                 SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
@@ -6449,6 +6506,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q200_rrf_fusion": q200_rrf_fusion,
         "q201_feed_discovery": q201_feed_discovery,
         "q202_densest_subgraph": q202_densest_subgraph,
+        "q203_host_authority": q203_host_authority,
     }
 
 
@@ -10216,4 +10274,6 @@ def extra_oracle_sql() -> dict[str, str]:
     """
     # q202: all 3 peel rounds unrolled with the integer deg*n > 2m test
     out["q202_densest_subgraph"] = _densest_oracle_sql(rounds=3)
+    # q203: q59's unrolled power iteration over the host edge set
+    out["q203_host_authority"] = _pagerank_sql(edges_sql=_HOST_EDGES_SQL)
     return out

@@ -193,6 +193,7 @@ def duck():
         "q200_rrf_fusion",
         "q201_feed_discovery",
         "q202_densest_subgraph",
+        "q203_host_authority",
     ],
 )
 def test_retired_query_matches_oracle(spark, duck, name):
