@@ -4527,6 +4527,124 @@ def q203_host_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q204_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Butterfly (bipartite 4-cycle) counting over the deterministic
+    host↔entity two-mode graph (12 hosts × 30 entities, two mentions per
+    doc): per-host butterfly membership. The oracle restates the pairwise
+    co-degree formulation — Σ C(codeg, 2) per host pair — in plain SQL."""
+    from spanluke_spark.graph.bipartite import butterfly_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    host = F.concat(F.lit("h"), s(d % 12))
+    e1 = docs.select(host.alias("host"), F.concat(F.lit("e"), s((d * 7 + 3) % 30)).alias("entity"))
+    e2 = docs.select(host.alias("host"), F.concat(F.lit("e"), s((d * 13 + 11) % 30)).alias("entity"))
+    edges = e1.unionByName(e2)
+    return (
+        butterfly_counts(edges, left="host", right="entity", side="left")
+        .orderBy("node")
+    )
+
+
+def q205_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-source shortest paths (bounded Bellman-Ford) over a
+    40-node weighted link graph: cheapest cost from the 2-node trusted
+    seed set within 4 hops — the crawl-frontier "link distance from
+    seeds" signal. Parallel edges collapse to their cheapest copy; the
+    oracle unrolls all 4 relaxation rounds verbatim."""
+    from spanluke_spark.graph.paths import sssp
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    e1 = docs.select(
+        F.concat(F.lit("v"), s(d % 40)).alias("src"),
+        F.concat(F.lit("v"), s((d * 17 + 5) % 40)).alias("dst"),
+        ((d % 7) + 1).cast("double").alias("w"),
+    )
+    e2 = docs.select(
+        F.concat(F.lit("v"), s(d % 40)).alias("src"),
+        F.concat(F.lit("v"), s((d * 29 + 11) % 40)).alias("dst"),
+        ((d % 5) + 3).cast("double").alias("w"),
+    )
+    edges = e1.unionByName(e2).where(F.col("src") != F.col("dst"))
+    seeds = spark.createDataFrame([("v0",), ("v1",)], ["node"])
+    return (
+        sssp(edges, seeds, rounds=4, weight="w")
+        .select("node", F.round("dist", 6).alias("dist"))
+        .orderBy("node")
+    )
+
+
+_BUTTERFLY_ORACLE_SQL = """
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT l, r FROM (
+                SELECT 'h' || (doc_id % 12) AS l,
+                       'e' || ((doc_id * 7 + 3) % 30) AS r FROM documents
+                UNION ALL
+                SELECT 'h' || (doc_id % 12),
+                       'e' || ((doc_id * 13 + 11) % 30) FROM documents
+            )
+        ),
+        pairs AS MATERIALIZED (
+            SELECT e1.l AS u, e2.l AS v, count(*) AS c
+            FROM e e1 JOIN e e2 ON e2.r = e1.r AND e1.l < e2.l
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        )
+        SELECT node, CAST(sum(c * (c - 1) // 2) AS BIGINT) AS butterflies
+        FROM (
+            SELECT u AS node, c FROM pairs
+            UNION ALL
+            SELECT v AS node, c FROM pairs
+        )
+        GROUP BY node
+        ORDER BY node
+"""
+
+
+def _sssp_oracle_sql(rounds: int) -> str:
+    """Unrolled DuckDB twin of q205: d0 = the seed rows at cost 0; each
+    round unions the one-edge relaxations in and takes the per-node min —
+    the exact relation sssp() materializes per localCheckpoint round."""
+    parts = [
+        """
+        WITH e AS MATERIALIZED (
+            SELECT src, dst, min(w) AS w FROM (
+                SELECT 'v' || (doc_id % 40) AS src,
+                       'v' || ((doc_id * 17 + 5) % 40) AS dst,
+                       CAST((doc_id % 7) + 1 AS DOUBLE) AS w
+                FROM documents
+                UNION ALL
+                SELECT 'v' || (doc_id % 40),
+                       'v' || ((doc_id * 29 + 11) % 40),
+                       CAST((doc_id % 5) + 3 AS DOUBLE)
+                FROM documents
+            ) WHERE src <> dst GROUP BY src, dst
+        ),
+        d0 AS (SELECT 'v0' AS node, 0.0 AS dist
+               UNION ALL SELECT 'v1', 0.0)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+        d{i + 1} AS MATERIALIZED (
+            SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d{i}
+                UNION ALL
+                SELECT e.dst AS node, d.dist + e.w AS dist
+                FROM d{i} d JOIN e ON e.src = d.node
+            ) GROUP BY node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node, round(dist, 6) AS dist FROM d{rounds} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
 _HOST_EDGES_SQL = """
             SELECT DISTINCT 'h' || (doc_id % 20) AS src,
                    'h' || (((doc_id * 7 + 3) % 500) % 20) AS dst
@@ -6507,6 +6625,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q201_feed_discovery": q201_feed_discovery,
         "q202_densest_subgraph": q202_densest_subgraph,
         "q203_host_authority": q203_host_authority,
+        "q204_butterflies": q204_butterflies,
+        "q205_seed_distance": q205_seed_distance,
     }
 
 
@@ -10276,4 +10396,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q202_densest_subgraph"] = _densest_oracle_sql(rounds=3)
     # q203: q59's unrolled power iteration over the host edge set
     out["q203_host_authority"] = _pagerank_sql(edges_sql=_HOST_EDGES_SQL)
+    # q204: pairwise co-degree butterfly formulation in plain SQL
+    out["q204_butterflies"] = _BUTTERFLY_ORACLE_SQL
+    # q205: all 4 Bellman-Ford relaxation rounds unrolled
+    out["q205_seed_distance"] = _sssp_oracle_sql(rounds=4)
     return out
