@@ -4645,6 +4645,59 @@ def _sssp_oracle_sql(rounds: int) -> str:
     return "".join(parts)
 
 
+def q206_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-linkage clustering at threshold 3.0 over a 400-node weighted
+    similarity graph, computed as the Borůvka minimum-spanning-forest cut
+    (graph/msf.py) — the reusable-dendrogram formulation. The oracle uses
+    the defining identity (single-linkage at t == components of the
+    t-thresholded graph) as WITH RECURSIVE min-reachable-id, so the whole
+    Borůvka + cut + CC machinery is value-checked end to end."""
+    from spanluke_spark.graph.msf import single_linkage
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    e1 = docs.select(
+        (d % 400).alias("src"),
+        ((d * 31 + 7) % 400).alias("dst"),
+        (((d * 3 + 1) % 10) + 1).cast("double").alias("w"),
+    )
+    e2 = docs.select(
+        (d % 400).alias("src"),
+        ((d * 57 + 13) % 400).alias("dst"),
+        (((d * 5 + 2) % 10) + 1).cast("double").alias("w"),
+    )
+    edges = e1.unionByName(e2)
+    return single_linkage(edges, threshold=3.0).orderBy("node")
+
+
+_SINGLE_LINKAGE_ORACLE_SQL = """
+        WITH RECURSIVE gen AS (
+            SELECT doc_id % 400 AS s, (doc_id * 31 + 7) % 400 AS d,
+                   CAST((doc_id * 3 + 1) % 10 + 1 AS DOUBLE) AS w
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 400, (doc_id * 57 + 13) % 400,
+                   CAST((doc_id * 5 + 2) % 10 + 1 AS DOUBLE)
+            FROM documents
+        ),
+        nodes AS (
+            SELECT DISTINCT s AS node FROM gen
+            UNION SELECT DISTINCT d FROM gen
+        ),
+        sym AS (
+            SELECT DISTINCT s AS u, d AS v FROM gen WHERE s <> d AND w <= 3.0
+            UNION
+            SELECT DISTINCT d, s FROM gen WHERE s <> d AND w <= 3.0
+        ),
+        reach AS (
+            SELECT node, node AS r FROM nodes
+            UNION
+            SELECT sym.u AS node, reach.r FROM sym JOIN reach ON sym.v = reach.node
+        )
+        SELECT node, min(r) AS cluster FROM reach GROUP BY node ORDER BY node
+"""
+
+
 _HOST_EDGES_SQL = """
             SELECT DISTINCT 'h' || (doc_id % 20) AS src,
                    'h' || (((doc_id * 7 + 3) % 500) % 20) AS dst
@@ -6627,6 +6680,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q203_host_authority": q203_host_authority,
         "q204_butterflies": q204_butterflies,
         "q205_seed_distance": q205_seed_distance,
+        "q206_single_linkage": q206_single_linkage,
     }
 
 
@@ -10400,4 +10454,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q204_butterflies"] = _BUTTERFLY_ORACLE_SQL
     # q205: all 4 Bellman-Ford relaxation rounds unrolled
     out["q205_seed_distance"] = _sssp_oracle_sql(rounds=4)
+    # q206: single-linkage == components of the thresholded graph
+    out["q206_single_linkage"] = _SINGLE_LINKAGE_ORACLE_SQL
     return out
