@@ -11,9 +11,11 @@ over the MSF yields exactly the components of the t-thresholded graph).
 
 Borůvka, relationally: per round every component picks its minimum
 incident cross-component edge — `min(struct(w, a, b, ...))` is
-lexicographic and algebraic, so the per-component choice is a map-side
-combinable hash aggregate, never a window sort — the chosen edges join
-the forest, and the touched components merge. Component merging reuses
+lexicographic and algebraic; struct buffers are not hash-mutable so
+Spark lowers it to a partial SortAggregate (per-task sort + map-side
+combine — reduce input stays capped at #map-partitions rows per
+component, and there is no skew-prone global window) — the chosen
+edges join the forest, and the touched components merge. Component merging reuses
 the hardened alternating-star machinery (canon/cc.py: driver fallback
 for collision-sized rounds, hub salting, O(log^2 n) bound); the merge
 graph has at most one edge per live component, so it halves per round

@@ -35,6 +35,7 @@ def sssp(
     src: str = "src",
     dst: str = "dst",
     weight: str | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """edges(src, dst[, weight]) + sources(node) -> (node, dist): the
     cheapest path cost from ANY source over paths of at most ``rounds``
@@ -43,14 +44,17 @@ def sssp(
     semantics — the bounded round count makes the result well defined
     even on a negative cycle, where an unbounded fixpoint would not be).
     Parallel edges collapse to their cheapest copy before iterating.
+    ``checkpoint=False`` keeps the whole k-round plan lazy (no
+    localCheckpoint) — right for small k and for end-to-end plan audits;
+    the default truncates lineage per round, the iterative discipline
+    every other fixpoint module here follows.
     """
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
-        .groupBy("src", "dst")
-        .agg(F.min("w").alias("w"))
-        .localCheckpoint(eager=True)
-    )
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    ).groupBy("src", "dst").agg(F.min("w").alias("w"))
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
     dist = (
         sources.select(F.col("node")).distinct().withColumn("dist", F.lit(0.0))
     )
@@ -63,6 +67,7 @@ def sssp(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
         )
+        if checkpoint:
+            dist = dist.localCheckpoint(eager=True)
     return dist

@@ -48,9 +48,7 @@ def duck():
     return con
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
+EXTRA_NAMES = [
         "q01_pricing_summary",
         "q02_top_revenue_customers",
         "q03_largest_order_per_customer",
@@ -194,8 +192,22 @@ def duck():
         "q201_feed_discovery",
         "q202_densest_subgraph",
         "q203_host_authority",
-    ],
-)
+        "q204_butterflies",
+        "q205_seed_distance",
+        "q206_single_linkage",
+]
+
+
+def test_extras_list_is_complete():
+    """Every extra_queries() entry must be in the parametrized gate —
+    a new lane that forgets to register here would otherwise silently
+    skip its per-round pytest value check."""
+    import __spark_entry__ as entrymod
+
+    assert set(EXTRA_NAMES) == set(entrymod.extra_queries())
+
+
+@pytest.mark.parametrize("name", EXTRA_NAMES)
 def test_retired_query_matches_oracle(spark, duck, name):
     import __spark_entry__ as entrymod
 

@@ -542,6 +542,62 @@ def main() -> None:
         and "Python" not in splan and "Window" in splan,
     )
 
+    # 34. butterfly counting: pair co-degrees are equi-join + hash
+    # aggregates only — no all-pairs stage, no window, no Python
+    from spanluke_spark.graph.bipartite import butterfly_counts
+
+    be = spark.createDataFrame([("l1", "r1")], "left string, right string")
+    bplan = (
+        butterfly_counts(be)._jdf.queryExecution().executedPlan().toString()
+    )
+    check(
+        "butterfly_equijoin_hashagg_only",
+        "NestedLoop" not in bplan and "Cartesian" not in bplan
+        and "Python" not in bplan and "Window" not in bplan
+        and "HashAggregate" in bplan,
+    )
+
+    # 35. bounded Bellman-Ford (checkpoint=False keeps all rounds in ONE
+    # lazy plan): per round an equi-join + a partial/final min aggregate —
+    # map-side combine present, nothing quadratic, nothing Python
+    from spanluke_spark.graph.paths import sssp as _sssp
+
+    pe = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, w double")
+    ps = spark.createDataFrame([(1,)], "node long")
+    pplan = (
+        _sssp(pe, ps, rounds=3, weight="w", checkpoint=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    check(
+        "sssp_equijoin_partial_min",
+        "NestedLoop" not in pplan and "Cartesian" not in pplan
+        and "Python" not in pplan and "partial_min" in pplan,
+    )
+
+    # 36. Boruvka per-component edge pick: min(struct) must keep its
+    # map-side partial combine (partial_min) even though struct buffers
+    # force the sort-based aggregate — reduce input stays capped at
+    # #map-partitions rows per component
+    me = spark.createDataFrame(
+        [(1, 2, 1.0, 10, 20)], "a long, b long, w double, ca long, cb long"
+    )
+    cand = me.select(
+        F.col("ca").alias("owner"), F.struct("w", "a", "b", "ca", "cb").alias("pick")
+    )
+    mplan = (
+        cand.groupBy("owner")
+        .agg(F.min("pick").alias("p"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    check(
+        "boruvka_pick_partial_combine",
+        "partial_min" in mplan and "Window" not in mplan,
+    )
+
     spark.stop()
     sys.exit(1 if failures else 0)
 
