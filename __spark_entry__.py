@@ -4670,6 +4670,79 @@ def q206_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return single_linkage(edges, threshold=3.0).orderBy("node")
 
 
+def q207_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting earliest arrival over a 30-user temporal contact
+    graph built from the events stream (edge time = event_id % 97):
+    influence can only flow along non-decreasing edge times, so the
+    answer differs from plain reachability wherever the only path runs
+    backwards in time. The oracle unrolls all 4 relaxation rounds with
+    the t >= arr predicate verbatim."""
+    from spanluke_spark.graph.paths import earliest_arrival
+
+    ev = _t(spark, sf_dir, "events")
+    i = F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    e1 = ev.select(
+        F.concat(F.lit("u"), s(i % 30)).alias("src"),
+        F.concat(F.lit("u"), s((i * 11 + 3) % 30)).alias("dst"),
+        (i % 97).cast("double").alias("t"),
+    )
+    e2 = ev.select(
+        F.concat(F.lit("u"), s(i % 30)).alias("src"),
+        F.concat(F.lit("u"), s((i * 17 + 7) % 30)).alias("dst"),
+        ((i * 3 + 50) % 97).cast("double").alias("t"),
+    )
+    edges = e1.unionByName(e2).where(F.col("src") != F.col("dst"))
+    seeds = spark.createDataFrame([("u0",), ("u1",)], ["node"])
+    return (
+        earliest_arrival(edges, seeds, rounds=4, start=0.0)
+        .select("node", F.round("arr", 6).alias("arr"))
+        .orderBy("node")
+    )
+
+
+def _temporal_oracle_sql(rounds: int) -> str:
+    """Unrolled DuckDB twin of q207: a0 = seeds at 0.0; each round joins
+    the live arrivals onto edges with the time-respecting t >= arr
+    residual and takes the per-node min — the exact relation
+    earliest_arrival() materializes per checkpoint round."""
+    parts = [
+        """
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT src, dst, t FROM (
+                SELECT 'u' || (event_id % 30) AS src,
+                       'u' || ((event_id * 11 + 3) % 30) AS dst,
+                       CAST(event_id % 97 AS DOUBLE) AS t
+                FROM events
+                UNION ALL
+                SELECT 'u' || (event_id % 30),
+                       'u' || ((event_id * 17 + 7) % 30),
+                       CAST((event_id * 3 + 50) % 97 AS DOUBLE)
+                FROM events
+            ) WHERE src <> dst
+        ),
+        a0 AS (SELECT 'u0' AS node, 0.0 AS arr
+               UNION ALL SELECT 'u1', 0.0)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+        a{i + 1} AS MATERIALIZED (
+            SELECT node, min(arr) AS arr FROM (
+                SELECT node, arr FROM a{i}
+                UNION ALL
+                SELECT e.dst AS node, e.t AS arr
+                FROM a{i} a JOIN e ON e.src = a.node AND e.t >= a.arr
+            ) GROUP BY node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node, round(arr, 6) AS arr FROM a{rounds} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
 _SINGLE_LINKAGE_ORACLE_SQL = """
         WITH RECURSIVE gen AS (
             SELECT doc_id % 400 AS s, (doc_id * 31 + 7) % 400 AS d,
@@ -6681,6 +6754,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q204_butterflies": q204_butterflies,
         "q205_seed_distance": q205_seed_distance,
         "q206_single_linkage": q206_single_linkage,
+        "q207_temporal_reach": q207_temporal_reach,
     }
 
 
@@ -10456,4 +10530,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q205_seed_distance"] = _sssp_oracle_sql(rounds=4)
     # q206: single-linkage == components of the thresholded graph
     out["q206_single_linkage"] = _SINGLE_LINKAGE_ORACLE_SQL
+    # q207: all 4 time-respecting relaxation rounds unrolled
+    out["q207_temporal_reach"] = _temporal_oracle_sql(rounds=4)
     return out

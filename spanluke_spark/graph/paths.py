@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["sssp"]
+__all__ = ["sssp", "earliest_arrival"]
 
 
 def sssp(
@@ -71,3 +71,55 @@ def sssp(
         if checkpoint:
             dist = dist.localCheckpoint(eager=True)
     return dist
+
+
+def earliest_arrival(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    time: str = "t",
+    start: float = 0.0,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Time-respecting reachability: edges(src, dst, time) + sources(node)
+    -> (node, arr), the earliest arrival time at each node over temporal
+    paths whose edge times never decrease (Wu et al., VLDB 2014, "Path
+    Problems in Temporal Graphs"; zero traversal duration). An edge
+    (u, v, t) is usable only once you are AT u by time t (t >= arr(u)) —
+    a crawl event, a citation, a recrawl observation cannot carry
+    influence backwards in time, which plain reachability over the
+    flattened edge set gets wrong.
+
+    Sources arrive at ``start``; unreached nodes within ``rounds`` hops
+    are omitted. Parallel edges at different times all stay live (an
+    early copy may be unusable where a later one works), so the edge set
+    is deduped, never weight-collapsed. Same relational shape and
+    checkpoint discipline as ``sssp``: per round one equi-join (with the
+    time predicate as a join residual) + one min aggregate.
+    """
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(time).cast("double").alias("t"),
+    ).distinct()
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    arr = (
+        sources.select(F.col("node")).distinct()
+        .withColumn("arr", F.lit(float(start)))
+    )
+    for _ in range(rounds):
+        relaxed = (
+            arr.join(e, (arr.node == e.src) & (e.t >= arr.arr))
+            .select(F.col("dst").alias("node"), F.col("t").alias("arr"))
+        )
+        arr = (
+            arr.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("arr").alias("arr"))
+        )
+        if checkpoint:
+            arr = arr.localCheckpoint(eager=True)
+    return arr

@@ -13,7 +13,7 @@ import numpy as np
 import pytest
 
 from spanluke_spark.graph.bipartite import butterfly_counts, butterfly_stats
-from spanluke_spark.graph.paths import sssp
+from spanluke_spark.graph.paths import earliest_arrival, sssp
 
 
 def ref_butterflies(edges):
@@ -138,6 +138,70 @@ def test_sssp_hop_count_mode_and_bound(spark):
     assert two == {"a": 0.0, "b": 1.0, "c": 2.0}
     three = {r["node"]: r["dist"] for r in sssp(df, seeds, rounds=3).collect()}
     assert three["d"] == 3.0
+
+
+def ref_earliest(edges, seeds, rounds, start=0.0):
+    """Jacobi earliest-arrival relaxation — mirrors the unrolled oracle."""
+    arr = {s: start for s in seeds}
+    e = sorted(set(edges))
+    for _ in range(rounds):
+        nxt = dict(arr)
+        for s, d, t in e:
+            if s in arr and t >= arr[s] and t < nxt.get(d, float("inf")):
+                nxt[d] = t
+        arr = nxt
+    return arr
+
+
+def test_earliest_arrival_random_parity(spark):
+    rng = np.random.default_rng(207)
+    for _ in range(3):
+        raw = rng.integers(0, 10, (70, 2))
+        ts = rng.integers(0, 50, 70)
+        edges = [
+            (f"n{a}", f"n{b}", float(t))
+            for (a, b), t in zip(raw, ts)
+            if a != b
+        ]
+        df = spark.createDataFrame(edges, ["src", "dst", "t"])
+        seeds = spark.createDataFrame([("n0",)], ["node"])
+        for rounds in (1, 3, 5):
+            ref = ref_earliest(edges, ["n0"], rounds)
+            got = {
+                r["node"]: r["arr"]
+                for r in earliest_arrival(df, seeds, rounds=rounds).collect()
+            }
+            assert got == pytest.approx(ref)
+
+
+def test_earliest_arrival_respects_time_order(spark):
+    # a -> b at t=5, b -> c at t=3: c is NOT reachable time-respectingly
+    # even though the flattened graph reaches it; b -> d at t=7 works
+    edges = [("a", "b", 5.0), ("b", "c", 3.0), ("b", "d", 7.0)]
+    df = spark.createDataFrame(edges, ["src", "dst", "t"])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {r["node"]: r["arr"] for r in earliest_arrival(df, seeds, rounds=3).collect()}
+    assert got == {"a": 0.0, "b": 5.0, "d": 7.0}
+
+
+def test_earliest_arrival_parallel_edges_all_live(spark):
+    # the t=1 copy of b->c is unusable (arrive at b at t=4); the t=6
+    # copy must still fire — weight-collapsing parallel edges would
+    # wrongly kill it
+    edges = [("a", "b", 4.0), ("b", "c", 1.0), ("b", "c", 6.0)]
+    df = spark.createDataFrame(edges, ["src", "dst", "t"])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {r["node"]: r["arr"] for r in earliest_arrival(df, seeds, rounds=2).collect()}
+    assert got == {"a": 0.0, "b": 4.0, "c": 6.0}
+
+
+def test_earliest_arrival_start_gate(spark):
+    # edges before the start time are dead
+    edges = [("a", "b", 2.0), ("a", "b", 9.0)]
+    df = spark.createDataFrame(edges, ["src", "dst", "t"])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {r["node"]: r["arr"] for r in earliest_arrival(df, seeds, rounds=1, start=5.0).collect()}
+    assert got == {"a": 5.0, "b": 9.0}
 
 
 def test_sssp_cycle_stays_bounded(spark):

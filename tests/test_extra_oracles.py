@@ -195,6 +195,7 @@ EXTRA_NAMES = [
         "q204_butterflies",
         "q205_seed_distance",
         "q206_single_linkage",
+        "q207_temporal_reach",
 ]
 
 
