@@ -4701,6 +4701,88 @@ def q207_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q208_k_wing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-wing (bitruss) peeling at k=4 over a tiered host↔entity graph:
+    a K_{4,4} core every edge of which sits in >= 9 butterflies, a
+    degree-2 middle tier, and a degree-1 fringe that peels in round 1.
+    The oracle unrolls 4 simultaneous-peel rounds (extra rounds past the
+    fixpoint are no-ops, so the unroll count only needs to be an upper
+    bound) and recomputes final supports with the same HAVING."""
+    from spanluke_spark.graph.bipartite import k_wing
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    f1 = docs.select(
+        F.concat(F.lit("h"), s(d % 4)).alias("host"),
+        F.concat(F.lit("e"), s(F.floor(d / 4) % 4)).alias("entity"),
+    )
+    f2 = docs.select(
+        F.concat(F.lit("h"), s(d % 4 + 4)).alias("host"),
+        F.concat(F.lit("e"), s((d * 5 + 2) % 8)).alias("entity"),
+    )
+    f3 = docs.select(
+        F.concat(F.lit("h"), s(d % 8)).alias("host"),
+        F.concat(F.lit("e"), s((d * 3 + 1) % 8 + 4)).alias("entity"),
+    )
+    edges = f1.unionByName(f2).unionByName(f3)
+    return k_wing(edges, k=4, left="host", right="entity").orderBy("l", "r")
+
+
+def _k_wing_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled DuckDB twin of q208: per round, left-pair co-degrees
+    (codeg >= 2), wedge instances joined back for per-edge butterfly
+    support, simultaneous peel of every edge under k."""
+    parts = [
+        """
+        WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT l, r FROM (
+                SELECT 'h' || (doc_id % 4) AS l,
+                       'e' || ((doc_id // 4) % 4) AS r FROM documents
+                UNION ALL
+                SELECT 'h' || (doc_id % 4 + 4),
+                       'e' || ((doc_id * 5 + 2) % 8) FROM documents
+                UNION ALL
+                SELECT 'h' || (doc_id % 8),
+                       'e' || ((doc_id * 3 + 1) % 8 + 4) FROM documents
+            )
+        )"""
+    ]
+
+    def support_block(i: int, out: str) -> str:
+        return f""",
+        pairs{i} AS MATERIALIZED (
+            SELECT e1.l AS u, e2.l AS v, count(*) AS c
+            FROM e{i} e1 JOIN e{i} e2 ON e2.r = e1.r AND e1.l < e2.l
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        {out} AS MATERIALIZED (
+            SELECT w.u AS l, w.x AS r, sum(p.c - 1) AS support
+            FROM (
+                SELECT a.l AS u, b.l AS v, a.r AS x
+                FROM e{i} a JOIN e{i} b ON b.r = a.r AND a.l <> b.l
+            ) w
+            JOIN pairs{i} p
+              ON p.u = least(w.u, w.v) AND p.v = greatest(w.u, w.v)
+            GROUP BY 1, 2
+        )"""
+
+    for i in range(rounds):
+        parts.append(support_block(i, f"sup{i}"))
+        parts.append(
+            f""",
+        e{i + 1} AS MATERIALIZED (
+            SELECT l, r FROM sup{i} WHERE support >= {k}
+        )"""
+        )
+    parts.append(support_block(rounds, "fsup"))
+    parts.append(
+        f"""
+        SELECT l, r, support FROM fsup WHERE support >= {k} ORDER BY l, r"""
+    )
+    return "".join(parts)
+
+
 def _temporal_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q207: a0 = seeds at 0.0; each round joins
     the live arrivals onto edges with the time-respecting t >= arr
@@ -6755,6 +6837,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q205_seed_distance": q205_seed_distance,
         "q206_single_linkage": q206_single_linkage,
         "q207_temporal_reach": q207_temporal_reach,
+        "q208_k_wing": q208_k_wing,
     }
 
 
@@ -10532,4 +10615,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q206_single_linkage"] = _SINGLE_LINKAGE_ORACLE_SQL
     # q207: all 4 time-respecting relaxation rounds unrolled
     out["q207_temporal_reach"] = _temporal_oracle_sql(rounds=4)
+    # q208: 4 simultaneous-peel rounds (>= the observed fixpoint) unrolled
+    out["q208_k_wing"] = _k_wing_oracle_sql(k=4, rounds=4)
     return out

@@ -12,7 +12,11 @@ from itertools import combinations
 import numpy as np
 import pytest
 
-from spanluke_spark.graph.bipartite import butterfly_counts, butterfly_stats
+from spanluke_spark.graph.bipartite import (
+    butterfly_counts,
+    butterfly_stats,
+    k_wing,
+)
 from spanluke_spark.graph.paths import earliest_arrival, sssp
 
 
@@ -97,6 +101,75 @@ def test_butterflies_skewed_side_pivot(spark):
     # pairs (l0,l1): co-neighbors {rhub, r1, r2} = 3 -> C(3,2) = 3;
     # every other pair shares only rhub -> 0
     assert butterfly_stats(df).collect()[0]["n_butterflies"] == 3
+
+
+def ref_edge_support(edges):
+    """Per-edge butterfly support by direct enumeration."""
+    nbrs = defaultdict(set)
+    for l, r in set(edges):
+        nbrs[l].add(r)
+    sup = defaultdict(int)
+    for u, v in combinations(sorted(nbrs), 2):
+        common = nbrs[u] & nbrs[v]
+        c = len(common)
+        if c >= 2:
+            for x in common:
+                sup[(u, x)] += c - 1
+                sup[(v, x)] += c - 1
+    return dict(sup)
+
+
+def ref_k_wing(edges, k):
+    """Simultaneous peel to fixpoint, final supports recomputed."""
+    e = set(edges)
+    while True:
+        sup = ref_edge_support(e)
+        kept = {uv for uv in e if sup.get(uv, 0) >= k}
+        if kept == e:
+            break
+        e = kept
+    sup = ref_edge_support(e)
+    return {uv: s for uv, s in sup.items() if uv in e and s >= k}
+
+
+def test_k_wing_closed_form_k33(spark):
+    # K_{3,3} + pendant: every core edge in 2*2 = 4 butterflies
+    edges = [(f"l{i}", f"r{j}") for i in range(3) for j in range(3)]
+    edges.append(("l9", "r0"))
+    df = spark.createDataFrame(edges, ["left", "right"])
+    got = {(r["l"], r["r"]): r["support"] for r in k_wing(df, 4).collect()}
+    assert got == {(f"l{i}", f"r{j}"): 4 for i in range(3) for j in range(3)}
+    assert k_wing(df, 5).count() == 0
+
+
+def test_k_wing_random_parity(spark):
+    rng = np.random.default_rng(208)
+    for _ in range(3):
+        edges = [
+            (f"l{a}", f"r{b}") for a, b in rng.integers(0, 6, (40, 2))
+        ]
+        df = spark.createDataFrame(edges, ["left", "right"])
+        for k in (1, 3, 6):
+            ref = ref_k_wing(edges, k)
+            got = {
+                (r["l"], r["r"]): r["support"]
+                for r in k_wing(df, k).collect()
+            }
+            assert got == ref
+
+
+def test_k_wing_cascade_peel(spark):
+    # chain of overlapping K_{2,2}s: the tail squares depend on each
+    # other, so peeling at k=2 cascades over multiple rounds
+    edges = []
+    for i in range(5):
+        edges += [
+            (f"l{i}", f"r{i}"), (f"l{i}", f"r{i+1}"),
+            (f"l{i+1}", f"r{i}"), (f"l{i+1}", f"r{i+1}"),
+        ]
+    df = spark.createDataFrame(edges, ["left", "right"])
+    got = {(r["l"], r["r"]): r["support"] for r in k_wing(df, 2).collect()}
+    assert got == ref_k_wing(edges, 2)
 
 
 def test_sssp_random_parity(spark):

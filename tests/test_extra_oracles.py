@@ -196,6 +196,7 @@ EXTRA_NAMES = [
         "q205_seed_distance",
         "q206_single_linkage",
         "q207_temporal_reach",
+        "q208_k_wing",
 ]
 
 
