@@ -4783,6 +4783,51 @@ def _k_wing_oracle_sql(k: int, rounds: int) -> str:
     return "".join(parts)
 
 
+def q209_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded ranking quality: nDCG@5 per query over a deterministic
+    20-query result set (pseudo-scores mod 13 force heavy score ties,
+    grades 0-3) — the ties are the point: both tie-break rules are part
+    of the contract and the oracle replays the exact ranks."""
+    from spanluke_spark.evaluation.ranking import ndcg_at_k
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    results = docs.select(
+        (d % 20).alias("query_id"),
+        d.alias("doc_id"),
+        ((d * 7) % 13).cast("double").alias("score"),
+        ((d * 3) % 4).cast("double").alias("rel"),
+    )
+    return (
+        ndcg_at_k(results, k=5)
+        .select("query_id", F.round("ndcg", 6).alias("ndcg"))
+        .orderBy("query_id")
+    )
+
+
+_NDCG_ORACLE_SQL = """
+        WITH r AS (
+            SELECT doc_id % 20 AS q, doc_id AS d,
+                   CAST((doc_id * 7) % 13 AS DOUBLE) AS s,
+                   CAST((doc_id * 3) % 4 AS DOUBLE) AS g
+            FROM documents
+        ),
+        ranked AS (
+            SELECT q, pow(2.0, g) - 1.0 AS gain,
+                   row_number() OVER (PARTITION BY q ORDER BY s DESC, d ASC) AS sr,
+                   row_number() OVER (PARTITION BY q ORDER BY g DESC, d ASC) AS ir
+            FROM r
+        )
+        SELECT q AS query_id,
+               round(CASE
+                   WHEN sum(CASE WHEN ir <= 5 THEN gain / log2(ir + 1.0) ELSE 0 END) > 0
+                   THEN sum(CASE WHEN sr <= 5 THEN gain / log2(sr + 1.0) ELSE 0 END)
+                      / sum(CASE WHEN ir <= 5 THEN gain / log2(ir + 1.0) ELSE 0 END)
+                   ELSE 0.0 END, 6) AS ndcg
+        FROM ranked GROUP BY q ORDER BY query_id
+"""
+
+
 def _temporal_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q207: a0 = seeds at 0.0; each round joins
     the live arrivals onto edges with the time-respecting t >= arr
@@ -6838,6 +6883,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q206_single_linkage": q206_single_linkage,
         "q207_temporal_reach": q207_temporal_reach,
         "q208_k_wing": q208_k_wing,
+        "q209_ndcg": q209_ndcg,
     }
 
 
@@ -10617,4 +10663,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q207_temporal_reach"] = _temporal_oracle_sql(rounds=4)
     # q208: 4 simultaneous-peel rounds (>= the observed fixpoint) unrolled
     out["q208_k_wing"] = _k_wing_oracle_sql(k=4, rounds=4)
+    # q209: both rank windows replayed with the stated tie-breaks
+    out["q209_ndcg"] = _NDCG_ORACLE_SQL
     return out

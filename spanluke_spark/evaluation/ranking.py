@@ -1,0 +1,77 @@
+"""Graded ranking quality — nDCG@k over (query, doc, score, relevance).
+
+Completes the retrieval-eval surface: kge_eval.py covers binary-target
+rank metrics (MRR / Hits@k), dedup_eval covers pair recall; what was
+missing is the GRADED metric every search/ANN quality loop reports —
+how well do BM25 / hybrid-RRF / ANN rankings order documents whose
+relevance is a grade, not a bit (Järvelin & Kekäläinen, TOIS 2002).
+
+Pure relational: two keyed windows (system rank by score, ideal rank by
+grade) + one hash aggregate per query — no Python, no driver loops, one
+shuffle on the query key. Deterministic tie-breaks (doc id) so the
+DuckDB oracle reproduces every rank and the metric bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["ndcg_at_k"]
+
+
+def ndcg_at_k(
+    results: DataFrame,
+    k: int = 10,
+    query: str = "query_id",
+    doc: str = "doc_id",
+    score: str = "score",
+    rel: str = "rel",
+) -> DataFrame:
+    """results(query_id, doc_id, score, rel) -> (query_id, ndcg).
+
+    ndcg = DCG@k(system order) / DCG@k(ideal order), with the standard
+    exponential gain (2^rel - 1) / log2(rank + 1); rel <= 0 rows carry
+    zero gain but still occupy system ranks (retrieving junk at rank 1
+    costs you). Ties: system order breaks by doc id ascending, ideal
+    order by (grade desc, doc id asc) — both stated so the oracle can
+    replay ranks exactly. Queries whose ideal DCG is 0 (no relevant doc
+    retrieved at all) report ndcg 0.0, the scikit-learn convention.
+    """
+    r = results.select(
+        F.col(query).alias("q"),
+        F.col(doc).alias("d"),
+        F.col(score).cast("double").alias("s"),
+        F.col(rel).cast("double").alias("g"),
+    )
+    gain = F.pow(F.lit(2.0), F.col("g")) - 1.0
+    sys_rank = F.row_number().over(
+        Window.partitionBy("q").orderBy(F.col("s").desc(), F.col("d").asc())
+    )
+    ideal_rank = F.row_number().over(
+        Window.partitionBy("q").orderBy(F.col("g").desc(), F.col("d").asc())
+    )
+    ranked = r.select(
+        "q",
+        gain.alias("gain"),
+        sys_rank.alias("sr"),
+        ideal_rank.alias("ir"),
+    )
+    dcg = F.sum(
+        F.when(F.col("sr") <= k, F.col("gain") / F.log2(F.col("sr") + 1.0))
+        .otherwise(0.0)
+    )
+    idcg = F.sum(
+        F.when(F.col("ir") <= k, F.col("gain") / F.log2(F.col("ir") + 1.0))
+        .otherwise(0.0)
+    )
+    return (
+        ranked.groupBy(F.col("q").alias(query))
+        .agg(dcg.alias("_dcg"), idcg.alias("_idcg"))
+        .select(
+            query,
+            F.when(F.col("_idcg") > 0, F.col("_dcg") / F.col("_idcg"))
+            .otherwise(F.lit(0.0))
+            .alias("ndcg"),
+        )
+    )

@@ -197,6 +197,7 @@ EXTRA_NAMES = [
         "q206_single_linkage",
         "q207_temporal_reach",
         "q208_k_wing",
+        "q209_ndcg",
 ]
 
 
