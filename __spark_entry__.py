@@ -4828,6 +4828,97 @@ _NDCG_ORACLE_SQL = """
 """
 
 
+def q210_corr_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation clustering (deterministic parallel pivot) over a noisy
+    match graph: star clusters around permutation-local-minimum pivots —
+    NOT the transitive closure, so one bad match edge cannot chain two
+    entities into a giant component. Priority is the injective modulus
+    permutation (v*4421+17) % 10007 that the oracle replays exactly; 8
+    rounds is past the observed fixpoint (extra rounds are no-ops on an
+    empty live set, so the unroll count only needs to be an upper bound).
+    """
+    from spanluke_spark.canon.corrclust import pivot_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    g1 = docs.select((d % 240).alias("a"), ((d * 31 + 7) % 240).alias("b"))
+    g2 = docs.filter(d % 5 < 2).select(
+        ((d * 13 + 5) % 240).alias("a"), ((d * 57 + 13) % 240).alias("b")
+    )
+    edges = g1.unionByName(g2)
+    return pivot_clusters(
+        edges,
+        rounds=8,
+        priority_fn=lambda c: (c * 4421 + 17) % 10007,
+    ).orderBy("node")
+
+
+def _corrclust_oracle_sql(rounds: int) -> str:
+    """Unrolled DuckDB twin of q210: per round — live-edge restriction,
+    per-node min neighbor priority, local-minimum pivots, min-priority
+    adjacent-pivot assignment, EXCEPT off the live set."""
+    parts = [
+        """
+        WITH gen AS (
+            SELECT doc_id % 240 AS u, (doc_id * 31 + 7) % 240 AS v
+            FROM documents
+            UNION ALL
+            SELECT (doc_id * 13 + 5) % 240, (doc_id * 57 + 13) % 240
+            FROM documents WHERE doc_id % 5 < 2
+        ),
+        sym AS MATERIALIZED (
+            SELECT DISTINCT u, v FROM (
+                SELECT u, v FROM gen WHERE u <> v
+                UNION ALL
+                SELECT v, u FROM gen WHERE u <> v
+            )
+        ),
+        n0 AS (SELECT DISTINCT u AS node FROM sym)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+        e{i} AS MATERIALIZED (
+            SELECT s.u, s.v FROM sym s
+            JOIN n{i} x ON x.node = s.u
+            JOIN n{i} y ON y.node = s.v
+        ),
+        nm{i} AS (
+            SELECT u, min((v * 4421 + 17) % 10007) AS mn FROM e{i} GROUP BY u
+        ),
+        piv{i} AS MATERIALIZED (
+            SELECT n.node FROM n{i} n LEFT JOIN nm{i} m ON m.u = n.node
+            WHERE m.mn IS NULL OR (n.node * 4421 + 17) % 10007 < m.mn
+        ),
+        asg{i} AS MATERIALIZED (
+            SELECT node, cluster FROM (
+                SELECT e.u AS node, p.node AS cluster,
+                       row_number() OVER (
+                           PARTITION BY e.u
+                           ORDER BY (p.node * 4421 + 17) % 10007) AS rn
+                FROM e{i} e JOIN piv{i} p ON p.node = e.v
+                WHERE e.u NOT IN (SELECT node FROM piv{i})
+            ) WHERE rn = 1
+            UNION ALL
+            SELECT node, node FROM piv{i}
+        ),
+        n{i + 1} AS MATERIALIZED (
+            SELECT node FROM n{i}
+            EXCEPT SELECT node FROM asg{i}
+        )"""
+        )
+    union = "\n            UNION ALL ".join(
+        f"SELECT node, cluster FROM asg{i}" for i in range(rounds)
+    )
+    parts.append(
+        f"""
+        SELECT node, cluster FROM (
+            {union}
+        ) ORDER BY node"""
+    )
+    return "".join(parts)
+
+
 def _temporal_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q207: a0 = seeds at 0.0; each round joins
     the live arrivals onto edges with the time-respecting t >= arr
@@ -6884,6 +6975,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q207_temporal_reach": q207_temporal_reach,
         "q208_k_wing": q208_k_wing,
         "q209_ndcg": q209_ndcg,
+        "q210_corr_clustering": q210_corr_clustering,
     }
 
 
@@ -10665,4 +10757,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q208_k_wing"] = _k_wing_oracle_sql(k=4, rounds=4)
     # q209: both rank windows replayed with the stated tie-breaks
     out["q209_ndcg"] = _NDCG_ORACLE_SQL
+    # q210: 8 pivot rounds unrolled (past the fixpoint; extras are no-ops)
+    out["q210_corr_clustering"] = _corrclust_oracle_sql(rounds=8)
     return out

@@ -198,6 +198,7 @@ EXTRA_NAMES = [
         "q207_temporal_reach",
         "q208_k_wing",
         "q209_ndcg",
+        "q210_corr_clustering",
 ]
 
 
