@@ -4853,6 +4853,60 @@ def q210_corr_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def q211_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring self-trained on the corpus
+    (the smoothing KenLM uses — the closest in-sandbox stand-in for the
+    CCNet perplexity filter): absolute discount D=0.75 interpolated with
+    the add-k-floored continuation probability. Self-training never takes
+    the unseen-context branch, so the oracle replays the seen path plus
+    the Pcont-only first-token path; the pytest drives every branch with
+    a train-on-A-score-on-B split."""
+    from spanluke_spark.textops.lm_score import kneser_ney_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return kneser_ney_scores(docs).orderBy("doc_id")
+
+
+_KNESER_NEY_ORACLE_SQL = """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        uni AS (SELECT unnest(t) AS w FROM toks),
+        vocab AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        vs AS (SELECT count(*)::DOUBLE AS v FROM vocab),
+        bigl AS (
+            SELECT doc_id,
+                   list_transform(range(2, len(t) + 1),
+                       i -> struct_pack(a := t[i-1], b := t[i])) AS pl
+            FROM toks WHERE len(t) >= 2
+        ),
+        bgr AS (SELECT doc_id, unnest(pl, recursive := true) FROM bigl),
+        bc AS (SELECT a, b, count(*) AS cb FROM bgr GROUP BY a, b),
+        cx AS (SELECT a, sum(cb)::DOUBLE AS ca, count(*)::DOUBLE AS n1f
+               FROM bc GROUP BY a),
+        cont AS (SELECT b, count(*)::DOUBLE AS n1r FROM bc GROUP BY b),
+        gs AS (SELECT count(*)::DOUBLE AS nbig FROM bc),
+        firsts AS (
+            SELECT toks.doc_id,
+                   -log2((coalesce(cont.n1r, 0) + 0.5)
+                         / (gs.nbig + 0.5 * (vs.v + 1))) AS bits
+            FROM toks CROSS JOIN gs CROSS JOIN vs
+            LEFT JOIN cont ON cont.b = t[1]
+        ),
+        rests AS (
+            SELECT bgr.doc_id,
+                   -log2(greatest(bc.cb - 0.75, 0) / cx.ca
+                         + 0.75 * cx.n1f / cx.ca
+                           * ((cont.n1r + 0.5)
+                              / (gs.nbig + 0.5 * (vs.v + 1)))) AS bits
+            FROM bgr JOIN bc USING (a, b) JOIN cx USING (a)
+            JOIN cont USING (b) CROSS JOIN gs CROSS JOIN vs
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               round(avg(bits), 6) AS bits_per_token
+        FROM (SELECT * FROM firsts UNION ALL SELECT * FROM rests)
+        GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -6976,6 +7030,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q208_k_wing": q208_k_wing,
         "q209_ndcg": q209_ndcg,
         "q210_corr_clustering": q210_corr_clustering,
+        "q211_kneser_ney": q211_kneser_ney,
     }
 
 
@@ -10759,4 +10814,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q209_ndcg"] = _NDCG_ORACLE_SQL
     # q210: 8 pivot rounds unrolled (past the fixpoint; extras are no-ops)
     out["q210_corr_clustering"] = _corrclust_oracle_sql(rounds=8)
+    # q211: seen-path KN formula + Pcont first tokens (self-trained)
+    out["q211_kneser_ney"] = _KNESER_NEY_ORACLE_SQL
     return out

@@ -152,3 +152,100 @@ def bigram_lm_scores(
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+def kneser_ney_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_df: DataFrame | None = None,
+    discount: float = 0.75,
+    k: float = 0.5,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
+    Goodman 1999 eq. 4.27) — the smoothing KenLM itself uses, one rung
+    above stupid backoff: (id, n_tokens, bits_per_token) where
+
+      P(b|a) = max(c(ab) - D, 0)/c(a.) + D * N1+(a.)/c(a.) * Pcont(b)
+
+    with continuation probability Pcont(b) = (N1+(.b) + k)/(N + k(V+1))
+    over N distinct bigram types and V vocabulary words (the add-k floor
+    covers words never seen as a continuation and OOV — a deviation from
+    the textbook formula, which leaves them at zero and -inf bits; same
+    smoothing constant the unigram module uses). First tokens and tokens
+    after an UNSEEN context both score under Pcont alone.
+
+    ``train_df`` (default: ``df``) fixes the counting corpus; self-
+    training never takes the unseen-context branch, which is what the
+    oracle replays — the train-on-A-score-on-B pytest drives every
+    branch. Shape: three count aggregates over the training corpus with
+    map-side partials, one broadcast (or shuffle) join per model table
+    keyed on the token; no Python rows anywhere.
+    """
+    src = train_df if train_df is not None else df
+    toks = lambda frame: frame.withColumn(  # noqa: E731
+        "_t", F.split(F.col(text_col), " ")
+    )
+    pairs_expr = F.expr(
+        "CASE WHEN size(_t) >= 2 THEN"
+        " transform(sequence(1, size(_t) - 1),"
+        " i -> struct(_t[i-1] AS a, _t[i] AS b))"
+        " ELSE array() END"
+    )
+
+    vocab = src.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    big = (
+        toks(src)
+        .select(F.explode(pairs_expr).alias("_p"))
+        .select("_p.a", "_p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    ctx = big.groupBy("a").agg(
+        F.sum("cb").alias("ca"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = big.groupBy("b").agg(F.count(F.lit(1)).alias("n1r"))
+    stats = big.agg(F.count(F.lit(1)).alias("nbig")).crossJoin(
+        F.broadcast(vocab.agg(F.count(F.lit(1)).alias("v")))
+    )
+    maybe_b = F.broadcast if broadcast_model else (lambda x: x)
+
+    d = F.lit(float(discount))
+    pcont = (F.coalesce(F.col("n1r"), F.lit(0)) + F.lit(k)) / (
+        F.col("nbig") + F.lit(k) * (F.col("v") + 1)
+    )
+    first = (
+        toks(df)
+        .select(F.col(id_col).alias("id"), F.col("_t")[0].alias("b"))
+        .join(maybe_b(cont), "b", "left")
+        .crossJoin(F.broadcast(stats))
+        .select("id", (-F.log2(pcont)).alias("bits"))
+    )
+    p_kn = F.when(
+        F.col("ca").isNotNull(),
+        F.greatest(F.coalesce(F.col("cb"), F.lit(0)) - d, F.lit(0.0))
+        / F.col("ca")
+        + d * F.col("n1f") / F.col("ca") * pcont,
+    ).otherwise(pcont)
+    rest = (
+        toks(df)
+        .select(F.col(id_col).alias("id"), F.explode(pairs_expr).alias("_p"))
+        .select("id", "_p.a", "_p.b")
+        .join(maybe_b(big), ["a", "b"], "left")
+        .join(maybe_b(ctx), "a", "left")
+        .join(maybe_b(cont), "b", "left")
+        .crossJoin(F.broadcast(stats))
+        .select("id", (-F.log2(p_kn)).alias("bits"))
+    )
+    return (
+        first.unionByName(rest)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("bits"), 6).alias("bits_per_token"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

@@ -199,6 +199,7 @@ EXTRA_NAMES = [
         "q208_k_wing",
         "q209_ndcg",
         "q210_corr_clustering",
+        "q211_kneser_ney",
 ]
 
 
