@@ -4907,6 +4907,53 @@ _KNESER_NEY_ORACLE_SQL = """
 """
 
 
+def q212_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS, SIGMOD 2003) over the first 80 chars
+    of each document: k=5 char grams, window w=4, rightmost-min tie rule.
+    Every selection is replayed by the oracle — the same portable md5
+    gram hash, the same per-window (h ASC, pos DESC) argmin."""
+    from spanluke_spark.dedup.winnow import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    clipped = docs.select(
+        "doc_id", F.substring("text", 1, 80).alias("text")
+    )
+    return winnow_fingerprints(clipped, k=5, w=4).orderBy(
+        "doc_id", "pos", "fp"
+    )
+
+
+_WINNOW_ORACLE_SQL = """
+        WITH d AS (SELECT doc_id, substr(text, 1, 80) AS text FROM documents),
+        gp AS (
+            SELECT doc_id, text,
+                   unnest(range(0, greatest(len(text) - 4, 0))) AS pos
+            FROM d
+        ),
+        g AS (
+            SELECT doc_id, pos,
+                   ('0x' || substr(md5(substr(text, CAST(pos AS INT) + 1, 5)),
+                                   1, 15))::BIGINT AS h
+            FROM gp
+        ),
+        m AS (SELECT doc_id, count(*) AS m FROM g GROUP BY doc_id),
+        wins AS (
+            SELECT g.doc_id, g.pos AS p
+            FROM g JOIN m USING (doc_id)
+            WHERE g.pos >= least(4, m.m) - 1
+        ),
+        cand AS (
+            SELECT w.doc_id, w.p, gj.pos, gj.h,
+                   row_number() OVER (PARTITION BY w.doc_id, w.p
+                                      ORDER BY gj.h ASC, gj.pos DESC) AS rn
+            FROM wins w JOIN g gj ON gj.doc_id = w.doc_id
+             AND gj.pos BETWEEN greatest(w.p - 3, 0) AND w.p
+        )
+        SELECT DISTINCT doc_id, pos, h AS fp FROM cand WHERE rn = 1
+        ORDER BY doc_id, pos, fp
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -7031,6 +7078,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q209_ndcg": q209_ndcg,
         "q210_corr_clustering": q210_corr_clustering,
         "q211_kneser_ney": q211_kneser_ney,
+        "q212_winnowing": q212_winnowing,
     }
 
 
@@ -10816,4 +10864,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q210_corr_clustering"] = _corrclust_oracle_sql(rounds=8)
     # q211: seen-path KN formula + Pcont first tokens (self-trained)
     out["q211_kneser_ney"] = _KNESER_NEY_ORACLE_SQL
+    # q212: every per-window rightmost-min selection replayed
+    out["q212_winnowing"] = _WINNOW_ORACLE_SQL
     return out

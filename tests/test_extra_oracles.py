@@ -200,6 +200,7 @@ EXTRA_NAMES = [
         "q209_ndcg",
         "q210_corr_clustering",
         "q211_kneser_ney",
+        "q212_winnowing",
 ]
 
 
