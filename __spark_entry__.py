@@ -4954,6 +4954,73 @@ _WINNOW_ORACLE_SQL = """
 """
 
 
+def q213_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori frequent itemsets (sizes 1-3, min_support=4 baskets) over
+    a 40-basket co-mention fixture whose item sets are fixed per basket
+    class (modulus arithmetic), so supports are SF-invariant once every
+    class is populated. The oracle replays L1 -> L2 -> pruned L3 with
+    the same HAVING thresholds."""
+    from spanluke_spark.textops.itemsets import frequent_itemsets
+
+    docs = _t(spark, sf_dir, "documents")
+    b = (F.col("doc_id") % 40).alias("basket")
+    mk = lambda expr: docs.select(  # noqa: E731
+        b, F.concat(F.lit("e"), (expr % 8).cast("string")).alias("item")
+    )
+    bid = F.col("doc_id") % 40
+    baskets = (
+        mk(bid)
+        .unionByName(mk(bid * 3 + 1))
+        .unionByName(mk(bid * 5 + 2))
+        .unionByName(mk(bid * 7 + 3))
+    )
+    return frequent_itemsets(baskets, min_support=4).orderBy(
+        "size", "itemset"
+    )
+
+
+_ITEMSETS_ORACLE_SQL = """
+        WITH raw AS (
+            SELECT doc_id % 40 AS bid,
+                   'e' || ((doc_id % 40) % 8) AS i FROM documents
+            UNION ALL
+            SELECT doc_id % 40, 'e' || (((doc_id % 40) * 3 + 1) % 8)
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 40, 'e' || (((doc_id % 40) * 5 + 2) % 8)
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 40, 'e' || (((doc_id % 40) * 7 + 3) % 8)
+            FROM documents
+        ),
+        b AS (SELECT DISTINCT bid, i FROM raw),
+        l1 AS (SELECT i, count(*) AS support FROM b
+               GROUP BY i HAVING count(*) >= 4),
+        bf AS (SELECT b.bid, b.i FROM b JOIN l1 USING (i)),
+        p AS (SELECT x.bid, x.i AS i1, y.i AS i2
+              FROM bf x JOIN bf y ON y.bid = x.bid AND x.i < y.i),
+        l2 AS (SELECT i1, i2, count(*) AS support FROM p
+               GROUP BY i1, i2 HAVING count(*) >= 4),
+        fp AS (SELECT p.bid, p.i1, p.i2 FROM p JOIN l2 USING (i1, i2)),
+        t AS (
+            SELECT fp.bid, fp.i1, fp.i2, z.i AS i3
+            FROM fp JOIN bf z ON z.bid = fp.bid AND fp.i2 < z.i
+            WHERE EXISTS (SELECT 1 FROM l2 w
+                          WHERE w.i1 = fp.i1 AND w.i2 = z.i)
+              AND EXISTS (SELECT 1 FROM l2 w
+                          WHERE w.i1 = fp.i2 AND w.i2 = z.i)
+        ),
+        l3 AS (SELECT i1, i2, i3, count(*) AS support FROM t
+               GROUP BY i1, i2, i3 HAVING count(*) >= 4)
+        SELECT 1 AS size, i AS itemset, support FROM l1
+        UNION ALL
+        SELECT 2, i1 || '|' || i2, support FROM l2
+        UNION ALL
+        SELECT 3, i1 || '|' || i2 || '|' || i3, support FROM l3
+        ORDER BY size, itemset
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -7079,6 +7146,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q210_corr_clustering": q210_corr_clustering,
         "q211_kneser_ney": q211_kneser_ney,
         "q212_winnowing": q212_winnowing,
+        "q213_frequent_itemsets": q213_frequent_itemsets,
     }
 
 
@@ -10866,4 +10934,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q211_kneser_ney"] = _KNESER_NEY_ORACLE_SQL
     # q212: every per-window rightmost-min selection replayed
     out["q212_winnowing"] = _WINNOW_ORACLE_SQL
+    # q213: L1 -> L2 -> pruned L3 with the same support HAVINGs
+    out["q213_frequent_itemsets"] = _ITEMSETS_ORACLE_SQL
     return out

@@ -201,6 +201,7 @@ EXTRA_NAMES = [
         "q210_corr_clustering",
         "q211_kneser_ney",
         "q212_winnowing",
+        "q213_frequent_itemsets",
 ]
 
 
