@@ -5021,6 +5021,66 @@ _ITEMSETS_ORACLE_SQL = """
 """
 
 
+def q214_allen_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen interval relations between validity intervals of facts
+    sharing a subject: 120 distinct facts (modulus-collapsed, so pair
+    count is SF-invariant), 4 per subject, intervals chosen so equals /
+    meets / containment cases all occur. Oracle replays the exact CASE
+    chain."""
+    from spanluke_spark.graph.intervals import allen_relations
+
+    docs = _t(spark, sf_dir, "documents")
+    facts = (
+        docs.select((F.col("doc_id") % 120).alias("fact_id"))
+        .distinct()
+        .select(
+            "fact_id",
+            F.concat(
+                F.lit("s"), (F.col("fact_id") % 30).cast("string")
+            ).alias("subj"),
+            ((F.col("fact_id") * 7) % 20).alias("start"),
+            (
+                (F.col("fact_id") * 7) % 20
+                + (F.col("fact_id") * 3) % 5
+                + 1
+            ).alias("end"),
+        )
+    )
+    return allen_relations(facts).orderBy("key", "id_a", "id_b")
+
+
+_ALLEN_ORACLE_SQL = """
+        WITH f AS (
+            SELECT DISTINCT doc_id % 120 AS fact_id FROM documents
+        ),
+        iv AS (
+            SELECT fact_id, 's' || (fact_id % 30) AS key,
+                   (fact_id * 7) % 20 AS s,
+                   (fact_id * 7) % 20 + (fact_id * 3) % 5 + 1 AS e
+            FROM f
+        )
+        SELECT a.key, a.fact_id AS id_a, b.fact_id AS id_b,
+               CASE
+                   WHEN a.s = b.s AND a.e = b.e THEN 'equals'
+                   WHEN a.e < b.s THEN 'before'
+                   WHEN b.e < a.s THEN 'after'
+                   WHEN a.e = b.s THEN 'meets'
+                   WHEN b.e = a.s THEN 'met_by'
+                   WHEN a.s = b.s AND a.e < b.e THEN 'starts'
+                   WHEN a.s = b.s AND a.e > b.e THEN 'started_by'
+                   WHEN a.e = b.e AND a.s > b.s THEN 'finishes'
+                   WHEN a.e = b.e AND a.s < b.s THEN 'finished_by'
+                   WHEN a.s > b.s AND a.e < b.e THEN 'during'
+                   WHEN a.s < b.s AND a.e > b.e THEN 'contains'
+                   WHEN a.s < b.s AND b.s < a.e AND a.e < b.e
+                       THEN 'overlaps'
+                   ELSE 'overlapped_by'
+               END AS relation
+        FROM iv a JOIN iv b ON b.key = a.key AND a.fact_id < b.fact_id
+        ORDER BY a.key, id_a, id_b
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -7147,6 +7207,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q211_kneser_ney": q211_kneser_ney,
         "q212_winnowing": q212_winnowing,
         "q213_frequent_itemsets": q213_frequent_itemsets,
+        "q214_allen_intervals": q214_allen_intervals,
     }
 
 
@@ -10936,4 +10997,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q212_winnowing"] = _WINNOW_ORACLE_SQL
     # q213: L1 -> L2 -> pruned L3 with the same support HAVINGs
     out["q213_frequent_itemsets"] = _ITEMSETS_ORACLE_SQL
+    # q214: the exact 13-way CASE chain on the SF-invariant fact set
+    out["q214_allen_intervals"] = _ALLEN_ORACLE_SQL
     return out

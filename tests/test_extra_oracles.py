@@ -202,6 +202,7 @@ EXTRA_NAMES = [
         "q211_kneser_ney",
         "q212_winnowing",
         "q213_frequent_itemsets",
+        "q214_allen_intervals",
 ]
 
 
