@@ -5081,6 +5081,42 @@ _ALLEN_ORACLE_SQL = """
 """
 
 
+def q215_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over two synthesized quasi-
+    identifiers (region x age band) with a sensitive case-outcome
+    column: per-class size, distinct-sensitive count, both flags, and
+    the 1/size re-identification risk bound."""
+    from spanluke_spark.textops.privacy import k_anonymity_report
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    rows = docs.select(
+        F.concat(F.lit("z"), (d % 15).cast("string")).alias("zip3"),
+        F.concat(F.lit("a"), ((d * 3) % 4).cast("string")).alias("age_band"),
+        F.concat(F.lit("c"), ((d * 7) % 6).cast("string")).alias("outcome"),
+    )
+    return k_anonymity_report(
+        rows, ["zip3", "age_band"], "outcome", k=5, l_div=2
+    ).orderBy("zip3", "age_band")
+
+
+_K_ANONYMITY_ORACLE_SQL = """
+        WITH r AS (
+            SELECT 'z' || (doc_id % 15) AS zip3,
+                   'a' || ((doc_id * 3) % 4) AS age_band,
+                   'c' || ((doc_id * 7) % 6) AS outcome
+            FROM documents
+        )
+        SELECT zip3, age_band,
+               count(*) AS class_size,
+               count(DISTINCT outcome) AS n_sensitive,
+               count(*) >= 5 AS k_anonymous,
+               count(DISTINCT outcome) >= 2 AS l_diverse,
+               round(1.0 / count(*), 6) AS reid_risk
+        FROM r GROUP BY zip3, age_band ORDER BY zip3, age_band
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -7208,6 +7244,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q212_winnowing": q212_winnowing,
         "q213_frequent_itemsets": q213_frequent_itemsets,
         "q214_allen_intervals": q214_allen_intervals,
+        "q215_k_anonymity": q215_k_anonymity,
     }
 
 
@@ -10999,4 +11036,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q213_frequent_itemsets"] = _ITEMSETS_ORACLE_SQL
     # q214: the exact 13-way CASE chain on the SF-invariant fact set
     out["q214_allen_intervals"] = _ALLEN_ORACLE_SQL
+    # q215: class sizes, exact distinct, both flags, 1/size risk
+    out["q215_k_anonymity"] = _K_ANONYMITY_ORACLE_SQL
     return out

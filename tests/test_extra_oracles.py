@@ -203,6 +203,7 @@ EXTRA_NAMES = [
         "q212_winnowing",
         "q213_frequent_itemsets",
         "q214_allen_intervals",
+        "q215_k_anonymity",
 ]
 
 
