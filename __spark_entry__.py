@@ -5117,6 +5117,62 @@ _K_ANONYMITY_ORACLE_SQL = """
 """
 
 
+def q216_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confident-joint label-noise estimation over synthesized 4-class
+    predictions: every probability is an exact multiple of 1/32 (plus
+    the 0.5 true-class boost), so the per-class threshold averages are
+    bit-identical across engines and the >= candidate comparisons can
+    never flip on summation order. ~9% of labels are corrupted (d%11);
+    the off-diagonal joint mass finds them."""
+    from spanluke_spark.evaluation.noise import confident_joint
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    true_l = (d * 3) % 4
+    noisy = F.when(d % 11 == 0, (true_l + 1) % 4).otherwise(true_l)
+    probs = F.array(
+        *[
+            ((d * (2 * j + 3) + 7 * j) % 16) / F.lit(32.0)
+            + F.when(true_l == j, F.lit(0.5)).otherwise(F.lit(0.0))
+            for j in range(4)
+        ]
+    )
+    rows = docs.select(noisy.alias("noisy_label"), probs.alias("probs"))
+    return confident_joint(rows).orderBy("noisy_label", "confident_label")
+
+
+_LABEL_NOISE_ORACLE_SQL = """
+        WITH base AS (
+            SELECT doc_id AS id, (doc_id * 3) % 4 AS true_l,
+                   CASE WHEN doc_id % 11 = 0
+                        THEN ((doc_id * 3) % 4 + 1) % 4
+                        ELSE (doc_id * 3) % 4 END AS noisy
+            FROM documents
+        ),
+        p AS (
+            SELECT id, noisy, j,
+                   ((id * (2 * j + 3) + 7 * j) % 16) / 32.0
+                   + CASE WHEN j = true_l THEN 0.5 ELSE 0.0 END AS pj
+            FROM base, (SELECT unnest([0, 1, 2, 3]) AS j)
+        ),
+        t AS (SELECT j, avg(pj) AS tj FROM p WHERE j = noisy GROUP BY j),
+        cand AS (
+            SELECT p.id, p.noisy, p.j, p.pj
+            FROM p JOIN t USING (j) WHERE p.pj >= t.tj
+        ),
+        conf AS (
+            SELECT id, noisy, j AS confident_label,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY pj DESC, j ASC) AS rn
+            FROM cand
+        )
+        SELECT noisy AS noisy_label, confident_label, count(*) AS n
+        FROM conf WHERE rn = 1
+        GROUP BY noisy, confident_label
+        ORDER BY noisy_label, confident_label
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -7245,6 +7301,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q213_frequent_itemsets": q213_frequent_itemsets,
         "q214_allen_intervals": q214_allen_intervals,
         "q215_k_anonymity": q215_k_anonymity,
+        "q216_label_noise": q216_label_noise,
     }
 
 
@@ -11038,4 +11095,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q214_allen_intervals"] = _ALLEN_ORACLE_SQL
     # q215: class sizes, exact distinct, both flags, 1/size risk
     out["q215_k_anonymity"] = _K_ANONYMITY_ORACLE_SQL
+    # q216: thresholds + candidate filter + argmax window, all replayed
+    out["q216_label_noise"] = _LABEL_NOISE_ORACLE_SQL
     return out

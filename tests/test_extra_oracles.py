@@ -204,6 +204,7 @@ EXTRA_NAMES = [
         "q213_frequent_itemsets",
         "q214_allen_intervals",
         "q215_k_anonymity",
+        "q216_label_noise",
 ]
 
 
