@@ -5173,6 +5173,66 @@ _LABEL_NOISE_ORACLE_SQL = """
 """
 
 
+def q217_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha over a 3-coder panel with MISSING
+    annotations (coder c2 labels only even items, so m varies 2/3 and
+    the 1/(m-1) coincidence weights are exactly 1.0 and 0.5 — binary-
+    exact, no summation-order drift). One row: coincidence total, Do,
+    De, alpha."""
+    from spanluke_spark.evaluation.agreement import krippendorff_alpha
+
+    docs = _t(spark, sf_dir, "documents")
+    items = docs.select((F.col("doc_id") % 60).alias("i")).distinct()
+    i = F.col("i")
+    lbl = lambda e: F.concat(F.lit("l"), (e % 4).cast("string"))  # noqa: E731
+    a0 = items.select("i", F.lit("c0").alias("coder"), lbl(i * 3).alias("label"))
+    a1 = items.select(
+        "i",
+        F.lit("c1").alias("coder"),
+        lbl(i * 3 + F.when(i % 5 == 0, 1).otherwise(0)).alias("label"),
+    )
+    a2 = items.filter(i % 2 == 0).select(
+        "i", F.lit("c2").alias("coder"), lbl(i * 7).alias("label")
+    )
+    ann = a0.unionByName(a1).unionByName(a2)
+    return krippendorff_alpha(ann, item_col="i")
+
+
+_KRIPPENDORFF_ORACLE_SQL = """
+        WITH it AS (SELECT DISTINCT doc_id % 60 AS i FROM documents),
+        ann AS (
+            SELECT i, 'c0' AS coder, 'l' || ((i * 3) % 4) AS lbl FROM it
+            UNION ALL
+            SELECT i, 'c1',
+                   'l' || ((i * 3 + CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END)
+                           % 4)
+            FROM it
+            UNION ALL
+            SELECT i, 'c2', 'l' || ((i * 7) % 4) FROM it WHERE i % 2 = 0
+        ),
+        m AS (SELECT i, count(*) AS m FROM ann GROUP BY i
+              HAVING count(*) >= 2),
+        p AS (
+            SELECT a.lbl AS la, b.lbl AS lb, 1.0 / (m.m - 1) AS w
+            FROM ann a JOIN ann b ON b.i = a.i AND a.coder <> b.coder
+            JOIN m ON m.i = a.i
+        ),
+        o AS (SELECT la, lb, sum(w) AS w FROM p GROUP BY la, lb),
+        nc AS (SELECT la, sum(w) AS n_c FROM o GROUP BY la),
+        tot AS (SELECT sum(n_c) AS n FROM nc),
+        dor AS (SELECT coalesce(sum(w), 0) AS onum FROM o WHERE la <> lb),
+        der AS (SELECT coalesce(sum(x.n_c * y.n_c), 0) AS enum_
+                FROM nc x JOIN nc y ON x.la <> y.la)
+        SELECT round(n, 6) AS n_coincidences,
+               round(onum / n, 6) AS do_rate,
+               round(enum_ / (n * (n - 1)), 6) AS de_rate,
+               CASE WHEN enum_ = 0 THEN NULL
+                    ELSE round(1 - (onum / n) / (enum_ / (n * (n - 1))), 6)
+               END AS alpha
+        FROM tot, dor, der
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -7302,6 +7362,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q214_allen_intervals": q214_allen_intervals,
         "q215_k_anonymity": q215_k_anonymity,
         "q216_label_noise": q216_label_noise,
+        "q217_krippendorff": q217_krippendorff,
     }
 
 
@@ -11097,4 +11158,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q215_k_anonymity"] = _K_ANONYMITY_ORACLE_SQL
     # q216: thresholds + candidate filter + argmax window, all replayed
     out["q216_label_noise"] = _LABEL_NOISE_ORACLE_SQL
+    # q217: coincidence matrix with exact 1.0/0.5 weights, Do/De replay
+    out["q217_krippendorff"] = _KRIPPENDORFF_ORACLE_SQL
     return out

@@ -62,3 +62,83 @@ def cohen_kappa(
             F.col("p_o") - F.col("p_e"), F.lit(1.0) - F.col("p_e")
         ).alias("kappa"),
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    item_col: str = "item",
+    coder_col: str = "coder",
+    label_col: str = "label",
+) -> DataFrame:
+    """Krippendorff's alpha for NOMINAL data (Krippendorff 2004) — the
+    agreement coefficient Cohen's kappa can't be: any number of coders,
+    missing annotations allowed (items with a single annotation are
+    excluded as unpairable rather than breaking the design).
+
+    Via the coincidence matrix: within each item with m >= 2
+    annotations, every ORDERED pair of annotations from distinct coders
+    contributes 1/(m-1) to cell (label_a, label_b);
+    Do = off-diagonal mass / n, De = sum_{c<>c'} n_c n_{c'} / (n(n-1)),
+    alpha = 1 - Do/De (NULL when De = 0 — all coincidences one label).
+
+    Shape: one duplicate-collapse aggregate, one per-item count, one
+    within-item self-join (quadratic in CODERS PER ITEM, a small
+    constant — the annotator panel, not the corpus), two label-keyed
+    aggregates. One output row.
+    """
+    ann = df.select(
+        F.col(item_col).alias("i"),
+        F.col(coder_col).alias("coder"),
+        F.col(label_col).alias("lbl"),
+    ).distinct()
+    m = ann.groupBy("i").agg(F.count(F.lit(1)).alias("m")).filter(
+        F.col("m") >= 2
+    )
+    a = ann.join(m, "i")
+    b = ann.select(
+        F.col("i"),
+        F.col("coder").alias("coder_b"),
+        F.col("lbl").alias("lbl_b"),
+    )
+    pairs = a.join(b, "i").filter(F.col("coder") != F.col("coder_b"))
+    o = pairs.groupBy(F.col("lbl").alias("la"), F.col("lbl_b").alias("lb")).agg(
+        F.sum(1.0 / (F.col("m") - 1)).alias("w")
+    )
+    nc = o.groupBy("la").agg(F.sum("w").alias("n_c"))
+    tot = nc.agg(F.sum("n_c").alias("n"))
+    d_o = o.filter(F.col("la") != F.col("lb")).agg(
+        F.coalesce(F.sum("w"), F.lit(0.0)).alias("_onum")
+    )
+    d_e = (
+        nc.crossJoin(
+            F.broadcast(nc.select(F.col("la").alias("lb"), F.col("n_c").alias("n_c2")))
+        )
+        .filter(F.col("la") != F.col("lb"))
+        .agg(F.coalesce(F.sum(F.col("n_c") * F.col("n_c2")), F.lit(0.0)).alias("_enum"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(d_o))
+        .crossJoin(F.broadcast(d_e))
+        .select(
+            F.round("n", 6).alias("n_coincidences"),
+            F.round(F.try_divide(F.col("_onum"), F.col("n")), 6).alias(
+                "do_rate"
+            ),
+            F.round(
+                F.try_divide(
+                    F.col("_enum"), F.col("n") * (F.col("n") - 1)
+                ),
+                6,
+            ).alias("de_rate"),
+            F.round(
+                F.lit(1.0)
+                - F.try_divide(
+                    F.try_divide(F.col("_onum"), F.col("n")),
+                    F.try_divide(
+                        F.col("_enum"), F.col("n") * (F.col("n") - 1)
+                    ),
+                ),
+                6,
+            ).alias("alpha"),
+        )
+    )

@@ -205,6 +205,7 @@ EXTRA_NAMES = [
         "q214_allen_intervals",
         "q215_k_anonymity",
         "q216_label_noise",
+        "q217_krippendorff",
 ]
 
 
