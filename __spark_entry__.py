@@ -5233,6 +5233,94 @@ _KRIPPENDORFF_ORACLE_SQL = """
 """
 
 
+def q218_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-horizon Brandes betweenness over a 30-node symmetric web
+    graph, all nodes as sources, horizon 3 — exact betweenness where the
+    diameter fits the horizon and the same deterministic bounded
+    quantity everywhere else. The oracle unrolls BOTH passes: 4 BFS
+    levels with sigma path counts, then dependency accumulation level by
+    level back to the sources."""
+    from spanluke_spark.graph.centrality import betweenness
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    g1 = docs.select((d % 30).alias("src"), ((d * 7 + 3) % 30).alias("dst"))
+    g2 = docs.select((d % 30).alias("src"), ((d * 11 + 5) % 30).alias("dst"))
+    return betweenness(
+        g1.unionByName(g2), max_depth=3, undirected=True
+    ).orderBy("node")
+
+
+def _betweenness_oracle_sql(depth: int) -> str:
+    """Unrolled DuckDB twin of q218: forward BFS levels with sigma sums
+    and NOT-EXISTS visited pruning, then the backward dependency pass."""
+    parts = [
+        """
+        WITH gen AS (
+            SELECT doc_id % 30 AS a, (doc_id * 7 + 3) % 30 AS b
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 30, (doc_id * 11 + 5) % 30 FROM documents
+        ),
+        e AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT a AS src, b AS dst FROM gen WHERE a <> b
+                UNION ALL
+                SELECT b, a FROM gen WHERE a <> b
+            )
+        ),
+        f0 AS MATERIALIZED (
+            SELECT DISTINCT src AS source, src AS node, 1.0 AS sigma
+            FROM e
+        ),
+        vis0 AS (SELECT source, node FROM f0)"""
+    ]
+    for l in range(1, depth + 1):
+        parts.append(
+            f""",
+        f{l} AS MATERIALIZED (
+            SELECT f.source, e.dst AS node, sum(f.sigma) AS sigma
+            FROM f{l - 1} f JOIN e ON e.src = f.node
+            WHERE NOT EXISTS (SELECT 1 FROM vis{l - 1} v
+                              WHERE v.source = f.source AND v.node = e.dst)
+            GROUP BY f.source, e.dst
+        ),
+        vis{l} AS (
+            SELECT source, node FROM vis{l - 1}
+            UNION ALL SELECT source, node FROM f{l}
+        )"""
+        )
+    parts.append(
+        f""",
+        d{depth} AS (SELECT source, node, sigma, 0.0 AS delta
+                     FROM f{depth})"""
+    )
+    for l in range(depth - 1, -1, -1):
+        parts.append(
+            f""",
+        d{l} AS MATERIALIZED (
+            SELECT u.source, u.node, u.sigma,
+                   coalesce(sum(u.sigma / v.sigma * (1 + v.delta)), 0)
+                       AS delta
+            FROM f{l} u
+            LEFT JOIN e ON e.src = u.node
+            LEFT JOIN d{l + 1} v
+              ON v.source = u.source AND v.node = e.dst
+            GROUP BY u.source, u.node, u.sigma
+        )"""
+        )
+    union = "\n            UNION ALL ".join(
+        f"SELECT source, node, delta FROM d{l}" for l in range(depth + 1)
+    )
+    parts.append(
+        f"""
+        SELECT node, round(sum(delta) / 2, 6) AS betweenness FROM (
+            {union}
+        ) WHERE node <> source GROUP BY node ORDER BY node"""
+    )
+    return "".join(parts)
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -7363,6 +7451,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q215_k_anonymity": q215_k_anonymity,
         "q216_label_noise": q216_label_noise,
         "q217_krippendorff": q217_krippendorff,
+        "q218_betweenness": q218_betweenness,
     }
 
 
@@ -11160,4 +11249,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q216_label_noise"] = _LABEL_NOISE_ORACLE_SQL
     # q217: coincidence matrix with exact 1.0/0.5 weights, Do/De replay
     out["q217_krippendorff"] = _KRIPPENDORFF_ORACLE_SQL
+    # q218: both Brandes passes unrolled (4 BFS levels + accumulation)
+    out["q218_betweenness"] = _betweenness_oracle_sql(depth=3)
     return out

@@ -206,6 +206,7 @@ EXTRA_NAMES = [
         "q215_k_anonymity",
         "q216_label_noise",
         "q217_krippendorff",
+        "q218_betweenness",
 ]
 
 
