@@ -5321,6 +5321,106 @@ def _betweenness_oracle_sql(depth: int) -> str:
     return "".join(parts)
 
 
+def q219_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with one round of Rocchio pseudo-relevance feedback (top-3
+    feedback docs, 2 expansion terms by tf*idf, top-8 final) over the
+    q121 seed queries. The oracle replays BOTH retrieval passes and the
+    expansion-term selection with the same 1e-6-rounded tie-breaks."""
+    from spanluke_spark.textops.prf import prf_search
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, query_text string"
+    )
+    return prf_search(docs, queries, topk=8, n_fb=3, n_exp=2).orderBy(
+        "query_id", "rank"
+    )
+
+
+_PRF_ORACLE_SQL = """
+        WITH q(query_id, query_text) AS (VALUES
+            (1, 'hash join merge'),
+            (2, 'stream window batch'),
+            (3, 'customer order query')),
+        toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               t -> t <> '') AS t
+            FROM documents
+        ),
+        post AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+        tf AS (SELECT term, doc_id, dl, count(*) AS tf FROM post
+               GROUP BY ALL),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        consts AS (SELECT count(*)::DOUBLE AS n_docs,
+                          sum(len(t))::DOUBLE / count(*) AS avgdl
+                   FROM toks),
+        qt1 AS (
+            SELECT DISTINCT query_id,
+                   unnest(list_filter(string_split_regex(lower(query_text),
+                                                         '[^a-z0-9]+'),
+                                      x -> x <> '')) AS term
+            FROM q
+        ),
+        s1 AS (
+            SELECT qt1.query_id, tf.doc_id,
+                   round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                             * (tf * 2.2)
+                             / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))),
+                         6) AS score
+            FROM tf JOIN qt1 USING (term) JOIN dfreq USING (term)
+            CROSS JOIN consts
+            GROUP BY qt1.query_id, tf.doc_id
+        ),
+        fb AS (
+            SELECT query_id, doc_id FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, doc_id) AS rn
+                FROM s1
+            ) WHERE rn <= 3
+        ),
+        cand AS (SELECT fb.query_id, tf.term, tf.tf
+                 FROM tf JOIN fb USING (doc_id)),
+        wts AS (
+            SELECT c.query_id, c.term,
+                   round(sum(c.tf * ln(1 + (n_docs - df + 0.5)
+                                       / (df + 0.5))), 6) AS wt
+            FROM cand c JOIN dfreq USING (term) CROSS JOIN consts
+            WHERE NOT EXISTS (SELECT 1 FROM qt1
+                              WHERE qt1.query_id = c.query_id
+                                AND qt1.term = c.term)
+            GROUP BY c.query_id, c.term
+        ),
+        expn AS (
+            SELECT query_id, term FROM (
+                SELECT query_id, term,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY wt DESC, term) AS rn
+                FROM wts
+            ) WHERE rn <= 2
+        ),
+        qt2 AS (SELECT query_id, term FROM qt1
+                UNION SELECT query_id, term FROM expn),
+        s2 AS (
+            SELECT qt2.query_id, tf.doc_id,
+                   round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                             * (tf * 2.2)
+                             / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))),
+                         6) AS score
+            FROM tf JOIN qt2 USING (term) JOIN dfreq USING (term)
+            CROSS JOIN consts
+            GROUP BY qt2.query_id, tf.doc_id
+        )
+        SELECT query_id, doc_id, score, "rank" FROM (
+            SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS "rank"
+            FROM s2
+        ) WHERE "rank" <= 8 ORDER BY query_id, "rank"
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -7452,6 +7552,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q216_label_noise": q216_label_noise,
         "q217_krippendorff": q217_krippendorff,
         "q218_betweenness": q218_betweenness,
+        "q219_rocchio_prf": q219_rocchio_prf,
     }
 
 
@@ -11251,4 +11352,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q217_krippendorff"] = _KRIPPENDORFF_ORACLE_SQL
     # q218: both Brandes passes unrolled (4 BFS levels + accumulation)
     out["q218_betweenness"] = _betweenness_oracle_sql(depth=3)
+    # q219: both BM25 passes + tf*idf expansion selection replayed
+    out["q219_rocchio_prf"] = _PRF_ORACLE_SQL
     return out

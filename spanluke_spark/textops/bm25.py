@@ -29,7 +29,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["terms_of", "build_postings", "bm25_topk"]
+__all__ = [
+    "terms_of",
+    "build_postings",
+    "bm25_topk",
+    "bm25_scores",
+    "corpus_consts",
+]
 
 
 def terms_of(text: Column) -> Column:
@@ -93,17 +99,24 @@ def bm25_topk(
         # the norm used by Lucene's default similarity.
         .distinct()
     )
+    consts = corpus_consts(docs, text_col=text_col)
+    scored = bm25_scores(postings, qterms, consts, k1=k1, b=b)
 
-    # document frequency ONLY for query terms (the full-vocab df relation
-    # would be 10^8-row at web scale — too big to broadcast); the semi-join
-    # against the tiny query-term set prunes the agg to |query terms| rows
-    df_by_term = (
-        postings.join(F.broadcast(qterms.select("term").distinct()), "term", "left_semi")
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "doc_id", "score", "rank")
     )
 
-    consts = docs.agg(
+
+def corpus_consts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """1-row (n_docs, avgdl) — the corpus constants BM25 needs; rides
+    into scoring via a broadcast crossJoin (tfidf.py/lm_score.py
+    pattern)."""
+    return docs.agg(
         F.count("*").cast("double").alias("n_docs"),
         (
             F.sum(F.size(terms_of(F.col(text_col)))).cast("double")
@@ -111,12 +124,33 @@ def bm25_topk(
         ).alias("avgdl"),
     )
 
-    scored = (
-        postings
-        # broadcast semi-side: only postings whose term occurs in some query
-        # survive; at 10^12 docs this prunes almost the entire index before
-        # any arithmetic.
-        .join(F.broadcast(qterms), "term")
+
+def bm25_scores(
+    postings: DataFrame,
+    qterms: DataFrame,
+    consts: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(query_id, doc_id, score): BM25 over an explicit (query_id, term)
+    relation — the scoring core shared by bm25_topk and the PRF second
+    pass (textops/prf.py), where the query is a TERM SET (original +
+    expansion terms), not a text string.
+
+    Document frequency is computed ONLY for query terms (the full-vocab
+    df relation would be 10^8 rows at web scale — too big to broadcast);
+    the broadcast semi-join prunes the 10^12-row postings side before
+    any arithmetic, and scores round to 1e-6 so downstream tie-breaks
+    are engine-portable."""
+    df_by_term = (
+        postings.join(
+            F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    return (
+        postings.join(F.broadcast(qterms), "term")
         .join(F.broadcast(df_by_term), "term")
         .crossJoin(F.broadcast(consts))
         .withColumn(
@@ -137,13 +171,4 @@ def bm25_topk(
         )
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("contrib"), 6).alias("score"))
-    )
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
-        .select("query_id", "doc_id", "score", "rank")
     )

@@ -207,6 +207,7 @@ EXTRA_NAMES = [
         "q216_label_noise",
         "q217_krippendorff",
         "q218_betweenness",
+        "q219_rocchio_prf",
 ]
 
 
