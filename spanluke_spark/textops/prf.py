@@ -82,7 +82,7 @@ def prf_search(
         .crossJoin(F.broadcast(consts))
         .groupBy("query_id", "term")
         .agg(F.round(F.sum(F.col("tf") * idf), 6).alias("wt"))
-        .join(q1, ["query_id", "term"], "left_anti")
+        .join(F.broadcast(q1), ["query_id", "term"], "left_anti")
         .withColumn("_rn", F.row_number().over(ww))
         .filter(F.col("_rn") <= n_exp)
         .select("query_id", "term")

@@ -598,6 +598,108 @@ def main() -> None:
         "partial_min" in mplan and "Window" not in mplan,
     )
 
+    # 37. winnowing (q212): the only Exchange is the final fingerprint
+    # dedup keyed on (id, pos, fp) — document TEXT never shuffles (the
+    # grams/windows/argmin all run inside the row as array HOFs)
+    import re as _re
+
+    from spanluke_spark.dedup.winnow import winnow_fingerprints
+
+    wdf = spark.createDataFrame(
+        [(0, "abcdefghijklmno")], "doc_id long, text string"
+    )
+    wplan = (
+        winnow_fingerprints(wdf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    wkeys = _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", wplan)
+    check(
+        "winnow_text_never_shuffles",
+        len(wkeys) == 1 and "fp" in wkeys[0] and "text" not in wkeys[0],
+        f"(exchange keys: {wkeys})",
+    )
+
+    # 38. confident joint (q216): the per-class thresholds ride in via
+    # BroadcastExchange; the probability vectors never key a shuffle
+    from spanluke_spark.evaluation.noise import confident_joint
+
+    ndf = spark.createDataFrame(
+        [(0, [0.5, 0.5])], "noisy_label long, probs array<double>"
+    )
+    nplan = (
+        confident_joint(ndf)._jdf.queryExecution().executedPlan().toString()
+    )
+    nkeys = " ".join(
+        _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", nplan)
+    )
+    check(
+        "confident_joint_thresholds_broadcast",
+        "BroadcastExchange" in nplan and "probs" not in nkeys,
+    )
+
+    # 39. Rocchio PRF (q219): every postings-side join is a broadcast
+    # hash join — the corpus-scale inverted index never sort-merge joins
+    from spanluke_spark.textops.prf import prf_search
+
+    pdocs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma")], "doc_id long, text string"
+    )
+    pq = spark.createDataFrame(
+        [(1, "alpha")], "query_id int, query_text string"
+    )
+    pplan = (
+        prf_search(pdocs, pq, topk=3, n_fb=1, n_exp=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    check("prf_postings_broadcast_only", "SortMergeJoin" not in pplan)
+
+    # 40. betweenness (q218) forward round: the sigma sum keeps its
+    # map-side partial combine, so hub frontiers cannot flood one task
+    fr = spark.createDataFrame(
+        [(1, 2, 1.0)], "source long, node long, sigma double"
+    )
+    be = spark.createDataFrame([(2, 3)], "src long, dst long")
+    bplan = (
+        fr.join(be, fr.node == be.src)
+        .groupBy("source", "dst")
+        .agg(F.sum("sigma").alias("sigma"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    check("betweenness_sigma_partial_combine", "partial_sum" in bplan)
+
+    # 41. pivot clustering (q210) neighbor-min: min(struct) keeps the
+    # partial combine (the cc.py skew argument applies verbatim)
+    pe = spark.createDataFrame([(1, 2, 5)], "u long, v long, pv long")
+    pplan2 = (
+        pe.groupBy("u")
+        .agg(F.min(F.struct("pv", "v")).alias("mn"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    check("pivot_nbrmin_partial_combine", "partial_min" in pplan2)
+
+    # 42. Kneser-Ney (q211): with broadcast_model=True the three model
+    # tables attach without any sort-merge join on the token stream
+    from spanluke_spark.textops.lm_score import kneser_ney_scores
+
+    kdf = spark.createDataFrame(
+        [(0, "a b a c"), (1, "b c")], "doc_id long, text string"
+    )
+    kplan2 = (
+        kneser_ney_scores(kdf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    check("kneser_ney_model_broadcast", "SortMergeJoin" not in kplan2)
+
     spark.stop()
     sys.exit(1 if failures else 0)
 
