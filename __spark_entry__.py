@@ -5421,6 +5421,71 @@ _PRF_ORACLE_SQL = """
 """
 
 
+def q220_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting: rake the (lang x domain) cell
+    table to pinned language AND domain marginals in 3 rounds (6
+    half-steps, every one replayed by the oracle). The corpus is
+    aggregated once; everything after is arithmetic on the 20-cell
+    table."""
+    from spanluke_spark.textops.raking import ipf_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    rows = docs.select(
+        F.concat(F.lit("l"), (d % 4).cast("string")).alias("lang"),
+        F.concat(F.lit("h"), ((d * 3) % 5).cast("string")).alias("domain"),
+    )
+    return ipf_weights(
+        rows,
+        row_targets={"l0": 0.4, "l1": 0.3, "l2": 0.2, "l3": 0.1},
+        col_targets={f"h{j}": 0.2 for j in range(5)},
+        rounds=3,
+    ).orderBy("lang", "domain")
+
+
+def _ipf_oracle_sql(rounds: int) -> str:
+    """Unrolled DuckDB twin of q220: every IPF half-step (row rake, then
+    column rake) replayed on the cell table."""
+    parts = [
+        """
+        WITH base AS (
+            SELECT 'l' || (doc_id % 4) AS lang,
+                   'h' || ((doc_id * 3) % 5) AS domain
+            FROM documents
+        ),
+        cells AS (SELECT lang, domain, count(*) AS n FROM base
+                  GROUP BY lang, domain),
+        tot AS (SELECT sum(n)::DOUBLE AS t FROM cells),
+        tr(lang, rt) AS (VALUES
+            ('l0', 0.4), ('l1', 0.3), ('l2', 0.2), ('l3', 0.1)),
+        tc(domain, ct) AS (VALUES
+            ('h0', 0.2), ('h1', 0.2), ('h2', 0.2), ('h3', 0.2),
+            ('h4', 0.2)),
+        w0 AS (SELECT lang, domain, n, n / t AS w FROM cells, tot)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+        rm{i} AS (SELECT lang, sum(w) AS rm FROM w{i} GROUP BY lang),
+        wa{i} AS (
+            SELECT w.lang, w.domain, w.n, w.w * tr.rt / rm.rm AS w
+            FROM w{i} w JOIN rm{i} rm USING (lang) JOIN tr USING (lang)
+        ),
+        cm{i} AS (SELECT domain, sum(w) AS cm FROM wa{i} GROUP BY domain),
+        w{i + 1} AS (
+            SELECT w.lang, w.domain, w.n, w.w * tc.ct / cm.cm AS w
+            FROM wa{i} w JOIN cm{i} cm USING (domain)
+            JOIN tc USING (domain)
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT lang, domain, n, round(w, 6) AS weight FROM w{rounds}
+        ORDER BY lang, domain"""
+    )
+    return "".join(parts)
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -7553,6 +7618,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q217_krippendorff": q217_krippendorff,
         "q218_betweenness": q218_betweenness,
         "q219_rocchio_prf": q219_rocchio_prf,
+        "q220_ipf_raking": q220_ipf_raking,
     }
 
 
@@ -11354,4 +11420,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q218_betweenness"] = _betweenness_oracle_sql(depth=3)
     # q219: both BM25 passes + tf*idf expansion selection replayed
     out["q219_rocchio_prf"] = _PRF_ORACLE_SQL
+    # q220: all 6 IPF half-steps unrolled on the 20-cell table
+    out["q220_ipf_raking"] = _ipf_oracle_sql(rounds=3)
     return out

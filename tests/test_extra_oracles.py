@@ -208,6 +208,7 @@ EXTRA_NAMES = [
         "q217_krippendorff",
         "q218_betweenness",
         "q219_rocchio_prf",
+        "q220_ipf_raking",
 ]
 
 
