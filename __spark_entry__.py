@@ -5486,6 +5486,77 @@ def _ipf_oracle_sql(rounds: int) -> str:
     return "".join(parts)
 
 
+def q221_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrases (top-3 per document) over the documents table with
+    the default stopword delimiters: phrase segmentation by stopword
+    running count, word degree/frequency scores, phrase-sum ranking —
+    every step replayed relationally by the oracle."""
+    from spanluke_spark.textops.rake import rake_keyphrases
+
+    docs = _t(spark, sf_dir, "documents")
+    return rake_keyphrases(docs, topk=3).orderBy("doc_id", "rank")
+
+
+_RAKE_ORACLE_SQL = """
+        WITH toks0 AS (
+            SELECT doc_id AS id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               t -> t <> '') AS t
+            FROM documents
+        ),
+        toks AS (
+            SELECT id, unnest(list_transform(range(1, len(t) + 1),
+                       i -> struct_pack(pos := i - 1, w := t[i])),
+                       recursive := true)
+            FROM toks0
+        ),
+        marked AS (
+            SELECT id, pos, w,
+                   CASE WHEN w IN ('a','an','and','are','as','at','be',
+                                   'by','for','from','in','is','it','of',
+                                   'on','or','that','the','to','was',
+                                   'were','with')
+                        THEN 1 ELSE 0 END AS st
+            FROM toks
+        ),
+        wp AS (
+            SELECT id, pos, w, st,
+                   sum(st) OVER (PARTITION BY id ORDER BY pos) AS phrase_id
+            FROM marked
+        ),
+        words AS (SELECT id, pos, w, phrase_id FROM wp WHERE st = 0),
+        phrases AS (
+            SELECT id, phrase_id,
+                   string_agg(w, ' ' ORDER BY pos) AS phrase,
+                   count(*) AS plen
+            FROM words GROUP BY id, phrase_id
+        ),
+        wstats AS (
+            SELECT words.id, words.w, count(*) AS freq,
+                   sum(p.plen) AS degree
+            FROM words JOIN phrases p USING (id, phrase_id)
+            GROUP BY words.id, words.w
+        ),
+        ps0 AS (
+            SELECT w2.id, w2.phrase_id,
+                   round(sum(ws.degree::DOUBLE / ws.freq), 6) AS score
+            FROM words w2
+            JOIN wstats ws ON ws.id = w2.id AND ws.w = w2.w
+            GROUP BY w2.id, w2.phrase_id
+        ),
+        ps AS (
+            SELECT DISTINCT ps0.id, p.phrase, ps0.score
+            FROM ps0 JOIN phrases p USING (id, phrase_id)
+        )
+        SELECT id AS doc_id, phrase, score, "rank" FROM (
+            SELECT id, phrase, score,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY score DESC, phrase) AS "rank"
+            FROM ps
+        ) WHERE "rank" <= 3 ORDER BY doc_id, "rank"
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -7619,6 +7690,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q218_betweenness": q218_betweenness,
         "q219_rocchio_prf": q219_rocchio_prf,
         "q220_ipf_raking": q220_ipf_raking,
+        "q221_rake_keyphrases": q221_rake_keyphrases,
     }
 
 
@@ -11422,4 +11494,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q219_rocchio_prf"] = _PRF_ORACLE_SQL
     # q220: all 6 IPF half-steps unrolled on the 20-cell table
     out["q220_ipf_raking"] = _ipf_oracle_sql(rounds=3)
+    # q221: segmentation + degree/freq + phrase-sum ranking replayed
+    out["q221_rake_keyphrases"] = _RAKE_ORACLE_SQL
     return out

@@ -209,6 +209,7 @@ EXTRA_NAMES = [
         "q218_betweenness",
         "q219_rocchio_prf",
         "q220_ipf_raking",
+        "q221_rake_keyphrases",
 ]
 
 
