@@ -5557,6 +5557,59 @@ _RAKE_ORACLE_SQL = """
 """
 
 
+def q222_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM over per-host event-volume series (5 hosts x 20
+    buckets from the events stream), self-calibrated to each host's
+    mean, k=0.5 allowance, h=4 threshold. The oracle replays the closed
+    form (running sum minus clamped running min) with the same two
+    stacked windows."""
+    from spanluke_spark.etl.bursts import cusum_changepoints
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    counts = (
+        ev.select(
+            F.concat(F.lit("h"), (e % 5).cast("string")).alias("host"),
+            ((e * 7) % 20).alias("t"),
+        )
+        .groupBy("host", "t")
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    return cusum_changepoints(
+        counts, key_col="host", t_col="t", x_col="x", k=0.5, h=4.0
+    ).orderBy("host", "t")
+
+
+_CUSUM_ORACLE_SQL = """
+        WITH counts AS (
+            SELECT 'h' || (event_id % 5) AS host,
+                   (event_id * 7) % 20 AS t,
+                   count(*)::DOUBLE AS x
+            FROM events GROUP BY host, t
+        ),
+        mu AS (SELECT host, avg(x) AS mu FROM counts GROUP BY host),
+        cums AS (
+            SELECT c.host, c.t, c.x,
+                   sum(c.x - mu.mu - 0.5) OVER w AS cu,
+                   sum(-(c.x - mu.mu) - 0.5) OVER w AS cd
+            FROM counts c JOIN mu USING (host)
+            WINDOW w AS (PARTITION BY c.host ORDER BY c.t
+                         ROWS UNBOUNDED PRECEDING)
+        ),
+        s AS (
+            SELECT host, t, x,
+                   cu - least(0, min(cu) OVER w) AS sp,
+                   cd - least(0, min(cd) OVER w) AS sm
+            FROM cums
+            WINDOW w AS (PARTITION BY host ORDER BY t
+                         ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT host, t, x, round(sp, 6) AS s_plus, round(sm, 6) AS s_minus,
+               (sp > 4.0 OR sm > 4.0) AS alarm
+        FROM s ORDER BY host, t
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -7691,6 +7744,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q219_rocchio_prf": q219_rocchio_prf,
         "q220_ipf_raking": q220_ipf_raking,
         "q221_rake_keyphrases": q221_rake_keyphrases,
+        "q222_cusum": q222_cusum,
     }
 
 
@@ -11496,4 +11550,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q220_ipf_raking"] = _ipf_oracle_sql(rounds=3)
     # q221: segmentation + degree/freq + phrase-sum ranking replayed
     out["q221_rake_keyphrases"] = _RAKE_ORACLE_SQL
+    # q222: the closed-form CUSUM windows replayed verbatim
+    out["q222_cusum"] = _CUSUM_ORACLE_SQL
     return out

@@ -53,3 +53,73 @@ def detect_bursts(
         "is_burst",
         F.coalesce(F.col("zscore") > z_threshold, F.lit(False)),
     )
+
+
+def cusum_changepoints(
+    series: DataFrame,
+    key_col: str = "key",
+    t_col: str = "t",
+    x_col: str = "x",
+    k: float = 0.5,
+    h: float = 4.0,
+    target: float | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection (Page 1954) over per-key
+    time series — the SEQUENTIAL drift detector detect_bursts is not:
+    a z-score burst flags one loud bucket; CUSUM accumulates small
+    persistent shifts (a host slowly ramping its publish rate, crawl
+    freshness decaying) and alarms when the cumulative evidence clears
+    ``h``, with allowance ``k`` absorbing in-control noise.
+
+    The textbook recursion S+_t = max(0, S+_{t-1} + (x_t - mu) - k) is
+    not a plain running sum, but it has the classic closed form
+    S+_t = cum_t - min(0, min_{j<=t} cum_j) over cum = running sum of
+    (x - mu - k) — two stacked window passes over ONE partitioning by
+    the key (a single shuffle; the repo's SCD2 windows share the same
+    discipline), which is what both this plan and the DuckDB oracle
+    compute. ``target`` fixes mu explicitly; None self-calibrates to
+    the per-key mean (one keyed aggregate + join). Rows per (key, t)
+    are assumed unique (pre-aggregate counts first).
+
+    Returns every row with (s_plus, s_minus, alarm) — filter on alarm
+    for change points; the first alarmed t per key is the estimated
+    change location upper bound.
+    """
+    from pyspark.sql import Window
+
+    if target is None:
+        mu_df = series.groupBy(key_col).agg(F.avg(x_col).alias("_mu"))
+        j = series.join(mu_df, key_col)
+        mu = F.col("_mu")
+    else:
+        j = series
+        mu = F.lit(float(target))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(t_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    up = F.col(x_col) - mu - F.lit(k)
+    dn = -(F.col(x_col) - mu) - F.lit(k)
+    j = j.select(
+        key_col, t_col, x_col,
+        F.sum(up).over(w).alias("_cu"),
+        F.sum(dn).over(w).alias("_cd"),
+    )
+    j = j.select(
+        key_col, t_col, x_col,
+        (F.col("_cu") - F.least(F.lit(0.0), F.min("_cu").over(w))).alias(
+            "_sp"
+        ),
+        (F.col("_cd") - F.least(F.lit(0.0), F.min("_cd").over(w))).alias(
+            "_sm"
+        ),
+    )
+    return j.select(
+        key_col,
+        t_col,
+        x_col,
+        F.round("_sp", 6).alias("s_plus"),
+        F.round("_sm", 6).alias("s_minus"),
+        ((F.col("_sp") > h) | (F.col("_sm") > h)).alias("alarm"),
+    )

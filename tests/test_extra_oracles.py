@@ -210,6 +210,7 @@ EXTRA_NAMES = [
         "q219_rocchio_prf",
         "q220_ipf_raking",
         "q221_rake_keyphrases",
+        "q222_cusum",
 ]
 
 
