@@ -5610,6 +5610,80 @@ _CUSUM_ORACLE_SQL = """
 """
 
 
+def q223_spc_main_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search Path Count edge weights + main-path flags over a leveled
+    citation DAG (levels = node % 4, edges only level l -> l+1, so
+    height 3 < the 4 unrolled DP rounds and the counts are exact). The
+    oracle unrolls BOTH bounded path-count DPs and the max-SPC window."""
+    from spanluke_spark.graph.citations import spc_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    a = (F.col("doc_id") % 60).alias("a")
+    g1 = docs.select(a, (((F.col("doc_id") % 60) * 7 + 3) % 60).alias("b"))
+    g2 = docs.select(a, (((F.col("doc_id") % 60) * 13 + 9) % 60).alias("b"))
+    edges = (
+        g1.unionByName(g2)
+        .filter(F.col("b") % 4 == F.col("a") % 4 + 1)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    return spc_weights(edges, rounds=4).orderBy("src", "dst")
+
+
+def _spc_oracle_sql(rounds: int) -> str:
+    """Unrolled DuckDB twin of q223: both path-count DPs, the SPC
+    product, the per-src max window."""
+    parts = [
+        """
+        WITH cand AS (
+            SELECT DISTINCT a, b FROM (
+                SELECT doc_id % 60 AS a,
+                       ((doc_id % 60) * 7 + 3) % 60 AS b FROM documents
+                UNION ALL
+                SELECT doc_id % 60, ((doc_id % 60) * 13 + 9) % 60
+                FROM documents
+            )
+        ),
+        e AS MATERIALIZED (
+            SELECT a AS src, b AS dst FROM cand
+            WHERE a <> b AND b % 4 = a % 4 + 1
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        sinks AS (SELECT node, 1::BIGINT AS c FROM nodes
+                  WHERE node NOT IN (SELECT src FROM e)),
+        srcs AS (SELECT node, 1::BIGINT AS c FROM nodes
+                 WHERE node NOT IN (SELECT dst FROM e)),
+        np0 AS (SELECT * FROM sinks),
+        nm0 AS (SELECT * FROM srcs)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+        np{i + 1} AS MATERIALIZED (
+            SELECT node, c FROM sinks
+            UNION ALL
+            SELECT e.src AS node, sum(p.c) AS c
+            FROM e JOIN np{i} p ON p.node = e.dst GROUP BY e.src
+        ),
+        nm{i + 1} AS MATERIALIZED (
+            SELECT node, c FROM srcs
+            UNION ALL
+            SELECT e.dst AS node, sum(p.c) AS c
+            FROM e JOIN nm{i} p ON p.node = e.src GROUP BY e.dst
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT src, dst, spc,
+               spc = max(spc) OVER (PARTITION BY src) AS is_main
+        FROM (
+            SELECT e.src, e.dst, nm.c * np.c AS spc
+            FROM e JOIN nm{rounds} nm ON nm.node = e.src
+            JOIN np{rounds} np ON np.node = e.dst
+        ) ORDER BY src, dst"""
+    )
+    return "".join(parts)
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -7745,6 +7819,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q220_ipf_raking": q220_ipf_raking,
         "q221_rake_keyphrases": q221_rake_keyphrases,
         "q222_cusum": q222_cusum,
+        "q223_spc_main_path": q223_spc_main_path,
     }
 
 
@@ -11552,4 +11627,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q221_rake_keyphrases"] = _RAKE_ORACLE_SQL
     # q222: the closed-form CUSUM windows replayed verbatim
     out["q222_cusum"] = _CUSUM_ORACLE_SQL
+    # q223: both bounded path-count DPs unrolled + max-SPC window
+    out["q223_spc_main_path"] = _spc_oracle_sql(rounds=4)
     return out

@@ -211,6 +211,7 @@ EXTRA_NAMES = [
         "q220_ipf_raking",
         "q221_rake_keyphrases",
         "q222_cusum",
+        "q223_spc_main_path",
 ]
 
 
