@@ -5684,6 +5684,63 @@ def _spc_oracle_sql(rounds: int) -> str:
     return "".join(parts)
 
 
+def q224_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship over 40 entity clusters with three
+    attributes carrying planted NULLs and source conflicts: per
+    attribute, lowest priority wins, ties to freshest recency, then
+    smallest value — one min(struct) aggregate per attribute, replayed
+    by the oracle with the identical struct ordering."""
+    from spanluke_spark.canon.golden import golden_records
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    rows = docs.select(
+        (d % 40).alias("cluster"),
+        ((d * 3) % 3 + 1).alias("priority"),
+        ((d * 7) % 10).alias("recency"),
+        F.concat(F.lit("Acme "), ((d * 11) % 6).cast("string")).alias(
+            "name"
+        ),
+        F.when(
+            d % 4 != 0, F.concat(F.lit("c"), (d % 5).cast("string"))
+        ).alias("country"),
+        F.when(
+            d % 3 != 0, F.concat(F.lit("y"), (d % 7).cast("string"))
+        ).alias("founded"),
+    )
+    return golden_records(
+        rows, ["name", "country", "founded"]
+    ).orderBy("cluster")
+
+
+_GOLDEN_ORACLE_SQL = """
+        WITH r AS (
+            SELECT doc_id % 40 AS cluster,
+                   (doc_id * 3) % 3 + 1 AS priority,
+                   (doc_id * 7) % 10 AS recency,
+                   'Acme ' || ((doc_id * 11) % 6) AS name,
+                   CASE WHEN doc_id % 4 <> 0
+                        THEN 'c' || (doc_id % 5) END AS country,
+                   CASE WHEN doc_id % 3 <> 0
+                        THEN 'y' || (doc_id % 7) END AS founded
+            FROM documents
+        )
+        SELECT cluster, count(*) AS n_records,
+               min(CASE WHEN name IS NOT NULL THEN struct_pack(
+                   p := priority, r := -recency, v := name) END).v AS name,
+               count(DISTINCT name) AS name_n_distinct,
+               min(CASE WHEN country IS NOT NULL THEN struct_pack(
+                   p := priority, r := -recency, v := country) END).v
+                   AS country,
+               count(DISTINCT country) AS country_n_distinct,
+               min(CASE WHEN founded IS NOT NULL THEN struct_pack(
+                   p := priority, r := -recency, v := founded) END).v
+                   AS founded,
+               count(DISTINCT founded) AS founded_n_distinct
+        FROM r GROUP BY cluster ORDER BY cluster
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -7820,6 +7877,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q221_rake_keyphrases": q221_rake_keyphrases,
         "q222_cusum": q222_cusum,
         "q223_spc_main_path": q223_spc_main_path,
+        "q224_golden_record": q224_golden_record,
     }
 
 
@@ -11629,4 +11687,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q222_cusum"] = _CUSUM_ORACLE_SQL
     # q223: both bounded path-count DPs unrolled + max-SPC window
     out["q223_spc_main_path"] = _spc_oracle_sql(rounds=4)
+    # q224: identical struct-ordered min per attribute + distincts
+    out["q224_golden_record"] = _GOLDEN_ORACLE_SQL
     return out

@@ -212,6 +212,7 @@ EXTRA_NAMES = [
         "q221_rake_keyphrases",
         "q222_cusum",
         "q223_spc_main_path",
+        "q224_golden_record",
 ]
 
 
