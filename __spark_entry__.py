@@ -5741,6 +5741,74 @@ _GOLDEN_ORACLE_SQL = """
 """
 
 
+def q225_ql_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query likelihood (mu=100) over the q121 seed
+    queries — the language-modeling retrieval baseline beside BM25; the
+    oracle replays collection stats, the candidate rule, and the
+    smoothing-only mass of unmatched query terms."""
+    from spanluke_spark.textops.bm25 import ql_dirichlet_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, query_text string"
+    )
+    return ql_dirichlet_topk(docs, queries, topk=8, mu=100.0).orderBy(
+        "query_id", "rank"
+    )
+
+
+_QL_ORACLE_SQL = """
+        WITH q(query_id, query_text) AS (VALUES
+            (1, 'hash join merge'),
+            (2, 'stream window batch'),
+            (3, 'customer order query')),
+        toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               t -> t <> '') AS t
+            FROM documents
+        ),
+        post AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+        tf AS (SELECT term, doc_id, dl, count(*) AS tf FROM post
+               GROUP BY ALL),
+        ctot AS (SELECT sum(tf)::DOUBLE AS ctot FROM tf),
+        qt0 AS (
+            SELECT DISTINCT query_id,
+                   unnest(list_filter(string_split_regex(lower(query_text),
+                                                         '[^a-z0-9]+'),
+                                      x -> x <> '')) AS term
+            FROM q
+        ),
+        cf AS (
+            SELECT term, sum(tf)::DOUBLE AS cf FROM tf
+            WHERE term IN (SELECT term FROM qt0) GROUP BY term
+        ),
+        qt AS (SELECT qt0.query_id, qt0.term, cf.cf
+               FROM qt0 JOIN cf USING (term)),
+        cand AS (
+            SELECT DISTINCT qt.query_id, tf.doc_id, tf.dl
+            FROM tf JOIN qt0 qt USING (term)
+            WHERE tf.term IN (SELECT term FROM qt)
+        ),
+        scored AS (
+            SELECT c.query_id, c.doc_id,
+                   round(sum(ln((coalesce(tf.tf, 0) + 100.0 * qt.cf / ctot.ctot)
+                                / (c.dl + 100.0))), 6) AS score
+            FROM cand c
+            JOIN qt ON qt.query_id = c.query_id
+            LEFT JOIN tf ON tf.term = qt.term AND tf.doc_id = c.doc_id
+            CROSS JOIN ctot
+            GROUP BY c.query_id, c.doc_id
+        )
+        SELECT query_id, doc_id, score, "rank" FROM (
+            SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS "rank"
+            FROM scored
+        ) WHERE "rank" <= 8 ORDER BY query_id, "rank"
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -7878,6 +7946,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q222_cusum": q222_cusum,
         "q223_spc_main_path": q223_spc_main_path,
         "q224_golden_record": q224_golden_record,
+        "q225_ql_dirichlet": q225_ql_dirichlet,
     }
 
 
@@ -11689,4 +11758,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q223_spc_main_path"] = _spc_oracle_sql(rounds=4)
     # q224: identical struct-ordered min per attribute + distincts
     out["q224_golden_record"] = _GOLDEN_ORACLE_SQL
+    # q225: collection stats + candidate rule + smoothing-only terms
+    out["q225_ql_dirichlet"] = _QL_ORACLE_SQL
     return out

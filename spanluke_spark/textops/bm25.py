@@ -172,3 +172,77 @@ def bm25_scores(
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("contrib"), 6).alias("score"))
     )
+
+
+def ql_dirichlet_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    topk: int = 10,
+    mu: float = 100.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet prior smoothing (Zhai &
+    Lafferty, SIGIR 2001) — the language-modeling counterpart to BM25
+    and the stronger baseline on short queries:
+
+      score(q, d) = sum over distinct query terms w of
+                    ln((tf(w,d) + mu * cf(w)/|C|) / (dl_d + mu))
+
+    Candidates are documents matching >= 1 query term (the standard
+    index-driven candidate rule); unmatched query terms still contribute
+    their smoothing-only mass, which is why dl matters even at tf = 0.
+    Query terms absent from the ENTIRE collection are dropped (cf = 0
+    would send every score to -inf and rank nothing).
+
+    Scale shape mirrors bm25_topk: collection frequencies only for query
+    terms (broadcast semi-join prunes the postings first), candidates
+    from one broadcast term join, then the per-(candidate, query-term)
+    matrix is |candidates| x |query terms| — never corpus-sized. Scores
+    round to 1e-6 for the engine-portable tie-break.
+    """
+    postings = build_postings(docs, id_col=id_col, text_col=text_col)
+    qterms = queries.select(
+        "query_id", F.explode(terms_of(F.col("query_text"))).alias("term")
+    ).distinct()
+    ctot = postings.agg(F.sum("tf").cast("double").alias("ctot"))
+    cf = (
+        postings.join(
+            F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+        )
+        .groupBy("term")
+        .agg(F.sum("tf").cast("double").alias("cf"))
+    )
+    qt = qterms.join(cf, "term")  # inner: collection-absent terms drop
+    cand = (
+        postings.join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
+        .join(F.broadcast(qterms), "term")
+        .select("query_id", "doc_id", "dl")
+        .distinct()
+    )
+    tf_rel = postings.select("term", "doc_id", "tf")
+    scored = (
+        cand.join(F.broadcast(qt), "query_id")
+        .join(tf_rel, ["term", "doc_id"], "left")
+        .crossJoin(F.broadcast(ctot))
+        .withColumn(
+            "_c",
+            F.log(
+                (
+                    F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+                    + F.lit(mu) * F.col("cf") / F.col("ctot")
+                )
+                / (F.col("dl") + F.lit(mu))
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("_c"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "doc_id", "score", "rank")
+    )

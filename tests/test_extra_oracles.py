@@ -213,6 +213,7 @@ EXTRA_NAMES = [
         "q222_cusum",
         "q223_spc_main_path",
         "q224_golden_record",
+        "q225_ql_dirichlet",
 ]
 
 
