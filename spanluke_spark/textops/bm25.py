@@ -213,7 +213,9 @@ def ql_dirichlet_topk(
         .groupBy("term")
         .agg(F.sum("tf").cast("double").alias("cf"))
     )
-    qt = qterms.join(cf, "term")  # inner: collection-absent terms drop
+    # inner join: collection-absent query terms drop; cf is |query terms|
+    # rows — broadcast so the join never shuffles
+    qt = qterms.join(F.broadcast(cf), "term")
     cand = (
         postings.join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
         .join(F.broadcast(qterms), "term")

@@ -700,6 +700,76 @@ def main() -> None:
     )
     check("kneser_ney_model_broadcast", "SortMergeJoin" not in kplan2)
 
+    # 43. golden records (q224): every per-attribute min(struct) keeps
+    # its map-side partial combine — one cluster-keyed aggregate total
+    from spanluke_spark.canon.golden import golden_records
+
+    gdf = spark.createDataFrame(
+        [(1, 1, 1, "a", "b")],
+        "cluster long, priority long, recency long, name string, country string",
+    )
+    gplan = (
+        golden_records(gdf, ["name", "country"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    check(
+        "golden_record_partial_combine",
+        "partial_min" in gplan and "Window" not in gplan
+        and "Join" not in gplan,
+    )
+
+    # 44. CUSUM (q222, fixed-target mode): both stacked windows share
+    # ONE key partitioning — exactly one Exchange in the whole plan
+    from spanluke_spark.etl.bursts import cusum_changepoints
+
+    cdf = spark.createDataFrame(
+        [("h", 0, 1.0)], "key string, t long, x double"
+    )
+    cplan2 = (
+        cusum_changepoints(cdf, target=0.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    check("cusum_single_shuffle", cplan2.count("Exchange hashpartitioning") == 1)
+
+    # 45. SPC (q223) per-round path-count step: equi-join + partial_sum
+    spc_np = spark.createDataFrame([(1, 1)], "node long, c long")
+    spc_e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    splan = (
+        spc_e.join(spc_np, spc_e.dst == spc_np.node)
+        .groupBy("src")
+        .agg(F.sum("c").alias("c"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    check("spc_round_partial_combine", "partial_sum" in splan)
+
+    # 46. Dirichlet QL (q225): model tables (qterms, cf, ctot) attach
+    # broadcast; at most the tf candidate-matrix join may shuffle
+    from spanluke_spark.textops.bm25 import ql_dirichlet_topk
+
+    qldocs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma")], "doc_id long, text string"
+    )
+    qlq = spark.createDataFrame(
+        [(1, "alpha")], "query_id int, query_text string"
+    )
+    qlplan = (
+        ql_dirichlet_topk(qldocs, qlq, topk=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    check(
+        "ql_model_broadcast",
+        "BroadcastExchange" in qlplan
+        and qlplan.count("SortMergeJoin") <= 1,
+    )
+
     spark.stop()
     sys.exit(1 if failures else 0)
 
