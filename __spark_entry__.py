@@ -4923,35 +4923,49 @@ def q212_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WINNOW_ORACLE_SQL = """
-        WITH d AS (SELECT doc_id, substr(text, 1, 80) AS text FROM documents),
+def _winnow_block(k: int, w: int) -> str:
+    """The winnowing selection as reusable CTE SQL: expects a CTE ``d``
+    (doc_id, text) upstream; defines ``fps`` (doc_id, pos, fp) — the
+    exact rightmost-min window selection q212 pins."""
+    return f"""
         gp AS (
             SELECT doc_id, text,
-                   unnest(range(0, greatest(len(text) - 4, 0))) AS pos
+                   unnest(range(0, greatest(len(text) - {k - 1}, 0))) AS pos
             FROM d
         ),
         g AS (
             SELECT doc_id, pos,
-                   ('0x' || substr(md5(substr(text, CAST(pos AS INT) + 1, 5)),
-                                   1, 15))::BIGINT AS h
+                   ('0x' || substr(md5(substr(text, CAST(pos AS INT) + 1,
+                                              {k})), 1, 15))::BIGINT AS h
             FROM gp
         ),
         m AS (SELECT doc_id, count(*) AS m FROM g GROUP BY doc_id),
         wins AS (
             SELECT g.doc_id, g.pos AS p
             FROM g JOIN m USING (doc_id)
-            WHERE g.pos >= least(4, m.m) - 1
+            WHERE g.pos >= least({w}, m.m) - 1
         ),
-        cand AS (
+        wcand AS (
             SELECT w.doc_id, w.p, gj.pos, gj.h,
                    row_number() OVER (PARTITION BY w.doc_id, w.p
                                       ORDER BY gj.h ASC, gj.pos DESC) AS rn
             FROM wins w JOIN g gj ON gj.doc_id = w.doc_id
-             AND gj.pos BETWEEN greatest(w.p - 3, 0) AND w.p
-        )
-        SELECT DISTINCT doc_id, pos, h AS fp FROM cand WHERE rn = 1
-        ORDER BY doc_id, pos, fp
+             AND gj.pos BETWEEN greatest(w.p - {w - 1}, 0) AND w.p
+        ),
+        fps AS (
+            SELECT DISTINCT doc_id, pos, h AS fp FROM wcand WHERE rn = 1
+        )"""
+
+
+_WINNOW_ORACLE_SQL = (
+    """
+        WITH d AS (SELECT doc_id, substr(text, 1, 80) AS text
+                   FROM documents),"""
+    + _winnow_block(k=5, w=4)
+    + """
+        SELECT doc_id, pos, fp FROM fps ORDER BY doc_id, pos, fp
 """
+)
 
 
 def q213_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5807,6 +5821,82 @@ _QL_ORACLE_SQL = """
             FROM scored
         ) WHERE "rank" <= 8 ORDER BY query_id, "rank"
 """
+
+
+def q226_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup over winnowing candidates: 60
+    base docs (first 60 chars) plus 60 synthetic quoting docs embedding
+    a 30-char chunk of each base — winnow fingerprints find the shared
+    chunks (guarantee: >= w+k-1 chars shared => a shared fingerprint),
+    exact k-gram containment verifies. The oracle replays selection,
+    candidate join, and both containment ratios."""
+    from spanluke_spark.dedup.winnow import (
+        containment_pairs,
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    a = docs.filter(d < 60).select(
+        "doc_id", F.substring("text", 1, 60).alias("text")
+    )
+    b = docs.filter(d < 60).select(
+        (d + 1000).alias("doc_id"),
+        F.concat(
+            F.lit("zq"), F.substring("text", 11, 30), F.lit("xw")
+        ).alias("text"),
+    )
+    corpus = a.unionByName(b)
+    fps = winnow_fingerprints(corpus, k=5, w=4)
+    pairs = winnow_pairs(fps, min_shared=2)
+    return containment_pairs(corpus, pairs, k=5).orderBy("id_a", "id_b")
+
+
+_CONTAINMENT_ORACLE_SQL = (
+    """
+        WITH d AS (
+            SELECT doc_id, substr(text, 1, 60) AS text
+            FROM documents WHERE doc_id < 60
+            UNION ALL
+            SELECT doc_id + 1000, 'zq' || substr(text, 11, 30) || 'xw'
+            FROM documents WHERE doc_id < 60
+        ),"""
+    + _winnow_block(k=5, w=4)
+    + """,
+        fpd AS (SELECT DISTINCT doc_id, fp FROM fps),
+        prs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ns
+            FROM fpd a JOIN fpd b ON b.fp = a.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id AS id,
+                   substr(text, CAST(pos AS INT) + 1, 5) AS sh
+            FROM gp
+        ),
+        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        inter AS (
+            SELECT p.id_a, p.id_b, count(*) AS inter
+            FROM prs p
+            JOIN sh sa ON sa.id = p.id_a
+            JOIN sh sb ON sb.id = p.id_b AND sb.sh = sa.sh
+            GROUP BY p.id_a, p.id_b
+        )
+        SELECT p.id_a, p.id_b,
+               coalesce(i.inter, 0) AS inter,
+               za.sz AS size_a, zb.sz AS size_b,
+               round(coalesce(i.inter, 0) / za.sz::DOUBLE, 6)
+                   AS containment_a_in_b,
+               round(coalesce(i.inter, 0) / zb.sz::DOUBLE, 6)
+                   AS containment_b_in_a
+        FROM prs p
+        LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+        JOIN sizes za ON za.id = p.id_a
+        JOIN sizes zb ON zb.id = p.id_b
+        ORDER BY p.id_a, p.id_b
+"""
+)
 
 
 def _corrclust_oracle_sql(rounds: int) -> str:
@@ -7947,6 +8037,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q223_spc_main_path": q223_spc_main_path,
         "q224_golden_record": q224_golden_record,
         "q225_ql_dirichlet": q225_ql_dirichlet,
+        "q226_containment": q226_containment,
     }
 
 
@@ -11760,4 +11851,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q224_golden_record"] = _GOLDEN_ORACLE_SQL
     # q225: collection stats + candidate rule + smoothing-only terms
     out["q225_ql_dirichlet"] = _QL_ORACLE_SQL
+    # q226: winnow selection + candidate join + containment replayed
+    out["q226_containment"] = _CONTAINMENT_ORACLE_SQL
     return out

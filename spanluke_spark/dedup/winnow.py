@@ -97,3 +97,63 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact k-gram CONTAINMENT for candidate pairs — the asymmetric
+    near-dup measure (Broder 1997's containment, the quote-inclusion
+    detector): C(A in B) = |S_A ∩ S_B| / |S_A| over distinct char
+    k-gram sets. Jaccard dilutes when a small document is embedded in a
+    large one (the syndication/quotation case); containment reads 1.0.
+
+    pairs(id_a, id_b) is a CANDIDATE set (winnow_pairs, LSH buckets —
+    never all-pairs); shingle sets are joined pair-scoped, so the work
+    is sum over candidate pairs of |S_A| — candidate-linear, exactly
+    the verify discipline of dedup/dedup.py's LSH path.
+
+    Returns (id_a, id_b, inter, size_a, size_b, containment_a_in_b,
+    containment_b_in_a), containments rounded 1e-6.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.expr(
+                f"CASE WHEN length({text_col}) >= {k} THEN"
+                f" transform(sequence(0, length({text_col}) - {k}),"
+                f" i -> substring({text_col}, i + 1, {k}))"
+                " ELSE array() END"
+            )
+        ).alias("sh"),
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    p = pairs.select("id_a", "id_b")
+    inter = (
+        p.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        p.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("inter", F.lit(0)).alias("inter"),
+            "size_a",
+            "size_b",
+            F.round(
+                F.coalesce("inter", F.lit(0)) / F.col("size_a"), 6
+            ).alias("containment_a_in_b"),
+            F.round(
+                F.coalesce("inter", F.lit(0)) / F.col("size_b"), 6
+            ).alias("containment_b_in_a"),
+        )
+    )

@@ -214,6 +214,7 @@ EXTRA_NAMES = [
         "q223_spc_main_path",
         "q224_golden_record",
         "q225_ql_dirichlet",
+        "q226_containment",
 ]
 
 

@@ -91,3 +91,44 @@ def test_determinism_across_partitionings(spark):
     a = sorted(map(tuple, winnow_fingerprints(df1).collect()))
     b = sorted(map(tuple, winnow_fingerprints(df8).collect()))
     assert a == b
+
+
+def test_containment_vs_bruteforce(spark):
+    """Exact containment on candidate pairs matches set arithmetic,
+    including the asymmetric quote-inclusion direction."""
+    from spanluke_spark.dedup.winnow import containment_pairs
+
+    k = 5
+    rng = random.Random(41)
+    base = _rand_text(rng, 40)
+    docs = [
+        (0, base),
+        (1, "zz" + base[5:25] + "qq"),   # quotes a chunk of 0
+        (2, _rand_text(rng, 30)),
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2)], "id_a: long, id_b: long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["inter"],
+            r["size_a"],
+            r["size_b"],
+            r["containment_a_in_b"],
+            r["containment_b_in_a"],
+        )
+        for r in containment_pairs(df, pairs, k=k).collect()
+    }
+
+    def grams(t):
+        return {t[i : i + k] for i in range(len(t) - k + 1)}
+
+    g = {d: grams(t) for d, t in docs}
+    for a, b in [(0, 1), (0, 2), (1, 2)]:
+        inter = len(g[a] & g[b])
+        assert got[(a, b)][0] == inter
+        assert got[(a, b)][3] == pytest.approx(inter / len(g[a]), abs=2e-6)
+        assert got[(a, b)][4] == pytest.approx(inter / len(g[b]), abs=2e-6)
+    # the quoting doc is largely contained in the source, not vice versa
+    assert got[(0, 1)][4] > got[(0, 1)][3]
