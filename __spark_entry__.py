@@ -5899,6 +5899,74 @@ _CONTAINMENT_ORACLE_SQL = (
 )
 
 
+def q227_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy 5-round set cover over a 50-set / 40-entity fixture
+    (3 fixed entities per set class, heavy count ties so the set-id
+    tie-break is exercised). The oracle unrolls every round: residual
+    anti-filter, count, LIMIT-1 argmax, cumulative coverage window."""
+    from spanluke_spark.textops.setcover import greedy_set_cover
+
+    docs = _t(spark, sf_dir, "documents")
+    s = (F.col("doc_id") % 50).alias("doc_id")
+    mk = lambda j: docs.select(  # noqa: E731
+        s,
+        F.concat(
+            F.lit("e"),
+            (((F.col("doc_id") % 50) * 7 + j) % 40).cast("string"),
+        ).alias("entity"),
+    )
+    rel = mk(0).unionByName(mk(1)).unionByName(mk(2))
+    return greedy_set_cover(rel, k=5).orderBy("round")
+
+
+def _setcover_oracle_sql(k: int) -> str:
+    parts = [
+        """
+        WITH u0 AS (
+            SELECT DISTINCT s, e FROM (
+                SELECT doc_id % 50 AS s,
+                       'e' || (((doc_id % 50) * 7 + 0) % 40) AS e
+                FROM documents
+                UNION ALL
+                SELECT doc_id % 50,
+                       'e' || (((doc_id % 50) * 7 + 1) % 40)
+                FROM documents
+                UNION ALL
+                SELECT doc_id % 50,
+                       'e' || (((doc_id % 50) * 7 + 2) % 40)
+                FROM documents
+            )
+        )"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f""",
+        p{r} AS MATERIALIZED (
+            SELECT {r} AS round, s, c FROM (
+                SELECT s, count(*) AS c FROM u{r - 1}
+                GROUP BY s ORDER BY c DESC, s LIMIT 1
+            )
+        ),
+        u{r} AS MATERIALIZED (
+            SELECT * FROM u{r - 1}
+            WHERE e NOT IN (SELECT u.e FROM u{r - 1} u
+                            JOIN p{r} USING (s))
+        )"""
+        )
+    union = "\n            UNION ALL ".join(
+        f"SELECT round, s, c FROM p{r}" for r in range(1, k + 1)
+    )
+    parts.append(
+        f"""
+        SELECT round, s AS doc_id, c AS new_covered,
+               sum(c) OVER (ORDER BY round) AS total_covered
+        FROM (
+            {union}
+        ) ORDER BY round"""
+    )
+    return "".join(parts)
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -8038,6 +8106,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q224_golden_record": q224_golden_record,
         "q225_ql_dirichlet": q225_ql_dirichlet,
         "q226_containment": q226_containment,
+        "q227_set_cover": q227_set_cover,
     }
 
 
@@ -11853,4 +11922,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q225_ql_dirichlet"] = _QL_ORACLE_SQL
     # q226: winnow selection + candidate join + containment replayed
     out["q226_containment"] = _CONTAINMENT_ORACLE_SQL
+    # q227: all 5 greedy rounds unrolled with LIMIT-1 argmax
+    out["q227_set_cover"] = _setcover_oracle_sql(k=5)
     return out

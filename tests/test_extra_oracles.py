@@ -215,6 +215,7 @@ EXTRA_NAMES = [
         "q224_golden_record",
         "q225_ql_dirichlet",
         "q226_containment",
+        "q227_set_cover",
 ]
 
 
