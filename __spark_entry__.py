@@ -5967,6 +5967,50 @@ def _setcover_oracle_sql(k: int) -> str:
     return "".join(parts)
 
 
+def q228_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier page-lifetime curves per host cohort with ~20%
+    right-censoring (d%5): descending-cumsum risk sets, exp-log running
+    product with the explicit zero branch (Spark ln(0)=NULL vs IEEE
+    -inf — the branch makes both engines agree exactly)."""
+    from spanluke_spark.etl.survival import kaplan_meier
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    rows = docs.select(
+        F.concat(F.lit("h"), (d % 3).cast("string")).alias("host"),
+        ((d * 7) % 12).alias("duration"),
+        F.when(d % 5 == 0, 0).otherwise(1).alias("event"),
+    )
+    return kaplan_meier(rows, cohort_col="host").orderBy("host", "t")
+
+
+_KAPLAN_MEIER_ORACLE_SQL = """
+        WITH r AS (
+            SELECT 'h' || (doc_id % 3) AS host, (doc_id * 7) % 12 AS t,
+                   CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS ev
+            FROM documents
+        ),
+        agg AS (SELECT host, t, sum(ev) AS deaths,
+                       sum(1 - ev) AS censored
+                FROM r GROUP BY host, t),
+        n AS (
+            SELECT *, sum(deaths + censored) OVER (
+                PARTITION BY host ORDER BY t DESC
+                ROWS UNBOUNDED PRECEDING) AS n_risk
+            FROM agg
+        ),
+        f AS (SELECT *, 1.0 - deaths::DOUBLE / n_risk AS f FROM n)
+        SELECT host, t, n_risk, deaths, censored,
+               round(CASE WHEN min(f) OVER w <= 0 THEN 0.0
+                          ELSE exp(sum(CASE WHEN f > 0 THEN ln(f) END)
+                                   OVER w) END, 6) AS survival
+        FROM f
+        WINDOW w AS (PARTITION BY host ORDER BY t ASC
+                     ROWS UNBOUNDED PRECEDING)
+        ORDER BY host, t
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -8107,6 +8151,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q225_ql_dirichlet": q225_ql_dirichlet,
         "q226_containment": q226_containment,
         "q227_set_cover": q227_set_cover,
+        "q228_kaplan_meier": q228_kaplan_meier,
     }
 
 
@@ -11924,4 +11969,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q226_containment"] = _CONTAINMENT_ORACLE_SQL
     # q227: all 5 greedy rounds unrolled with LIMIT-1 argmax
     out["q227_set_cover"] = _setcover_oracle_sql(k=5)
+    # q228: risk sets + exp-log product with the zero branch replayed
+    out["q228_kaplan_meier"] = _KAPLAN_MEIER_ORACLE_SQL
     return out

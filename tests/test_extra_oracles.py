@@ -216,6 +216,7 @@ EXTRA_NAMES = [
         "q225_ql_dirichlet",
         "q226_containment",
         "q227_set_cover",
+        "q228_kaplan_meier",
 ]
 
 
