@@ -6011,6 +6011,96 @@ _KAPLAN_MEIER_ORACLE_SQL = """
 """
 
 
+def q229_bipartiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartiteness audit over three planted components: an 8-cycle
+    (bipartite), a 5-cycle (one odd-cycle witness), and a 20-node
+    pseudo-random component. Colors are shortest-distance parity from
+    each component's min node; the oracle replays CC (recursive CTE),
+    8 unrolled BFS levels, and the parity conflict join."""
+    from spanluke_spark.graph.analytics import bipartiteness
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    a = docs.select(
+        (100 + d % 8).alias("src"), (100 + (d % 8 + 1) % 8).alias("dst")
+    )
+    b = docs.select(
+        (200 + d % 5).alias("src"), (200 + (d % 5 + 1) % 5).alias("dst")
+    )
+    c = docs.select((d % 20).alias("src"), ((d * 7 + 3) % 20).alias("dst"))
+    return bipartiteness(
+        a.unionByName(b).unionByName(c), rounds=8
+    ).orderBy("component")
+
+
+def _bipartiteness_oracle_sql(rounds: int) -> str:
+    parts = [
+        """
+        WITH RECURSIVE gen AS (
+            SELECT 100 + doc_id % 8 AS a,
+                   100 + (doc_id % 8 + 1) % 8 AS b FROM documents
+            UNION ALL
+            SELECT 200 + doc_id % 5, 200 + (doc_id % 5 + 1) % 5
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 20, (doc_id * 7 + 3) % 20 FROM documents
+        ),
+        sym AS MATERIALIZED (
+            SELECT DISTINCT u, v FROM (
+                SELECT a AS u, b AS v FROM gen WHERE a <> b
+                UNION ALL SELECT b, a FROM gen WHERE a <> b
+            )
+        ),
+        nodes AS (SELECT DISTINCT u AS node FROM sym),
+        reach AS (
+            SELECT node, node AS r FROM nodes
+            UNION
+            SELECT sym.u AS node, reach.r
+            FROM sym JOIN reach ON sym.v = reach.node
+        ),
+        comp AS MATERIALIZED (
+            SELECT node, min(r) AS component FROM reach GROUP BY node
+        ),
+        f0 AS (SELECT DISTINCT component AS node, 0 AS dist FROM comp),
+        vis0 AS (SELECT node, dist FROM f0)"""
+    ]
+    for l in range(1, rounds + 1):
+        parts.append(
+            f""",
+        f{l} AS MATERIALIZED (
+            SELECT DISTINCT s.v AS node, {l} AS dist
+            FROM f{l - 1} f JOIN sym s ON s.u = f.node
+            WHERE NOT EXISTS (SELECT 1 FROM vis{l - 1} x
+                              WHERE x.node = s.v)
+        ),
+        vis{l} AS (
+            SELECT node, dist FROM vis{l - 1}
+            UNION ALL SELECT node, dist FROM f{l}
+        )"""
+        )
+    parts.append(
+        f""",
+        color AS (SELECT node, dist % 2 AS par FROM vis{rounds}),
+        conf AS (
+            SELECT c.component, count(*) AS n_conflicts
+            FROM sym
+            JOIN color cu ON cu.node = sym.u
+            JOIN color cv ON cv.node = sym.v
+            JOIN comp c ON c.node = sym.u
+            WHERE sym.u < sym.v AND cu.par = cv.par
+            GROUP BY c.component
+        ),
+        sizes AS (SELECT component, count(*) AS n_nodes FROM comp
+                  GROUP BY component)
+        SELECT s.component, s.n_nodes,
+               coalesce(conf.n_conflicts, 0) AS n_conflicts,
+               coalesce(conf.n_conflicts, 0) = 0 AS is_bipartite
+        FROM sizes s LEFT JOIN conf USING (component)
+        ORDER BY s.component"""
+    )
+    return "".join(parts)
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -8152,6 +8242,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q226_containment": q226_containment,
         "q227_set_cover": q227_set_cover,
         "q228_kaplan_meier": q228_kaplan_meier,
+        "q229_bipartiteness": q229_bipartiteness,
     }
 
 
@@ -11971,4 +12062,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q227_set_cover"] = _setcover_oracle_sql(k=5)
     # q228: risk sets + exp-log product with the zero branch replayed
     out["q228_kaplan_meier"] = _KAPLAN_MEIER_ORACLE_SQL
+    # q229: recursive-CTE components + 8 BFS levels + parity conflicts
+    out["q229_bipartiteness"] = _bipartiteness_oracle_sql(rounds=8)
     return out

@@ -353,3 +353,89 @@ def clustering_coefficient(
         )
         .select("node", "deg", "triangles", "coefficient")
     )
+
+
+def bipartiteness(
+    edges: DataFrame,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Per-component bipartiteness audit via BFS 2-coloring — is this
+    graph really two-mode? Host<->entity and doc<->term relations are
+    bipartite BY CONSTRUCTION; after joins, canonical collapses, or a
+    buggy edge build, same-side edges leak in silently and every
+    butterfly/k-wing count downstream (graph/bipartite.py) is quietly
+    wrong. This lane makes the assumption checkable: color = parity of
+    the shortest distance from the component's minimum node, and every
+    same-parity edge is an odd-cycle witness.
+
+    Shape: connected components (canon/cc.py, with its driver fallback
+    and hub salting) label each node; one multi-root BFS over ALL
+    components at once (components are disjoint, so no per-source state
+    — just (node, dist) with the q218 frontier/anti-join discipline and
+    per-round localCheckpoint); one parity self-join counts conflict
+    edges. ``rounds`` must cover the component radius from the min
+    node — the same bounded-round contract as graph/paths.py.
+
+    Returns (component, n_nodes, n_conflicts, is_bipartite).
+    """
+    from ..canon.cc import connected_components
+
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    if checkpoint:
+        sym = sym.localCheckpoint(eager=True)
+    comp = connected_components(sym, src="u", dst="v")
+    if checkpoint:
+        comp = comp.localCheckpoint(eager=True)
+
+    frontier = comp.select(F.col("component").alias("node")).distinct()
+    frontier = frontier.select("node", F.lit(0).alias("dist"))
+    visited = frontier
+    for lvl in range(1, rounds + 1):
+        nxt = (
+            frontier.join(sym, frontier.node == sym.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(lvl).alias("dist"))
+        )
+        if checkpoint:
+            nxt = nxt.localCheckpoint(eager=True)
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt)
+        if checkpoint:
+            visited = visited.localCheckpoint(eager=True)
+        frontier = nxt
+
+    color = visited.select(
+        "node", (F.col("dist") % 2).alias("par")
+    )
+    conflicts = (
+        sym.filter(F.col("u") < F.col("v"))
+        .join(color.select(F.col("node").alias("u"), F.col("par").alias("pu")), "u")
+        .join(color.select(F.col("node").alias("v"), F.col("par").alias("pv")), "v")
+        .filter(F.col("pu") == F.col("pv"))
+        .join(comp.select(F.col("node").alias("u"), "component"), "u")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_conflicts"))
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        sizes.join(conflicts, "component", "left")
+        .select(
+            "component",
+            "n_nodes",
+            F.coalesce("n_conflicts", F.lit(0)).alias("n_conflicts"),
+            (F.coalesce("n_conflicts", F.lit(0)) == 0).alias(
+                "is_bipartite"
+            ),
+        )
+    )

@@ -217,6 +217,7 @@ EXTRA_NAMES = [
         "q226_containment",
         "q227_set_cover",
         "q228_kaplan_meier",
+        "q229_bipartiteness",
 ]
 
 
