@@ -6101,6 +6101,54 @@ def _bipartiteness_oracle_sql(rounds: int) -> str:
     return "".join(parts)
 
 
+def q230_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline over 200 distinct (quality, freshness) docs
+    (modulus-collapsed, duplicate coordinates planted by construction):
+    the distinct-x running-max formulation, flag per row. The oracle
+    replays the same per-x reduction and strict-greater running max."""
+    from spanluke_spark.textops.skyline import skyline_2d
+
+    docs = _t(spark, sf_dir, "documents")
+    pts = (
+        docs.select((F.col("doc_id") % 200).alias("pid"))
+        .distinct()
+        .select(
+            "pid",
+            ((F.col("pid") * 7) % 50).alias("quality"),
+            ((F.col("pid") * 11) % 50).alias("freshness"),
+        )
+    )
+    return skyline_2d(pts, x_col="quality", y_col="freshness").orderBy(
+        "pid"
+    )
+
+
+_SKYLINE_ORACLE_SQL = """
+        WITH pts AS (
+            SELECT DISTINCT doc_id % 200 AS pid FROM documents
+        ),
+        p AS (
+            SELECT pid, (pid * 7) % 50 AS quality,
+                   (pid * 11) % 50 AS freshness
+            FROM pts
+        ),
+        perx AS (
+            SELECT quality AS x, max(freshness) AS my
+            FROM p GROUP BY quality
+        ),
+        run AS (
+            SELECT x, my, max(my) OVER (ORDER BY x DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+            FROM perx
+        )
+        SELECT p.pid, p.quality, p.freshness,
+               (p.freshness = run.my
+                AND (run.pm IS NULL OR run.my > run.pm)) AS on_skyline
+        FROM p JOIN run ON run.x = p.quality
+        ORDER BY p.pid
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -8243,6 +8291,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q227_set_cover": q227_set_cover,
         "q228_kaplan_meier": q228_kaplan_meier,
         "q229_bipartiteness": q229_bipartiteness,
+        "q230_skyline": q230_skyline,
     }
 
 
@@ -12064,4 +12113,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q228_kaplan_meier"] = _KAPLAN_MEIER_ORACLE_SQL
     # q229: recursive-CTE components + 8 BFS levels + parity conflicts
     out["q229_bipartiteness"] = _bipartiteness_oracle_sql(rounds=8)
+    # q230: per-x reduction + strict-greater running max replayed
+    out["q230_skyline"] = _SKYLINE_ORACLE_SQL
     return out

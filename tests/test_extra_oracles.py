@@ -218,6 +218,7 @@ EXTRA_NAMES = [
         "q227_set_cover",
         "q228_kaplan_meier",
         "q229_bipartiteness",
+        "q230_skyline",
 ]
 
 
