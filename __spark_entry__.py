@@ -6149,6 +6149,46 @@ _SKYLINE_ORACLE_SQL = """
 """
 
 
+def q231_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over lineitem extended prices (floored
+    to integers so the digit extraction is engine-portable): 9 digit
+    rows with observed/expected shares plus chi-square and MAD
+    conformity statistics."""
+    from spanluke_spark.textops.profile import benford_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    return benford_audit(li, "l_extendedprice").orderBy("digit")
+
+
+_BENFORD_ORACLE_SQL = """
+        WITH v AS (
+            SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM lineitem WHERE l_extendedprice >= 1
+        ),
+        counts AS (SELECT digit, count(*) AS n_obs FROM v GROUP BY digit),
+        spine AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit),
+        filled AS (
+            SELECT s.digit, coalesce(c.n_obs, 0) AS n_obs
+            FROM spine s LEFT JOIN counts c USING (digit)
+        ),
+        tot AS (SELECT sum(n_obs)::DOUBLE AS t FROM filled),
+        scored AS (
+            SELECT digit, n_obs, n_obs / t AS obs_p,
+                   log10(1.0 + 1.0 / digit) AS exp_p,
+                   pow(n_obs - t * log10(1.0 + 1.0 / digit), 2)
+                       / (t * log10(1.0 + 1.0 / digit)) AS chi,
+                   abs(n_obs / t - log10(1.0 + 1.0 / digit)) AS ad
+            FROM filled, tot
+        ),
+        stats AS (SELECT round(sum(chi), 6) AS chi2,
+                         round(avg(ad), 6) AS mad FROM scored)
+        SELECT digit, n_obs, round(obs_p, 6) AS obs_p,
+               round(exp_p, 6) AS exp_p, chi2, mad
+        FROM scored, stats ORDER BY digit
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -8292,6 +8332,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q228_kaplan_meier": q228_kaplan_meier,
         "q229_bipartiteness": q229_bipartiteness,
         "q230_skyline": q230_skyline,
+        "q231_benford": q231_benford,
     }
 
 
@@ -12115,4 +12156,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q229_bipartiteness"] = _bipartiteness_oracle_sql(rounds=8)
     # q230: per-x reduction + strict-greater running max replayed
     out["q230_skyline"] = _SKYLINE_ORACLE_SQL
+    # q231: digit spine + chi-square/MAD statistics replayed
+    out["q231_benford"] = _BENFORD_ORACLE_SQL
     return out

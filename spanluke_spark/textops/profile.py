@@ -247,3 +247,71 @@ def log_odds_ratio(
         F.round(delta, 6).alias("delta"),
         F.round(delta / F.sqrt(var), 6).alias("z"),
     )
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Benford's-law first-digit audit (Newcomb 1881; Nigrini's fraud
+    test): naturally-grown magnitudes (prices, populations, citation
+    counts) put digit d first with probability log10(1 + 1/d);
+    fabricated, templated, or synthetically generated numbers don't.
+    On a crawl corpus this is a cheap table-level forgery/boilerplate
+    detector for extracted numeric facts (money amounts, case counts).
+
+    One pass: positive values only, first digit via the integer string
+    head (engine-portable — no pow/log10 float edge at decade
+    boundaries), one 9-row count aggregate zero-filled against the
+    digit spine, then chi-square and mean-absolute-deviation statistics
+    attached to every row via a 1-row broadcast crossJoin (the
+    tfidf.py constants pattern).
+
+    Returns 9 rows: (digit, n_obs, obs_p, exp_p, chi2, mad) — chi2/mad
+    repeated on each row; Nigrini's conformity bands: MAD < 0.006
+    close, > 0.015 nonconformity.
+    """
+    v = F.col(value_col)
+    fd = F.substring(F.floor(v).cast("long").cast("string"), 1, 1).cast(
+        "int"
+    )
+    counts = (
+        df.filter(v >= 1)
+        .select(fd.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    filled = spine.join(counts, "digit", "left").select(
+        "digit", F.coalesce("n_obs", F.lit(0)).alias("n_obs")
+    )
+    exp_p = F.log10(F.lit(1.0) + 1.0 / F.col("digit"))
+    tot = filled.agg(F.sum("n_obs").cast("double").alias("_tot"))
+    scored = (
+        filled.crossJoin(F.broadcast(tot))
+        .withColumn("obs_p", F.col("n_obs") / F.col("_tot"))
+        .withColumn("exp_p", exp_p)
+        .withColumn(
+            "_chi",
+            F.pow(F.col("n_obs") - F.col("_tot") * F.col("exp_p"), 2)
+            / (F.col("_tot") * F.col("exp_p")),
+        )
+        .withColumn("_ad", F.abs(F.col("obs_p") - F.col("exp_p")))
+    )
+    stats = scored.agg(
+        F.round(F.sum("_chi"), 6).alias("chi2"),
+        F.round(F.avg("_ad"), 6).alias("mad"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(stats))
+        .select(
+            "digit",
+            "n_obs",
+            F.round("obs_p", 6).alias("obs_p"),
+            F.round("exp_p", 6).alias("exp_p"),
+            "chi2",
+            "mad",
+        )
+    )

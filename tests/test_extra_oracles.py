@@ -219,6 +219,7 @@ EXTRA_NAMES = [
         "q228_kaplan_meier",
         "q229_bipartiteness",
         "q230_skyline",
+        "q231_benford",
 ]
 
 
