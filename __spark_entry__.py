@@ -6189,6 +6189,55 @@ _BENFORD_ORACLE_SQL = """
 """
 
 
+def q232_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of three synthetic quality models on
+    deliberately incompatible scales (x1, x2+50, x/2) into one pooled
+    reference distribution, 10 bins; the oracle replays ntile with the
+    identical (score, id) tie order and the pooled bin means."""
+    from spanluke_spark.textops.quantile_norm import quantile_normalize
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    base = (d * 7) % 100
+    score = (
+        F.when(d % 3 == 0, base.cast("double"))
+        .when(d % 3 == 1, ((d * 11) % 100).cast("double") * 2 + 50)
+        .otherwise(((d * 13) % 100).cast("double") / 2)
+    )
+    rows = docs.select(
+        F.concat(F.lit("m"), (d % 3).cast("string")).alias("source"),
+        d.alias("doc_id"),
+        score.alias("score"),
+    )
+    return quantile_normalize(rows, n_bins=10).orderBy(
+        "source", "doc_id"
+    )
+
+
+_QUANTILE_NORM_ORACLE_SQL = """
+        WITH r AS (
+            SELECT 'm' || (doc_id % 3) AS source, doc_id,
+                   CASE doc_id % 3
+                       WHEN 0 THEN ((doc_id * 7) % 100)::DOUBLE
+                       WHEN 1 THEN ((doc_id * 11) % 100)::DOUBLE * 2 + 50
+                       ELSE ((doc_id * 13) % 100)::DOUBLE / 2
+                   END AS score
+            FROM documents
+        ),
+        binned AS (
+            SELECT *, ntile(10) OVER (PARTITION BY source
+                                      ORDER BY score ASC, doc_id ASC)
+                          AS bin
+            FROM r
+        ),
+        ref AS (SELECT bin, avg(score) AS refv FROM binned GROUP BY bin)
+        SELECT b.source, b.doc_id, b.score, b.bin,
+               round(ref.refv, 6) AS score_norm
+        FROM binned b JOIN ref USING (bin)
+        ORDER BY b.source, b.doc_id
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -8333,6 +8382,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q229_bipartiteness": q229_bipartiteness,
         "q230_skyline": q230_skyline,
         "q231_benford": q231_benford,
+        "q232_quantile_norm": q232_quantile_norm,
     }
 
 
@@ -12158,4 +12208,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q230_skyline"] = _SKYLINE_ORACLE_SQL
     # q231: digit spine + chi-square/MAD statistics replayed
     out["q231_benford"] = _BENFORD_ORACLE_SQL
+    # q232: ntile with pinned tie order + pooled bin means replayed
+    out["q232_quantile_norm"] = _QUANTILE_NORM_ORACLE_SQL
     return out

@@ -220,6 +220,7 @@ EXTRA_NAMES = [
         "q229_bipartiteness",
         "q230_skyline",
         "q231_benford",
+        "q232_quantile_norm",
 ]
 
 
