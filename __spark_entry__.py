@@ -6238,6 +6238,69 @@ _QUANTILE_NORM_ORACLE_SQL = """
 """
 
 
+def q233_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last/linear conversion attribution over the events stream
+    (user = id%25, time = event id so per-user timestamps are unique,
+    every 11th event converts): path reset at the previous conversion;
+    the oracle replays the boundary lag, the interval join, and all
+    three credit models."""
+    from spanluke_spark.etl.attribution import attribute_conversions
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    rows = ev.select(
+        (e % 25).alias("user"),
+        e.alias("ts"),
+        F.concat(F.lit("c"), ((e * 3) % 5).cast("string")).alias(
+            "channel"
+        ),
+        (e % 11 == 0).alias("is_conversion"),
+    )
+    return attribute_conversions(rows).orderBy("model", "channel")
+
+
+_ATTRIBUTION_ORACLE_SQL = """
+        WITH ev AS (
+            SELECT event_id % 25 AS u, event_id AS ts,
+                   'c' || ((event_id * 3) % 5) AS ch,
+                   event_id % 11 = 0 AS conv
+            FROM events
+        ),
+        c AS (
+            SELECT u, ts AS cts,
+                   lag(ts) OVER (PARTITION BY u ORDER BY ts ASC) AS prev
+            FROM ev WHERE conv
+        ),
+        t AS (SELECT u, ts, ch FROM ev WHERE NOT conv),
+        path AS (
+            SELECT t.u, t.ts, t.ch, c.cts
+            FROM t JOIN c ON c.u = t.u
+            WHERE t.ts <= c.cts AND (c.prev IS NULL OR t.ts > c.prev)
+        ),
+        pp AS (
+            SELECT u, cts, count(*) AS n,
+                   min(struct_pack(ts := ts, ch := ch)).ch AS first_ch,
+                   max(struct_pack(ts := ts, ch := ch)).ch AS last_ch
+            FROM path GROUP BY u, cts
+        ),
+        firsts AS (SELECT first_ch AS channel, 'first_touch' AS model,
+                          count(*)::DOUBLE AS credit
+                   FROM pp GROUP BY first_ch),
+        lasts AS (SELECT last_ch, 'last_touch', count(*)::DOUBLE
+                  FROM pp GROUP BY last_ch),
+        lin AS (
+            SELECT path.ch, 'linear', sum(1.0 / pp.n)
+            FROM path JOIN pp USING (u, cts)
+            GROUP BY path.ch
+        )
+        SELECT channel, model, round(credit, 6) AS credit FROM (
+            SELECT * FROM firsts
+            UNION ALL SELECT * FROM lasts
+            UNION ALL SELECT * FROM lin
+        ) ORDER BY model, channel
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -8383,6 +8446,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q230_skyline": q230_skyline,
         "q231_benford": q231_benford,
         "q232_quantile_norm": q232_quantile_norm,
+        "q233_attribution": q233_attribution,
     }
 
 
@@ -12210,4 +12274,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q231_benford"] = _BENFORD_ORACLE_SQL
     # q232: ntile with pinned tie order + pooled bin means replayed
     out["q232_quantile_norm"] = _QUANTILE_NORM_ORACLE_SQL
+    # q233: boundary lag + interval join + all three models replayed
+    out["q233_attribution"] = _ATTRIBUTION_ORACLE_SQL
     return out

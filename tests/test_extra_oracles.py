@@ -221,6 +221,7 @@ EXTRA_NAMES = [
         "q230_skyline",
         "q231_benford",
         "q232_quantile_norm",
+        "q233_attribution",
 ]
 
 
