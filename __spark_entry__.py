@@ -6301,6 +6301,66 @@ _ATTRIBUTION_ORACLE_SQL = """
 """
 
 
+def q234_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent sequential patterns (lengths 1-3, support >= 24 of 30
+    user streams) over the events table — the occurrence-statistics
+    subsequence test (min/max positions; a mid b-occurrence for
+    triples) with Apriori pruning, every join replayed by the oracle."""
+    from spanluke_spark.etl.seqmine import frequent_sequences
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    rows = ev.select(
+        (e % 30).alias("user"),
+        e.alias("ts"),
+        F.concat(F.lit("i"), ((e + e % 7) % 8).cast("string")).alias(
+            "item"
+        ),
+    )
+    return frequent_sequences(rows, min_support=24).orderBy(
+        "size", "sequence"
+    )
+
+
+_SEQ_PATTERNS_ORACLE_SQL = """
+        WITH occ AS (
+            SELECT event_id % 30 AS u,
+                   'i' || ((event_id + event_id % 7) % 8) AS i,
+                   event_id AS p
+            FROM events
+        ),
+        stats AS (SELECT u, i, min(p) AS minp, max(p) AS maxp
+                  FROM occ GROUP BY u, i),
+        l1 AS (SELECT i, count(*) AS support FROM stats
+               GROUP BY i HAVING count(*) >= 24),
+        sf AS (SELECT s.* FROM stats s JOIN l1 USING (i)),
+        sup2 AS (
+            SELECT pa.i AS a, pb.i AS b, count(*) AS support
+            FROM sf pa JOIN sf pb
+              ON pb.u = pa.u AND pa.minp < pb.maxp
+            GROUP BY pa.i, pb.i
+        ),
+        l2 AS (SELECT * FROM sup2 WHERE support >= 24),
+        occf AS (SELECT o.* FROM occ o JOIN l1 USING (i)),
+        tri AS (
+            SELECT DISTINCT ob.u, pa.i AS a, ob.i AS b, pc.i AS c
+            FROM occf ob
+            JOIN sf pa ON pa.u = ob.u AND ob.p > pa.minp
+            JOIN sf pc ON pc.u = ob.u AND ob.p < pc.maxp
+            WHERE EXISTS (SELECT 1 FROM l2
+                          WHERE l2.a = pa.i AND l2.b = ob.i)
+              AND EXISTS (SELECT 1 FROM l2
+                          WHERE l2.a = ob.i AND l2.b = pc.i)
+        ),
+        l3 AS (SELECT a, b, c, count(*) AS support FROM tri
+               GROUP BY a, b, c HAVING count(*) >= 24)
+        SELECT 1 AS size, i AS sequence, support FROM l1
+        UNION ALL SELECT 2, a || '>' || b, support FROM l2
+        UNION ALL SELECT 3, a || '>' || b || '>' || c, support FROM l3
+        ORDER BY size, sequence
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -8447,6 +8507,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q231_benford": q231_benford,
         "q232_quantile_norm": q232_quantile_norm,
         "q233_attribution": q233_attribution,
+        "q234_seq_patterns": q234_seq_patterns,
     }
 
 
@@ -12276,4 +12337,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q232_quantile_norm"] = _QUANTILE_NORM_ORACLE_SQL
     # q233: boundary lag + interval join + all three models replayed
     out["q233_attribution"] = _ATTRIBUTION_ORACLE_SQL
+    # q234: occurrence-stats subsequence test + Apriori prune replayed
+    out["q234_seq_patterns"] = _SEQ_PATTERNS_ORACLE_SQL
     return out

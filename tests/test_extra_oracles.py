@@ -222,6 +222,7 @@ EXTRA_NAMES = [
         "q231_benford",
         "q232_quantile_norm",
         "q233_attribution",
+        "q234_seq_patterns",
 ]
 
 
