@@ -6361,6 +6361,67 @@ _SEQ_PATTERNS_ORACLE_SQL = """
 """
 
 
+def q235_reid_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex-refinement anonymity histograms (H1 degree, H2 sorted
+    neighbor degrees) over an 80-node interaction graph — class-size
+    histogram per level; size-1 classes are the re-identifiable nodes.
+    The oracle replays both signature constructions exactly."""
+    from spanluke_spark.graph.privacy import reidentification_risk
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    g1 = docs.select((d % 80).alias("src"), ((d * 7 + 3) % 80).alias("dst"))
+    g2 = docs.select((d % 80).alias("src"), ((d * 13 + 7) % 80).alias("dst"))
+    return reidentification_risk(g1.unionByName(g2)).orderBy(
+        "level", "class_size"
+    )
+
+
+_REID_RISK_ORACLE_SQL = """
+        WITH gen AS (
+            SELECT doc_id % 80 AS a, (doc_id * 7 + 3) % 80 AS b
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 80, (doc_id * 13 + 7) % 80 FROM documents
+        ),
+        sym AS (
+            SELECT DISTINCT u, v FROM (
+                SELECT a AS u, b AS v FROM gen WHERE a <> b
+                UNION ALL SELECT b, a FROM gen WHERE a <> b
+            )
+        ),
+        deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+        h1c AS (SELECT CAST(d AS VARCHAR) AS sig, count(*) AS class_size
+                FROM deg GROUP BY CAST(d AS VARCHAR)),
+        h1 AS (
+            SELECT 'h1' AS level, class_size, count(*) AS n_classes,
+                   class_size * count(*) AS n_nodes
+            FROM h1c GROUP BY class_size
+        ),
+        nbr AS (
+            SELECT s.u,
+                   list_sort(list(dv.d))[1:64] AS nd
+            FROM sym s JOIN deg dv ON dv.u = s.v
+            GROUP BY s.u
+        ),
+        sig2 AS (
+            SELECT deg.d || '|' ||
+                   array_to_string(list_transform(nbr.nd,
+                                                  x -> CAST(x AS VARCHAR)),
+                                   ',') AS sig
+            FROM nbr JOIN deg ON deg.u = nbr.u
+        ),
+        h2c AS (SELECT sig, count(*) AS class_size FROM sig2 GROUP BY sig),
+        h2 AS (
+            SELECT 'h2' AS level, class_size, count(*) AS n_classes,
+                   class_size * count(*) AS n_nodes
+            FROM h2c GROUP BY class_size
+        )
+        SELECT * FROM h1 UNION ALL SELECT * FROM h2
+        ORDER BY level, class_size
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -8508,6 +8569,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q232_quantile_norm": q232_quantile_norm,
         "q233_attribution": q233_attribution,
         "q234_seq_patterns": q234_seq_patterns,
+        "q235_reid_risk": q235_reid_risk,
     }
 
 
@@ -12339,4 +12401,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q233_attribution"] = _ATTRIBUTION_ORACLE_SQL
     # q234: occurrence-stats subsequence test + Apriori prune replayed
     out["q234_seq_patterns"] = _SEQ_PATTERNS_ORACLE_SQL
+    # q235: both refinement signatures + class histograms replayed
+    out["q235_reid_risk"] = _REID_RISK_ORACLE_SQL
     return out

@@ -223,6 +223,7 @@ EXTRA_NAMES = [
         "q232_quantile_norm",
         "q233_attribution",
         "q234_seq_patterns",
+        "q235_reid_risk",
 ]
 
 
