@@ -6,15 +6,20 @@ attribution ALLOCATES each conversion back across the touches that
 preceded it, with the path resetting at the previous conversion (the
 industry-standard lookback rule).
 
-Relational shape: conversions get their per-user previous-conversion
-boundary from one lag window; touches attach to their conversion by a
-per-user interval join (prev_conv < touch_ts <= conv_ts — per-user
-path lengths are small, the canonicalize.py per-key quadratic
-argument); per-path first/last channels are min/max over
-struct(ts, channel) (partial-combining aggregates, no extra window),
-and linear credit is 1/path_length per touch. Touches with no later
-conversion earn nothing, conversions with no touches allocate nothing
-— both pinned by tests.
+Relational shape: each touch finds its conversion with ONE window —
+the running minimum of conversion timestamps over the FOLLOWING rows
+per user (ordered by time). That single pass replaces the naive
+per-user interval join, which is quadratic in touches x conversions
+per user and detonates exactly when one user id aggregates a large
+stream (measured in this repo: the join formulation ran minutes at
+25 users x 500k events; the window runs in seconds — the DuckDB
+oracle still replays the JOIN formulation, so the two independent
+lowerings cross-check each other). The previous-conversion reset is
+automatic: a touch's next conversion IS its path. Per-path first/last
+channels are min/max over struct(ts, channel) (partial-combining
+aggregates), linear credit is 1/path_length per touch. Touches with
+no later conversion earn nothing, conversions with no touches
+allocate nothing — both pinned by tests.
 """
 
 from __future__ import annotations
@@ -35,28 +40,28 @@ def attribute_conversions(
     """-> (channel, model, credit): summed credit per channel under
     'first_touch', 'last_touch', and 'linear'. Timestamps are assumed
     unique per user (pre-aggregate if not)."""
-    conv = (
-        events.filter(F.col(conv_col))
-        .select(
-            F.col(user_col).alias("u"), F.col(ts_col).alias("cts")
-        )
-        .withColumn(
-            "prev",
-            F.lag("cts").over(
-                Window.partitionBy("u").orderBy(F.col("cts").asc())
-            ),
-        )
-    )
-    touches = events.filter(~F.col(conv_col)).select(
-        F.col(user_col).alias("u"),
-        F.col(ts_col).alias("ts"),
-        F.col(channel_col).alias("ch"),
+    # "min conversion ts at-or-after me" computed as a RUNNING min over
+    # the time-DESCENDING order — the UnboundedPreceding frame is the
+    # O(n) streaming window; the equivalent UnboundedFollowing frame on
+    # ascending order is not (measured: quadratic-like on long streams)
+    w_next = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     path = (
-        touches.join(conv, "u")
-        .filter(
-            (F.col("ts") <= F.col("cts"))
-            & (F.col("prev").isNull() | (F.col("ts") > F.col("prev")))
+        events.withColumn(
+            "_nc",
+            F.min(
+                F.when(F.col(conv_col), F.col(ts_col))
+            ).over(w_next),
+        )
+        .filter(~F.col(conv_col) & F.col("_nc").isNotNull())
+        .select(
+            F.col(user_col).alias("u"),
+            F.col(ts_col).alias("ts"),
+            F.col(channel_col).alias("ch"),
+            F.col("_nc").alias("cts"),
         )
     )
     per_path = path.groupBy("u", "cts").agg(
