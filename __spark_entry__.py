@@ -6422,6 +6422,79 @@ _REID_RISK_ORACLE_SQL = """
 """
 
 
+def q236_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consensus clustering over three deterministic 60-node runs (a
+    base modulus partition and two perturbed copies): pairs co-clustered
+    in >= 2 of 3 runs, components as consensus (min-id labels). The
+    oracle replays the co-association count and a recursive-CTE
+    closure."""
+    from spanluke_spark.canon.consensus import consensus_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    n = (F.col("doc_id") % 60).alias("node")
+    r0 = docs.select(F.lit(0).alias("run"), n, (F.col("doc_id") % 60 % 6).alias("cluster"))
+    r1 = docs.select(
+        F.lit(1).alias("run"),
+        n,
+        (
+            (F.col("doc_id") % 60 + F.when(F.col("doc_id") % 60 % 7 == 0, 1).otherwise(0))
+            % 6
+        ).alias("cluster"),
+    )
+    r2 = docs.select(
+        F.lit(2).alias("run"),
+        n,
+        (
+            (F.col("doc_id") % 60 + F.when(F.col("doc_id") % 60 % 11 == 0, 2).otherwise(0))
+            % 6
+        ).alias("cluster"),
+    )
+    runs = r0.unionByName(r1).unionByName(r2).distinct()
+    return consensus_clusters(runs, min_agree=2).orderBy("node")
+
+
+_CONSENSUS_ORACLE_SQL = """
+        WITH RECURSIVE nodes0 AS (
+            SELECT DISTINCT doc_id % 60 AS node FROM documents
+        ),
+        runs AS (
+            SELECT 0 AS r, node, node % 6 AS c FROM nodes0
+            UNION ALL
+            SELECT 1, node,
+                   (node + CASE WHEN node % 7 = 0 THEN 1 ELSE 0 END) % 6
+            FROM nodes0
+            UNION ALL
+            SELECT 2, node,
+                   (node + CASE WHEN node % 11 = 0 THEN 2 ELSE 0 END) % 6
+            FROM nodes0
+        ),
+        pairs AS (
+            SELECT a.node AS na, b.node AS nb, count(*) AS n_agree
+            FROM runs a JOIN runs b
+              ON b.r = a.r AND b.c = a.c AND a.node < b.node
+            GROUP BY a.node, b.node HAVING count(*) >= 2
+        ),
+        sym AS (
+            SELECT na AS u, nb AS v FROM pairs
+            UNION SELECT nb, na FROM pairs
+        ),
+        pn AS (SELECT DISTINCT u AS node FROM sym),
+        reach AS (
+            SELECT node, node AS x FROM pn
+            UNION
+            SELECT sym.u AS node, reach.x
+            FROM sym JOIN reach ON sym.v = reach.node
+        ),
+        comp AS (SELECT node, min(x) AS consensus FROM reach
+                 GROUP BY node)
+        SELECT node, consensus FROM comp
+        UNION ALL
+        SELECT node, node FROM nodes0
+        WHERE node NOT IN (SELECT node FROM comp)
+        ORDER BY node
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -8570,6 +8643,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q233_attribution": q233_attribution,
         "q234_seq_patterns": q234_seq_patterns,
         "q235_reid_risk": q235_reid_risk,
+        "q236_consensus": q236_consensus,
     }
 
 
@@ -12403,4 +12477,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q234_seq_patterns"] = _SEQ_PATTERNS_ORACLE_SQL
     # q235: both refinement signatures + class histograms replayed
     out["q235_reid_risk"] = _REID_RISK_ORACLE_SQL
+    # q236: co-association count + recursive-CTE closure replayed
+    out["q236_consensus"] = _CONSENSUS_ORACLE_SQL
     return out

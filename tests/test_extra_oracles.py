@@ -224,6 +224,7 @@ EXTRA_NAMES = [
         "q233_attribution",
         "q234_seq_patterns",
         "q235_reid_risk",
+        "q236_consensus",
 ]
 
 
