@@ -6495,6 +6495,43 @@ _CONSENSUS_ORACLE_SQL = """
 """
 
 
+def q237_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of page mass across 40 hosts (skewed by a
+    squared-modulus generator so the coefficient is far from zero):
+    one rank window over the per-host aggregate + one aggregate."""
+    from spanluke_spark.textops.profile import gini_concentration
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = (
+        docs.select(
+            F.concat(
+                F.lit("h"), (((F.col("doc_id") % 20) * (F.col("doc_id") % 20)) % 40).cast("string")
+            ).alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+    return gini_concentration(hosts, "n_pages", "host")
+
+
+_GINI_ORACLE_SQL = """
+        WITH hosts AS (
+            SELECT 'h' || (((doc_id % 20) * (doc_id % 20)) % 40) AS host,
+                   count(*) AS n_pages
+            FROM documents GROUP BY host
+        ),
+        ranked AS (
+            SELECT n_pages::DOUBLE AS x,
+                   row_number() OVER (ORDER BY n_pages ASC, host ASC) AS i
+            FROM hosts
+        )
+        SELECT count(*) AS n, round(sum(x), 6) AS total,
+               round(2.0 * sum(i * x) / (count(*) * sum(x))
+                     - (count(*) + 1.0) / count(*), 6) AS gini
+        FROM ranked
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -8644,6 +8681,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q234_seq_patterns": q234_seq_patterns,
         "q235_reid_risk": q235_reid_risk,
         "q236_consensus": q236_consensus,
+        "q237_gini": q237_gini,
     }
 
 
@@ -12479,4 +12517,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q235_reid_risk"] = _REID_RISK_ORACLE_SQL
     # q236: co-association count + recursive-CTE closure replayed
     out["q236_consensus"] = _CONSENSUS_ORACLE_SQL
+    # q237: rank window + discrete Gini formula replayed
+    out["q237_gini"] = _GINI_ORACLE_SQL
     return out

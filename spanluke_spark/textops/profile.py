@@ -315,3 +315,46 @@ def benford_audit(
             "mad",
         )
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Gini coefficient of a value distribution (host page counts,
+    per-domain crawl budget, entity mention mass) — the single-number
+    concentration audit behind every "is this crawl dominated by ten
+    hosts?" question; complements the Zipf spectrum fit (q102: the
+    exponent) with the inequality integral, and the skew diagnostics
+    (q57/q88: who the heavy hitters ARE) with how much they own.
+
+    Discrete formula over values x_1..x_n sorted ascending (ties break
+    on the id for determinism): G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n
+    — one global rank window plus one aggregate. The input is a
+    per-KEY aggregate (hosts, domains), never the raw corpus, so the
+    single-partition window sorts key-cardinality rows only; quantize
+    upstream if the key universe itself is corpus-sized.
+
+    Returns one row (n, total, gini): 0 = perfectly even, -> 1 =
+    all mass on one key. NULL gini when total = 0.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(value_col).asc(), F.col(id_col).asc())
+    ranked = df.select(
+        F.col(value_col).cast("double").alias("x"),
+        F.row_number().over(w).alias("i"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("x"), 6).alias("total"),
+        F.round(
+            F.try_divide(
+                2.0 * F.sum(F.col("i") * F.col("x")),
+                F.count(F.lit(1)) * F.sum("x"),
+            )
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )

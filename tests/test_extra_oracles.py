@@ -225,6 +225,7 @@ EXTRA_NAMES = [
         "q234_seq_patterns",
         "q235_reid_risk",
         "q236_consensus",
+        "q237_gini",
 ]
 
 
