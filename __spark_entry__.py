@@ -6532,6 +6532,63 @@ _GINI_ORACLE_SQL = """
 """
 
 
+def q238_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of a redirect/link graph with planted
+    ring SCCs: 20 rings of 6 nodes, blocks 0-3 chained by acyclic cross
+    edges (exercises repeated peels), plus out-only bridge sources 120-129
+    (exercises the trim phase). Labels relabeled to min member id, sizes
+    joined on. graph/scc.py — trimming + forward-max coloring (Orzan)."""
+    from spanluke_spark.graph.scc import strongly_connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    u = (F.col("doc_id") % 120).cast("long")
+    ring = docs.select(u.alias("src"), (u - (u % 6) + ((u + 1) % 6)).alias("dst"))
+    cross = docs.where(((u % 3) == 0) & (u < 18)).select(
+        u.alias("src"), (u + 6).alias("dst")
+    )
+    bridge = docs.where((F.col("doc_id") % 7) == 0).select(
+        (F.lit(120) + (F.col("doc_id") % 10)).cast("long").alias("src"),
+        u.alias("dst"),
+    )
+    edges = ring.unionByName(cross).unionByName(bridge)
+    labels = strongly_connected_components(edges)
+    sizes = labels.groupBy("scc_id").agg(F.count(F.lit(1)).alias("scc_size"))
+    return labels.join(sizes, "scc_id").select("node", "scc_id", "scc_size")
+
+
+_SCC_ORACLE_SQL = """
+        WITH RECURSIVE gen AS (
+            SELECT doc_id % 120 AS u, doc_id FROM documents
+        ),
+        edges AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT u AS src, u - (u % 6) + ((u + 1) % 6) AS dst FROM gen
+                UNION ALL
+                SELECT u, u + 6 FROM gen WHERE u % 3 = 0 AND u < 18
+                UNION ALL
+                SELECT 120 + (doc_id % 10), u FROM gen WHERE doc_id % 7 = 0
+            ) WHERE src <> dst
+        ),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+            )
+        ),
+        reach AS (
+            SELECT node AS s, node AS d FROM nodes
+            UNION
+            SELECT r.s, e.dst FROM reach r JOIN edges e ON r.d = e.src
+        ),
+        scc AS (
+            SELECT r1.s AS node, min(r1.d) AS scc_id
+            FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s
+            GROUP BY r1.s
+        ),
+        sizes AS (SELECT scc_id, count(*) AS scc_size FROM scc GROUP BY scc_id)
+        SELECT s.node, s.scc_id, z.scc_size FROM scc s JOIN sizes z USING (scc_id)
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -8682,6 +8739,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q235_reid_risk": q235_reid_risk,
         "q236_consensus": q236_consensus,
         "q237_gini": q237_gini,
+        "q238_scc": q238_scc,
     }
 
 
@@ -12519,4 +12577,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q236_consensus"] = _CONSENSUS_ORACLE_SQL
     # q237: rank window + discrete Gini formula replayed
     out["q237_gini"] = _GINI_ORACLE_SQL
+    # q238: recursive-CTE closure, SCC = min over the mutual-reach set
+    out["q238_scc"] = _SCC_ORACLE_SQL
     return out

@@ -226,6 +226,7 @@ EXTRA_NAMES = [
         "q235_reid_risk",
         "q236_consensus",
         "q237_gini",
+        "q238_scc",
 ]
 
 
