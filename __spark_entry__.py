@@ -6589,6 +6589,52 @@ _SCC_ORACLE_SQL = """
 """
 
 
+def q239_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct words per lang (p=6, 64 registers) beside the
+    exact count — register arithmetic is integer-only on the portable
+    hash, so the oracle replays the sketch bit-exactly (q63's KMV is the
+    re-rank sibling; HLL's register relation merges by pure max)."""
+    from spanluke_spark.textops.sketch import hll_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select("lang", F.explode(F.split("text", " ")).alias("w"))
+    sketch = hll_distinct(words, "lang", F.col("w"), p=6)
+    exact = words.groupBy("lang").agg(F.countDistinct("w").alias("n_exact"))
+    return sketch.join(exact, "lang").orderBy("lang")
+
+
+_HLL_ORACLE_SQL = """
+        WITH words AS (
+            SELECT lang AS g, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+            FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+        ), regs AS (
+            SELECT g, h % 64 AS bucket,
+                   max(CASE WHEN (h >> 6) = 0 THEN 55
+                            ELSE 55 - length(bin(h >> 6)) END) AS mrho
+            FROM words GROUP BY g, h % 64
+        ), agg AS (
+            SELECT g AS lang, count(*) AS n_regs,
+                   sum((1::BIGINT << (55 - mrho)))::BIGINT AS sum_int
+            FROM regs GROUP BY g
+        ), est AS (
+            SELECT lang, n_regs,
+                   2904.064::DOUBLE * 36028797018963968.0::DOUBLE
+                   / (sum_int + (64 - n_regs) * (1::BIGINT << 55)) AS raw
+            FROM agg
+        ), exact AS (
+            SELECT lang, count(DISTINCT w) AS n_exact
+            FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY lang
+        )
+        SELECT e.lang, n_regs,
+               round(CASE WHEN raw <= 160.0 AND n_regs < 64
+                          THEN 64.0 * ln(64.0 / (64 - n_regs))
+                          ELSE raw END, 6) AS hll_estimate,
+               n_exact
+        FROM est e JOIN exact USING (lang) ORDER BY e.lang
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -8740,6 +8786,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q236_consensus": q236_consensus,
         "q237_gini": q237_gini,
         "q238_scc": q238_scc,
+        "q239_hll": q239_hll,
     }
 
 
@@ -12579,4 +12626,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q237_gini"] = _GINI_ORACLE_SQL
     # q238: recursive-CTE closure, SCC = min over the mutual-reach set
     out["q238_scc"] = _SCC_ORACLE_SQL
+    # q239: integer register sums replayed, one order-independent division
+    out["q239_hll"] = _HLL_ORACLE_SQL
     return out

@@ -52,6 +52,79 @@ def kmv_distinct(
     )
 
 
+def _hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias constants (m = register count >= 16)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    item: Column,
+    p: int = 6,
+) -> DataFrame:
+    """HyperLogLog distinct-count (Flajolet, Fusy, Gandouet & Meunier 2007)
+    as a relation: -> (group_col, n_regs, hll_estimate).
+
+    Register layout on the deterministic 60-bit ``portable_hash64``: the
+    low ``p`` bits pick one of m = 2^p registers, the remaining 60-p bits
+    supply rho = leading-zero count + 1. Per group the state is <= m
+    (bucket, max rho) rows — a max agg, so map-side combine caps shuffle
+    input at m rows per task per group regardless of item count, and
+    sketches merge by re-aggregating the max (union two periods' register
+    relations and re-agg). vs kmv_distinct: same O(1) state, but HLL's
+    register relation is mergeable WITHOUT re-ranking (pure max), the form
+    used for per-shard/per-day rollups.
+
+    Exact-replay discipline: rho arithmetic is integer-only (bit lengths),
+    and the indicator sum is carried as the EXACT integer
+    sum(2^(55-rho))*... + absent-register mass, so the single float
+    division at the end is order-independent — bit-identical in the
+    DuckDB oracle, unlike engine-native approx_count_distinct whose HLL
+    is implementation-specific. Small-range linear counting per the
+    paper: E <= 2.5m with empty registers -> m*ln(m/V).
+    """
+    m = 1 << p
+    width = 60 - p  # rho counts leading zeros in this many bits
+    h = portable_hash64(item)
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(width + 1)).otherwise(
+        F.lit(width + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        df.select(
+            F.col(group_col).alias("g"),
+            (h % m).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("mrho"))
+    )
+    agg = regs.groupBy(F.col("g").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {width + 1} - mrho)")
+        ).alias("_sum_int"),
+    )
+    scale = float(1 << (width + 1))
+    alpha_mm = _hll_alpha(m) * m * m
+    total = F.col("_sum_int") + (m - F.col("n_regs")) * F.lit(1 << (width + 1)).cast(
+        "long"
+    )
+    raw = F.lit(alpha_mm) * F.lit(scale) / total
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("n_regs") < m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / (m - F.col("n_regs"))),
+    ).otherwise(raw)
+    return agg.select(group_col, "n_regs", F.round(est, 6).alias("hll_estimate"))
+
+
 def _cms_cell(item: Column, i: int, w: int) -> Column:
     """Row-i count-min column for ``item``: portable md5-derived hash mod w
     (salted with the row index) — identical in Spark and the SQL oracle."""

@@ -227,6 +227,7 @@ EXTRA_NAMES = [
         "q236_consensus",
         "q237_gini",
         "q238_scc",
+        "q239_hll",
 ]
 
 
