@@ -6635,6 +6635,79 @@ _HLL_ORACLE_SQL = """
 """
 
 
+def q240_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding store (first 16 dims,
+    integer-quantized): one Gram pass (map-side combine to d^2+d cells),
+    bounded d^2 collect, 8 driver-side power-iteration rounds — the MLlib
+    computePrincipalComponents shape with an exact-integer Gram so the
+    oracle replays every round. link/pca.py."""
+    from spanluke_spark.link.pca import pca_power
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_power(emb, "embedding", d=16, scale=64, rounds=8).orderBy("dim")
+
+
+def _pca_oracle_sql(rounds: int = 8) -> str:
+    """Unrolled DuckDB twin of q240: exact-integer Gram + sums, scatter
+    cells g - s_i s_j / n, then per round one matvec (join + sum) and one
+    normalization, sign pinned by the max-|loading| component."""
+    parts = [
+        """
+        WITH q AS (
+            SELECT list_transform(embedding[1:16],
+                                  x -> round(x::DOUBLE * 64)::BIGINT) AS q
+            FROM embeddings WHERE len(embedding) >= 16
+        ),
+        idx AS (SELECT unnest(range(1, 17)) AS i),
+        cells AS (
+            SELECT i.i - 1 AS i, j.i - 1 AS j,
+                   sum(q.q[i.i] * q.q[j.i])::BIGINT AS g
+            FROM q, idx i, idx j GROUP BY 1, 2
+        ),
+        sums AS (
+            SELECT i.i - 1 AS i, sum(q.q[i.i])::BIGINT AS s
+            FROM q, idx i GROUP BY 1
+        ),
+        nrow AS (SELECT count(*) AS n FROM q),
+        cov AS MATERIALIZED (
+            SELECT c.i, c.j,
+                   c.g - si.s * sj.s / (SELECT n FROM nrow) AS val
+            FROM cells c JOIN sums si ON si.i = c.i JOIN sums sj ON sj.i = c.j
+        ),
+        v0 AS (SELECT unnest(range(0, 16)) AS i, 0.25 AS val)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+        u{r} AS MATERIALIZED (
+            SELECT c.i, sum(c.val * v.val) AS val
+            FROM cov c JOIN v{r - 1} v ON c.j = v.i GROUP BY c.i
+        ),
+        n{r} AS MATERIALIZED (SELECT sqrt(sum(val * val)) AS nv FROM u{r}),
+        v{r} AS MATERIALIZED (
+            SELECT i, val / (SELECT nv FROM n{r}) AS val FROM u{r}
+        )"""
+        )
+    parts.append(
+        f""",
+        eig AS (
+            SELECT sum(vi.val * (c.val * vj.val)) AS e
+            FROM cov c JOIN v{rounds} vi ON vi.i = c.i
+                       JOIN v{rounds} vj ON vj.i = c.j
+        ),
+        tr AS (SELECT sum(val) AS t FROM cov WHERE i = j),
+        pin AS (
+            SELECT CASE WHEN val < 0 THEN -1.0 ELSE 1.0 END AS sgn
+            FROM v{rounds} ORDER BY abs(val) DESC, i ASC LIMIT 1
+        )
+        SELECT v.i AS dim,
+               round(v.val * (SELECT sgn FROM pin), 6) AS loading,
+               round((SELECT e FROM eig) / (SELECT t FROM tr), 6) AS ev_share
+        FROM v{rounds} v ORDER BY v.i"""
+    )
+    return "".join(parts)
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -8787,6 +8860,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q237_gini": q237_gini,
         "q238_scc": q238_scc,
         "q239_hll": q239_hll,
+        "q240_pca": q240_pca,
     }
 
 
@@ -12628,4 +12702,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q238_scc"] = _SCC_ORACLE_SQL
     # q239: integer register sums replayed, one order-independent division
     out["q239_hll"] = _HLL_ORACLE_SQL
+    # q240: exact-integer Gram + 8 unrolled power-iteration rounds replayed
+    out["q240_pca"] = _pca_oracle_sql(8)
     return out

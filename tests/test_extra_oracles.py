@@ -228,6 +228,7 @@ EXTRA_NAMES = [
         "q237_gini",
         "q238_scc",
         "q239_hll",
+        "q240_pca",
 ]
 
 
