@@ -6708,6 +6708,95 @@ def _pca_oracle_sql(rounds: int = 8) -> str:
     return "".join(parts)
 
 
+def q241_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell delete-neighborhood spell correction of noisy crawl
+    tokens against the corpus vocabulary: queries are deterministic
+    doc_id-keyed corruptions of each document's first word (char drop /
+    identity / suffix insert / 2-char prefix — the last gets NO match,
+    exercising the distance bound), dictionary = words with freq >= 5.
+    link/editdist.symspell_correct."""
+    from spanluke_spark.link.editdist import symspell_correct
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    dictionary = freq.where((F.col("freq") >= 5) & (F.length("w") >= 3)).select(
+        F.col("w").alias("term"), "freq"
+    )
+    first = docs.select(
+        F.col("doc_id"), F.element_at(F.split("text", " "), 1).alias("w")
+    ).where(F.length("w") >= 3)
+    p = (F.col("doc_id") % F.length("w")) + 1
+    m = F.col("doc_id") % 4
+    corrupted = first.select(
+        F.when(
+            m == 0,
+            F.concat(
+                F.substring(F.col("w"), 1, (p - 1).cast("int")),
+                F.col("w").substr((p + 1).cast("int"), F.length("w")),
+            ),
+        )
+        .when(m == 1, F.col("w"))
+        .when(m == 2, F.concat(F.col("w"), F.lit("x")))
+        .otherwise(F.concat(F.lit("qq"), F.col("w")))
+        .alias("query")
+    )
+    return symspell_correct(dictionary, corrupted)
+
+
+_SYMSPELL_ORACLE_SQL = """
+        WITH words AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        freq AS (
+            SELECT w, count(*) AS freq FROM words WHERE w <> '' GROUP BY w
+        ),
+        dict AS (
+            SELECT w AS term, freq FROM freq
+            WHERE freq >= 5 AND length(w) >= 3 AND length(w) <= 24
+        ),
+        first_w AS (
+            SELECT doc_id, string_split(text, ' ')[1] AS w FROM documents
+            WHERE length(string_split(text, ' ')[1]) >= 3
+        ),
+        qs AS (
+            SELECT DISTINCT CASE doc_id % 4
+                WHEN 0 THEN substr(w, 1, (doc_id % length(w))::INT)
+                            || substr(w, (doc_id % length(w))::INT + 2)
+                WHEN 1 THEN w
+                WHEN 2 THEN w || 'x'
+                ELSE 'qq' || w END AS query
+            FROM first_w
+        ),
+        q_ok AS (SELECT query FROM qs WHERE length(query) <= 24),
+        dkeys AS (
+            SELECT term, freq, unnest(list_distinct(list_prepend(term,
+                list_transform(range(1, length(term) + 1),
+                               i -> substr(term, 1, i - 1) || substr(term, i + 1))
+            ))) AS k FROM dict
+        ),
+        qkeys AS (
+            SELECT query, unnest(list_distinct(list_prepend(query,
+                list_transform(range(1, length(query) + 1),
+                               i -> substr(query, 1, i - 1) || substr(query, i + 1))
+            ))) AS k FROM q_ok
+        ),
+        cands AS (SELECT DISTINCT query, term, freq FROM qkeys JOIN dkeys USING (k)),
+        scored AS (
+            SELECT query, term, freq, levenshtein(query, term) AS dist
+            FROM cands WHERE levenshtein(query, term) <= 1
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query ORDER BY dist, freq DESC, term
+            ) AS rn FROM scored
+        )
+        SELECT query, term, dist, freq FROM ranked WHERE rn = 1
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -8861,6 +8950,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q238_scc": q238_scc,
         "q239_hll": q239_hll,
         "q240_pca": q240_pca,
+        "q241_symspell": q241_symspell,
     }
 
 
@@ -12704,4 +12794,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q239_hll"] = _HLL_ORACLE_SQL
     # q240: exact-integer Gram + 8 unrolled power-iteration rounds replayed
     out["q240_pca"] = _pca_oracle_sql(8)
+    # q241: delete-1 key generation, candidate verify, top-1 window replayed
+    out["q241_symspell"] = _SYMSPELL_ORACLE_SQL
     return out

@@ -24,10 +24,10 @@ at crawl scale that lane is the handful of 1-2-char names, negligible.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["levenshtein_pairs"]
+__all__ = ["levenshtein_pairs", "symspell_correct"]
 
 
 def _seg_pos(i: Column, length: Column, d: int) -> Column:
@@ -159,4 +159,74 @@ def levenshtein_pairs(
         cands.withColumn("dist", dist)
         .where(F.col("dist") <= d)
         .select("id_a", "id_b", "name_a", "name_b", "dist")
+    )
+
+
+def _delete1_keys(col: Column) -> Column:
+    """Array of the string itself plus every single-character deletion,
+    de-duplicated ("aa" deletes to one "a") — the SymSpell key set."""
+    deletes = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.concat(
+            F.substring(col, 1, i - 1),
+            col.substr(i + 1, F.length(col)),
+        ),
+    )
+    return F.array_distinct(F.concat(F.array(col), deletes))
+
+
+def symspell_correct(
+    dictionary: DataFrame,
+    queries: DataFrame,
+    term_col: str = "term",
+    freq_col: str = "freq",
+    query_col: str = "query",
+    max_len: int = 24,
+) -> DataFrame:
+    """SymSpell (Garbe) delete-neighborhood correction — the ASYMMETRIC
+    sibling of levenshtein_pairs: map each noisy query token to its best
+    dictionary term within Levenshtein distance 1, the
+    typo-canonicalization step for entity gazetteers / host whitelists.
+
+    Two strings within distance 1 always share a delete-1 key (the
+    shorter string is itself a delete of the longer, or both delete the
+    differing position), so the equi-join on delete keys is LOSSLESS for
+    d=1; colliding keys can reach distance 2, so candidates are verified
+    with the exact JVM levenshtein. Fan-out is len+1 keys per string
+    (bounded by ``max_len``; longer strings are dropped — at crawl scale
+    those are URLs/hashes, not vocabulary), the join key is content-
+    driven (no length-band skew), and the winner per query is one
+    row_number window over (dist ASC, freq DESC, term ASC).
+
+    -> (query, term, dist, freq): at most one row per query token that
+    has a candidate; queries already in the dictionary correct to
+    themselves at dist 0.
+    """
+    d_keys = (
+        dictionary.select(
+            F.col(term_col).alias("term"), F.col(freq_col).alias("freq")
+        )
+        .where(F.length("term") <= max_len)
+        .select("term", "freq", F.explode(_delete1_keys(F.col("term"))).alias("k"))
+    )
+    q_keys = (
+        queries.select(F.col(query_col).alias("query"))
+        .distinct()
+        .where(F.length("query") <= max_len)
+        .select("query", F.explode(_delete1_keys(F.col("query"))).alias("k"))
+    )
+    cands = (
+        q_keys.join(d_keys, "k")
+        .select("query", "term", "freq")
+        .distinct()
+        .withColumn("dist", F.levenshtein(F.col("query"), F.col("term")))
+        .where(F.col("dist") <= 1)
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.asc("dist"), F.desc("freq"), F.asc("term")
+    )
+    return (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("query", "term", "dist", "freq")
     )

@@ -229,6 +229,7 @@ EXTRA_NAMES = [
         "q238_scc",
         "q239_hll",
         "q240_pca",
+        "q241_symspell",
 ]
 
 
