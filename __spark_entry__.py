@@ -6797,6 +6797,88 @@ _SYMSPELL_ORACLE_SQL = """
 """
 
 
+def q242_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-one entity alignment by greedy maximum-weight matching:
+    bipartite candidate pairs (200 left x 200 right entities, 3 affine
+    edges per left node, portable-hash weights) resolved by the
+    locally-dominant-edge rounds of graph/matching.py — the distributed
+    form that reproduces sequential greedy exactly."""
+    from spanluke_spark.dedup.dedup import portable_hash64
+    from spanluke_spark.graph.matching import greedy_matching
+
+    docs = _t(spark, sf_dir, "documents")
+    u = (F.col("doc_id") % 200).cast("long")
+    k = (F.col("doc_id") % 3).cast("long")
+    v = (F.lit(1000) + ((u * 17 + k * 31) % 200)).cast("long")
+    pairs = docs.select(
+        u.alias("src"),
+        v.alias("dst"),
+        (
+            portable_hash64(
+                F.concat(u.cast("string"), F.lit(":"), v.cast("string"))
+            )
+            % 997
+        ).alias("weight"),
+    ).distinct()
+    return greedy_matching(pairs)
+
+
+def _matching_oracle_sql(rounds: int = 12) -> str:
+    """Unrolled DuckDB twin of q242: per round — incidence projection,
+    per-node best edge (w desc, a, b), locally-dominant join, endpoint
+    removal. Extra rounds past convergence are no-ops."""
+    parts = [
+        """
+        WITH gen AS (
+            SELECT DISTINCT doc_id % 200 AS u,
+                   1000 + (((doc_id % 200) * 17 + (doc_id % 3) * 31) % 200) AS v
+            FROM documents
+        ),
+        e0 AS MATERIALIZED (
+            SELECT u AS a, v AS b,
+                   ('0x' || substr(md5(u || ':' || v), 1, 15))::BIGINT % 997 AS w
+            FROM gen
+        )"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+        inc{r} AS (
+            SELECT a AS node, a, b, w FROM e{r}
+            UNION ALL
+            SELECT b, a, b, w FROM e{r}
+        ),
+        best{r} AS MATERIALIZED (
+            SELECT node, a, b FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY node ORDER BY w DESC, a, b
+                ) AS rn FROM inc{r}
+            ) WHERE rn = 1
+        ),
+        dom{r} AS MATERIALIZED (
+            SELECT e.a, e.b, e.w
+            FROM e{r} e
+            JOIN best{r} ba ON ba.node = e.a AND ba.a = e.a AND ba.b = e.b
+            JOIN best{r} bb ON bb.node = e.b AND bb.a = e.a AND bb.b = e.b
+        ),
+        hit{r} AS (SELECT a AS node FROM dom{r} UNION SELECT b FROM dom{r}),
+        e{r + 1} AS MATERIALIZED (
+            SELECT * FROM e{r}
+            WHERE a NOT IN (SELECT node FROM hit{r})
+              AND b NOT IN (SELECT node FROM hit{r})
+        )"""
+        )
+    doms = " UNION ALL ".join(f"SELECT * FROM dom{r}" for r in range(rounds))
+    parts.append(
+        f""",
+        leftover AS (SELECT count(*) AS n FROM e{rounds})
+        SELECT a AS src, b AS dst, w AS weight
+        FROM ({doms})
+        WHERE (SELECT n FROM leftover) = 0"""
+    )
+    return "".join(parts)
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -8951,6 +9033,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q239_hll": q239_hll,
         "q240_pca": q240_pca,
         "q241_symspell": q241_symspell,
+        "q242_matching": q242_matching,
     }
 
 
@@ -12796,4 +12879,7 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q240_pca"] = _pca_oracle_sql(8)
     # q241: delete-1 key generation, candidate verify, top-1 window replayed
     out["q241_symspell"] = _SYMSPELL_ORACLE_SQL
+    # q242: locally-dominant rounds unrolled; empty-leftover guard makes an
+    # under-unrolled oracle fail loudly (zero rows) instead of silently
+    out["q242_matching"] = _matching_oracle_sql(12)
     return out

@@ -230,6 +230,7 @@ EXTRA_NAMES = [
         "q239_hll",
         "q240_pca",
         "q241_symspell",
+        "q242_matching",
 ]
 
 
