@@ -6879,6 +6879,117 @@ def _matching_oracle_sql(rounds: int = 12) -> str:
     return "".join(parts)
 
 
+def q243_plsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLSA topic decomposition of the documents corpus (K=3, 4 EM
+    rounds): p(word|topic) after fixed-point EM — responsibilities
+    quantized to integers so the whole EM trajectory replays bit-exactly
+    in the oracle. textops/topics.py."""
+    from spanluke_spark.textops.topics import plsa_topics
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy(F.col("doc_id").alias("d"), "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pwz, _pzd = plsa_topics(counts, k=3, rounds=4)
+    return pwz.select(
+        "w",
+        F.round("q1", 6).alias("q1"),
+        F.round("q2", 6).alias("q2"),
+        F.round("q3", 6).alias("q3"),
+    ).orderBy("w")
+
+
+def _plsa_oracle_sql(rounds: int = 4, quant: int = 1 << 20) -> str:
+    """Unrolled DuckDB twin of q243: hash init, per round one quantized
+    E-step projection + doc/word M-step aggs with Laplace smoothing —
+    every cross-row sum is over exact integers."""
+
+    def mass(key: str, z: int) -> str:
+        return f"1 + ('0x' || substr(md5({key} || ':{z}'), 1, 15))::BIGINT % 7"
+
+    prod = " + ".join(f"pd.p{z} * pw.q{z}" for z in (1, 2, 3))
+    parts = [
+        f"""
+        WITH counts AS MATERIALIZED (
+            SELECT doc_id AS d, w, count(*)::BIGINT AS n
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE w <> '' GROUP BY doc_id, w
+        ),
+        dm0 AS (
+            SELECT DISTINCT d FROM counts
+        ),
+        pzd0 AS MATERIALIZED (
+            SELECT d,
+                   {mass('d', 1)} AS m1, {mass('d', 2)} AS m2,
+                   {mass('d', 3)} AS m3
+            FROM dm0
+        ),
+        pzd0n AS MATERIALIZED (
+            SELECT d, m1 / (m1 + m2 + m3) AS p1, m2 / (m1 + m2 + m3) AS p2,
+                   m3 / (m1 + m2 + m3) AS p3
+            FROM pzd0
+        ),
+        wm0 AS MATERIALIZED (
+            SELECT w, {mass('w', 1)} AS m1, {mass('w', 2)} AS m2,
+                   {mass('w', 3)} AS m3
+            FROM (SELECT DISTINCT w FROM counts)
+        ),
+        wt0 AS (SELECT sum(m1) AS t1, sum(m2) AS t2, sum(m3) AS t3 FROM wm0),
+        pwz0n AS MATERIALIZED (
+            SELECT w, m1 / (SELECT t1 FROM wt0) AS q1,
+                   m2 / (SELECT t2 FROM wt0) AS q2,
+                   m3 / (SELECT t3 FROM wt0) AS q3
+            FROM wm0
+        )"""
+    ]
+    for r in range(rounds):
+        az = ",\n                   ".join(
+            f"round(c.n * ((pd.p{z} * pw.q{z}) / ({prod})) * {quant})::BIGINT"
+            f" AS a{z}"
+            for z in (1, 2, 3)
+        )
+        parts.append(
+            f""",
+        ew{r} AS MATERIALIZED (
+            SELECT c.d, c.w,
+                   {az}
+            FROM counts c JOIN pzd{r}n pd USING (d) JOIN pwz{r}n pw USING (w)
+        ),
+        pzd{r + 1}n AS MATERIALIZED (
+            SELECT d,
+                   (sum(a1) + 1) / (sum(a1) + 1 + sum(a2) + 1 + sum(a3) + 1) AS p1,
+                   (sum(a2) + 1) / (sum(a1) + 1 + sum(a2) + 1 + sum(a3) + 1) AS p2,
+                   (sum(a3) + 1) / (sum(a1) + 1 + sum(a2) + 1 + sum(a3) + 1) AS p3
+            FROM ew{r} GROUP BY d
+        ),
+        wmass{r} AS MATERIALIZED (
+            SELECT w, sum(a1) AS s1, sum(a2) AS s2, sum(a3) AS s3
+            FROM ew{r} GROUP BY w
+        ),
+        wtot{r} AS (
+            SELECT sum(s1) + count(*) AS t1, sum(s2) + count(*) AS t2,
+                   sum(s3) + count(*) AS t3
+            FROM wmass{r}
+        ),
+        pwz{r + 1}n AS MATERIALIZED (
+            SELECT w, (s1 + 1) / (SELECT t1 FROM wtot{r}) AS q1,
+                   (s2 + 1) / (SELECT t2 FROM wtot{r}) AS q2,
+                   (s3 + 1) / (SELECT t3 FROM wtot{r}) AS q3
+            FROM wmass{r}
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT w, round(q1, 6) AS q1, round(q2, 6) AS q2, round(q3, 6) AS q3
+        FROM pwz{rounds}n ORDER BY w"""
+    )
+    return "".join(parts)
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -9034,6 +9145,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q240_pca": q240_pca,
         "q241_symspell": q241_symspell,
         "q242_matching": q242_matching,
+        "q243_plsa": q243_plsa,
     }
 
 
@@ -12882,4 +12994,6 @@ def extra_oracle_sql() -> dict[str, str]:
     # q242: locally-dominant rounds unrolled; empty-leftover guard makes an
     # under-unrolled oracle fail loudly (zero rows) instead of silently
     out["q242_matching"] = _matching_oracle_sql(12)
+    # q243: hash init + 4 quantized EM rounds replayed cell-exactly
+    out["q243_plsa"] = _plsa_oracle_sql(4)
     return out

@@ -231,6 +231,7 @@ EXTRA_NAMES = [
         "q240_pca",
         "q241_symspell",
         "q242_matching",
+        "q243_plsa",
 ]
 
 
