@@ -30,18 +30,18 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["quantized_scatter", "pca_power", "py_power_iteration"]
+__all__ = ["gram_cells_agg", "quantized_scatter", "pca_power", "py_power_iteration"]
 
 
-def quantized_scatter(
+def gram_cells_agg(
     df: DataFrame,
     vec_col: str = "embedding",
     d: int = 16,
     scale: int = 64,
-) -> tuple[list[list[float]], int]:
-    """One distributed pass -> (scatter matrix S = G - s s^T / n as a
-    d x d list-of-lists, n). Gram cells and per-dim sums are exact
-    integers; only the d^2 + d rows come back to the driver."""
+) -> DataFrame:
+    """The distributed half of the PCA pass, exposed for plan audits:
+    -> (i, j, s) exact-integer Gram cells (j = -1 rows carry the per-dim
+    sums). One flat projection + one partial+final hash aggregate."""
     q = F.transform(
         F.slice(F.col(vec_col), 1, d),
         lambda x: F.round(x.cast("double") * scale).cast("long"),
@@ -73,7 +73,22 @@ def quantized_scatter(
             )
         ).alias("c")
     ).select("c.i", "c.j", "c.v")
-    agg = cells.groupBy("i", "j").agg(F.sum("v").alias("s")).collect()
+    return cells.groupBy("i", "j").agg(F.sum("v").alias("s"))
+
+
+def quantized_scatter(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    d: int = 16,
+    scale: int = 64,
+) -> tuple[list[list[float]], int]:
+    """One distributed pass -> (scatter matrix S = G - s s^T / n as a
+    d x d list-of-lists, n). Gram cells and per-dim sums are exact
+    integers; only the d^2 + d rows come back to the driver."""
+    agg = gram_cells_agg(df, vec_col, d, scale).collect()
+    rows = df.select(F.slice(F.col(vec_col), 1, d).alias("q")).where(
+        F.size("q") == d
+    )
     n = rows.count()
     if n == 0:
         raise ValueError("pca: no complete vectors")

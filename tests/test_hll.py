@@ -84,3 +84,18 @@ def test_merge_by_max_equals_whole(spark):
 def test_duplicates_do_not_move_registers(spark):
     items = [f"x{i}" for i in range(50)]
     assert _spark_hll(spark, items) == _spark_hll(spark, items * 7)
+
+
+def test_register_agg_plan_audit(spark):
+    """Both aggregates (per-bucket max, per-group sum) must be map-side
+    combinable — partial_max / partial_sum in the plan, no window."""
+    df = spark.createDataFrame([("g", f"w{i}") for i in range(50)], "g: string, w: string")
+    plan = (
+        hll_distinct(df, "g", F.col("w"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_max" in plan
+    assert "partial_sum" in plan
+    assert "Window" not in plan

@@ -92,3 +92,15 @@ def test_ev_share_bounds(spark):
 def test_zero_matrix_raises():
     with pytest.raises(ValueError):
         py_power_iteration([[0.0, 0.0], [0.0, 0.0]], rounds=3)
+
+
+def test_gram_pass_plan_audit(spark):
+    """The data-sized pass must be one flat projection + one partial+final
+    hash aggregate: no join, no window, no cartesian anywhere."""
+    from spanluke_spark.link.pca import gram_cells_agg
+
+    df = _mk_df(spark, [[float(i + j) for j in range(6)] for i in range(20)])
+    plan = gram_cells_agg(df, d=6)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct", "Window"):
+        assert bad not in plan, bad

@@ -94,3 +94,10 @@ def test_deep_trim_chain(spark):
     edges = [(i, i + 1) for i in range(30)]
     got = _spark_scc(spark, edges)
     assert got == {i: i for i in range(31)}
+
+
+def test_long_cycle_deep_propagation(spark):
+    # a single 60-cycle: color propagation must walk the full diameter
+    edges = [(i, (i + 1) % 60) for i in range(60)]
+    got = _spark_scc(spark, edges)
+    assert got == {i: 0 for i in range(60)}

@@ -80,3 +80,13 @@ def test_max_len_gate(spark):
 def test_distance_two_never_matches(spark):
     got = _spark(spark, [("abcdef", 3)], ["abqqef", "qqabcdef", "abcd"])
     assert got == {}  # two subs / two inserts / two deletes
+
+
+def test_plan_audit_no_cartesian(spark):
+    """The candidate join must be a content-keyed equi-join — no
+    cartesian / nested-loop anywhere in the plan."""
+    d = spark.createDataFrame([("term%d" % i, i) for i in range(30)], "term: string, freq: long")
+    q = spark.createDataFrame([("term%d" % i,) for i in range(10)], "query: string")
+    plan = symspell_correct(d, q)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
