@@ -6990,6 +6990,60 @@ def _plsa_oracle_sql(rounds: int = 4, quant: int = 1 << 20) -> str:
     return "".join(parts)
 
 
+def q244_sparql_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-lite OPTIONAL + FILTER over the q115 KG fixture: courts
+    with their judges, optionally their jurisdiction (cases where the
+    fixture omits it surface as NULL — the left-join semantics), FILTER
+    excluding one judge. graph/sparql.py bgp_query(optional=, filters=)."""
+    from spanluke_spark.graph.sparql import bgp_query
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    i = d % 50
+    c = F.concat(F.lit("c"), i.cast("string"))
+    triples = (
+        docs.select(
+            c.alias("subj"),
+            F.lit("decided_by").alias("pred"),
+            F.concat(F.lit("j"), (i % 20).cast("string")).alias("obj"),
+        )
+        .unionByName(
+            docs.where(i % 3 != 0).select(
+                c.alias("subj"),
+                F.lit("jurisdiction").alias("pred"),
+                F.concat(F.lit("r"), (i % 20 % 5).cast("string")).alias("obj"),
+            )
+        )
+    )
+    sol = bgp_query(
+        triples,
+        "?c decided_by ?j",
+        optional=["?c jurisdiction ?r"],
+        filters=["?j != j3"],
+    )
+    return sol.select("c", "j", "r").orderBy("c", "j", "r")
+
+
+_SPARQL_OPTIONAL_ORACLE_SQL = """
+        WITH trip AS (
+            SELECT DISTINCT subj, pred, obj FROM (
+                SELECT 'c' || (doc_id%50) AS subj,
+                       'decided_by' AS pred,
+                       'j' || ((doc_id%50)%20) AS obj FROM documents
+                UNION ALL
+                SELECT 'c' || (doc_id%50), 'jurisdiction',
+                       'r' || (((doc_id%50)%20)%5)
+                FROM documents WHERE (doc_id%50)%3 != 0
+            )
+        )
+        SELECT DISTINCT a.subj AS c, a.obj AS j, h.obj AS r
+        FROM trip a
+        LEFT JOIN trip h ON h.pred = 'jurisdiction' AND h.subj = a.subj
+        WHERE a.pred = 'decided_by' AND a.obj <> 'j3'
+        ORDER BY c, j, r
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -9146,6 +9200,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q241_symspell": q241_symspell,
         "q242_matching": q242_matching,
         "q243_plsa": q243_plsa,
+        "q244_sparql_optional": q244_sparql_optional,
     }
 
 
@@ -12996,4 +13051,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q242_matching"] = _matching_oracle_sql(12)
     # q243: hash init + 4 quantized EM rounds replayed cell-exactly
     out["q243_plsa"] = _plsa_oracle_sql(4)
+    # q244: left-join OPTIONAL + NULL-semantics FILTER replayed
+    out["q244_sparql_optional"] = _SPARQL_OPTIONAL_ORACLE_SQL
     return out

@@ -22,8 +22,22 @@ closure of that predicate's edge set via graph/closure.py path doubling
 forms compose with it: INVERSE ``^pred`` (edge reversed) and
 ALTERNATION ``a|b`` (either predicate); modifiers wrap the whole token,
 so ``^a|b+`` means inverse-closure over the union edge set of a and b.
-No OPTIONAL / FILTER / negation — the documented cut line (compose
-DataFrame ops on the result instead).
+OPTIONAL blocks and simple FILTERs are supported as keyword args:
+
+    bgp_query(t, "?c decided_by ?j", optional=["?c appealed_to ?a"],
+              filters=["?j != ?a", "?c < c40"])
+
+Each ``optional`` entry is its own BGP compiled the same way and
+LEFT-joined onto the required plan on the shared variables — SPARQL's
+OPTIONAL for well-designed patterns (each block joins the REQUIRED
+group; nested/interdependent optionals are the documented cut line).
+Each ``filters`` entry is one comparison ``term op term`` with op in
+{=, !=, <, <=, >, >=}; terms are variables or literals, comparison is
+lexicographic on the string store (there are no typed literals here).
+Filters apply to the whole solution after optionals, with SQL NULL
+semantics: a comparison on an unbound optional variable is false —
+matching SPARQL, where an error eliminates the row. Negation
+(MINUS/NOT EXISTS) stays out — compose a left_anti on the result.
 """
 
 from __future__ import annotations
@@ -49,8 +63,37 @@ def _parse(pattern: str) -> list[tuple[str, str, str]]:
     return out
 
 
+_FILTER_OPS = ["!=", "<=", ">=", "=", "<", ">"]  # two-char ops first
+
+
+def _term_col(tok: str, columns: set[str]):
+    if tok.startswith("?"):
+        var = tok[1:]
+        if var not in columns:
+            raise ValueError(f"filter variable ?{var} not bound in pattern")
+        return F.col(var)
+    return F.lit(tok)
+
+
+def _compile_filter(expr: str, columns: set[str]):
+    for op in _FILTER_OPS:
+        if f" {op} " in expr:
+            left, right = expr.split(f" {op} ", 1)
+            a = _term_col(left.strip(), columns)
+            b = _term_col(right.strip(), columns)
+            return {
+                "=": a == b, "!=": a != b, "<": a < b,
+                "<=": a <= b, ">": a > b, ">=": a >= b,
+            }[op]
+    raise ValueError(f"unsupported filter: {expr!r}")
+
+
 def bgp_query(
-    triples: DataFrame, pattern: str, distinct: bool = True
+    triples: DataFrame,
+    pattern: str,
+    distinct: bool = True,
+    optional: list[str] | None = None,
+    filters: list[str] | None = None,
 ) -> DataFrame:
     """triples(subj, pred, obj) x BGP string -> one column per ?var."""
     plan: DataFrame | None = None
@@ -108,4 +151,14 @@ def bgp_query(
             plan = (
                 plan.join(step, shared) if shared else plan.crossJoin(step)
             )
+    for opt in optional or []:
+        block = bgp_query(triples, opt, distinct=False)
+        shared = sorted(set(plan.columns) & set(block.columns))
+        if not shared:
+            raise ValueError(
+                f"OPTIONAL block shares no variable with the pattern: {opt!r}"
+            )
+        plan = plan.join(block, shared, "left")
+    for f in filters or []:
+        plan = plan.where(_compile_filter(f, set(plan.columns)))
     return plan.distinct() if distinct else plan

@@ -232,6 +232,7 @@ EXTRA_NAMES = [
         "q241_symspell",
         "q242_matching",
         "q243_plsa",
+        "q244_sparql_optional",
 ]
 
 

@@ -159,3 +159,55 @@ def test_bgp_inverse_and_alternation_paths(spark):
     assert ("d", "a") in invc
     with pytest.raises(ValueError):
         bgp_query(t, "?x ^?p ?y")
+
+
+def test_bgp_optional_left_join(spark):
+    t = spark.createDataFrame(_KG, _T)
+    rows = {
+        (r["c"], r["j"], r["r"])
+        for r in bgp_query(
+            t, "?c decided_by ?j", optional=["?c jurisdiction ?r"]
+        ).collect()
+    }
+    # c1 has a jurisdiction; c2/c3 surface with NULL (kept, not dropped)
+    assert rows == {("c1", "j1", "r1"), ("c2", "j1", None), ("c3", "j2", None)}
+
+
+def test_bgp_filter_comparisons(spark):
+    t = spark.createDataFrame(_KG, _T)
+    rows = {
+        (r["c"], r["j"])
+        for r in bgp_query(t, "?c decided_by ?j", filters=["?j != j1"]).collect()
+    }
+    assert rows == {("c3", "j2")}
+    rows = {
+        r["c"]
+        for r in bgp_query(t, "?c decided_by ?j", filters=["?c >= c2"]).collect()
+    }
+    assert rows == {"c2", "c3"}  # lexicographic on the string store
+
+
+def test_bgp_filter_on_unbound_optional_var_drops_row(spark):
+    t = spark.createDataFrame(_KG, _T)
+    rows = {
+        r["c"]
+        for r in bgp_query(
+            t,
+            "?c decided_by ?j",
+            optional=["?c jurisdiction ?r"],
+            filters=["?r = r1"],
+        ).collect()
+    }
+    assert rows == {"c1"}  # NULL comparison is false, as in SPARQL
+
+
+def test_bgp_optional_requires_shared_var(spark):
+    t = spark.createDataFrame(_KG, _T)
+    import pytest
+
+    with pytest.raises(ValueError):
+        bgp_query(t, "?c decided_by ?j", optional=["?a knows ?b"]).collect()
+    with pytest.raises(ValueError):
+        bgp_query(t, "?c decided_by ?j", filters=["?nope = c1"]).collect()
+    with pytest.raises(ValueError):
+        bgp_query(t, "?c decided_by ?j", filters=["?c ~ c1"]).collect()
