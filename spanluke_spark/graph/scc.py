@@ -82,7 +82,11 @@ def strongly_connected_components(
         .localCheckpoint(eager=True)
     )
     spark = edges.sparkSession
-    assigned = spark.createDataFrame([], "node long, scc_id long")
+    # Assignment parts stay LAZY until the end: every input they reference
+    # (e, live, members) is an immutable localCheckpoint, so deferring the
+    # union costs nothing and saves one eager materialization per round —
+    # at toy scale that is the dominant cost (many tiny jobs).
+    assigned_parts: list[DataFrame] = []
     e = e0
 
     for _ in range(max_peels):
@@ -98,14 +102,16 @@ def strongly_connected_components(
             core = live.join(has_in, "node", "left_semi").join(
                 has_out, "node", "left_semi"
             )
-            trimmed = live.join(core, "node", "left_anti").select(
-                "node", F.col("node").alias("scc_id")
-            )
             n_core = core.count()
             if n_core == n_live:
                 break
-            assigned = assigned.unionByName(trimmed).localCheckpoint(eager=True)
-            live = core.localCheckpoint(eager=True)
+            core = core.localCheckpoint(eager=True)
+            assigned_parts.append(
+                live.join(core, "node", "left_anti").select(
+                    "node", F.col("node").alias("scc_id")
+                )
+            )
+            live = core
             n_live = n_core
         if n_live == 0:
             continue
@@ -120,24 +126,23 @@ def strongly_connected_components(
                 .groupBy(F.col("src").alias("node"))
                 .agg(F.max("color").alias("_nc"))
             )
+            # change flag computed in the same pass, so the convergence
+            # probe is a trivial scan of the checkpoint, not a re-join
             grown = (
                 color.join(nxt, "node", "left")
                 .select(
                     "node",
-                    F.greatest(F.col("color"), F.coalesce(F.col("_nc"), F.col("color"))).alias(
-                        "color"
+                    F.greatest(
+                        F.col("color"), F.coalesce(F.col("_nc"), F.col("color"))
+                    ).alias("color"),
+                    (F.coalesce(F.col("_nc"), F.col("color")) > F.col("color")).alias(
+                        "_chg"
                     ),
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                grown.alias("g")
-                .join(color.alias("c"), "node")
-                .where(F.col("g.color") != F.col("c.color"))
-                .limit(1)
-                .count()
-            )
-            color = grown
+            changed = grown.where(F.col("_chg")).limit(1).count()
+            color = grown.select("node", "color")
             if changed == 0:
                 break
         else:
@@ -164,15 +169,20 @@ def strongly_connected_components(
                 break
             members = members.unionByName(step).localCheckpoint(eager=True)
             frontier = step
-        assigned = assigned.unionByName(
+        assigned_parts.append(
             members.select("node", F.col("color").alias("scc_id"))
-        ).localCheckpoint(eager=True)
+        )
         live = live.join(members, "node", "left_anti").localCheckpoint(eager=True)
     else:
         if live.limit(1).count() != 0:
             raise ValueError("scc: peel budget exhausted")
 
     # Relabel to min member id — engine-independent contract.
+    if not assigned_parts:
+        return spark.createDataFrame([], "node long, scc_id long")
+    assigned = assigned_parts[0]
+    for part in assigned_parts[1:]:
+        assigned = assigned.unionByName(part)
     relabel = assigned.groupBy("scc_id").agg(F.min("node").alias("_min"))
     return (
         assigned.join(relabel, "scc_id")
