@@ -7044,6 +7044,143 @@ _SPARQL_OPTIONAL_ORACLE_SQL = """
 """
 
 
+def q245_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER blocking over 180 entity records with
+    duplicated keys (tie-break path exercised): window w=3 over the
+    global (key, id) order via the two-phase distributed rank — the
+    only unkeyed window in the plan runs over the bounded bucket-count
+    relation. link/snm.py."""
+    from spanluke_spark.link.snm import sorted_neighborhood_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id") % 180
+    recs = docs.select(
+        i.cast("long").alias("id"),
+        F.concat(F.lit("ent"), ((i * 7) % 90).cast("string")).alias("key"),
+    )
+    return sorted_neighborhood_pairs(recs, window=3)
+
+
+_SNM_ORACLE_SQL = """
+        WITH recs AS (
+            SELECT DISTINCT doc_id % 180 AS id,
+                   'ent' || (((doc_id % 180) * 7) % 90) AS key
+            FROM documents
+        ),
+        ranked AS (
+            SELECT id, key, row_number() OVER (ORDER BY key, id) AS r
+            FROM recs
+        )
+        SELECT a.id AS id_a, b.id AS id_b, a.key AS key_a, b.key AS key_b,
+               (b.r - a.r)::INT AS rank_gap
+        FROM ranked a JOIN ranked b ON b.r > a.r AND b.r <= a.r + 2
+"""
+
+
+def q246_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U on document lengths, English vs the rest — the
+    nonparametric curation A/B: value-class ranks (exact-integer 2x
+    midranks), tie-corrected normal z. textops/abtest.py."""
+    from spanluke_spark.textops.abtest import mann_whitney_u
+
+    docs = _t(spark, sf_dir, "documents")
+    return mann_whitney_u(docs, F.col("lang") == "en", F.length("text"))
+
+
+_MWU_ORACLE_SQL = """
+        WITH vals AS (
+            SELECT length(text)::DOUBLE AS v,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g
+            FROM documents
+        ),
+        classes AS (
+            SELECT v, count(*) AS c, sum(g) AS n1v FROM vals GROUP BY v
+        ),
+        cum AS (
+            SELECT *, coalesce(sum(c) OVER (
+                ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) AS cum_lt
+            FROM classes
+        ),
+        agg AS (
+            SELECT sum(n1v) AS n1, sum(c - n1v) AS n2,
+                   sum(n1v * (2 * cum_lt + c + 1)) AS r1x2,
+                   sum(c * c * c - c) AS ties
+            FROM cum
+        )
+        SELECT n1, n2,
+               round((r1x2 - n1 * (n1 + 1)) / 2.0, 6) AS u1,
+               round(n1 * n2 - (r1x2 - n1 * (n1 + 1)) / 2.0, 6) AS u2,
+               round(CASE WHEN n1 > 0 AND n2 > 0 AND
+                          (n1 * n2 / 12.0) * ((n1 + n2 + 1)
+                              - ties / ((n1 + n2) * (n1 + n2 - 1))) > 0
+                     THEN ((r1x2 - n1 * (n1 + 1)) / 2.0 - n1 * n2 / 2.0)
+                          / sqrt((n1 * n2 / 12.0) * ((n1 + n2 + 1)
+                              - ties / ((n1 + n2) * (n1 + n2 - 1))))
+                     END, 6) AS z,
+               round(CASE WHEN n1 > 0 AND n2 > 0
+                     THEN 2.0 * ((r1x2 - n1 * (n1 + 1)) / 2.0) / (n1 * n2) - 1.0
+                     END, 6) AS rank_biserial
+        FROM agg
+"""
+
+
+def q247_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality over a 120-node functional link graph (2
+    out-edges per node, cycles included): 6 fixed rounds at the dyadic
+    alpha = 0.5 so every score is an exact dyadic rational — the oracle
+    unrolls the same rounds. graph/centrality.katz_centrality."""
+    from spanluke_spark.graph.centrality import katz_centrality
+
+    docs = _t(spark, sf_dir, "documents")
+    u = (F.col("doc_id") % 120).cast("long")
+    edges = docs.select(u.alias("src"), ((u * 7 + 3) % 120).alias("dst")).unionByName(
+        docs.select(u.alias("src"), ((u * 11 + 5) % 120).alias("dst"))
+    )
+    x = katz_centrality(edges, alpha=0.5, beta=1.0, rounds=6)
+    return x.select("node", F.round("katz", 6).alias("katz")).orderBy("node")
+
+
+def _katz_oracle_sql(rounds: int = 6) -> str:
+    """Unrolled DuckDB twin of q247: per round one join + sum by target
+    + left join onto the node universe."""
+    parts = [
+        """
+        WITH gen AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT doc_id % 120 AS src, ((doc_id % 120) * 7 + 3) % 120 AS dst
+                FROM documents
+                UNION ALL
+                SELECT doc_id % 120, ((doc_id % 120) * 11 + 5) % 120
+                FROM documents
+            ) WHERE src <> dst
+        ),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM gen UNION ALL SELECT dst FROM gen
+            )
+        ),
+        x0 AS (SELECT node, 1.0::DOUBLE AS katz FROM nodes)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+        c{r} AS MATERIALIZED (
+            SELECT g.dst AS node, sum(x.katz) AS _in
+            FROM gen g JOIN x{r} x ON x.node = g.src GROUP BY g.dst
+        ),
+        x{r + 1} AS MATERIALIZED (
+            SELECT n.node, 1.0 + 0.5 * coalesce(c._in, 0.0) AS katz
+            FROM nodes n LEFT JOIN c{r} c ON c.node = n.node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node, round(katz, 6) AS katz FROM x{rounds} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -9201,6 +9338,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q242_matching": q242_matching,
         "q243_plsa": q243_plsa,
         "q244_sparql_optional": q244_sparql_optional,
+        "q245_sorted_neighborhood": q245_sorted_neighborhood,
+        "q246_mann_whitney": q246_mann_whitney,
+        "q247_katz": q247_katz,
     }
 
 
@@ -13053,4 +13193,10 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q243_plsa"] = _plsa_oracle_sql(4)
     # q244: left-join OPTIONAL + NULL-semantics FILTER replayed
     out["q244_sparql_optional"] = _SPARQL_OPTIONAL_ORACLE_SQL
+    # q245: global rank + rank-distance join replayed
+    out["q245_sorted_neighborhood"] = _SNM_ORACLE_SQL
+    # q246: value-class midranks + tie-corrected z replayed on exact ints
+    out["q246_mann_whitney"] = _MWU_ORACLE_SQL
+    # q247: 6 unrolled attenuated-walk rounds, exact-dyadic scores
+    out["q247_katz"] = _katz_oracle_sql(6)
     return out

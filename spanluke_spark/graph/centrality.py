@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["betweenness"]
+__all__ = ["betweenness", "katz_centrality"]
 
 
 def betweenness(
@@ -135,3 +135,62 @@ def betweenness(
         .groupBy("node")
         .agg(F.round(F.sum("delta") / half, 6).alias("betweenness"))
     )
+
+
+def katz_centrality(
+    edges: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 1.0,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Katz centrality (Katz 1953) after ``rounds`` fixed iterations of
+    x <- beta + alpha * A^T x from x = beta — the attenuated-walk-count
+    prestige measure that credits a node for ALL incoming walks, not
+    just direct links (PageRank divides a voter's influence across its
+    out-links; Katz does not, so it ranks broadly-cited-by-hubs pages
+    differently). -> (node, katz).
+
+    Per round: one equi-join of the score relation onto the edge list +
+    one map-side-combinable sum by target + a left join back onto the
+    node universe (nodes with no in-edges stay at beta); lineage
+    truncated per round. Fixed-round form — no convergence test, so no
+    spectral-radius constraint is needed for termination (for the
+    infinite-sum interpretation alpha must be < 1/lambda_max, which the
+    caller owns).
+
+    Reproducibility: with a DYADIC alpha (0.5, 0.25, ...) and integer
+    beta every score is an exact dyadic rational with denominator
+    <= 2^(rounds), so all cross-row sums are exact in ANY aggregation
+    order — the oracle replays bit-identically. Non-dyadic alphas work
+    but lose that guarantee.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+        F.col("src") != F.col("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    x = nodes.select("node", F.lit(float(beta)).alias("katz"))
+    for _ in range(rounds):
+        contrib = (
+            e.join(x.select(F.col("node").alias("src"), "katz"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("katz").alias("_in"))
+        )
+        x = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(float(beta))
+                    + F.lit(float(alpha)) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("katz"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return x

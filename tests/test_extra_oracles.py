@@ -233,6 +233,9 @@ EXTRA_NAMES = [
         "q242_matching",
         "q243_plsa",
         "q244_sparql_optional",
+        "q245_sorted_neighborhood",
+        "q246_mann_whitney",
+        "q247_katz",
 ]
 
 
