@@ -7181,6 +7181,181 @@ def _katz_oracle_sql(rounds: int = 6) -> str:
     return "".join(parts)
 
 
+def q248_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot content novelty: docs assigned to 5 crawl
+    snapshots (doc_id % 5), word-3-gram first-seen analysis — the
+    crawl-budget novelty curve. textops/novelty.py."""
+    from spanluke_spark.textops.novelty import snapshot_novelty
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 5).alias("snapshot"), "text"
+    )
+    return snapshot_novelty(docs, k=3).orderBy("snapshot")
+
+
+_NOVELTY_ORACLE_SQL = """
+        WITH docs AS (
+            SELECT doc_id % 5 AS s, string_split(text, ' ') AS words
+            FROM documents
+        ),
+        sg AS (
+            SELECT DISTINCT s,
+                   ('0x' || substr(md5(array_to_string(words[i:i+2], ' ')),
+                                   1, 15))::BIGINT AS g
+            FROM docs, LATERAL (
+                SELECT unnest(range(1, greatest(len(words) - 2, 0) + 1)) AS i
+            )
+        ),
+        first_s AS (SELECT g, min(s) AS fs FROM sg GROUP BY g),
+        totals AS (SELECT s, count(*) AS n_grams FROM sg GROUP BY s),
+        novel AS (SELECT fs AS s, count(*) AS n_novel FROM first_s GROUP BY fs)
+        SELECT t.s AS snapshot, n_grams,
+               coalesce(n_novel, 0) AS n_novel,
+               round(coalesce(n_novel, 0) / n_grams, 6) AS novelty_rate
+        FROM totals t LEFT JOIN novel n ON n.s = t.s
+        ORDER BY snapshot
+"""
+
+
+def q249_sameas_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sameAs hairball audit: 50 clean same-type mirror links plus a
+    planted 6-entity cross-type chain and a cross-type pair — flag every
+    sameAs component spanning >= 2 entity types (the Halpin et al.
+    owl:sameAs pathology). graph/audit.sameas_hairballs."""
+    from spanluke_spark.graph.audit import sameas_hairballs
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    i = (d % 50).cast("long")
+    mirrors = docs.select(i.alias("src"), (i + 100).alias("dst"))
+    chain = docs.where(d % 97 < 5).select(
+        (F.lit(60) + (d % 97)).cast("long").alias("src"),
+        (F.lit(61) + (d % 97)).cast("long").alias("dst"),
+    )
+    pair = docs.where(d % 101 == 0).select(
+        F.lit(70).cast("long").alias("src"), F.lit(72).cast("long").alias("dst")
+    )
+    edges = mirrors.unionByName(chain).unionByName(pair)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    types = nodes.select(
+        "node",
+        F.element_at(
+            F.array(F.lit("court"), F.lit("judge"), F.lit("statute"), F.lit("case")),
+            ((F.col("node") % 100) % 4 + 1).cast("int"),
+        ).alias("type"),
+    )
+    out = sameas_hairballs(edges, types)
+    return out.orderBy("component")
+
+
+_SAMEAS_ORACLE_SQL = """
+        WITH RECURSIVE gen AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT doc_id % 50 AS src, doc_id % 50 + 100 AS dst
+                FROM documents
+                UNION ALL
+                SELECT 60 + (doc_id % 97), 61 + (doc_id % 97)
+                FROM documents WHERE doc_id % 97 < 5
+                UNION ALL
+                SELECT 70, 72 FROM documents WHERE doc_id % 101 = 0
+            )
+        ),
+        sym AS (
+            SELECT src AS u, dst AS v FROM gen
+            UNION
+            SELECT dst, src FROM gen
+        ),
+        nodes AS (SELECT DISTINCT u AS node FROM sym),
+        reach AS (
+            SELECT node AS s, node AS d FROM nodes
+            UNION
+            SELECT r.s, e.v FROM reach r JOIN sym e ON r.d = e.u
+        ),
+        comp AS (SELECT s AS node, min(d) AS component FROM reach GROUP BY s),
+        typed AS (
+            SELECT component,
+                   CASE (node % 100) % 4 WHEN 0 THEN 'court' WHEN 1 THEN 'judge'
+                        WHEN 2 THEN 'statute' ELSE 'case' END AS t
+            FROM comp
+        )
+        SELECT component, count(*) AS n_entities,
+               count(DISTINCT t) AS n_types,
+               list_sort(list(DISTINCT t)) AS types
+        FROM typed GROUP BY component
+        HAVING count(DISTINCT t) >= 2
+        ORDER BY component
+"""
+
+
+def q250_inverse_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse/symmetry rule mining: a planted cites/cited_by inverse
+    pair (most, not all, links reciprocated), a symmetric same_as
+    predicate, and an inverse-free decided_by — confidences must rank
+    them accordingly. graph/rules.mine_inverse_rules."""
+    from spanluke_spark.graph.rules import mine_inverse_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    a = F.concat(F.lit("c"), (d % 40).cast("string"))
+    b = F.concat(F.lit("p"), (d % 25).cast("string"))
+    cites = docs.select(
+        a.alias("subj"), F.lit("cites").alias("pred"), b.alias("obj")
+    )
+    cited_by = docs.where(d % 7 != 0).select(
+        b.alias("subj"), F.lit("cited_by").alias("pred"), a.alias("obj")
+    )
+    same = docs.select(
+        a.alias("subj"), F.lit("same_as").alias("pred"), b.alias("obj")
+    ).unionByName(
+        docs.select(
+            b.alias("subj"), F.lit("same_as").alias("pred"), a.alias("obj")
+        )
+    )
+    decided = docs.select(
+        a.alias("subj"),
+        F.lit("decided_by").alias("pred"),
+        F.concat(F.lit("j"), (d % 11).cast("string")).alias("obj"),
+    )
+    triples = cites.unionByName(cited_by).unionByName(same).unionByName(decided)
+    return mine_inverse_rules(triples).orderBy("pred", "inv_pred")
+
+
+_INVERSE_RULES_ORACLE_SQL = """
+        WITH t AS (
+            SELECT DISTINCT subj, pred, obj FROM (
+                SELECT 'c' || (doc_id % 40) AS subj, 'cites' AS pred,
+                       'p' || (doc_id % 25) AS obj FROM documents
+                UNION ALL
+                SELECT 'p' || (doc_id % 25), 'cited_by', 'c' || (doc_id % 40)
+                FROM documents WHERE doc_id % 7 != 0
+                UNION ALL
+                SELECT 'c' || (doc_id % 40), 'same_as', 'p' || (doc_id % 25)
+                FROM documents
+                UNION ALL
+                SELECT 'p' || (doc_id % 25), 'same_as', 'c' || (doc_id % 40)
+                FROM documents
+                UNION ALL
+                SELECT 'c' || (doc_id % 40), 'decided_by', 'j' || (doc_id % 11)
+                FROM documents
+            )
+        ),
+        matched AS (
+            SELECT a.pred, b.pred AS inv_pred, count(*) AS support
+            FROM t a JOIN t b ON b.subj = a.obj AND b.obj = a.subj
+            GROUP BY a.pred, b.pred
+        ),
+        body AS (SELECT pred, count(*) AS n_body FROM t GROUP BY pred)
+        SELECT pred, inv_pred, support, n_body,
+               round(support / n_body, 6) AS confidence
+        FROM matched JOIN body USING (pred)
+        ORDER BY pred, inv_pred
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -9341,6 +9516,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q245_sorted_neighborhood": q245_sorted_neighborhood,
         "q246_mann_whitney": q246_mann_whitney,
         "q247_katz": q247_katz,
+        "q248_novelty": q248_novelty,
+        "q249_sameas_audit": q249_sameas_audit,
+        "q250_inverse_rules": q250_inverse_rules,
     }
 
 
@@ -13199,4 +13377,10 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q246_mann_whitney"] = _MWU_ORACLE_SQL
     # q247: 6 unrolled attenuated-walk rounds, exact-dyadic scores
     out["q247_katz"] = _katz_oracle_sql(6)
+    # q248: gram first-seen vs per-snapshot totals replayed
+    out["q248_novelty"] = _NOVELTY_ORACLE_SQL
+    # q249: recursive undirected closure + type-span HAVING replayed
+    out["q249_sameas_audit"] = _SAMEAS_ORACLE_SQL
+    # q250: reversed-key self-join + CWA confidence replayed
+    out["q250_inverse_rules"] = _INVERSE_RULES_ORACLE_SQL
     return out

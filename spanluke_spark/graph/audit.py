@@ -70,3 +70,45 @@ def predicate_stats(triples: DataFrame) -> DataFrame:
             ).alias("avg_objs_per_subject"),
         )
     )
+
+
+def sameas_hairballs(
+    same_as: DataFrame,
+    types: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    type_col: str = "type",
+) -> DataFrame:
+    """The sameAs-hairball audit (the classic linked-data pathology —
+    Halpin et al. 2010, "When owl:sameAs isn't the same"): transitive
+    sameAs closure silently merges DISTINCT real-world entities when one
+    bad link lands in a chain, and the tell is a connected component
+    whose members carry more than one entity TYPE (a court chained to a
+    statute is a wrong merge, however plausible each individual edge).
+
+    -> (component, n_entities, n_types, types) for every sameAs
+    component whose members span >= 2 distinct types; ``types`` is the
+    sorted distinct type array (bounded by the type vocabulary, never by
+    component size — no unbounded collect of members).
+
+    Components come from canon/cc.py (alternating-star, skew-salted);
+    the type join is one hash join on the node id; the per-component
+    aggregate is map-side combinable.
+    """
+    from ..canon.cc import connected_components
+
+    comp = connected_components(same_as, src=src, dst=dst)
+    typed = comp.join(
+        types.select(F.col(node_col).alias("node"), F.col(type_col).alias("t")),
+        "node",
+    )
+    return (
+        typed.groupBy(F.col("component"))
+        .agg(
+            F.count(F.lit(1)).alias("n_entities"),
+            F.countDistinct("t").alias("n_types"),
+            F.sort_array(F.collect_set("t")).alias("types"),
+        )
+        .where(F.col("n_types") >= 2)
+    )

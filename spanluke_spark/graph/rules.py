@@ -91,3 +91,49 @@ def mine_chain_rules(
             & (F.col("confidence") >= min_confidence)
         )
     )
+
+
+def mine_inverse_rules(
+    triples: DataFrame,
+    min_support: int = 1,
+) -> DataFrame:
+    """Inverse/symmetry rule mining — the other AMIE rule shape the
+    2-chain miner cannot express:
+
+        p(x, y)  =>  q(y, x)
+
+    (q = p is the SYMMETRY special case: same_as, married_to). Detecting
+    these tells the KG pipeline which predicate pairs are redundant
+    paraphrases (cites / cited_by extracted from both link directions)
+    so the canonicalizer can fold one into the other, and which
+    predicates should be auto-densified with their inverses.
+
+    -> (pred, inv_pred, support, n_body, confidence): support counts
+    DISTINCT (x, y) with p(x, y) AND q(y, x); n_body = |distinct p
+    groundings|; confidence = support / n_body (CWA, as AMIE). One
+    self-join of the distinct triple set on the REVERSED key (content-
+    driven (subj, obj) key — no predicate-level skew), two aggregates.
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    rev = t.select(
+        F.col("obj").alias("subj"),
+        F.col("pred").alias("inv_pred"),
+        F.col("subj").alias("obj"),
+    )
+    matched = (
+        t.join(rev, ["subj", "obj"])
+        .groupBy("pred", "inv_pred")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    body = t.groupBy("pred").agg(F.count(F.lit(1)).alias("n_body"))
+    return (
+        matched.join(body, "pred")
+        .where(F.col("support") >= min_support)
+        .select(
+            "pred",
+            "inv_pred",
+            "support",
+            "n_body",
+            F.round(F.col("support") / F.col("n_body"), 6).alias("confidence"),
+        )
+    )

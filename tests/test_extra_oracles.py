@@ -236,6 +236,9 @@ EXTRA_NAMES = [
         "q245_sorted_neighborhood",
         "q246_mann_whitney",
         "q247_katz",
+        "q248_novelty",
+        "q249_sameas_audit",
+        "q250_inverse_rules",
 ]
 
 
