@@ -7356,6 +7356,94 @@ _INVERSE_RULES_ORACLE_SQL = """
 """
 
 
+def q251_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report per language: BPE tokens per
+    whitespace word and chars per BPE token — the tokenizer-equity
+    metric multilingual pipelines track (a language with 2x fertility
+    pays 2x the context budget). Real frozen-merges BPE (etl/bpe.py);
+    the oracle replays the merges chain and the ratio arithmetic."""
+    from spanluke_spark.etl.bpe import bpe_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    counted = bpe_token_count(docs.select("lang", "text"))
+    per_doc = counted.select(
+        "lang",
+        F.col("n_bpe_tokens").alias("n_bpe"),
+        F.length("text").alias("n_chars"),
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("n_words"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.sum("n_bpe").alias("total_bpe"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return agg.select(
+        "lang",
+        "total_bpe",
+        "total_words",
+        "total_chars",
+        F.round(F.col("total_bpe") / F.col("total_words"), 6).alias("fertility"),
+        F.round(F.col("total_chars") / F.col("total_bpe"), 6).alias(
+            "chars_per_token"
+        ),
+    ).orderBy("lang")
+
+
+_BPE_FERTILITY_FINAL = """
+        SELECT lang, CAST(sum(n_bpe) AS BIGINT) AS total_bpe,
+               CAST(sum(n_words) AS BIGINT) AS total_words,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               round(sum(n_bpe) / sum(n_words), 6) AS fertility,
+               round(sum(n_chars) / sum(n_bpe), 6) AS chars_per_token
+        FROM d GROUP BY lang ORDER BY lang"""
+
+
+def q252_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cardinality through a REAL multi-batch stream: the
+    per-lang word stream staged as 5 files (maxFilesPerTrigger=1), HLL
+    registers maintained by Spark's NATIVE streaming max-agg (the
+    register table IS the streaming state — the mergeability q239
+    documents), estimates computed from the final register snapshot.
+    Must equal the batch HLL bit-for-bit; the oracle replays the batch
+    sketch. Eager (a stream must run) — not benched."""
+    import tempfile
+
+    from spanluke_spark.textops.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    tmp = tempfile.mkdtemp(prefix="q252_words_")
+    words.repartition(5).write.mode("overwrite").parquet(tmp)
+    stream = (
+        spark.readStream.schema("lang string, w string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    name = "q252_regs_" + os.path.basename(tmp).rsplit("_", 1)[-1]
+    q = (
+        hll_registers(stream, "lang", F.col("w"), p=6)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    regs = spark.table(name)
+    exact = words.groupBy("lang").agg(F.countDistinct("w").alias("n_exact"))
+    return (
+        hll_estimate_from_registers(regs, "lang", p=6)
+        .join(exact, "lang")
+        .orderBy("lang")
+    )
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -8413,7 +8501,7 @@ def _wordpiece_sql() -> str:
     """
 
 
-def _bpe_sql() -> str:
+def _bpe_sql(final: str | None = None) -> str:
     """q37 oracle: replays the FROZEN byte-level-BPE merges table
     (etl/bpe_merges.txt) exactly. Key equivalence (proven in
     tests/test_bpe.py over the whole corpus): applying merges sequentially
@@ -8443,6 +8531,10 @@ def _bpe_sql() -> str:
         expr = "s"
     last = f"m{len(ctes)-1}" if ctes else "init"
     cte_sql = (",\n            ".join(ctes) + ",") if ctes else ""
+    default_final = """
+        SELECT lang, CAST(sum(n_bpe) AS BIGINT) AS total_bpe,
+               CAST(max(n_bpe) AS BIGINT) AS max_bpe, count(*) AS n_docs
+        FROM d GROUP BY lang ORDER BY lang"""
     return f"""
         WITH pt AS (
             SELECT lang, doc_id,
@@ -8460,12 +8552,13 @@ def _bpe_sql() -> str:
                                                x -> x <> ''))) AS n_bpe
             FROM {last} GROUP BY doc_id
         ), d AS (
-            SELECT d0.lang, coalesce(pd.n_bpe, 0) AS n_bpe
+            SELECT d0.lang, d0.doc_id, length(d0.text) AS n_chars,
+                   len(list_filter(string_split(d0.text, ' '), x -> x <> ''))
+                       AS n_words,
+                   coalesce(pd.n_bpe, 0) AS n_bpe
             FROM documents d0 LEFT JOIN per_doc pd ON d0.doc_id = pd.doc_id
         )
-        SELECT lang, CAST(sum(n_bpe) AS BIGINT) AS total_bpe,
-               CAST(max(n_bpe) AS BIGINT) AS max_bpe, count(*) AS n_docs
-        FROM d GROUP BY lang ORDER BY lang
+        {final if final is not None else default_final}
     """
 
 
@@ -9519,6 +9612,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q248_novelty": q248_novelty,
         "q249_sameas_audit": q249_sameas_audit,
         "q250_inverse_rules": q250_inverse_rules,
+        "q251_bpe_fertility": q251_bpe_fertility,
+        "q252_streaming_hll": q252_streaming_hll,
     }
 
 
@@ -13383,4 +13478,9 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q249_sameas_audit"] = _SAMEAS_ORACLE_SQL
     # q250: reversed-key self-join + CWA confidence replayed
     out["q250_inverse_rules"] = _INVERSE_RULES_ORACLE_SQL
+    # q251: frozen-merges replay + fertility ratio arithmetic
+    out["q251_bpe_fertility"] = _bpe_sql(_BPE_FERTILITY_FINAL)
+    # q252: the stream's final register snapshot must equal the batch
+    # sketch, so the q239 batch oracle checks the streaming run's values
+    out["q252_streaming_hll"] = _HLL_ORACLE_SQL
     return out

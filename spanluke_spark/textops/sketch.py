@@ -90,6 +90,22 @@ def hll_distinct(
     is implementation-specific. Small-range linear counting per the
     paper: E <= 2.5m with empty registers -> m*ln(m/V).
     """
+    regs = hll_registers(df, group_col, item, p)
+    return hll_estimate_from_registers(regs, group_col, p)
+
+
+def hll_registers(
+    df: DataFrame,
+    group_col: str,
+    item: Column,
+    p: int = 6,
+) -> DataFrame:
+    """-> (group_col, bucket, mrho): the HLL register relation. A plain
+    max aggregate, so this SAME function runs on a STREAMING DataFrame —
+    Spark's streaming agg state is exactly the register table, merged by
+    max across micro-batches (tests/test_streaming_hll.py proves
+    stream == batch bit-for-bit). Sketches for different periods/shards
+    union + re-agg through here too."""
     m = 1 << p
     width = 60 - p  # rho counts leading zeros in this many bits
     h = portable_hash64(item)
@@ -97,16 +113,24 @@ def hll_distinct(
     rho = F.when(w == 0, F.lit(width + 1)).otherwise(
         F.lit(width + 1) - F.length(F.bin(w))
     )
-    regs = (
+    return (
         df.select(
-            F.col(group_col).alias("g"),
+            F.col(group_col).alias(group_col),
             (h % m).alias("bucket"),
             rho.alias("rho"),
         )
-        .groupBy("g", "bucket")
+        .groupBy(group_col, "bucket")
         .agg(F.max("rho").alias("mrho"))
     )
-    agg = regs.groupBy(F.col("g").alias(group_col)).agg(
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_col: str, p: int = 6
+) -> DataFrame:
+    """Register relation -> (group_col, n_regs, hll_estimate)."""
+    m = 1 << p
+    width = 60 - p
+    agg = regs.groupBy(F.col(group_col)).agg(
         F.count(F.lit(1)).alias("n_regs"),
         F.sum(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), {width + 1} - mrho)")

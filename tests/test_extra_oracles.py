@@ -239,6 +239,8 @@ EXTRA_NAMES = [
         "q248_novelty",
         "q249_sameas_audit",
         "q250_inverse_rules",
+        "q251_bpe_fertility",
+        "q252_streaming_hll",
 ]
 
 
