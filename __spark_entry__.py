@@ -7444,6 +7444,127 @@ def q252_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q253_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised labeling by embedding k-NN majority vote: every
+    5th vector is the unlabeled query side, the rest the broadcast
+    labeled index; similarity is the EXACT integer-quantized inner
+    product so the top-5 ranking cannot flip on a float tie between
+    engines. link/ann.knn_label_vote."""
+    from spanluke_spark.link.ann import knn_label_vote
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    index = emb.where(F.col("vec_id") % 5 != 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        "label",
+    )
+    return knn_label_vote(queries, index, k=5).orderBy("q_id")
+
+
+_KNN_ORACLE_SQL = """
+        WITH qz AS (
+            SELECT vec_id AS q_id,
+                   list_transform(embedding,
+                                  x -> round(x::DOUBLE * 64)::BIGINT) AS q
+            FROM embeddings WHERE vec_id % 5 = 0
+        ),
+        cz AS (
+            SELECT vec_id AS c_id, label,
+                   list_transform(embedding,
+                                  x -> round(x::DOUBLE * 64)::BIGINT) AS c
+            FROM embeddings WHERE vec_id % 5 != 0
+        ),
+        pairs AS (
+            SELECT q_id, c_id, label,
+                   list_sum(list_transform(range(1, len(q) + 1),
+                                           i -> q[i] * c[i]))::BIGINT AS dot
+            FROM qz, cz
+        ),
+        topk AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY q_id ORDER BY dot DESC, c_id
+                ) AS rn FROM pairs
+            ) WHERE rn <= 5
+        ),
+        votes AS (
+            SELECT q_id, label, count(*) AS votes, max(dot) AS best_dot
+            FROM topk GROUP BY q_id, label
+        )
+        SELECT q_id, label, votes, best_dot FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY votes DESC, label
+            ) AS rv FROM votes
+        ) WHERE rv = 1 ORDER BY q_id
+"""
+
+
+def q254_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-homophily coefficient of a constructed link graph over a
+    500-node universe: 70% of links stay within the node's language
+    class, 30% cross — the categorical assortativity (Newman 2003) must
+    come out strongly positive. graph/partitioning.attribute_assortativity."""
+    from spanluke_spark.graph.partitioning import attribute_assortativity
+
+    docs = _t(spark, sf_dir, "documents")
+    u = (F.col("doc_id") % 500).cast("long")
+    hom = docs.where(F.col("doc_id") % 10 < 7).select(
+        u.alias("src"), ((u + 4 * ((u * 3) % 25)) % 500).alias("dst")
+    )
+    het = docs.where(F.col("doc_id") % 10 >= 7).select(
+        u.alias("src"), ((u + 1 + 4 * ((u * 7) % 25)) % 500).alias("dst")
+    )
+    edges = hom.unionByName(het)
+    langs = F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es"))
+    attrs = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", F.element_at(langs, (F.col("node") % 4 + 1).cast("int")).alias("attr"))
+    )
+    return attribute_assortativity(edges, attrs)
+
+
+_HOMOPHILY_ORACLE_SQL = """
+        WITH edges AS (
+            SELECT doc_id % 500 AS src,
+                   ((doc_id % 500) + 4 * (((doc_id % 500) * 3) % 25)) % 500 AS dst
+            FROM documents WHERE doc_id % 10 < 7
+            UNION ALL
+            SELECT doc_id % 500,
+                   ((doc_id % 500) + 1 + 4 * (((doc_id % 500) * 7) % 25)) % 500
+            FROM documents WHERE doc_id % 10 >= 7
+        ),
+        cats AS (
+            SELECT src, dst, src % 4 AS ca, dst % 4 AS cb FROM edges
+        ),
+        pair AS (SELECT ca, cb, count(*) AS n FROM cats GROUP BY ca, cb),
+        tot AS (
+            SELECT sum(n) AS m, count(DISTINCT ca) AS nca,
+                   count(DISTINCT cb) AS ncb
+            FROM pair
+        ),
+        diag AS (
+            SELECT coalesce(sum(n), 0) AS diag FROM pair WHERE ca = cb
+        ),
+        rowm AS (SELECT ca, sum(n) AS ra FROM pair GROUP BY ca),
+        colm AS (SELECT cb, sum(n) AS rb FROM pair GROUP BY cb),
+        ab AS (
+            SELECT coalesce(sum(ra * rb), 0) AS sab
+            FROM rowm JOIN colm ON ca = cb
+        )
+        SELECT round(CASE WHEN sab / (m * m) < 1.0
+                     THEN (diag / m - sab / (m * m)) / (1.0 - sab / (m * m))
+                     END, 6) AS r_assort,
+               m AS n_edges,
+               greatest(nca, ncb) AS n_cats
+        FROM tot, diag, ab
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -9614,6 +9735,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q250_inverse_rules": q250_inverse_rules,
         "q251_bpe_fertility": q251_bpe_fertility,
         "q252_streaming_hll": q252_streaming_hll,
+        "q253_knn_classify": q253_knn_classify,
+        "q254_homophily": q254_homophily,
     }
 
 
@@ -13483,4 +13606,8 @@ def extra_oracle_sql() -> dict[str, str]:
     # q252: the stream's final register snapshot must equal the batch
     # sketch, so the q239 batch oracle checks the streaming run's values
     out["q252_streaming_hll"] = _HLL_ORACLE_SQL
+    # q253: integer MIPS top-5 + majority vote replayed
+    out["q253_knn_classify"] = _KNN_ORACLE_SQL
+    # q254: category-pair matrix + Newman r replayed on exact counts
+    out["q254_homophily"] = _HOMOPHILY_ORACLE_SQL
     return out

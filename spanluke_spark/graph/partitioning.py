@@ -201,3 +201,60 @@ def shard_move_analysis(
         mod_row.unionByName(hrw_row)
         .withColumn("move_frac", F.col("n_moved") / F.col("n_keys"))
     )
+
+
+def attribute_assortativity(
+    edges: DataFrame,
+    attrs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    attr_col: str = "attr",
+) -> DataFrame:
+    """Categorical (attribute) assortativity (Newman 2003, eq. 2) — the
+    homophily coefficient of the link graph by a discrete node attribute
+    (language, TLD, topic): r = (sum_i e_ii - sum_i a_i b_i) /
+    (1 - sum_i a_i b_i), where e_ij is the fraction of DIRECTED edges
+    from category i to category j, a_i / b_i its row / column sums.
+    r = 1 means perfectly homophilous linking ("English pages only link
+    English pages"), 0 random mixing, negative disassortative. NULL when
+    the denominator degenerates (all edges in one category).
+
+    Shape: two attribute joins onto the edge list, one category-pair
+    aggregate (bounded by |categories|^2), all ratio arithmetic on the
+    tiny pair relation — exact integer counts in, single float
+    expressions out. -> one row (r_assort, n_edges, n_cats).
+    """
+    a_s = attrs.select(F.col(node_col).alias(src), F.col(attr_col).alias("ca"))
+    a_d = attrs.select(F.col(node_col).alias(dst), F.col(attr_col).alias("cb"))
+    pair = (
+        edges.select(src, dst)
+        .join(a_s, src)
+        .join(a_d, dst)
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pair.agg(
+        F.sum("n").alias("m"),
+        F.countDistinct("ca").alias("nca"),
+        F.countDistinct("cb").alias("ncb"),
+    )
+    diag = pair.where(F.col("ca") == F.col("cb")).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("diag")
+    )
+    row_m = pair.groupBy("ca").agg(F.sum("n").alias("ra"))
+    col_m = pair.groupBy("cb").agg(F.sum("n").alias("rb"))
+    ab = (
+        row_m.join(col_m, F.col("ca") == F.col("cb"))
+        .agg(F.coalesce(F.sum(F.col("ra") * F.col("rb")), F.lit(0)).alias("sab"))
+    )
+    joined = tot.crossJoin(F.broadcast(diag)).crossJoin(F.broadcast(ab))
+    m = F.col("m")
+    e_ii = F.col("diag") / m
+    aibi = F.col("sab") / (m * m)
+    r = F.when(aibi < 1.0, (e_ii - aibi) / (1.0 - aibi))
+    return joined.select(
+        F.round(r, 6).alias("r_assort"),
+        m.alias("n_edges"),
+        F.greatest(F.col("nca"), F.col("ncb")).alias("n_cats"),
+    )

@@ -368,3 +368,66 @@ def label_centroids_cosine(
             F.round(F.avg(cos), 6).alias("avg_cos"),
         )
     )
+
+
+def knn_label_vote(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+    label_col: str = "label",
+    scale: int = 64,
+) -> DataFrame:
+    """Semi-supervised label assignment by embedding k-NN majority vote —
+    the domain/quality-label propagation step of a curation pipeline
+    (label a handful of docs, vote labels onto the rest).
+
+    Engine-independence discipline (the q240 PCA trick): both sides are
+    quantized to integers (round(x * scale)), similarity is the EXACT
+    integer inner product (MIPS), so the top-k ranking can never flip on
+    a float tie between engines — ties break on candidate id, votes on
+    (count desc, label asc). The labeled index is broadcast (it is the
+    small curated side); at crawl scale swap the candidate generator for
+    lsh_topk/ivf_topk and keep the vote stage unchanged.
+
+    -> (q_id, label, votes, best_dot): one row per query — the winning
+    label, its vote count among the k neighbours, and the winner's best
+    (max) integer dot product as an auditable confidence proxy.
+    """
+    qz = queries.select(
+        F.col(q_id).alias("q_id"),
+        F.transform(
+            F.col(q_vec), lambda x: F.round(x.cast("double") * scale).cast("long")
+        ).alias("_q"),
+    )
+    cz = index.select(
+        F.col(c_id).alias("c_id"),
+        F.col(label_col).alias("label"),
+        F.transform(
+            F.col(c_vec), lambda x: F.round(x.cast("double") * scale).cast("long")
+        ).alias("_c"),
+    )
+    pairs = qz.crossJoin(F.broadcast(cz)).withColumn(
+        "dot",
+        F.aggregate(
+            F.zip_with(F.col("_q"), F.col("_c"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot"), F.asc("c_id"))
+    topk = pairs.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    votes = topk.groupBy("q_id", "label").agg(
+        F.count(F.lit(1)).alias("votes"), F.max("dot").alias("best_dot")
+    )
+    wv = Window.partitionBy("q_id").orderBy(
+        F.desc("votes"), F.asc("label")
+    )
+    return (
+        votes.withColumn("_rv", F.row_number().over(wv))
+        .where(F.col("_rv") == 1)
+        .select("q_id", "label", "votes", "best_dot")
+    )

@@ -241,6 +241,8 @@ EXTRA_NAMES = [
         "q250_inverse_rules",
         "q251_bpe_fertility",
         "q252_streaming_hll",
+        "q253_knn_classify",
+        "q254_homophily",
 ]
 
 
