@@ -7565,6 +7565,94 @@ _HOMOPHILY_ORACLE_SQL = """
 """
 
 
+def q255_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over a 400-vector SF-invariant slice of the embedding
+    store: first 8 dims with a planted 3-way offset on dim 1 (clusters
+    can never bridge — cross-offset distance dwarfs eps), exact
+    integer-quantized eps test, CC over cores, min-cluster border
+    assignment, noise labeled. link/dbscan.py."""
+    from spanluke_spark.link.dbscan import dbscan
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    planted = emb.select(
+        F.col("vec_id").alias("id"),
+        F.concat(
+            F.array(
+                F.element_at("embedding", 1).cast("double")
+                + 20.0 * (F.col("vec_id") % 3)
+            ),
+            F.transform(
+                F.slice("embedding", 2, 7), lambda x: x.cast("double")
+            ),
+        ).alias("vec"),
+    )
+    return dbscan(planted, eps2=400, min_pts=6, scale=64, d=None).orderBy("id")
+
+
+_DBSCAN_ORACLE_SQL = """
+        WITH RECURSIVE q AS (
+            SELECT vec_id AS id,
+                   list_prepend(
+                       round((embedding[1]::DOUBLE + 20.0 * (vec_id % 3))
+                             * 64)::BIGINT,
+                       list_transform(embedding[2:8],
+                                      x -> round(x::DOUBLE * 64)::BIGINT)
+                   ) AS v
+            FROM embeddings WHERE vec_id < 400
+        ),
+        pairs AS MATERIALIZED (
+            SELECT a.id AS ia, b.id AS ib
+            FROM q a, q b
+            WHERE a.id < b.id
+              AND list_sum(list_transform(range(1, 9),
+                    i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])))::BIGINT <= 400
+        ),
+        sym AS (
+            SELECT ia, ib FROM pairs UNION ALL SELECT ib, ia FROM pairs
+        ),
+        deg AS (SELECT ia AS id, count(*) AS dg FROM sym GROUP BY ia),
+        roles AS MATERIALIZED (
+            SELECT q.id,
+                   CASE WHEN coalesce(dg, 0) + 1 >= 6 THEN 'core'
+                        ELSE 'none' END AS r
+            FROM q LEFT JOIN deg ON deg.id = q.id
+        ),
+        cores AS (SELECT id FROM roles WHERE r = 'core'),
+        cp AS MATERIALIZED (
+            SELECT ia, ib FROM pairs
+            WHERE ia IN (SELECT id FROM cores) AND ib IN (SELECT id FROM cores)
+        ),
+        csym AS (SELECT ia AS u, ib AS v FROM cp UNION SELECT ib, ia FROM cp),
+        reach AS (
+            SELECT id AS s, id AS d FROM cores
+            UNION
+            SELECT r.s, e.v FROM reach r JOIN csym e ON r.d = e.u
+        ),
+        comp AS (SELECT s AS id, min(d) AS cluster FROM reach GROUP BY s),
+        core_out AS (
+            SELECT c.id, 'core' AS role, comp.cluster
+            FROM cores c JOIN comp ON comp.id = c.id
+        ),
+        border_out AS (
+            SELECT s.ib AS id, 'border' AS role, min(co.cluster) AS cluster
+            FROM sym s
+            JOIN roles ro ON ro.id = s.ib AND ro.r != 'core'
+            JOIN core_out co ON co.id = s.ia
+            GROUP BY s.ib
+        ),
+        noise_out AS (
+            SELECT q.id, 'noise' AS role, NULL::BIGINT AS cluster
+            FROM q
+            WHERE q.id NOT IN (SELECT id FROM core_out)
+              AND q.id NOT IN (SELECT id FROM border_out)
+        )
+        SELECT * FROM core_out
+        UNION ALL SELECT * FROM border_out
+        UNION ALL SELECT * FROM noise_out
+        ORDER BY id
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -9737,6 +9825,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q252_streaming_hll": q252_streaming_hll,
         "q253_knn_classify": q253_knn_classify,
         "q254_homophily": q254_homophily,
+        "q255_dbscan": q255_dbscan,
     }
 
 
@@ -13610,4 +13699,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q253_knn_classify"] = _KNN_ORACLE_SQL
     # q254: category-pair matrix + Newman r replayed on exact counts
     out["q254_homophily"] = _HOMOPHILY_ORACLE_SQL
+    # q255: integer eps pairs, core degree, recursive core-CC, min-border
+    out["q255_dbscan"] = _DBSCAN_ORACLE_SQL
     return out

@@ -243,6 +243,7 @@ EXTRA_NAMES = [
         "q252_streaming_hll",
         "q253_knn_classify",
         "q254_homophily",
+        "q255_dbscan",
 ]
 
 
