@@ -7653,6 +7653,110 @@ _DBSCAN_ORACLE_SQL = """
 """
 
 
+def q256_host_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host fetch health with Wilson score intervals over the event
+    log (host = user_id % 40, success = event_type != 'error'): breach
+    only when the UPPER bound rules the 0.9 SLA out. etl/health.py."""
+    from spanluke_spark.etl.health import host_health_wilson
+
+    events = _t(spark, sf_dir, "events")
+    return host_health_wilson(
+        events,
+        F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string")),
+        F.col("event_type") != "error",
+        z=1.96,
+        sla=0.9,
+    ).orderBy("host")
+
+
+_WILSON_ORACLE_SQL = """
+        WITH agg AS (
+            SELECT 'h' || (user_id % 40) AS host, count(*) AS n,
+                   sum(CASE WHEN event_type != 'error' THEN 1 ELSE 0 END) AS n_ok
+            FROM events GROUP BY host
+        )
+        SELECT host, n, n_ok,
+               round(n_ok / n, 6) AS rate,
+               round(greatest(
+                   ((n_ok / n) + (1.96 * 1.96) / (2.0 * n)) / (1.0 + (1.96 * 1.96) / n)
+                   - 1.96 * sqrt((n_ok / n) * (1.0 - n_ok / n) / n
+                                 + (1.96 * 1.96) / (4.0 * n * n)) / (1.0 + (1.96 * 1.96) / n),
+                   0.0), 6) AS wilson_lo,
+               round(least(
+                   ((n_ok / n) + (1.96 * 1.96) / (2.0 * n)) / (1.0 + (1.96 * 1.96) / n)
+                   + 1.96 * sqrt((n_ok / n) * (1.0 - n_ok / n) / n
+                                 + (1.96 * 1.96) / (4.0 * n * n)) / (1.0 + (1.96 * 1.96) / n),
+                   1.0), 6) AS wilson_hi,
+               least(
+                   ((n_ok / n) + (1.96 * 1.96) / (2.0 * n)) / (1.0 + (1.96 * 1.96) / n)
+                   + 1.96 * sqrt((n_ok / n) * (1.0 - n_ok / n) / n
+                                 + (1.96 * 1.96) / (4.0 * n * n)) / (1.0 + (1.96 * 1.96) / n),
+                   1.0) < 0.9 AS breach
+        FROM agg ORDER BY host
+"""
+
+
+def q257_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TREC average precision @10 per synthetic query (hash-scored
+    candidate lists, deterministic relevance judgments incl. relevant
+    docs the ranking never retrieves — the recall penalty in the min(R,k)
+    denominator). evaluation/ranking.average_precision_at_k."""
+    from spanluke_spark.dedup.dedup import portable_hash64
+    from spanluke_spark.evaluation.ranking import average_precision_at_k
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    results = docs.select(
+        (d % 10).alias("query_id"),
+        (d % 100).alias("doc_id"),
+        (
+            portable_hash64(
+                F.concat((d % 10).cast("string"), F.lit("#"), (d % 100).cast("string"))
+            )
+            % 1000
+        ).alias("score"),
+    ).distinct()
+    rel = docs.select(
+        (d % 10).alias("query_id"), (d % 100).alias("doc_id")
+    ).where((d % 100) % 7 == (d % 10) % 7)
+    return average_precision_at_k(results, rel, k=10).orderBy("query_id")
+
+
+_MAP_ORACLE_SQL = """
+        WITH results AS (
+            SELECT DISTINCT doc_id % 10 AS q, doc_id % 100 AS d,
+                   ('0x' || substr(md5((doc_id % 10) || '#' || (doc_id % 100)),
+                                   1, 15))::BIGINT % 1000 AS s
+            FROM documents
+        ),
+        rel AS (
+            SELECT DISTINCT doc_id % 10 AS q, doc_id % 100 AS d
+            FROM documents WHERE (doc_id % 100) % 7 = (doc_id % 10) % 7
+        ),
+        n_rel AS (SELECT q, count(*) AS n_rel FROM rel GROUP BY q),
+        ranked AS (
+            SELECT r.q, r.d,
+                   row_number() OVER (PARTITION BY r.q ORDER BY s DESC, r.d) AS rank,
+                   CASE WHEN rel.d IS NULL THEN 0 ELSE 1 END AS is_rel
+            FROM results r LEFT JOIN rel ON rel.q = r.q AND rel.d = r.d
+        ),
+        cut AS (SELECT * FROM ranked WHERE rank <= 10),
+        prec AS (
+            SELECT q, rank, is_rel,
+                   sum(is_rel) OVER (PARTITION BY q ORDER BY rank) AS cum_rel
+            FROM cut
+        ),
+        ap AS (
+            SELECT q, sum(cum_rel / rank) AS ap_num
+            FROM prec WHERE is_rel = 1 GROUP BY q
+        )
+        SELECT n.q AS query_id, n.n_rel,
+               round(coalesce(ap_num, 0.0) / least(n.n_rel, 10), 6) AS ap
+        FROM n_rel n LEFT JOIN ap ON ap.q = n.q
+        WHERE n.n_rel > 0 ORDER BY query_id
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -9826,6 +9930,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q253_knn_classify": q253_knn_classify,
         "q254_homophily": q254_homophily,
         "q255_dbscan": q255_dbscan,
+        "q256_host_health": q256_host_health,
+        "q257_map_eval": q257_map_eval,
     }
 
 
@@ -13701,4 +13807,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q254_homophily"] = _HOMOPHILY_ORACLE_SQL
     # q255: integer eps pairs, core degree, recursive core-CC, min-border
     out["q255_dbscan"] = _DBSCAN_ORACLE_SQL
+    # q256: Wilson closed form replayed on exact (n, n_ok)
+    out["q256_host_health"] = _WILSON_ORACLE_SQL
+    # q257: rank window + cumulative precision + min(R,k) denominator
+    out["q257_map_eval"] = _MAP_ORACLE_SQL
     return out

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ndcg_at_k"]
+__all__ = ["ndcg_at_k", "average_precision_at_k"]
 
 
 def ndcg_at_k(
@@ -73,5 +73,66 @@ def ndcg_at_k(
             F.when(F.col("_idcg") > 0, F.col("_dcg") / F.col("_idcg"))
             .otherwise(F.lit(0.0))
             .alias("ndcg"),
+        )
+    )
+
+
+def average_precision_at_k(
+    results: DataFrame,
+    relevance: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """MAP's per-query half (TREC average precision, cut at k) beside
+    ndcg_at_k: AP@k = sum over relevant ranked positions i <= k of
+    P@i, divided by min(R, k) where R = the query's TOTAL relevant
+    count from the judgment table (so a system is penalized for
+    relevant docs it never retrieved). -> (query_id, n_rel, ap) —
+    mean over queries = MAP.
+
+    Ranks are deterministic (score desc, doc asc); the only windows run
+    per query. Queries with R = 0 are dropped (AP undefined), matching
+    trec_eval.
+    """
+    rel = relevance.select(
+        F.col(query_col).alias("q"), F.col(doc_col).alias("d")
+    ).distinct()
+    n_rel = rel.groupBy("q").agg(F.count(F.lit(1)).alias("n_rel"))
+    r = results.select(
+        F.col(query_col).alias("q"),
+        F.col(doc_col).alias("d"),
+        F.col(score_col).alias("s"),
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("s"), F.asc("d"))
+    ranked = (
+        r.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .join(rel.withColumn("is_rel", F.lit(1)), ["q", "d"], "left")
+        .withColumn("is_rel", F.coalesce(F.col("is_rel"), F.lit(0)))
+    )
+    wc = (
+        Window.partitionBy("q")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prec = ranked.withColumn(
+        "cum_rel", F.sum("is_rel").over(wc)
+    ).where(F.col("is_rel") == 1)
+    ap = prec.groupBy("q").agg(
+        F.sum(F.col("cum_rel") / F.col("rank")).alias("_ap_num")
+    )
+    return (
+        n_rel.join(ap, "q", "left")
+        .where(F.col("n_rel") > 0)
+        .select(
+            F.col("q").alias(query_col),
+            "n_rel",
+            F.round(
+                F.coalesce(F.col("_ap_num"), F.lit(0.0))
+                / F.least(F.col("n_rel"), F.lit(k)),
+                6,
+            ).alias("ap"),
         )
     )

@@ -244,6 +244,8 @@ EXTRA_NAMES = [
         "q253_knn_classify",
         "q254_homophily",
         "q255_dbscan",
+        "q256_host_health",
+        "q257_map_eval",
 ]
 
 
