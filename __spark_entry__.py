@@ -7445,14 +7445,15 @@ def q252_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q253_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-supervised labeling by embedding k-NN majority vote: every
-    5th vector is the unlabeled query side, the rest the broadcast
-    labeled index; similarity is the EXACT integer-quantized inner
+    """Semi-supervised labeling by embedding k-NN majority vote over an
+    SF-invariant 1000-vector slice (the brute pair stage is the exact
+    baseline; production swaps in lsh/ivf candidates): every 5th vector
+    is the unlabeled query side, the rest the broadcast labeled index; similarity is the EXACT integer-quantized inner
     product so the top-5 ranking cannot flip on a float tie between
     engines. link/ann.knn_label_vote."""
     from spanluke_spark.link.ann import knn_label_vote
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
     queries = emb.where(F.col("vec_id") % 5 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -7469,13 +7470,13 @@ _KNN_ORACLE_SQL = """
             SELECT vec_id AS q_id,
                    list_transform(embedding,
                                   x -> round(x::DOUBLE * 64)::BIGINT) AS q
-            FROM embeddings WHERE vec_id % 5 = 0
+            FROM embeddings WHERE vec_id < 1000 AND vec_id % 5 = 0
         ),
         cz AS (
             SELECT vec_id AS c_id, label,
                    list_transform(embedding,
                                   x -> round(x::DOUBLE * 64)::BIGINT) AS c
-            FROM embeddings WHERE vec_id % 5 != 0
+            FROM embeddings WHERE vec_id < 1000 AND vec_id % 5 != 0
         ),
         pairs AS (
             SELECT q_id, c_id, label,
