@@ -7758,6 +7758,55 @@ _MAP_ORACLE_SQL = """
 """
 
 
+def q258_audio_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio QA through the REAL WAV codec, distributed: 200 deterministic
+    int16 waveforms encoded to RIFF/WAVE by a pandas UDF, decoded +
+    screened (RMS / peak / clipping) by the mapInPandas seam of
+    multimodal/audio_qa.py. Statistics are exact int16-domain integers,
+    so the oracle replays them from the generative formula WITHOUT
+    decoding — the driver row is an encode->decode round-trip gate."""
+    from spanluke_spark.multimodal.audio_qa import audio_qa_features
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select((F.col("doc_id") % 200).alias("media_id")).distinct()
+
+    @F.pandas_udf("binary")
+    def _wav(mids):
+        import numpy as np
+        import pandas as pd
+
+        from spanluke_spark.multimodal.codecs import encode_wav
+
+        def build(m):
+            i = np.arange(256, dtype=np.int64)
+            s = ((m * 31 + i * 17) % 2001) - 1000
+            return encode_wav(16000, s.astype(np.float64) / 32768.0)
+
+        return pd.Series([build(int(m)) for m in mids])
+
+    media = ids.select("media_id", _wav("media_id").alias("payload"))
+    return audio_qa_features(media).orderBy("media_id")
+
+
+_AUDIO_QA_ORACLE_SQL = """
+        WITH ids AS (SELECT DISTINCT doc_id % 200 AS m FROM documents),
+        samples AS (
+            SELECT m, ((m * 31 + i * 17) % 2001) - 1000 AS s
+            FROM ids, (SELECT unnest(range(0, 256)) AS i)
+        ),
+        agg AS (
+            SELECT m AS media_id, count(*) AS n_samples,
+                   max(abs(s))::INT AS peak, sum(s * s)::BIGINT AS sum_sq,
+                   sum(CASE WHEN abs(s) > 950 THEN 1 ELSE 0 END) AS clipped
+            FROM samples GROUP BY m
+        )
+        SELECT media_id, n_samples, peak, sum_sq,
+               round(clipped / 256.0, 6) AS clip_ratio,
+               round(sqrt(sum_sq / 256.0), 6) AS rms
+        FROM agg ORDER BY media_id
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -9933,6 +9982,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q255_dbscan": q255_dbscan,
         "q256_host_health": q256_host_health,
         "q257_map_eval": q257_map_eval,
+        "q258_audio_qa": q258_audio_qa,
     }
 
 
@@ -13812,4 +13862,7 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q256_host_health"] = _WILSON_ORACLE_SQL
     # q257: rank window + cumulative precision + min(R,k) denominator
     out["q257_map_eval"] = _MAP_ORACLE_SQL
+    # q258: generative-formula replay — equality proves the distributed
+    # WAV encode->decode round trip is bit-exact
+    out["q258_audio_qa"] = _AUDIO_QA_ORACLE_SQL
     return out

@@ -246,6 +246,7 @@ EXTRA_NAMES = [
         "q255_dbscan",
         "q256_host_health",
         "q257_map_eval",
+        "q258_audio_qa",
 ]
 
 
