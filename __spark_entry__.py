@@ -7807,6 +7807,155 @@ _AUDIO_QA_ORACLE_SQL = """
 """
 
 
+def q259_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC crawl importance over a 120-node functional link graph with
+    planted dangling nodes (u % 11 == 0 pages have no out-links — their
+    cash redistributes uniformly): 5 synchronous rounds, conserved-cash
+    closed-form normalization. graph/pagerank.opic."""
+    from spanluke_spark.graph.pagerank import opic
+
+    docs = _t(spark, sf_dir, "documents")
+    u = (F.col("doc_id") % 120).cast("long")
+    e1 = docs.where((u % 11) != 0).select(u.alias("src"), ((u * 7 + 3) % 120).alias("dst"))
+    e2 = docs.where(((u % 11) != 0) & ((u % 3) == 0)).select(
+        u.alias("src"), ((u * 11 + 5) % 120).alias("dst")
+    )
+    return opic(e1.unionByName(e2), rounds=5).orderBy("node")
+
+
+def _opic_oracle_sql(rounds: int = 5) -> str:
+    """Unrolled DuckDB twin of q259: per round a dangling 1-row
+    aggregate, one share join + sum by target, history accumulation."""
+    parts = [
+        """
+        WITH gen AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT doc_id % 120 AS src,
+                       ((doc_id % 120) * 7 + 3) % 120 AS dst
+                FROM documents WHERE (doc_id % 120) % 11 != 0
+                UNION ALL
+                SELECT doc_id % 120, ((doc_id % 120) * 11 + 5) % 120
+                FROM documents
+                WHERE (doc_id % 120) % 11 != 0 AND (doc_id % 120) % 3 = 0
+            ) WHERE src <> dst
+        ),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM gen UNION ALL SELECT dst FROM gen
+            )
+        ),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        outdeg AS (SELECT src AS node, count(*) AS outdeg FROM gen GROUP BY src),
+        s0 AS (SELECT node, 1.0::DOUBLE AS cash, 0.0::DOUBLE AS history
+               FROM nodes)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+        d{r} AS MATERIALIZED (
+            SELECT coalesce(sum(cash), 0.0) AS dang FROM s{r}
+            WHERE node NOT IN (SELECT node FROM outdeg)
+        ),
+        c{r} AS MATERIALIZED (
+            SELECT g.dst AS node, sum(s.cash / o.outdeg) AS _in
+            FROM gen g
+            JOIN s{r} s ON s.node = g.src
+            JOIN outdeg o ON o.node = g.src
+            GROUP BY g.dst
+        ),
+        s{r + 1} AS MATERIALIZED (
+            SELECT s.node,
+                   coalesce(c._in, 0.0)
+                   + (SELECT dang FROM d{r}) / (SELECT n FROM nn) AS cash,
+                   s.history + s.cash AS history
+            FROM s{r} s LEFT JOIN c{r} c ON c.node = s.node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node, round(history, 6) AS history, round(cash, 6) AS cash,
+               round((history + cash)
+                     / ((SELECT n FROM nn) * {rounds + 1}.0), 6) AS importance
+        FROM s{rounds} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+def q260_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity of a planted 4-block partition (80 nodes, two dense
+    intra-block affine edges per node, sparse u%10==0 bridges): per-block
+    q_contrib must be strongly positive — the partition-quality score
+    for any clustering the pipeline produces.
+    graph/partitioning.modularity."""
+    from spanluke_spark.graph.partitioning import modularity
+
+    docs = _t(spark, sf_dir, "documents")
+    u = (F.col("doc_id") % 80).cast("long")
+    block = u - (u % 20)
+    intra1 = docs.select(u.alias("src"), (block + ((u * 3 + 1) % 20)).alias("dst"))
+    intra2 = docs.select(u.alias("src"), (block + ((u * 7 + 5) % 20)).alias("dst"))
+    inter = docs.where((u % 10) == 0).select(
+        u.alias("src"), ((u + 20) % 80).alias("dst")
+    )
+    edges = intra1.unionByName(intra2).unionByName(inter)
+    membership = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", (F.col("node") - (F.col("node") % 20)).alias("community"))
+    )
+    return modularity(edges, membership).orderBy("community")
+
+
+_MODULARITY_ORACLE_SQL = """
+        WITH e AS (
+            SELECT doc_id % 80 AS src,
+                   (doc_id % 80) - ((doc_id % 80) % 20)
+                   + (((doc_id % 80) * 3 + 1) % 20) AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 80,
+                   (doc_id % 80) - ((doc_id % 80) % 20)
+                   + (((doc_id % 80) * 7 + 5) % 20)
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 80, ((doc_id % 80) + 20) % 80
+            FROM documents WHERE (doc_id % 80) % 10 = 0
+        ),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM e WHERE src <> dst
+        ),
+        nbr AS (
+            SELECT a AS n, b AS m FROM und
+            UNION ALL SELECT b AS n, a AS m FROM und
+        ),
+        mem AS (
+            SELECT DISTINCT n AS node, n - (n % 20) AS c FROM nbr
+        ),
+        mm AS (SELECT count(*) AS m FROM und),
+        deg AS (SELECT n AS node, count(*) AS deg FROM nbr GROUP BY n),
+        comm AS (
+            SELECT c, count(*) AS n_nodes, sum(deg) AS deg_sum
+            FROM deg JOIN mem USING (node) GROUP BY c
+        ),
+        intra AS (
+            SELECT ma.c, count(*) AS intra_edges
+            FROM und
+            JOIN mem ma ON ma.node = und.a
+            JOIN mem mb ON mb.node = und.b
+            WHERE ma.c = mb.c GROUP BY ma.c
+        )
+        SELECT comm.c AS community, n_nodes,
+               coalesce(intra_edges, 0) AS intra_edges, deg_sum,
+               round(coalesce(intra_edges, 0) / (SELECT m FROM mm)
+                     - (deg_sum / (2.0 * (SELECT m FROM mm)))
+                     * (deg_sum / (2.0 * (SELECT m FROM mm))), 6) AS q_contrib
+        FROM comm LEFT JOIN intra ON intra.c = comm.c
+        ORDER BY community
+"""
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -9983,6 +10132,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q256_host_health": q256_host_health,
         "q257_map_eval": q257_map_eval,
         "q258_audio_qa": q258_audio_qa,
+        "q259_opic": q259_opic,
+        "q260_modularity": q260_modularity,
     }
 
 
@@ -13865,4 +14016,8 @@ def extra_oracle_sql() -> dict[str, str]:
     # q258: generative-formula replay — equality proves the distributed
     # WAV encode->decode round trip is bit-exact
     out["q258_audio_qa"] = _AUDIO_QA_ORACLE_SQL
+    # q259: 5 unrolled cash rounds with dangling redistribution
+    out["q259_opic"] = _opic_oracle_sql(5)
+    # q260: the q66 LP chain + exact-count modularity aggregates
+    out["q260_modularity"] = _MODULARITY_ORACLE_SQL
     return out

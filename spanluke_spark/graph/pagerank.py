@@ -196,3 +196,79 @@ def trustrank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def opic(
+    edges: DataFrame,
+    rounds: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda &
+    Cobena, WWW'03), the importance measure DESIGNED for crawl
+    scheduling: every page holds cash; each round a page credits its
+    cash to its history and distributes it equally over its out-links
+    (dangling cash is split uniformly, the paper's virtual-node trick).
+    Importance = (history + cash) / total — unlike PageRank there is no
+    damping and cash is CONSERVED (sum stays n every round), so after R
+    rounds the denominator is the closed form n * (R + 1) and the
+    estimate never needs a normalization pass.
+
+    -> (node, history, cash, importance). Per round: one equi-join +
+    one map-side-combinable sum + a 1-row dangling aggregate broadcast
+    back (the pagerank discipline), lineage truncated per round. The
+    fixed-round synchronous form of the paper's asynchronous process —
+    deterministic, oracle-unrollable.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+        F.col("src") != F.col("dst")
+    ).distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    state = nodes.select(
+        "node", F.lit(1.0).alias("cash"), F.lit(0.0).alias("history")
+    )
+    for _ in range(rounds):
+        with_deg = state.join(outdeg, "node", "left")
+        dangling = with_deg.where(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("cash"), F.lit(0.0)).alias("_dang")
+        )
+        contrib = (
+            e.join(
+                with_deg.where(F.col("outdeg").isNotNull()).select(
+                    F.col("node").alias("src"),
+                    (F.col("cash") / F.col("outdeg")).alias("_share"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("_share").alias("_in"))
+        )
+        state = (
+            state.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("_in"), F.lit(0.0))
+                    + F.col("_dang") / n
+                ).alias("cash"),
+                (F.col("history") + F.col("cash")).alias("history"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    total = float(n * (rounds + 1))
+    return state.select(
+        "node",
+        F.round("history", 6).alias("history"),
+        F.round("cash", 6).alias("cash"),
+        F.round((F.col("history") + F.col("cash")) / total, 6).alias("importance"),
+    )

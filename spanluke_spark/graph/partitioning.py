@@ -258,3 +258,70 @@ def attribute_assortativity(
         m.alias("n_edges"),
         F.greatest(F.col("nca"), F.col("ncb")).alias("n_cats"),
     )
+
+
+def modularity(
+    edges: DataFrame,
+    membership: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    community_col: str = "community",
+) -> DataFrame:
+    """Newman-Girvan modularity of a GIVEN partition (the quality score
+    for q66's label-propagation communities, k-core shells, or any
+    clustering): per community c over the undirected simple graph,
+    Q_c = intra_c / m - (deg_c / 2m)^2, and Q = sum_c Q_c in [-1/2, 1).
+
+    -> (community, n_nodes, intra_edges, deg_sum, q_contrib). Exact
+    integer counts in (undirected edge count, intra counts, degree
+    sums), two float expressions out — bit-identical in the oracle.
+    Shape: one dedup of the edge list, two membership joins, aggregates
+    keyed by community; the only global value is the 1-row edge count
+    (broadcast crossJoin, the pagerank discipline)."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    mem = membership.select(
+        F.col(node_col).alias("node"), F.col(community_col).alias("c")
+    )
+    m_row = und.agg(F.count(F.lit(1)).alias("m"))
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    comm = (
+        deg.join(mem, "node")
+        .groupBy("c")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("deg").alias("deg_sum"),
+        )
+    )
+    intra = (
+        und.join(mem.select(F.col("node").alias("a"), F.col("c").alias("ca")), "a")
+        .join(mem.select(F.col("node").alias("b"), F.col("c").alias("cb")), "b")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    out = comm.join(intra, "c", "left").crossJoin(F.broadcast(m_row))
+    q = (
+        F.coalesce(F.col("intra_edges"), F.lit(0)) / F.col("m")
+        - (F.col("deg_sum") / (2.0 * F.col("m")))
+        * (F.col("deg_sum") / (2.0 * F.col("m")))
+    )
+    return out.select(
+        F.col("c").alias(community_col),
+        "n_nodes",
+        F.coalesce(F.col("intra_edges"), F.lit(0)).alias("intra_edges"),
+        "deg_sum",
+        F.round(q, 6).alias("q_contrib"),
+    )

@@ -247,6 +247,8 @@ EXTRA_NAMES = [
         "q256_host_health",
         "q257_map_eval",
         "q258_audio_qa",
+        "q259_opic",
+        "q260_modularity",
 ]
 
 
