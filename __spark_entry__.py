@@ -7956,6 +7956,85 @@ _MODULARITY_ORACLE_SQL = """
 """
 
 
+def q261_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-weighted PageRank over the q259 link graph (weights = 1 +
+    src % 4, the repeated-anchor prominence signal); votes split
+    proportionally to edge weight, dangling u % 11 == 0 pages
+    redistribute. graph/pagerank.weighted_pagerank."""
+    from spanluke_spark.graph.pagerank import weighted_pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    u = (F.col("doc_id") % 120).cast("long")
+    e1 = docs.where((u % 11) != 0).select(
+        u.alias("src"), ((u * 7 + 3) % 120).alias("dst"),
+        (1 + (u % 4)).cast("double").alias("weight"),
+    )
+    e2 = docs.where(((u % 11) != 0) & ((u % 3) == 0)).select(
+        u.alias("src"), ((u * 11 + 5) % 120).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    pr = weighted_pagerank(e1.unionByName(e2), iters=3)
+    return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
+def _weighted_pr_oracle_sql(rounds: int = 3, damping: float = 0.85) -> str:
+    """Unrolled DuckDB twin of q261: pre-summed weights, per round a
+    dangling 1-row aggregate and one weighted share join."""
+    parts = [
+        """
+        WITH gen AS (
+            SELECT src, dst, sum(w) AS w FROM (
+                SELECT doc_id % 120 AS src,
+                       ((doc_id % 120) * 7 + 3) % 120 AS dst,
+                       1.0 + ((doc_id % 120) % 4) AS w
+                FROM documents WHERE (doc_id % 120) % 11 != 0
+                UNION ALL
+                SELECT doc_id % 120, ((doc_id % 120) * 11 + 5) % 120, 1.0
+                FROM documents
+                WHERE (doc_id % 120) % 11 != 0 AND (doc_id % 120) % 3 = 0
+            ) GROUP BY src, dst
+        ),
+        gend AS MATERIALIZED (SELECT DISTINCT * FROM gen),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM gend UNION ALL SELECT dst FROM gend
+            )
+        ),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        outw AS (SELECT src AS node, sum(w) AS outw FROM gend GROUP BY src),
+        r0 AS (
+            SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+        )"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+        d{r} AS MATERIALIZED (
+            SELECT coalesce(sum(rank), 0.0) AS m FROM r{r}
+            WHERE node NOT IN (SELECT node FROM outw)
+        ),
+        c{r} AS MATERIALIZED (
+            SELECT g.dst AS node, sum((s.rank / o.outw) * g.w) AS inflow
+            FROM gend g
+            JOIN r{r} s ON s.node = g.src
+            JOIN outw o ON o.node = g.src
+            GROUP BY g.dst
+        ),
+        r{r + 1} AS MATERIALIZED (
+            SELECT n.node,
+                   ((1.0 - {damping}) / (SELECT n FROM nn)
+                    + {damping} * (SELECT m FROM d{r}) / (SELECT n FROM nn))
+                   + {damping} * coalesce(c.inflow, 0.0) AS rank
+            FROM nodes n LEFT JOIN c{r} c ON c.node = n.node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node, round(rank, 6) AS rank FROM r{rounds} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
 def _corrclust_oracle_sql(rounds: int) -> str:
     """Unrolled DuckDB twin of q210: per round — live-edge restriction,
     per-node min neighbor priority, local-minimum pivots, min-priority
@@ -10134,6 +10213,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q258_audio_qa": q258_audio_qa,
         "q259_opic": q259_opic,
         "q260_modularity": q260_modularity,
+        "q261_weighted_pagerank": q261_weighted_pagerank,
     }
 
 
@@ -14020,4 +14100,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q259_opic"] = _opic_oracle_sql(5)
     # q260: the q66 LP chain + exact-count modularity aggregates
     out["q260_modularity"] = _MODULARITY_ORACLE_SQL
+    # q261: 3 unrolled weighted-vote rounds with dangling redistribution
+    out["q261_weighted_pagerank"] = _weighted_pr_oracle_sql(3)
     return out

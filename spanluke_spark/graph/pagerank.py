@@ -272,3 +272,73 @@ def opic(
         F.round("cash", 6).alias("cash"),
         F.round((F.col("history") + F.col("cash")) / total, 6).alias("importance"),
     )
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """Edge-weighted PageRank — the anchor-text / link-prominence form:
+    a page splits its vote PROPORTIONALLY to edge weights (repeated or
+    prominent links carry more) instead of uniformly over out-links.
+
+    rank'(v) = (1-d)/N + d * (sum_{u->v} rank(u) * w(u,v)/W(u) + dangling/N)
+    with W(u) the out-weight sum and dangling the mass of zero-out-weight
+    nodes. Same shape as the unweighted form: per round one equi-join,
+    one map-side-combinable sum, a 1-row dangling broadcast, a
+    localCheckpoint. Parallel (u, v) duplicates are pre-summed so the
+    share join stays one row per edge. Non-positive weights raise — a
+    silent zero row would corrupt the vote split.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("double").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    if e.where(F.col("w") <= 0).limit(1).count() != 0:
+        raise ValueError("weighted_pagerank: weights must be positive")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_total = nodes.count()
+    outw = e.groupBy(F.col("src").alias("node")).agg(F.sum("w").alias("outw"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_total))
+    for _ in range(iters):
+        with_w = ranks.join(outw, "node", "left")
+        dangling = with_w.filter(F.col("outw").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")
+        )
+        contrib = (
+            e.join(
+                with_w.filter(F.col("outw").isNotNull()).select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("outw")).alias("_per_w"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("_per_w") * F.col("w")).alias("inflow"))
+        )
+        rank_expr = (
+            F.lit((1.0 - damping) / n_total)
+            + F.lit(damping) * F.col("m") / F.lit(float(n_total))
+        ) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select("node", rank_expr.alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -249,6 +249,7 @@ EXTRA_NAMES = [
         "q258_audio_qa",
         "q259_opic",
         "q260_modularity",
+        "q261_weighted_pagerank",
 ]
 
 
