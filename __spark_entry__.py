@@ -8291,6 +8291,400 @@ def q40_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("window_start", "lang")
 
 
+def q262_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random walk with restart from a trusted seed set over the q259/q261
+    link graph: teleport AND dangling mass re-enter at seeds u % 17 == 0,
+    so rank is proximity-to-the-seeds (0 for unreachable pages) — the
+    entity-linking relatedness / trust-biased frontier signal.
+    graph/pagerank.personalized_pagerank."""
+    from spanluke_spark.graph.pagerank import personalized_pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    u = (F.col("doc_id") % 120).cast("long")
+    e1 = docs.where((u % 11) != 0).select(
+        u.alias("src"), ((u * 7 + 3) % 120).alias("dst")
+    )
+    e2 = docs.where(((u % 11) != 0) & ((u % 3) == 0)).select(
+        u.alias("src"), ((u * 11 + 5) % 120).alias("dst")
+    )
+    seeds = docs.where((u % 17) == 0).select(u.alias("node")).distinct()
+    pr = personalized_pagerank(e1.unionByName(e2), seeds, iters=3)
+    return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
+def _ppr_oracle_sql(rounds: int = 3, damping: float = 0.85) -> str:
+    """Unrolled DuckDB twin of q262: restart vector uniform on the seed
+    set, per round a dangling 1-row aggregate re-injected AT THE SEEDS
+    plus one share join (parallel edges pre-summed to count weights)."""
+    parts = [
+        """
+        WITH raw AS (
+            SELECT doc_id % 120 AS src, ((doc_id % 120) * 7 + 3) % 120 AS dst
+            FROM documents WHERE (doc_id % 120) % 11 != 0
+            UNION ALL
+            SELECT doc_id % 120, ((doc_id % 120) * 11 + 5) % 120
+            FROM documents
+            WHERE (doc_id % 120) % 11 != 0 AND (doc_id % 120) % 3 = 0
+        ),
+        gen AS MATERIALIZED (
+            SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+            FROM raw GROUP BY src, dst
+        ),
+        seeds AS MATERIALIZED (
+            SELECT DISTINCT doc_id % 120 AS node FROM documents
+            WHERE (doc_id % 120) % 17 = 0
+        ),
+        ns AS (SELECT count(*) AS n FROM seeds),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM gen
+                UNION ALL SELECT dst FROM gen
+                UNION ALL SELECT node FROM seeds
+            )
+        ),
+        base AS MATERIALIZED (
+            SELECT n.node,
+                   CASE WHEN s.node IS NOT NULL
+                        THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS p
+            FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+        ),
+        outw AS (SELECT src AS node, sum(w) AS outw FROM gen GROUP BY src),
+        r0 AS (SELECT node, p AS rank FROM base)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+        d{r} AS MATERIALIZED (
+            SELECT coalesce(sum(rank), 0.0) AS m FROM r{r}
+            WHERE node NOT IN (SELECT node FROM outw)
+        ),
+        c{r} AS MATERIALIZED (
+            SELECT g.dst AS node, sum((s.rank / o.outw) * g.w) AS inflow
+            FROM gen g
+            JOIN r{r} s ON s.node = g.src
+            JOIN outw o ON o.node = g.src
+            GROUP BY g.dst
+        ),
+        r{r + 1} AS MATERIALIZED (
+            SELECT b.node,
+                   (1.0 - {damping}) * b.p
+                   + {damping} * (SELECT m FROM d{r}) * b.p
+                   + {damping} * coalesce(c.inflow, 0.0) AS rank
+            FROM base b LEFT JOIN c{r} c ON c.node = b.node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node, round(rank, 6) AS rank FROM r{rounds} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+def q263_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal independent set over a 150-node conflict graph (two affine
+    edge families) by deterministic-priority Luby rounds — one-per-
+    conflict-cluster representative selection / politeness-wave
+    scheduling. Emits (node, mis_round). graph/mis.maximal_independent_set."""
+    from spanluke_spark.graph.mis import maximal_independent_set
+
+    docs = _t(spark, sf_dir, "documents")
+    u = (F.col("doc_id") % 150).cast("long")
+    e1 = docs.select(u.alias("src"), ((u * 13 + 7) % 150).alias("dst"))
+    e2 = docs.where((u % 4) != 0).select(
+        u.alias("src"), ((u * 29 + 11) % 150).alias("dst")
+    )
+    mis = maximal_independent_set(e1.unionByName(e2), rounds=6)
+    return mis.orderBy("node")
+
+
+def _mis_oracle_sql(rounds: int = 6) -> str:
+    """Unrolled DuckDB twin of q263. Priority packing replayed verbatim:
+    pk(v) = ((v*2654435761 + 12345) % (2^31-1)) * 2^31 + v; per round a
+    live-edge restriction, a per-node min over neighbor keys, the strict
+    local-minimum test, and removal of winners plus their neighbors.
+    Extra rounds after the live set empties are no-ops."""
+    pk = "(({v} * 2654435761 + 12345) % 2147483647) * 2147483648 + {v}"
+    parts = [
+        """
+        WITH gen AS (
+            SELECT doc_id % 150 AS src, ((doc_id % 150) * 13 + 7) % 150 AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 150, ((doc_id % 150) * 29 + 11) % 150
+            FROM documents WHERE (doc_id % 150) % 4 != 0
+        ),
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM gen WHERE src <> dst
+        ),
+        nbr AS MATERIALIZED (
+            SELECT a AS n, b AS m FROM und
+            UNION ALL SELECT b AS n, a AS m FROM und
+        ),
+        live1 AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM gen UNION ALL SELECT dst FROM gen
+            )
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+        ln{r} AS MATERIALIZED (
+            SELECT n, m FROM nbr
+            WHERE n IN (SELECT node FROM live{r})
+              AND m IN (SELECT node FROM live{r})
+        ),
+        mn{r} AS (
+            SELECT n, min({pk.format(v='m')}) AS mn FROM ln{r} GROUP BY n
+        ),
+        win{r} AS MATERIALIZED (
+            SELECT l.node FROM live{r} l LEFT JOIN mn{r} x ON x.n = l.node
+            WHERE x.mn IS NULL OR {pk.format(v='l.node')} < x.mn
+        ),
+        live{r + 1} AS MATERIALIZED (
+            SELECT node FROM live{r}
+            WHERE node NOT IN (SELECT node FROM win{r})
+              AND node NOT IN (
+                SELECT m FROM ln{r}
+                WHERE n IN (SELECT node FROM win{r})
+              )
+        )"""
+        )
+    selects = "\n            UNION ALL ".join(
+        f"SELECT node, {r} AS mis_round FROM win{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(
+        f"""
+        SELECT node, mis_round FROM (
+            {selects}
+        ) ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+def q264_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs SimRank (c=0.75, 3 rounds) over a 36-node citation-style
+    graph: structural-context similarity for sameAs candidate ranking —
+    two pages are similar when similar pages link to them. Symmetric, so
+    the a <= b half with nonzero rounded score is emitted.
+    graph/linkpred.simrank."""
+    from spanluke_spark.graph.linkpred import simrank
+
+    docs = _t(spark, sf_dir, "documents")
+    u = (F.col("doc_id") % 36).cast("long")
+    e1 = docs.select(u.alias("src"), ((u * 5 + 2) % 36).alias("dst"))
+    e2 = docs.where((u % 4) == 0).select(
+        u.alias("src"), ((u * 7 + 3) % 36).alias("dst")
+    )
+    s = simrank(e1.unionByName(e2), rounds=3, c=0.75)
+    return (
+        s.where((F.col("a") <= F.col("b")) & (F.round("s", 6) > 0))
+        .select("a", "b", F.round("s", 6).alias("s"))
+        .orderBy("a", "b")
+    )
+
+
+def _simrank_oracle_sql(rounds: int = 3, c: float = 0.75) -> str:
+    """Unrolled DuckDB twin of q264: identity s0, per round the double
+    in-edge join re-aggregated by target pair, diagonal pinned to 1."""
+    parts = [
+        """
+        WITH gen AS (
+            SELECT doc_id % 36 AS src, ((doc_id % 36) * 5 + 2) % 36 AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 36, ((doc_id % 36) * 7 + 3) % 36
+            FROM documents WHERE (doc_id % 36) % 4 = 0
+        ),
+        e AS MATERIALIZED (
+            SELECT DISTINCT src AS i, dst AS node FROM gen WHERE src <> dst
+        ),
+        nodes AS (
+            SELECT DISTINCT x FROM (
+                SELECT i AS x FROM e UNION ALL SELECT node FROM e
+            )
+        ),
+        ind AS (SELECT node, count(*) AS ind FROM e GROUP BY node),
+        s0 AS (SELECT x AS a, x AS b, 1.0 AS s FROM nodes)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+        t{r} AS MATERIALIZED (
+            SELECT ea.node AS a, eb.node AS b,
+                   {c} * sum(s.s) / (da.ind * db.ind) AS s
+            FROM s{r} s
+            JOIN e ea ON ea.i = s.a
+            JOIN e eb ON eb.i = s.b
+            JOIN ind da ON da.node = ea.node
+            JOIN ind db ON db.node = eb.node
+            WHERE ea.node <> eb.node
+            GROUP BY ea.node, eb.node, da.ind, db.ind
+        ),
+        s{r + 1} AS MATERIALIZED (
+            SELECT x AS a, x AS b, 1.0 AS s FROM nodes
+            UNION ALL SELECT a, b, s FROM t{r}
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT a, b, round(s, 6) AS s FROM s{rounds}
+        WHERE a <= b AND round(s, 6) > 0 ORDER BY a, b"""
+    )
+    return "".join(parts)
+
+
+def q265_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression by one exact-integer Gram pass + driver
+    Fraction solve: recovers the planted y = 3*x1 + 2*x2 - 7 + e relation
+    (bounded deterministic noise e = doc_id%5 - 2) with R^2 near 1 —
+    the parametric latency/quality trend lane. link/ols.ols_fit."""
+    from spanluke_spark.link.ols import ols_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    f = docs.select(
+        (d % 13).alias("x1"),
+        ((d * 7) % 11).alias("x2"),
+        (3 * (d % 13) + 2 * ((d * 7) % 11) - 7 + ((d % 5) - 2)).alias("y"),
+    )
+    fit = ols_fit(f, ["x1", "x2"], "y")
+    return fit.select("term", F.round("value", 6).alias("value")).orderBy("term")
+
+
+_OLS_ORACLE_SQL = """
+        WITH f AS (
+            SELECT CAST(doc_id % 13 AS HUGEINT) AS x1,
+                   CAST((doc_id * 7) % 11 AS HUGEINT) AS x2,
+                   CAST(3 * (doc_id % 13) + 2 * ((doc_id * 7) % 11) - 7
+                        + ((doc_id % 5) - 2) AS HUGEINT) AS y
+            FROM documents
+        ),
+        s AS (
+            SELECT CAST(count(*) AS HUGEINT) AS n,
+                   sum(x1) AS sx1, sum(x2) AS sx2,
+                   sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+                   sum(x2 * x2) AS s22,
+                   sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y,
+                   sum(y * y) AS syy
+            FROM f
+        ),
+        d AS (
+            SELECT *,
+                   n * (s11 * s22 - s12 * s12)
+                   - sx1 * (sx1 * s22 - s12 * sx2)
+                   + sx2 * (sx1 * s12 - s11 * sx2) AS det,
+                   sy * (s11 * s22 - s12 * s12)
+                   - sx1 * (s1y * s22 - s12 * s2y)
+                   + sx2 * (s1y * s12 - s11 * s2y) AS det0,
+                   n * (s1y * s22 - s12 * s2y)
+                   - sy * (sx1 * s22 - s12 * sx2)
+                   + sx2 * (sx1 * s2y - s1y * sx2) AS det1,
+                   n * (s11 * s2y - s1y * s12)
+                   - sx1 * (sx1 * s2y - s1y * sx2)
+                   + sy * (sx1 * s12 - s11 * sx2) AS det2
+            FROM s
+        )
+        SELECT 'intercept' AS term, round(det0 / det, 6) AS value FROM d
+        UNION ALL
+        SELECT 'r2', round(1.0 - (n * (det * syy - det0 * sy - det1 * s1y
+                                       - det2 * s2y))
+                                 / (det * (n * syy - sy * sy)), 6) FROM d
+        UNION ALL
+        SELECT 'x1', round(det1 / det, 6) FROM d
+        UNION ALL
+        SELECT 'x2', round(det2 / det, 6) FROM d
+        ORDER BY term
+"""
+
+
+def q266_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b agreement between two bucketed document signals
+    (length bucket vs a shifted composite) over exact value-class pair
+    counts — do two ranking signals order the corpus the same way?
+    textops/abtest.kendall_tau_b."""
+    from spanluke_spark.textops.abtest import kendall_tau_b
+
+    docs = _t(spark, sf_dir, "documents")
+    return kendall_tau_b(
+        docs,
+        F.length("text") % 20,
+        (F.length("text") + F.col("doc_id") % 10) % 15,
+    )
+
+
+_KENDALL_ORACLE_SQL = """
+        WITH v AS (
+            SELECT length(text) % 20 AS x,
+                   (length(text) + doc_id % 10) % 15 AS y
+            FROM documents
+        ),
+        cls AS (SELECT x, y, count(*) AS c FROM v GROUP BY x, y),
+        cx AS (
+            SELECT
+                coalesce(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                                  THEN a.c * b.c END), 0) AS concordant,
+                coalesce(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                                  THEN a.c * b.c END), 0) AS discordant
+            FROM cls a JOIN cls b
+              ON (a.x < b.x) OR (a.x = b.x AND a.y < b.y)
+        ),
+        m1 AS (
+            SELECT sum(t * (t - 1) / 2) AS n1
+            FROM (SELECT sum(c) AS t FROM cls GROUP BY x)
+        ),
+        m2 AS (
+            SELECT sum(t * (t - 1) / 2) AS n2
+            FROM (SELECT sum(c) AS t FROM cls GROUP BY y)
+        ),
+        tt AS (SELECT sum(c) AS n FROM cls)
+        SELECT n, concordant, discordant,
+               round(CASE WHEN (n * (n - 1) / 2 - n1)
+                               * (n * (n - 1) / 2 - n2) > 0
+                          THEN (concordant - discordant)
+                               / sqrt((n * (n - 1) / 2 - n1)
+                                      * (n * (n - 1) / 2 - n2)) END,
+                     6) AS tau_b
+        FROM cx, m1, m2, tt
+"""
+
+
+def q267_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between even- and odd-id
+    document length distributions, D carried as an exact cross-multiplied
+    integer over cumulative class counts. textops/abtest.ks_two_sample."""
+    from spanluke_spark.textops.abtest import ks_two_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return ks_two_sample(docs, (F.col("doc_id") % 2) == 0, F.length("text"))
+
+
+_KS_ORACLE_SQL = """
+        WITH v AS (
+            SELECT length(text) AS v,
+                   CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS g
+            FROM documents
+        ),
+        cls AS (
+            SELECT v, sum(g) AS c1, sum(1 - g) AS c2 FROM v GROUP BY v
+        ),
+        cum AS (
+            SELECT sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
+                   sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2
+            FROM cls
+        ),
+        tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM cls)
+        SELECT n1, n2,
+               max(abs(cum1 * n2 - cum2 * n1)) AS d_num,
+               round(max(abs(cum1 * n2 - cum2 * n1)) / (n1 * n2), 6) AS d,
+               round(sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2))
+                     * max(abs(cum1 * n2 - cum2 * n1)) / (n1 * n2),
+                     6) AS ks_stat
+        FROM cum, tot GROUP BY n1, n2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -10214,6 +10608,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q259_opic": q259_opic,
         "q260_modularity": q260_modularity,
         "q261_weighted_pagerank": q261_weighted_pagerank,
+        "q262_personalized_pagerank": q262_personalized_pagerank,
+        "q263_mis": q263_mis,
+        "q264_simrank": q264_simrank,
+        "q265_ols": q265_ols,
+        "q266_kendall": q266_kendall,
+        "q267_ks_test": q267_ks_test,
     }
 
 
@@ -14102,4 +14502,16 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q260_modularity"] = _MODULARITY_ORACLE_SQL
     # q261: 3 unrolled weighted-vote rounds with dangling redistribution
     out["q261_weighted_pagerank"] = _weighted_pr_oracle_sql(3)
+    # q262: 3 unrolled restart rounds, teleport+dangling mass at the seeds
+    out["q262_personalized_pagerank"] = _ppr_oracle_sql(3)
+    # q263: 6 unrolled Luby rounds on packed (hash-priority, id) keys
+    out["q263_mis"] = _mis_oracle_sql(6)
+    # q264: 3 unrolled double in-edge joins, diagonal pinned to 1
+    out["q264_simrank"] = _simrank_oracle_sql(3)
+    # q265: HUGEINT Cramer replay of the exact-integer normal equations
+    out["q265_ols"] = _OLS_ORACLE_SQL
+    # q266: class-pair concordance counts + tie-corrected denominator
+    out["q266_kendall"] = _KENDALL_ORACLE_SQL
+    # q267: exact cross-multiplied CDF gap over cumulative class counts
+    out["q267_ks_test"] = _KS_ORACLE_SQL
     return out

@@ -250,6 +250,12 @@ EXTRA_NAMES = [
         "q259_opic",
         "q260_modularity",
         "q261_weighted_pagerank",
+        "q262_personalized_pagerank",
+        "q263_mis",
+        "q264_simrank",
+        "q265_ols",
+        "q266_kendall",
+        "q267_ks_test",
 ]
 
 
