@@ -13,7 +13,7 @@ F.xxhash64 when measuring Spark's own HashPartitioner placement.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..dedup.dedup import portable_hash64
@@ -325,3 +325,126 @@ def modularity(
         "deg_sum",
         F.round(q, 6).alias("q_contrib"),
     )
+
+
+def louvain_rounds(
+    edges: DataFrame,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous Louvain phase-1 sweeps (Blondel et al. 2008, "Fast
+    unfolding of communities in large networks") — ``rounds`` rounds of
+    simultaneous best-modularity-gain moves from singleton communities
+    over the undirected simple graph. The MOVE step that modularity()
+    scores: each node weighs joining each NEIGHBOR community C against
+    leaving its current one A,
+
+        gain(i, A -> C)  ∝  2m·(k_iC - k_iA\\i) - k_i·(Σtot_C - Σtot_A\\i)
+
+    carried as that EXACT scaled integer (the float ΔQ divides by the
+    positive constant 2m², which cannot change the argmax), so move
+    decisions — the discrete output — are bit-reproducible and the SQL
+    oracle replays every round (q270). Ties break to the smallest
+    community id; a node moves only on strictly positive gain.
+
+    Classic Louvain sweeps nodes SEQUENTIALLY; naive all-at-once
+    parallel moves are known to oscillate and can DECREASE modularity
+    (two communities swapping members against the same snapshot). The
+    standard distributed mitigation is to stagger movers into disjoint
+    classes per sub-round (Grappolo's coloring heuristic —
+    Lu/Halappanavar/Kalyanaraman 2015, "Parallel heuristics for
+    scalable community detection"); this implementation uses the
+    2-class parity relaxation: round r moves only nodes with
+    node % 2 == r % 2, everyone else holds. On the planted-block pytest
+    fixtures this is monotone in Q and converges to the blocks;
+    deterministic at every fixed round count, which is what the engine
+    contracts — callers gate quality with modularity(), and the phase-2
+    graph coarsening is a groupBy once labels stabilize.
+
+    Relational shape per round: one community-size aggregate, one
+    neighbor-community count (equi-join of the symmetric edge list
+    against the label relation, map-side-combinable count), one keyed
+    window for the per-node argmax, one localCheckpoint. -> (node,
+    community)."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nbr = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    deg = nbr.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("ki"))
+    m = und.count()
+    comm = deg.select("node", F.col("node").alias("community"))
+    for r in range(rounds):
+        st = (
+            comm.join(deg, "node")
+            .groupBy("community")
+            .agg(F.sum("ki").alias("tot"))
+        )
+        kc = (
+            nbr.join(
+                comm.select(F.col("node").alias("b"), "community"), "b"
+            )
+            .groupBy(F.col("a").alias("node"), "community")
+            .agg(F.count(F.lit(1)).alias("kic"))
+        )
+        cur = (
+            comm.select("node", F.col("community").alias("cur_comm"))
+            .join(deg, "node")
+            .join(
+                kc.select(
+                    "node",
+                    F.col("community").alias("cur_comm"),
+                    F.col("kic").alias("kia"),
+                ),
+                ["node", "cur_comm"],
+                "left",
+            )
+            .withColumn("kia", F.coalesce("kia", F.lit(0)))
+            .join(
+                st.select(
+                    F.col("community").alias("cur_comm"), F.col("tot").alias("tota")
+                ),
+                "cur_comm",
+            )
+        )
+        cand = (
+            kc.join(cur, "node")
+            .where(F.col("community") != F.col("cur_comm"))
+            .where((F.col("node") % 2) == (r % 2))
+            .join(st, "community")
+            .select(
+                "node",
+                "community",
+                "cur_comm",
+                (
+                    F.lit(2 * m) * (F.col("kic") - F.col("kia"))
+                    - F.col("ki")
+                    * (F.col("tot") - (F.col("tota") - F.col("ki")))
+                ).alias("gain2"),
+            )
+            .where(F.col("gain2") > 0)
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("gain2").desc(), F.col("community").asc()
+        )
+        best = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", F.col("community").alias("new_comm"))
+        )
+        comm = (
+            comm.join(best, "node", "left")
+            .select(
+                "node", F.coalesce("new_comm", "community").alias("community")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return comm

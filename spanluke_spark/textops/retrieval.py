@@ -22,7 +22,7 @@ from ..link.quantize import quantize_int8
 from .bitext import _int_dot
 from .bm25 import bm25_topk
 
-__all__ = ["hybrid_search", "rrf_fuse"]
+__all__ = ["hybrid_search", "rrf_fuse", "copeland"]
 
 
 def rrf_fuse(
@@ -109,4 +109,71 @@ def hybrid_search(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= final_k)
         .select("query_id", "doc_id", "bm25_score", "sim", "rank")
+    )
+
+
+def copeland(
+    rankings: DataFrame,
+    ranker_col: str = "ranker",
+    item_col: str = "item",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Copeland rank aggregation — the Condorcet-style counterpart of
+    rrf_fuse: instead of summing reciprocal-rank SCORES, every item
+    pair fights a pairwise-majority duel (how many rankers put a above
+    b?) and an item's Copeland score is duels won minus duels lost
+    (ties contribute 0). Satisfies the Condorcet criterion (an item
+    beating every other head-to-head is ranked first), which
+    score-fusion methods do not — the engine's second opinion when
+    fusing ranking signals whose scales disagree (PageRank vs citation
+    authority vs BM25 positions).
+
+    -> (item, wins, losses, copeland). A pair duels only over rankers
+    ranking BOTH items (the join's natural semantics; partial rankings
+    are first-class). All counts are exact integers — bit-identical in
+    the DuckDB oracle (q269).
+
+    Relational shape: one self-join of the ranking relation keyed on
+    the ranker (never on items), aggregated to one row per unordered
+    item pair, then a sign-aggregate per item. The quadratic term is
+    items² per ranker — fusion inputs are top-k lists (k ≤ 10³), the
+    same bounded-candidate contract as rrf_fuse; corpus-scale relations
+    never enter a duel.
+    """
+    r = rankings.select(
+        F.col(ranker_col).alias("r"),
+        F.col(item_col).alias("item"),
+        F.col(rank_col).alias("rank"),
+    )
+    a, b = r.alias("a"), r.alias("b")
+    duels = (
+        a.join(
+            b,
+            (F.col("a.r") == F.col("b.r")) & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("ia"), F.col("b.item").alias("ib")
+        )
+        .agg(
+            F.sum((F.col("a.rank") < F.col("b.rank")).cast("long")).alias("wa"),
+            F.sum((F.col("b.rank") < F.col("a.rank")).cast("long")).alias("wb"),
+        )
+        .select(
+            "ia",
+            "ib",
+            F.signum((F.col("wa") - F.col("wb")).cast("double")).cast("int").alias(
+                "sgn"
+            ),
+        )
+    )
+    per_item = duels.select(
+        F.col("ia").alias("item"), F.col("sgn").alias("s")
+    ).unionByName(duels.select(F.col("ib").alias("item"), (-F.col("sgn")).alias("s")))
+    return (
+        per_item.groupBy("item")
+        .agg(
+            F.sum((F.col("s") == 1).cast("long")).alias("wins"),
+            F.sum((F.col("s") == -1).cast("long")).alias("losses"),
+            F.sum("s").alias("copeland"),
+        )
     )

@@ -256,6 +256,9 @@ EXTRA_NAMES = [
         "q265_ols",
         "q266_kendall",
         "q267_ks_test",
+        "q268_textrank",
+        "q269_copeland",
+        "q270_louvain",
 ]
 
 
