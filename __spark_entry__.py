@@ -8879,6 +8879,159 @@ def _louvain_oracle_sql(rounds: int = 2) -> str:
     return "".join(parts)
 
 
+def q271_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup clustering through the REAL image codec
+    chain, distributed: 40 deterministic 16x18 grayscale patterns (14
+    bases x brightness offsets 0/10/20) encoded to BMP by a pandas UDF,
+    decoded + luma'd + mean-pooled + dHashed by multimodal/phash.py's
+    mapInPandas seam, grouped by the 64-bit hash halves. Brightness
+    copies land in the SAME cluster (dHash differences cancel constant
+    offsets) and the oracle replays every hash from the pixel formula
+    WITHOUT decoding — a distributed encode->decode->hash round-trip
+    gate, the q258 audio pattern for images."""
+    from spanluke_spark.multimodal.phash import image_dhash
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select((F.col("doc_id") % 40).alias("media_id")).distinct()
+
+    @F.pandas_udf("binary")
+    def _bmp(mids):
+        import numpy as np
+        import pandas as pd
+
+        from spanluke_spark.multimodal.codecs import encode_bmp
+
+        def build(mid):
+            y, x = np.mgrid[0:16, 0:18]
+            v = (
+                (mid % 14) * 37 + y * 13 + x * 7 + ((x * y) % 5) * 11
+            ) % 200 + 10 * (mid // 14)
+            return encode_bmp(
+                np.repeat(v[:, :, None], 3, axis=2).astype(np.uint8)
+            )
+
+        return pd.Series([build(int(m)) for m in mids])
+
+    media = ids.select("media_id", _bmp("media_id").alias("payload"))
+    hashes = image_dhash(media)
+    return (
+        hashes.groupBy("dhash_hi", "dhash_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("media_id").alias("id_min"),
+            F.max("media_id").alias("id_max"),
+        )
+        .orderBy("dhash_hi", "dhash_lo")
+    )
+
+
+_DHASH_ORACLE_SQL = """
+        WITH ids AS (SELECT DISTINCT doc_id % 40 AS id FROM documents),
+        px AS (
+            SELECT id, y, x,
+                   ((id % 14) * 37 + y * 13 + x * 7 + ((x * y) % 5) * 11)
+                   % 200 + 10 * (id // 14) AS v
+            FROM ids,
+                 (SELECT unnest(range(0, 16)) AS y),
+                 (SELECT unnest(range(0, 18)) AS x)
+        ),
+        ds AS (
+            SELECT id, y // 2 AS r, x // 2 AS c, sum(v) // 4 AS g
+            FROM px GROUP BY id, y // 2, x // 2
+        ),
+        bits AS (
+            SELECT a.id, a.r, a.c,
+                   CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+            FROM ds a JOIN ds b
+              ON b.id = a.id AND b.r = a.r AND b.c = a.c + 1
+            WHERE a.c < 8
+        ),
+        h AS (
+            SELECT id,
+                   sum(CASE WHEN r < 4
+                            THEN bit * (1::BIGINT << (r * 8 + c))
+                            ELSE 0 END) AS dhash_hi,
+                   sum(CASE WHEN r >= 4
+                            THEN bit * (1::BIGINT << ((r - 4) * 8 + c))
+                            ELSE 0 END) AS dhash_lo
+            FROM bits GROUP BY id
+        )
+        SELECT dhash_hi, dhash_lo, count(*) AS n_images,
+               min(id) AS id_min, max(id) AS id_max
+        FROM h GROUP BY 1, 2 ORDER BY dhash_hi, dhash_lo
+"""
+
+
+def q272_reach_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT neighbourhood function of a 100-node crawl graph by
+    bit-parallel BFS (64-bit word slices, bit_or absorption) — the
+    ground truth that calibrates the q137 kmv_ball sketch estimate.
+    graph/neighborhood.exact_reach_curve."""
+    from spanluke_spark.graph.neighborhood import exact_reach_curve
+
+    docs = _t(spark, sf_dir, "documents")
+    u = (F.col("doc_id") % 100).cast("long")
+    e1 = docs.select(u.alias("src"), ((u * 7 + 3) % 100).alias("dst"))
+    e2 = docs.where((u % 3) == 0).select(
+        u.alias("src"), ((u * 13 + 9) % 100).alias("dst")
+    )
+    return exact_reach_curve(e1.unionByName(e2), max_hops=4).orderBy("hop")
+
+
+def _reach_oracle_sql(max_hops: int = 4) -> str:
+    """Unrolled DuckDB twin of q272: r0 seeds each node's own bit (bit
+    63 spelled as the min-BIGINT literal — DuckDB's << overflow rules
+    differ from two's-complement wrap), each hop bit_ors the
+    out-neighbors' word slices, the curve unions one 1-row count per
+    hop."""
+    seed = (
+        "CASE WHEN node % 64 = 63 THEN -9223372036854775808 "
+        "ELSE 1::BIGINT << CAST(node % 64 AS INT) END"
+    )
+    parts = [
+        f"""
+        WITH gen AS (
+            SELECT doc_id % 100 AS src, ((doc_id % 100) * 7 + 3) % 100 AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 100, ((doc_id % 100) * 13 + 9) % 100
+            FROM documents WHERE (doc_id % 100) % 3 = 0
+        ),
+        e AS MATERIALIZED (SELECT DISTINCT src, dst FROM gen),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+            )
+        ),
+        r0 AS (
+            SELECT node, node // 64 AS w, {seed} AS bits FROM nodes
+        )"""
+    ]
+    for t in range(1, max_hops + 1):
+        parts.append(
+            f""",
+        r{t} AS MATERIALIZED (
+            SELECT node, w, bit_or(bits) AS bits FROM (
+                SELECT node, w, bits FROM r{t - 1}
+                UNION ALL
+                SELECT e.src AS node, r.w, r.bits
+                FROM e JOIN r{t - 1} r ON r.node = e.dst
+            ) GROUP BY node, w
+        )"""
+        )
+    selects = "\n        UNION ALL ".join(
+        f"SELECT {t} AS hop, sum(bit_count(bits)) AS reachable_pairs FROM r{t}"
+        for t in range(max_hops + 1)
+    )
+    parts.append(
+        f"""
+        SELECT hop, reachable_pairs FROM (
+        {selects}
+        ) ORDER BY hop"""
+    )
+    return "".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -10811,6 +10964,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q268_textrank": q268_textrank,
         "q269_copeland": q269_copeland,
         "q270_louvain": q270_louvain,
+        "q271_image_dhash": q271_image_dhash,
+        "q272_reach_curve": q272_reach_curve,
     }
 
 
@@ -14715,6 +14870,11 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q268_textrank"] = _pagerank_sql(iters=3, edges_sql=_TEXTRANK_EDGES_SQL)
     # q269: pairwise-majority duels + sign aggregate, exact counts
     out["q269_copeland"] = _COPELAND_ORACLE_SQL
-    # q270: 2 unrolled synchronous move rounds on scaled-integer gains
+    # q270: 4 unrolled parity-staggered move rounds, integer gains
     out["q270_louvain"] = _louvain_oracle_sql(4)
+    # q271: pixel-formula dHash replay — equality proves the distributed
+    # BMP encode->decode->hash chain bit-exact
+    out["q271_image_dhash"] = _DHASH_ORACLE_SQL
+    # q272: unrolled bit_or absorption, one 1-row bit_count sum per hop
+    out["q272_reach_curve"] = _reach_oracle_sql(4)
     return out

@@ -259,6 +259,8 @@ EXTRA_NAMES = [
         "q268_textrank",
         "q269_copeland",
         "q270_louvain",
+        "q271_image_dhash",
+        "q272_reach_curve",
 ]
 
 
