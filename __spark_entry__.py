@@ -9032,6 +9032,188 @@ def _reach_oracle_sql(max_hops: int = 4) -> str:
     return "".join(parts)
 
 
+_SOUNDEX_NAMES = [
+    "Ashcraft", "Pfister", "Tymczak", "Honeyman", "Robert", "Rupert",
+    "Jackson", "Jaxon", "VanDeusen", "Washington", "Lee", "Leigh",
+    "Gutierrez", "O'Brien", "McDonald", "Mac-Donald", "Czarkowska",
+    "Schmidt", "Smith", "Smyth", "123", "Aeiou",
+]
+
+
+def q273_soundex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking profile: a deterministic surname lexicon (the
+    published Soundex test vectors plus sound-alike pairs Robert/Rupert,
+    Smith/Smyth, Lee/Leigh, Jackson/Jaxon) cycled over doc_id, keyed by
+    the pure-native-function Soundex of link/phonetic.py, grouped into
+    the per-key block stats an ER pipeline reads before budgeting
+    verification. The oracle replays the ENTIRE string-rewrite chain in
+    DuckDB — RE2 has no pattern backreferences, so the (\\d)-+\\1 bridge
+    and (\\d)\\1+ collapse expand to per-digit chains (runs of different
+    digits are disjoint, so the chains are exactly equivalent)."""
+    from spanluke_spark.link.phonetic import soundex_blocks
+
+    docs = _t(spark, sf_dir, "documents")
+    lex = F.array(*[F.lit(n) for n in _SOUNDEX_NAMES])
+    names = docs.select(
+        F.col("doc_id").alias("id"),
+        F.element_at(
+            lex, (F.col("doc_id") % len(_SOUNDEX_NAMES) + 1).cast("int")
+        ).alias("name"),
+    )
+    return soundex_blocks(names).orderBy("soundex")
+
+
+def _soundex_oracle_sql() -> str:
+    names = ", ".join("'" + n.replace("'", "''") + "'" for n in _SOUNDEX_NAMES)
+    bridge = "coded"
+    for _ in range(2):  # two bridge passes, matching the Spark chain
+        for d in "123456":
+            bridge = f"regexp_replace({bridge}, '{d}-+{d}', '{d}', 'g')"
+    collapse = f"translate({bridge}, '-', '')"
+    for d in "123456":
+        collapse = f"regexp_replace({collapse}, '{d}{d}+', '{d}', 'g')"
+    return f"""
+        WITH names AS (
+            SELECT doc_id AS id,
+                   ([{names}])[CAST(doc_id % {len(_SOUNDEX_NAMES)} AS INT) + 1]
+                   AS name
+            FROM documents
+        ),
+        up AS (
+            SELECT id, name,
+                   upper(regexp_replace(name, '[^A-Za-z]', '', 'g')) AS s
+            FROM names
+        ),
+        coded AS (
+            SELECT id, name, s, substr(s, 1, 1) AS f,
+                   translate(s, 'AEIOUYHWBFPVCGJKQSXZDTLMNR',
+                                '000000--111122222222334556') AS coded
+            FROM up
+        ),
+        col AS (SELECT id, name, s, f, {collapse} AS collapsed FROM coded),
+        sx AS (
+            SELECT id, name,
+                   CASE WHEN length(s) > 0 THEN
+                       f || rpad(substr(translate(
+                           CASE WHEN regexp_matches(f, '[BFPVCGJKQSXZDTLMNR]')
+                                THEN substr(collapsed, 2)
+                                ELSE collapsed END, '0', ''), 1, 3), 3, '0')
+                   END AS soundex
+            FROM col
+        )
+        SELECT soundex, count(*) AS n_rows,
+               count(DISTINCT name) AS n_distinct_names
+        FROM sx WHERE soundex IS NOT NULL
+        GROUP BY soundex ORDER BY soundex
+    """
+
+
+def q274_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed extrinsic clustering score of a planted system clustering
+    against gold: gold = doc_id % 7; the system clustering commits both
+    canonical ER mistakes — every 13th item is swallowed by one spurious
+    merge cluster (id 7) and every remaining 11th item is misassigned to
+    a shifted cluster. evaluation/dedup_eval.bcubed computes the exact
+    per-item average in the cell-closed form (no pair join); the oracle
+    replays the same contingency-cell algebra."""
+    from spanluke_spark.evaluation.dedup_eval import bcubed
+
+    docs = _t(spark, sf_dir, "documents")
+    items = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") % 7).alias("gold"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(7).cast("long"))
+        .when(F.col("doc_id") % 11 == 0, (F.col("doc_id") + 3) % 7)
+        .otherwise(F.col("doc_id") % 7)
+        .alias("sys"),
+    )
+    return bcubed(items)
+
+
+_BCUBED_ORACLE_SQL = """
+        WITH items AS (
+            SELECT doc_id AS id, doc_id % 7 AS g,
+                   CASE WHEN doc_id % 13 = 0 THEN 7
+                        WHEN doc_id % 11 = 0 THEN (doc_id + 3) % 7
+                        ELSE doc_id % 7 END AS s
+            FROM documents
+        ),
+        cells AS (SELECT g, s, count(*) AS n_cell FROM items GROUP BY g, s),
+        gs AS (SELECT g, sum(n_cell) AS n_gold FROM cells GROUP BY g),
+        ss AS (SELECT s, sum(n_cell) AS n_sys FROM cells GROUP BY s),
+        j AS (
+            SELECT c.n_cell, gs.n_gold, ss.n_sys
+            FROM cells c JOIN gs USING (g) JOIN ss USING (s)
+        ),
+        a AS (
+            SELECT CAST(sum(n_cell) AS BIGINT) AS n_items,
+                   sum(n_cell * n_cell / n_sys) AS psum,
+                   sum(n_cell * n_cell / n_gold) AS rsum
+            FROM j
+        )
+        SELECT n_items,
+               round(psum / n_items, 6) AS precision,
+               round(rsum / n_items, 6) AS recall,
+               round(CASE WHEN psum / n_items + rsum / n_items > 0
+                          THEN 2 * (psum / n_items) * (rsum / n_items)
+                               / (psum / n_items + rsum / n_items)
+                          ELSE 0 END, 6) AS f1
+        FROM a
+"""
+
+
+def q275_vocab_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between two crawl snapshots (odd doc_ids = new
+    crawl, even = old) as smoothed unigram KL divergence in BOTH
+    directions — textops/profile.vocabulary_kl_drift. One explode, one
+    map-side-combinable (word, side) count agg, one 1-row broadcast of
+    the totals, one sum; counts stay exact integers until the final
+    log-ratio sums."""
+    from spanluke_spark.textops.profile import vocabulary_kl_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocabulary_kl_drift(docs, is_new=F.col("doc_id") % 2 == 1)
+
+
+_VOCAB_KL_ORACLE_SQL = """
+        WITH toks AS (
+            SELECT doc_id % 2 AS g,
+                   unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'),
+                       w -> length(w) > 0)) AS w
+            FROM documents
+        ),
+        counts AS (
+            SELECT w, sum(g) AS cn, sum(1 - g) AS co FROM toks GROUP BY w
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS v,
+                   CAST(sum(cn) AS BIGINT) AS nn,
+                   CAST(sum(co) AS BIGINT) AS no
+            FROM counts
+        ),
+        probs AS (
+            SELECT v, nn, no,
+                   (cn + 1.0) / (nn + v) AS pn,
+                   (co + 1.0) / (no + v) AS po
+            FROM counts, tot
+        ),
+        a AS (
+            SELECT max(v) AS vocab_size, max(no) AS n_old_tokens,
+                   max(nn) AS n_new_tokens,
+                   sum(pn * ln(pn / po)) AS klno,
+                   sum(po * ln(po / pn)) AS klon
+            FROM probs
+        )
+        SELECT vocab_size, n_old_tokens, n_new_tokens,
+               CASE WHEN n_old_tokens > 0 AND n_new_tokens > 0
+                    THEN round(klno, 6) END AS kl_new_vs_old,
+               CASE WHEN n_old_tokens > 0 AND n_new_tokens > 0
+                    THEN round(klon, 6) END AS kl_old_vs_new
+        FROM a
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -10966,6 +11148,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q270_louvain": q270_louvain,
         "q271_image_dhash": q271_image_dhash,
         "q272_reach_curve": q272_reach_curve,
+        "q273_soundex_blocks": q273_soundex_blocks,
+        "q274_bcubed": q274_bcubed,
+        "q275_vocab_kl": q275_vocab_kl,
     }
 
 
@@ -14877,4 +15062,11 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q271_image_dhash"] = _DHASH_ORACLE_SQL
     # q272: unrolled bit_or absorption, one 1-row bit_count sum per hop
     out["q272_reach_curve"] = _reach_oracle_sql(4)
+    # q273: full per-digit-expanded string-rewrite replay (RE2 has no
+    # pattern backreferences; disjoint digit runs make the chains equal)
+    out["q273_soundex_blocks"] = _soundex_oracle_sql()
+    # q274: contingency-cell closed form, exact integer counts
+    out["q274_bcubed"] = _BCUBED_ORACLE_SQL
+    # q275: identical Laplace-smoothed union-vocabulary formula, ln both
+    out["q275_vocab_kl"] = _VOCAB_KL_ORACLE_SQL
     return out

@@ -66,3 +66,54 @@ def lsh_recall_report(
             F.try_divide(F.col("n_hit"), F.col("n_candidates")), 6
         ).alias("precision"),
     )
+
+
+def bcubed(
+    items: DataFrame,
+    id_col: str = "id",
+    gold_col: str = "gold",
+    sys_col: str = "sys",
+) -> DataFrame:
+    """B-cubed clustering evaluation (Bagga & Baldwin 1998; the Amigó et
+    al. 2009 study's recommended extrinsic metric) of a system
+    clustering against gold — per ITEM precision/recall averaged, so a
+    giant wrong merge is punished in proportion to the items it swallows
+    (pairwise F and purity are not; this is the standard scorecard for
+    dedup survivor clusters and sameAs canonicalization).
+
+        P(e) = |C_sys(e) ∩ C_gold(e)| / |C_sys(e)|,  R(e) symmetric
+        precision = mean_e P(e),  recall = mean_e R(e),  f1 harmonic
+
+    Exact relational closed form with NO pair join: every item in the
+    (sys, gold) contingency CELL shares the same intersection size
+    s_cg, so precision = (1/N) Σ_cells s_cg² / n_sys — one cell
+    aggregate, two cluster-size joins, one sum. All counts exact
+    integers; the three output ratios are the only floats. Cost is
+    |cells| ≤ |items| rows after one groupBy: corpus-scale safe."""
+    t = items.select(
+        F.col(id_col).alias("id"),
+        F.col(gold_col).alias("g"),
+        F.col(sys_col).alias("s"),
+    )
+    cells = t.groupBy("g", "s").agg(F.count(F.lit(1)).alias("n_cell"))
+    gold_sz = cells.groupBy("g").agg(F.sum("n_cell").alias("n_gold"))
+    sys_sz = cells.groupBy("s").agg(F.sum("n_cell").alias("n_sys"))
+    j = cells.join(gold_sz, "g").join(sys_sz, "s")
+    agg = j.agg(
+        F.sum("n_cell").alias("n_items"),
+        F.sum(
+            F.col("n_cell") * F.col("n_cell") / F.col("n_sys")
+        ).alias("_psum"),
+        F.sum(
+            F.col("n_cell") * F.col("n_cell") / F.col("n_gold")
+        ).alias("_rsum"),
+    )
+    p = F.col("_psum") / F.col("n_items")
+    r = F.col("_rsum") / F.col("n_items")
+    f1 = F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_items",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

@@ -16,7 +16,7 @@ broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -357,4 +357,64 @@ def gini_concentration(
             - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
             6,
         ).alias("gini"),
+    )
+
+
+def vocabulary_kl_drift(
+    docs: DataFrame,
+    is_new: Column,
+    text_col: str = "text",
+    alpha: int = 1,
+) -> DataFrame:
+    """Language drift between two crawl snapshots as smoothed unigram
+    KL divergence — the distribution-level complement of the k-gram
+    novelty curve (textops/novelty.py counts NEW grams; this measures
+    how far the WHOLE vocabulary distribution moved, which catches
+    topic shift even when no new words appear). Standard corpus-drift
+    monitor for refresh scheduling and training-mixture rebalance.
+
+    Both directions are reported (KL is asymmetric: new||old spikes on
+    emerging vocabulary, old||new on vanishing vocabulary). Laplace
+    smoothing with ``alpha`` over the UNION vocabulary keeps both
+    distributions absolutely continuous, so every term is finite:
+
+        p_side(w) = (c_side(w) + alpha) / (N_side + alpha * |V|)
+
+    Relational shape: one tokenize-explode, one (word, side) count
+    aggregate (map-side combinable), two 1-row total broadcasts, one
+    sum — counts stay exact integers; the only floats are the final
+    log-ratio sums (rounded). -> one row (vocab_size, n_old_tokens,
+    n_new_tokens, kl_new_vs_old, kl_old_vs_new), NULL divergences when
+    a side is empty."""
+    toks = docs.select(
+        is_new.cast("int").alias("g"),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w"),
+    ).where(F.length("w") > 0)
+    counts = toks.groupBy("w").agg(
+        F.sum("g").alias("cn"),
+        F.sum(1 - F.col("g")).alias("co"),
+    )
+    tot = counts.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("cn").alias("nn"),
+        F.sum("co").alias("no"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    a = F.lit(alpha)
+    pn = (F.col("cn") + a) / (F.col("nn") + a * F.col("v"))
+    po = (F.col("co") + a) / (F.col("no") + a * F.col("v"))
+    agg = j.agg(
+        F.first("v").alias("vocab_size"),
+        F.first("no").alias("n_old_tokens"),
+        F.first("nn").alias("n_new_tokens"),
+        F.sum(pn * F.log(pn / po)).alias("_kl_no"),
+        F.sum(po * F.log(po / pn)).alias("_kl_on"),
+    )
+    ok = (F.col("n_old_tokens") > 0) & (F.col("n_new_tokens") > 0)
+    return agg.select(
+        "vocab_size",
+        "n_old_tokens",
+        "n_new_tokens",
+        F.round(F.when(ok, F.col("_kl_no")), 6).alias("kl_new_vs_old"),
+        F.round(F.when(ok, F.col("_kl_on")), 6).alias("kl_old_vs_new"),
     )

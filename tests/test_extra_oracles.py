@@ -261,6 +261,9 @@ EXTRA_NAMES = [
         "q270_louvain",
         "q271_image_dhash",
         "q272_reach_curve",
+        "q273_soundex_blocks",
+        "q274_bcubed",
+        "q275_vocab_kl",
 ]
 
 
