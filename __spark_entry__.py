@@ -9214,6 +9214,123 @@ _VOCAB_KL_ORACLE_SQL = """
 """
 
 
+_HRW_BEFORE = [f"shard-{i}" for i in range(8)]
+_HRW_AFTER = [f"shard-{i}" for i in range(8) if i != 3]
+
+
+def q276_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash migration matrix for a node removal: 97 crawl
+    hosts placed over 8 shards, then shard-3 leaves. HRW's
+    minimal-disruption theorem is visible in the OUTPUT STRUCTURE
+    (every off-diagonal row has node_before = shard-3) and the plan is
+    the Spark-first one: both assignments are array_max over struct
+    arrays inside ONE projection — zero joins, zero shuffles before the
+    final tiny aggregate. storage/placement.py."""
+    from spanluke_spark.storage.placement import placement_report
+
+    docs = _t(spark, sf_dir, "documents")
+    keys = docs.select(
+        F.concat(F.lit("host-"), (F.col("doc_id") % 97).cast("string")).alias(
+            "key"
+        )
+    )
+    return placement_report(keys, _HRW_BEFORE, _HRW_AFTER).orderBy(
+        "node_before", "node_after"
+    )
+
+
+def _hrw_oracle_sql() -> str:
+    def assign(nodes: list[str], alias: str) -> str:
+        lits = ", ".join(f"'{n}'" for n in sorted(nodes))
+        return f"""
+        {alias} AS (
+            SELECT key, node FROM (
+                SELECT k.key, n.node,
+                       row_number() OVER (
+                           PARTITION BY k.key
+                           ORDER BY ('0x' || substr(md5(k.key || '@' || n.node),
+                                     1, 15))::BIGINT DESC, n.node DESC
+                       ) AS rn
+                FROM keys k, (SELECT unnest([{lits}]) AS node) n
+            ) WHERE rn = 1
+        )"""
+
+    return f"""
+        WITH keys AS (
+            SELECT DISTINCT 'host-' || (doc_id % 97) AS key FROM documents
+        ),{assign(_HRW_BEFORE, "bef")},{assign(_HRW_AFTER, "aft")}
+        SELECT b.node AS node_before, a.node AS node_after,
+               count(*) AS n_keys,
+               sum(CASE WHEN b.node != a.node THEN 1 ELSE 0 END) AS n_moved
+        FROM bef b JOIN aft a USING (key)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def q277_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor over a bounded 240-vector embedding slice
+    (8 dims, k=5): density-relative anomaly scores on the exact
+    integer-quantized squared-L2 dissimilarity, so k-distances,
+    neighborhoods (value-based, tie-inclusive) and reachability
+    distances are exact integers and the only floats are the final
+    lrd/LOF ratios — the full Breunig chain replayed by the oracle.
+    link/lof.py."""
+    from spanluke_spark.link.lof import lof
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 240)
+    pts = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    return lof(pts, k=5, scale=64, d=8).orderBy("id")
+
+
+_LOF_ORACLE_SQL = """
+        WITH pts AS (
+            SELECT vec_id AS id,
+                   list_transform(embedding[1:8],
+                                  x -> round(x::DOUBLE * 64)::BIGINT) AS v
+            FROM embeddings WHERE vec_id < 240
+        ),
+        sym AS (
+            SELECT a.id AS ia, b.id AS ib,
+                   list_sum(list_transform(range(1, len(a.v) + 1),
+                            i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])
+                   ))::BIGINT AS d2
+            FROM pts a JOIN pts b ON a.id != b.id
+        ),
+        kd AS (
+            SELECT ia AS id, d2 AS kdist2 FROM (
+                SELECT ia, d2,
+                       row_number() OVER (PARTITION BY ia ORDER BY d2, ib) AS rn
+                FROM sym
+            ) WHERE rn = 5
+        ),
+        neigh AS (
+            SELECT s.ia, s.ib, s.d2
+            FROM sym s JOIN kd k ON k.id = s.ia
+            WHERE s.d2 <= k.kdist2
+        ),
+        reach AS (
+            SELECT n.ia, n.ib, greatest(ko.kdist2, n.d2) AS reach
+            FROM neigh n JOIN kd ko ON ko.id = n.ib
+        ),
+        lrd AS (
+            SELECT ia AS id, count(*) AS n_neighbors,
+                   count(*) / sum(reach) AS lrd
+            FROM reach GROUP BY ia
+        ),
+        sc AS (
+            SELECT r.ia AS id, sum(l.lrd) AS sum_lo, count(l.lrd) AS n_lo
+            FROM reach r JOIN lrd l ON l.id = r.ib GROUP BY r.ia
+        )
+        SELECT l.id, CAST(l.n_neighbors AS BIGINT) AS n_neighbors, k.kdist2,
+               round(l.lrd, 6) AS lrd,
+               round(CASE WHEN sc.n_lo = l.n_neighbors
+                          THEN sc.sum_lo / (l.n_neighbors * l.lrd) END,
+                     6) AS lof
+        FROM lrd l JOIN sc USING (id) JOIN kd k USING (id)
+        ORDER BY l.id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -11151,6 +11268,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q273_soundex_blocks": q273_soundex_blocks,
         "q274_bcubed": q274_bcubed,
         "q275_vocab_kl": q275_vocab_kl,
+        "q276_rendezvous": q276_rendezvous,
+        "q277_lof": q277_lof,
     }
 
 
@@ -15069,4 +15188,9 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q274_bcubed"] = _BCUBED_ORACLE_SQL
     # q275: identical Laplace-smoothed union-vocabulary formula, ln both
     out["q275_vocab_kl"] = _VOCAB_KL_ORACLE_SQL
+    # q276: per-key HRW argmax replayed as a desc-ordered window
+    out["q276_rendezvous"] = _hrw_oracle_sql()
+    # q277: full Breunig chain — integer kdist/neighborhood/reach, float
+    # only in the final lrd/LOF ratios
+    out["q277_lof"] = _LOF_ORACLE_SQL
     return out

@@ -264,6 +264,8 @@ EXTRA_NAMES = [
         "q273_soundex_blocks",
         "q274_bcubed",
         "q275_vocab_kl",
+        "q276_rendezvous",
+        "q277_lof",
 ]
 
 
