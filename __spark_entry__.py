@@ -9331,6 +9331,184 @@ _LOF_ORACLE_SQL = """
 """
 
 
+_MAXSIM_Q0 = (7, 123, 321)
+_MAXSIM_Q1 = (55, 200, 444)
+
+
+def q278_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval: 500 embedding rows as
+    doc token vectors (doc = vec_id % 40, ~12 tokens each), two 3-token
+    queries drawn from fixed vec_ids, MaxSim on exact integer-quantized
+    dots (16 dims, scale 64), top-5 per query. Query side broadcasts;
+    the doc-token side never shuffles to score.
+    textops/late_interaction.py."""
+    from spanluke_spark.textops.late_interaction import maxsim_topk
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    doc_tokens = emb.select(
+        (F.col("vec_id") % 40).alias("doc_id"),
+        (F.col("vec_id") / 40).cast("long").alias("tok_id"),
+        F.col("embedding").alias("vec"),
+    )
+    qids = _MAXSIM_Q0 + _MAXSIM_Q1
+    query_tokens = emb.where(F.col("vec_id").isin(*qids)).select(
+        F.when(F.col("vec_id").isin(*_MAXSIM_Q0), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("q_id"),
+        F.col("vec_id").alias("tok_id"),
+        F.col("embedding").alias("vec"),
+    )
+    return maxsim_topk(query_tokens, doc_tokens, k=5, scale=64, d=16).orderBy(
+        "q_id", "rank"
+    )
+
+
+_MAXSIM_ORACLE_SQL = f"""
+        WITH dt AS (
+            SELECT vec_id % 40 AS doc,
+                   list_transform(embedding[1:16],
+                                  x -> round(x::DOUBLE * 64)::BIGINT) AS dv
+            FROM embeddings WHERE vec_id < 500
+        ),
+        qt AS (
+            SELECT CASE WHEN vec_id IN {_MAXSIM_Q0} THEN 0 ELSE 1 END AS q,
+                   vec_id AS qtok,
+                   list_transform(embedding[1:16],
+                                  x -> round(x::DOUBLE * 64)::BIGINT) AS qv
+            FROM embeddings WHERE vec_id IN {_MAXSIM_Q0 + _MAXSIM_Q1}
+        ),
+        dots AS (
+            SELECT q, doc, qtok,
+                   list_sum(list_transform(range(1, len(qv) + 1),
+                            i -> qv[i] * dv[i]))::BIGINT AS dot
+            FROM qt, dt
+        ),
+        best AS (
+            SELECT q, doc, qtok, max(dot) AS best FROM dots GROUP BY q, doc, qtok
+        ),
+        sc AS (SELECT q, doc, sum(best) AS score FROM best GROUP BY q, doc)
+        SELECT q AS q_id,
+               row_number() OVER (PARTITION BY q ORDER BY score DESC, doc)
+                   AS rank,
+               doc AS doc_id, CAST(score AS BIGINT) AS score
+        FROM sc QUALIFY rank <= 5 ORDER BY q_id, rank
+"""
+
+
+_GS_N = 14
+
+
+def _gs_prefs(spark: SparkSession, sf_dir: str):
+    """14 proposers x 14 acceptors, preference ranks from the portable
+    md5 hash (desc, counterpart-asc tie-break) — both sides complete."""
+    from spanluke_spark.dedup.dedup import portable_hash64
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select((F.col("doc_id") % _GS_N).alias("i")).distinct()
+    cross = ids.select(F.col("i").alias("p")).crossJoin(
+        ids.select(F.col("i").alias("a"))
+    )
+
+    def ranked(side: str, part: str, other: str):
+        h = portable_hash64(
+            F.concat(
+                F.lit(f"{side}:"),
+                F.col("p" if side == "p" else "a").cast("string"),
+                F.lit("|"),
+                F.col("a" if side == "p" else "p").cast("string"),
+            )
+        )
+        w = Window.partitionBy(part).orderBy(F.desc("_h"), F.asc(other))
+        return (
+            cross.withColumn("_h", h)
+            .withColumn("rank", F.row_number().over(w))
+            .select(part, "rank", other)
+        )
+
+    return ranked("p", "p", "a"), ranked("a", "a", "p")
+
+
+def q279_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proposer-optimal Gale-Shapley stable matching by parallel
+    deferred-acceptance rounds over md5-derived preference lists — the
+    fixture converges in 8 rounds (pytest-pinned; a sequential-GS
+    python replay proves the parallel rounds reproduce the 1962
+    outcome exactly). graph/stable_matching.py."""
+    from spanluke_spark.graph.stable_matching import gale_shapley
+
+    pp, pa = _gs_prefs(spark, sf_dir)
+    return gale_shapley(pp, pa).orderBy("p")
+
+
+def _gs_oracle_sql(rounds: int = 9) -> str:
+    """Unrolled synchronous deferred-acceptance rounds (8 needed on the
+    fixture + 1 idempotent slack round): per round — proposals from the
+    free pointer rank, candidates = proposals + holders, winners by
+    acceptor rank, state recurrence advances the pointer of every
+    proposer who proposed."""
+    parts = [
+        f"""
+        WITH ids AS (SELECT DISTINCT doc_id % {_GS_N} AS i FROM documents),
+        pp AS MATERIALIZED (
+            SELECT p, a, row_number() OVER (
+                PARTITION BY p ORDER BY ('0x' || substr(
+                    md5('p:' || p || '|' || a), 1, 15))::BIGINT DESC, a
+            ) AS rank
+            FROM (SELECT x.i AS p, y.i AS a FROM ids x, ids y)
+        ),
+        pa AS MATERIALIZED (
+            SELECT a, p, row_number() OVER (
+                PARTITION BY a ORDER BY ('0x' || substr(
+                    md5('a:' || a || '|' || p), 1, 15))::BIGINT DESC, p
+            ) AS rank
+            FROM (SELECT x.i AS a, y.i AS p FROM ids x, ids y)
+        ),
+        s0 AS (SELECT i AS p, 1 AS ptr, CAST(NULL AS BIGINT) AS a FROM ids)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+        pr{t} AS MATERIALIZED (
+            SELECT s.p, pp.a AS ta
+            FROM s{t - 1} s JOIN pp ON pp.p = s.p AND pp.rank = s.ptr
+            WHERE s.a IS NULL
+        ),
+        cand{t} AS (
+            SELECT ta AS a, p FROM pr{t}
+            UNION ALL
+            SELECT a, p FROM s{t - 1} WHERE a IS NOT NULL
+        ),
+        win{t} AS (
+            SELECT a, p FROM (
+                SELECT c.a, c.p,
+                       row_number() OVER (PARTITION BY c.a ORDER BY pa.rank)
+                           AS rn
+                FROM cand{t} c JOIN pa ON pa.a = c.a AND pa.p = c.p
+            ) WHERE rn = 1
+        ),
+        s{t} AS MATERIALIZED (
+            SELECT s.p,
+                   CASE WHEN pr.p IS NOT NULL THEN s.ptr + 1 ELSE s.ptr END
+                       AS ptr,
+                   w.a
+            FROM s{t - 1} s
+            LEFT JOIN (SELECT DISTINCT p FROM pr{t}) pr ON pr.p = s.p
+            LEFT JOIN win{t} w ON w.p = s.p
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT s.p, s.a, pp.rank AS p_rank, pa.rank AS a_rank
+        FROM s{rounds} s
+        JOIN pp ON pp.p = s.p AND pp.a = s.a
+        JOIN pa ON pa.a = s.a AND pa.p = s.p
+        WHERE s.a IS NOT NULL
+        ORDER BY s.p"""
+    )
+    return "".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -11270,6 +11448,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q275_vocab_kl": q275_vocab_kl,
         "q276_rendezvous": q276_rendezvous,
         "q277_lof": q277_lof,
+        "q278_maxsim": q278_maxsim,
+        "q279_stable_matching": q279_stable_matching,
     }
 
 
@@ -15193,4 +15373,8 @@ def extra_oracle_sql() -> dict[str, str]:
     # q277: full Breunig chain — integer kdist/neighborhood/reach, float
     # only in the final lrd/LOF ratios
     out["q277_lof"] = _LOF_ORACLE_SQL
+    # q278: cross-join MaxSim replay, integer dots, QUALIFY top-5
+    out["q278_maxsim"] = _MAXSIM_ORACLE_SQL
+    # q279: 8 unrolled deferred-acceptance rounds + 1 idempotent slack
+    out["q279_stable_matching"] = _gs_oracle_sql(9)
     return out

@@ -266,6 +266,8 @@ EXTRA_NAMES = [
         "q275_vocab_kl",
         "q276_rendezvous",
         "q277_lof",
+        "q278_maxsim",
+        "q279_stable_matching",
 ]
 
 
