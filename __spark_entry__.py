@@ -9509,6 +9509,122 @@ def _gs_oracle_sql(rounds: int = 9) -> str:
     return "".join(parts)
 
 
+_JW_BASES = [
+    "montgomery", "harrington", "blackwood", "fitzgerald", "kowalski",
+    "petersen", "vanderberg", "castellano", "okonkwo", "lindqvist",
+    "abernathy", "whitfield",
+]
+
+
+def _jw_mutate(base: str, m: int) -> str:
+    """Deterministic name corruptions (the classic ER error modes):
+    identity / adjacent transposition / deletion / suffix insertion /
+    substitution — pure python at import, shared verbatim by the Spark
+    literal array and the generated oracle SQL."""
+    if m == 0:
+        return base
+    if m == 1:
+        return base[:2] + base[3] + base[2] + base[4:]
+    if m == 2:
+        return base[:4] + base[5:]
+    if m == 3:
+        return base + "e"
+    return base[:3] + "x" + base[4:]
+
+
+_JW_NAMES = [_jw_mutate(_JW_BASES[k % 12], (k // 12) % 5) for k in range(60)]
+
+
+def q280_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-blocked Jaro-Winkler similarity join (link/jaro.py) over 60
+    deterministically-corrupted surnames — the record-linkage comparator
+    lane beside Levenshtein (q147) and Soundex (q273). The Spark side is
+    a from-scratch native-HOF implementation of the published greedy
+    match scan; the oracle scores with DuckDB's INDEPENDENT built-in
+    jaro_winkler_similarity — two unrelated implementations of Winkler
+    1990 agreeing on every pair (threshold margin 1.8e-3, checked in
+    tests/test_jaro.py; on this fixture blocking recall is 116/116 vs
+    the unblocked brute force)."""
+    from spanluke_spark.link.jaro import jaro_winkler_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select((F.col("doc_id") % 60).alias("id")).distinct()
+    names = ids.select(
+        "id", F.element_at(F.array(*[F.lit(s) for s in _JW_NAMES]), F.col("id").cast("int") + 1).alias("name")
+    )
+    out = jaro_winkler_pairs(names, threshold=0.90)
+    return out.withColumn("jw_sim", F.round("jw_sim", 6)).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_JW_NAMES_SQL = "[" + ", ".join(f"'{s}'" for s in _JW_NAMES) + "]"
+
+_JW_ORACLE_SQL = f"""
+        WITH ids AS (SELECT DISTINCT doc_id % 60 AS id FROM documents),
+        names AS (SELECT id, ({_JW_NAMES_SQL})[id + 1] AS name FROM ids)
+        SELECT a.id AS id_a, b.id AS id_b,
+               a.name AS name_a, b.name AS name_b,
+               round(jaro_winkler_similarity(a.name, b.name), 6) AS jw_sim
+        FROM names a JOIN names b
+          ON substr(a.name, 1, 1) = substr(b.name, 1, 1)
+         AND a.id < b.id
+         AND abs(length(a.name) - length(b.name)) <= 3
+        WHERE jaro_winkler_similarity(a.name, b.name) >= 0.90
+        ORDER BY id_a, id_b
+"""
+
+
+def q281_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence audit of language x source over
+    the documents corpus (evaluation/contingency.py) — the categorical
+    member of the two-sample stats family (q246 Mann-Whitney, q267 KS).
+    Per-cell ppm-quantized contributions sum to an exact-integer
+    statistic; Cramér's V effect size on every row."""
+    from spanluke_spark.evaluation.contingency import (
+        chi_squared_independence,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return chi_squared_independence(docs, "lang", "source").orderBy(
+        "lang", "source"
+    )
+
+
+_CHI2_ORACLE_SQL = """
+        WITH cells AS (
+            SELECT lang, source, count(*) AS o
+            FROM documents GROUP BY lang, source
+        ),
+        rt AS (SELECT lang, sum(o) AS row_total FROM cells GROUP BY lang),
+        ct AS (SELECT source, sum(o) AS col_total FROM cells GROUP BY source),
+        tot AS (
+            SELECT sum(o) AS n, count(DISTINCT lang) AS nr,
+                   count(DISTINCT source) AS nc
+            FROM cells
+        ),
+        contrib AS (
+            SELECT c.lang, c.source, c.o, rt.row_total, ct.col_total,
+                   tot.n, tot.nr, tot.nc,
+                   CAST(round(
+                       ((c.o * tot.n - rt.row_total * ct.col_total)::DOUBLE
+                        * (c.o * tot.n - rt.row_total * ct.col_total)::DOUBLE)
+                       / (tot.n * rt.row_total * ct.col_total)::DOUBLE * 1e6
+                   ) AS BIGINT) AS cell_chi2_ppm
+            FROM cells c
+            JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot
+        )
+        SELECT lang, source, o, row_total, col_total, cell_chi2_ppm,
+               sum(cell_chi2_ppm) OVER () AS chi2_ppm,
+               CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+               round(sqrt((sum(cell_chi2_ppm) OVER ()) / 1e6
+                          / (n * (least(nr, nc) - 1))::DOUBLE), 6)
+                   AS cramers_v
+        FROM contrib
+        ORDER BY lang, source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -11450,6 +11566,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q277_lof": q277_lof,
         "q278_maxsim": q278_maxsim,
         "q279_stable_matching": q279_stable_matching,
+        "q280_jaro_winkler": q280_jaro_winkler,
+        "q281_chi_squared": q281_chi_squared,
     }
 
 
@@ -15377,4 +15495,9 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q278_maxsim"] = _MAXSIM_ORACLE_SQL
     # q279: 8 unrolled deferred-acceptance rounds + 1 idempotent slack
     out["q279_stable_matching"] = _gs_oracle_sql(9)
+    # q280: DuckDB's independent built-in jaro_winkler scores the same
+    # blocked pairs — two unrelated Winkler-1990 implementations agree
+    out["q280_jaro_winkler"] = _JW_ORACLE_SQL
+    # q281: ppm-quantized per-cell contributions, exact-integer total
+    out["q281_chi_squared"] = _CHI2_ORACLE_SQL
     return out

@@ -268,6 +268,8 @@ EXTRA_NAMES = [
         "q277_lof",
         "q278_maxsim",
         "q279_stable_matching",
+        "q280_jaro_winkler",
+        "q281_chi_squared",
 ]
 
 
