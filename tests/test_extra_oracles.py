@@ -270,6 +270,8 @@ EXTRA_NAMES = [
         "q279_stable_matching",
         "q280_jaro_winkler",
         "q281_chi_squared",
+        "q282_hitting_probability",
+        "q283_salsa",
 ]
 
 
