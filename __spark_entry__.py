@@ -9766,6 +9766,195 @@ _SALSA_ORACLE_SQL = f"""
 """
 
 
+def q284_source_bandit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-source best-arm identification by batched successive
+    elimination (etl/bandit.py): 20 sources with planted quality means
+    250 + 30*idx permille plus a +-50 md5 jitter, 4 uniform exploration
+    rounds, exact-integer quantized-mean elimination tests
+    (alpha = 50000 ppm). Oracle unrolls the 4 alive-set recurrence
+    rounds."""
+    from spanluke_spark.dedup.dedup import portable_hash64
+    from spanluke_spark.etl.bandit import successive_elimination
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = F.substring("source", 4, 10).cast("long")
+    h = portable_hash64(F.col("doc_id").cast("string"))
+    # sources are interleaved by doc_id, so the round key must use the
+    # doc_id // 20 "wave" (doc_id % k would correlate with the arm)
+    pulls = docs.select(
+        F.col("source").alias("arm"),
+        F.expr("(doc_id div 20) % 4").alias("round"),
+        (200 + 30 * idx + (h % 101)).alias("reward"),
+    )
+    return successive_elimination(pulls, rounds=4, alpha=50000).orderBy(
+        "round", "arm"
+    )
+
+
+def _bandit_oracle_sql(rounds: int = 4, alpha: int = 50000) -> str:
+    parts = [
+        """
+        WITH pulls AS (
+            SELECT source AS arm, (doc_id // 20) % 4 AS rnd,
+                   200 + 30 * CAST(substr(source, 4) AS BIGINT)
+                       + ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 15))::BIGINT % 101
+                       AS reward
+            FROM documents
+        ),
+        b AS MATERIALIZED (
+            SELECT arm, rnd, count(*) AS bn, sum(reward) AS bs
+            FROM pulls GROUP BY arm, rnd
+        ),
+        s0 AS (
+            SELECT arm, 0::BIGINT AS n, 0::BIGINT AS s
+            FROM (SELECT DISTINCT arm FROM b)
+        )"""
+    ]
+    for t in range(rounds):
+        parts.append(
+            f""",
+        c{t} AS (
+            SELECT s.arm, s.n + coalesce(b.bn, 0) AS n,
+                   s.s + coalesce(b.bs, 0) AS s
+            FROM s{t} s LEFT JOIN b ON b.arm = s.arm AND b.rnd = {t}
+            WHERE s.n + coalesce(b.bn, 0) > 0
+        ),
+        k{t} AS (
+            SELECT arm, n, s, s * 1000 // n AS mp,
+                   (row_number() OVER (
+                        ORDER BY s * 1000000000 // n DESC, arm)) = 1
+                       AS is_leader
+            FROM c{t}
+        ),
+        r{t} AS MATERIALIZED (
+            SELECT {t} AS round, k.arm, k.n, k.s, k.mp AS mean_ppm,
+                   k.is_leader,
+                   (NOT k.is_leader) AND (l.mp - k.mp > 0)
+                       AND ((l.mp - k.mp) * (l.mp - k.mp)
+                            * least(k.n, l.n) > {4 * alpha * alpha})
+                       AS eliminated
+            FROM k{t} k
+            CROSS JOIN (SELECT mp, n FROM k{t} WHERE is_leader) l
+        ),
+        s{t + 1} AS (SELECT arm, n, s FROM r{t} WHERE NOT eliminated)"""
+        )
+    selects = "\n        UNION ALL ".join(
+        f"SELECT * FROM r{t}" for t in range(rounds)
+    )
+    parts.append(
+        f"""
+        SELECT round, arm, n, s, mean_ppm, is_leader, eliminated FROM (
+        {selects}
+        ) ORDER BY round, arm"""
+    )
+    return "".join(parts)
+
+
+def q285_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strengths from pairwise duels — the RLHF
+    preference-aggregation model — by 4 all-integer quantized Hunter MM
+    rounds (evaluation/preference.py). Duels are planted:
+    P(a beats b) = 0.5 + 0.035*(a-b) via deterministic hash, so the
+    recovered ranking must follow the index order (pytest-gated).
+    Oracle unrolls the 4 MM rounds with the same integer ops."""
+    from spanluke_spark.evaluation.preference import bradley_terry
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    a = (d % 8).alias("a")
+    # opponent from an INDEPENDENT digit of doc_id — (3d+1) % 8 would be
+    # a pure function of d % 8 (a two-cycle permutation graph,
+    # disconnected); d//8 % 8 realizes every pair
+    b = (F.expr("(doc_id div 8) % 8")).alias("b")
+    duels = (
+        docs.select(d.alias("d"), a, b)
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.when(
+                (F.col("d") * 2654435761) % 1000
+                < 500 + 35 * (F.col("a") - F.col("b")),
+                F.col("a"),
+            )
+            .otherwise(F.col("b"))
+            .alias("winner"),
+            F.when(
+                (F.col("d") * 2654435761) % 1000
+                < 500 + 35 * (F.col("a") - F.col("b")),
+                F.col("b"),
+            )
+            .otherwise(F.col("a"))
+            .alias("loser"),
+        )
+    )
+    return bradley_terry(duels, rounds=4).orderBy("item")
+
+
+def _bt_oracle_sql(rounds: int = 4) -> str:
+    parts = [
+        """
+        WITH raw AS (
+            SELECT doc_id % 8 AS a, (doc_id // 8) % 8 AS b,
+                   (doc_id * 2654435761) % 1000
+                       < 500 + 35 * ((doc_id % 8) - ((doc_id // 8) % 8))
+                       AS a_wins
+            FROM documents
+            WHERE doc_id % 8 <> (doc_id // 8) % 8
+        ),
+        g AS (
+            SELECT CASE WHEN a_wins THEN a ELSE b END AS w,
+                   CASE WHEN a_wins THEN b ELSE a END AS l
+            FROM raw
+        ),
+        pairs AS MATERIALIZED (
+            SELECT least(w, l) AS i, greatest(w, l) AS j, count(*) AS n
+            FROM g GROUP BY 1, 2
+        ),
+        items AS MATERIALIZED (
+            SELECT item,
+                   sum(CASE WHEN is_w THEN 1 ELSE 0 END) AS wins,
+                   count(*) AS games
+            FROM (
+                SELECT w AS item, TRUE AS is_w FROM g
+                UNION ALL SELECT l, FALSE FROM g
+            ) GROUP BY item
+        ),
+        bo AS (
+            SELECT i AS item, j AS other, n FROM pairs
+            UNION ALL SELECT j, i, n FROM pairs
+        ),
+        p0 AS (SELECT item, 1000000::BIGINT AS p FROM items)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+        t{t} AS (
+            SELECT b.item,
+                   sum(b.n * 1000000000000 // (x.p + y.p)) AS s
+            FROM bo b
+            JOIN p{t - 1} x ON x.item = b.item
+            JOIN p{t - 1} y ON y.item = b.other
+            GROUP BY b.item
+        ),
+        w{t} AS (
+            SELECT i.item, i.wins * 1000000000000 // t.s AS p
+            FROM items i JOIN t{t} t ON t.item = i.item
+        ),
+        p{t} AS MATERIALIZED (
+            SELECT item,
+                   p * (SELECT count(*) FROM w{t}) * 1000000
+                       // (SELECT sum(p) FROM w{t}) AS p
+            FROM w{t}
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT i.item, p.p AS strength_ppm, i.wins, i.games
+        FROM items i JOIN p{rounds} p USING (item) ORDER BY i.item"""
+    )
+    return "".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -11711,6 +11900,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q281_chi_squared": q281_chi_squared,
         "q282_hitting_probability": q282_hitting_probability,
         "q283_salsa": q283_salsa,
+        "q284_source_bandit": q284_source_bandit,
+        "q285_bradley_terry": q285_bradley_terry,
     }
 
 
@@ -15648,4 +15839,8 @@ def extra_oracle_sql() -> dict[str, str]:
     # q283: recursive bipartite closure + the Najork closed form, exact
     # rational (num, den) replayed
     out["q283_salsa"] = _SALSA_ORACLE_SQL
+    # q284: 4 unrolled alive-set rounds, integer quantized-mean tests
+    out["q284_source_bandit"] = _bandit_oracle_sql(4, alpha=50000)
+    # q285: 4 unrolled all-integer MM rounds with mass pinning
+    out["q285_bradley_terry"] = _bt_oracle_sql(4)
     return out

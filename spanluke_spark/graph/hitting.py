@@ -81,9 +81,8 @@ def hitting_probability(
                 F.when(F.col("is_target") == 1, F.lit(scale).cast("long"))
                 .when(
                     F.col("deg") > 0,
-                    F.floor(
-                        F.coalesce("s", F.lit(0)) / F.col("deg")
-                    ).cast("long"),
+                    # exact int64 division (non-negative) == DuckDB //
+                    F.expr("coalesce(s, 0L) div deg"),
                 )
                 .otherwise(F.lit(0).cast("long"))
                 .alias("p"),

@@ -272,6 +272,8 @@ EXTRA_NAMES = [
         "q281_chi_squared",
         "q282_hitting_probability",
         "q283_salsa",
+        "q284_source_bandit",
+        "q285_bradley_terry",
 ]
 
 
