@@ -9955,6 +9955,102 @@ def _bt_oracle_sql(rounds: int = 4) -> str:
     return "".join(parts)
 
 
+_GEO_CITY_LAT = [51.5, 40.71, 35.68, 48.85, 55.75, -33.86, 1.35]
+_GEO_CITY_LON = [-0.12, -74.0, 139.69, 2.35, 37.61, 151.2, 103.8]
+
+
+def q286_geo_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash-blocked radius join (link/geo.py) — the spatial member of
+    the blocking family (q273 blocks sound, q280 blocks prefixes; this
+    blocks coordinates) for venue/POI entity dedup when web pages carry
+    schema.org GeoCoordinates. 400 deterministic points jittered ±0.11°
+    around 7 city anchors (SF-invariant via doc_id % 400); precision-4
+    cells + 9-cell neighbor probe, haversine verify at 15 km. The
+    oracle is the DEFINITIONAL brute-force all-pairs radius join plus
+    an independent integer-shift geohash — equality proves the blocking
+    is lossless under the documented cell-size bound. Distances are
+    emitted as whole meters; tests/test_geo.py pins the threshold and
+    rounding margins so cross-engine libm ulps can never flip a row."""
+    from spanluke_spark.link.geo import geo_near_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select((F.col("doc_id") % 400).alias("id")).distinct()
+    lats = F.array(*[F.lit(v) for v in _GEO_CITY_LAT])
+    lons = F.array(*[F.lit(v) for v in _GEO_CITY_LON])
+    pts = ids.select(
+        "id",
+        (
+            F.element_at(lats, (F.col("id") % 7).cast("int") + 1)
+            + ((F.col("id") * 7919) % 220 - 110) / F.lit(1000.0)
+        ).alias("lat"),
+        (
+            F.element_at(lons, (F.col("id") % 7).cast("int") + 1)
+            + ((F.col("id") * 104729) % 220 - 110) / F.lit(1000.0)
+        ).alias("lon"),
+    )
+    out = geo_near_pairs(pts, radius_km=15.0, precision=4)
+    return out.select(
+        "id_a",
+        "id_b",
+        "cell_a",
+        F.round(F.col("dist_km") * 1000, 0).cast("long").alias("dist_m"),
+    ).orderBy("id_a", "id_b")
+
+
+def _geo_oracle_sql() -> str:
+    """Brute-force radius join + independent bit-shift geohash (the
+    Spark side extracts bits by exact pow-of-two floor division; the
+    oracle uses BIGINT >> and & — two encodings of Niemeyer 2008)."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    def char_sql(c: int) -> str:
+        terms = []
+        for j in range(5):
+            k = 5 * c + j
+            src = "x" if k % 2 == 0 else "y"
+            shift = 9 - k // 2
+            terms.append(f"(({src} >> {shift}) & 1) * {1 << (4 - j)}")
+        return f"substr('{b32}', 1 + ({' + '.join(terms)}), 1)"
+
+    gh = " || ".join(char_sql(c) for c in range(4))
+    lat_list = "[" + ", ".join(str(v) for v in _GEO_CITY_LAT) + "]"
+    lon_list = "[" + ", ".join(str(v) for v in _GEO_CITY_LON) + "]"
+    hav = (
+        "12742.0 * asin(sqrt("
+        "sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)"
+        " + cos(radians(a.lat)) * cos(radians(b.lat))"
+        " * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2)"
+        "))"
+    )
+    return f"""
+        WITH ids AS (SELECT DISTINCT doc_id % 400 AS id FROM documents),
+        pts AS (
+            SELECT id,
+                   ({lat_list})[CAST(id % 7 AS INT) + 1]
+                       + ((id * 7919) % 220 - 110) / 1000.0 AS lat,
+                   ({lon_list})[CAST(id % 7 AS INT) + 1]
+                       + ((id * 104729) % 220 - 110) / 1000.0 AS lon
+            FROM ids
+        ),
+        cells AS (
+            SELECT id, lat, lon, {gh} AS cell
+            FROM (
+                SELECT id, lat, lon,
+                       greatest(0, least(CAST(floor(
+                           (lon - -180.0) / 360.0 * 1024) AS BIGINT), 1023)) AS x,
+                       greatest(0, least(CAST(floor(
+                           (lat - -90.0) / 180.0 * 1024) AS BIGINT), 1023)) AS y
+                FROM pts
+            )
+        )
+        SELECT a.id AS id_a, b.id AS id_b, a.cell AS cell_a,
+               CAST(round({hav} * 1000) AS BIGINT) AS dist_m
+        FROM cells a JOIN cells b ON a.id < b.id
+        WHERE {hav} <= 15.0
+        ORDER BY id_a, id_b
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -11902,6 +11998,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q283_salsa": q283_salsa,
         "q284_source_bandit": q284_source_bandit,
         "q285_bradley_terry": q285_bradley_terry,
+        "q286_geo_blocking": q286_geo_blocking,
     }
 
 
@@ -15843,4 +15940,7 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q284_source_bandit"] = _bandit_oracle_sql(4, alpha=50000)
     # q285: 4 unrolled all-integer MM rounds with mass pinning
     out["q285_bradley_terry"] = _bt_oracle_sql(4)
+    # q286: definitional brute-force radius join + independent
+    # bit-shift geohash; equality == blocking losslessness
+    out["q286_geo_blocking"] = _geo_oracle_sql()
     return out
