@@ -10051,6 +10051,216 @@ def _geo_oracle_sql() -> str:
     """
 
 
+def q287_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction (evaluation/conformal.py) — the
+    distribution-free coverage guarantee every quality-regressor in the
+    curation stack should ship with. Planted integer residuals
+    (hash % 97 - 48) on n_chars, doc_id%3==0 as the calibration slice,
+    alpha = 1/10; qhat by value-class cumulative-count selection (no
+    row sort), exact empirical coverage broadcast onto every test row.
+    Oracle replays classes -> ceil-k -> k-th smallest -> intervals."""
+    from spanluke_spark.evaluation.conformal import split_conformal
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("y"),
+        (
+            F.col("n_chars") + (F.col("doc_id") * 2654435761) % 97 - 48
+        ).alias("pred"),
+        ((F.col("doc_id") % 3) == 0).alias("is_calib"),
+    )
+    out = split_conformal(base, "pred", "y", "is_calib", 1, 10)
+    return out.select(
+        "doc_id", "pred", "y", "n_calib", "k", "qhat", "lo", "hi",
+        "covered", "coverage_num", "coverage_den",
+    ).orderBy("doc_id")
+
+
+_CONFORMAL_ORACLE_SQL = """
+        WITH base AS (
+            SELECT doc_id, n_chars AS y,
+                   n_chars + (doc_id * 2654435761) % 97 - 48 AS pred,
+                   doc_id % 3 = 0 AS is_calib
+            FROM documents
+        ),
+        classes AS (
+            SELECT abs(y - pred) AS s, count(*) AS c
+            FROM base WHERE is_calib GROUP BY 1
+        ),
+        stats AS (
+            SELECT sum(c) AS n_calib,
+                   ((sum(c) + 1) * 9 + 9) // 10 AS k
+            FROM classes
+        ),
+        ranked AS (
+            SELECT s, sum(c) OVER (ORDER BY s) AS cum FROM classes
+        ),
+        q AS (
+            SELECT st.n_calib, st.k, min(r.s) AS qhat
+            FROM ranked r, stats st WHERE r.cum >= st.k GROUP BY 1, 2
+        ),
+        qq AS (
+            SELECT st.n_calib, st.k, q.qhat
+            FROM stats st LEFT JOIN q USING (n_calib, k)
+        ),
+        test AS (
+            SELECT b.doc_id, b.pred, b.y, qq.n_calib, qq.k, qq.qhat,
+                   b.pred - qq.qhat AS lo, b.pred + qq.qhat AS hi,
+                   CASE WHEN qq.qhat IS NULL THEN TRUE
+                        ELSE b.y BETWEEN b.pred - qq.qhat
+                                     AND b.pred + qq.qhat END AS covered
+            FROM base b CROSS JOIN qq WHERE NOT b.is_calib
+        )
+        SELECT doc_id, pred, y, n_calib, k, qhat, lo, hi, covered,
+               sum(CASE WHEN covered THEN 1 ELSE 0 END) OVER ()
+                   AS coverage_num,
+               count(*) OVER () AS coverage_den
+        FROM test ORDER BY doc_id
+"""
+
+
+def q288_crawl_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-coverage estimation (etl/coverage.py): Chapman
+    capture-recapture over the even/odd-doc snapshot split + Chao1
+    richness of the pooled token occurrences + the coverage fraction —
+    "how much of the vocabulary universe has this crawl seen". Exact
+    (num, den) rationals and integer-div floors; the 10^12-scale
+    approximate twins are the KMV (q63) and HLL (q239) sketches."""
+    from spanluke_spark.etl.coverage import crawl_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("item"),
+    ).where(F.col("item") != "")
+    a = toks.where(F.col("doc_id") % 2 == 0).select("item")
+    b = toks.where(F.col("doc_id") % 2 == 1).select("item")
+    return crawl_coverage(a, b)
+
+
+_CRAWL_COVERAGE_ORACLE_SQL = """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z]+'))
+                       AS item
+            FROM documents
+        ),
+        tok AS (SELECT doc_id, item FROM toks WHERE item <> ''),
+        a AS (SELECT DISTINCT item FROM tok WHERE doc_id % 2 = 0),
+        b AS (SELECT DISTINCT item FROM tok WHERE doc_id % 2 = 1),
+        na AS (SELECT count(*) AS n_a FROM a),
+        nb AS (SELECT count(*) AS n_b FROM b),
+        m AS (
+            SELECT count(*) AS m_overlap FROM a
+            WHERE item IN (SELECT item FROM b)
+        ),
+        counts AS (SELECT item, count(*) AS c FROM tok GROUP BY item),
+        fof AS (SELECT c, count(*) AS f FROM counts GROUP BY c),
+        chao AS (
+            SELECT sum(f) AS s_obs,
+                   coalesce(sum(CASE WHEN c = 1 THEN f END), 0) AS f1,
+                   coalesce(sum(CASE WHEN c = 2 THEN f END), 0) AS f2
+            FROM fof
+        )
+        SELECT n_a, n_b, m_overlap,
+               (n_a + 1) * (n_b + 1) AS chapman_num,
+               m_overlap + 1 AS chapman_den,
+               (n_a + 1) * (n_b + 1) // (m_overlap + 1) - 1 AS n_hat,
+               s_obs, f1, f2,
+               f1 * (f1 - 1) AS chao1_num,
+               2 * (f2 + 1) AS chao1_den,
+               s_obs + f1 * (f1 - 1) // (2 * (f2 + 1)) AS s_chao1,
+               CASE WHEN (n_a + 1) * (n_b + 1) - (m_overlap + 1) > 0
+                    THEN (s_obs * (m_overlap + 1) * 1000000)
+                         // ((n_a + 1) * (n_b + 1) - (m_overlap + 1))
+               END AS coverage_ppm
+        FROM na, nb, m, chao
+"""
+
+
+def q289_luhn_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-gated card-number PII redaction (textops/pii.py): 16-digit
+    candidates planted per doc (10^14 + doc_id*52579 then doc_id%10 as
+    the final digit — ~10% pass the mod-10 check, decided by the
+    arithmetic itself, not the fixture), formatted with mixed
+    space/dash separators, extracted by the RE2-safe CARD_PATTERN,
+    validated by the native-HOF checksum, and masked only when VALID —
+    the false-positive gate a bare 16-digit regex lacks. Oracle
+    unrolls the 16 Luhn terms as integer SQL and replays the replace."""
+    from spanluke_spark.textops.pii import luhn_checksum, luhn_valid, redact_card_numbers
+
+    docs = _t(spark, sf_dir, "documents")
+    card = F.concat(
+        (F.lit(100000000000000) + F.col("doc_id") * 52579).cast("string"),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+    formatted = F.concat(
+        F.substring(card, 1, 4), F.lit(" "),
+        F.substring(card, 5, 4), F.lit("-"),
+        F.substring(card, 9, 4), F.lit(" "),
+        F.substring(card, 13, 4),
+    )
+    base = docs.select(
+        "doc_id",
+        card.alias("card"),
+        F.concat(F.lit("order "), formatted, F.lit(" confirmed")).alias("text"),
+    )
+    out = redact_card_numbers(base, "text")
+    return out.select(
+        "doc_id",
+        "card",
+        luhn_checksum(F.col("card")).alias("mod10"),
+        luhn_valid(F.col("card")).alias("valid"),
+        "n_card",
+        "text_redacted",
+    ).orderBy("doc_id")
+
+
+def _luhn_oracle_sql() -> str:
+    """16 unrolled integer Luhn terms (position j from the right:
+    double odd-j digits, subtract 9 above 9), then the replace replay
+    gated on mod10 = 0."""
+    terms = []
+    for j in range(16):
+        d = f"(ascii(substr(card, {16 - j}, 1)) - 48)"
+        if j % 2 == 0:
+            terms.append(d)
+        else:
+            terms.append(
+                f"(CASE WHEN {d} > 4 THEN 2 * {d} - 9 ELSE 2 * {d} END)"
+            )
+    luhn = "(" + " + ".join(terms) + ") % 10"
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(100000000000000 + doc_id * 52579 AS VARCHAR)
+                       || CAST(doc_id % 10 AS VARCHAR) AS card
+            FROM documents
+        ),
+        fmt AS (
+            SELECT doc_id, card,
+                   substr(card, 1, 4) || ' ' || substr(card, 5, 4)
+                       || '-' || substr(card, 9, 4) || ' '
+                       || substr(card, 13, 4) AS formatted
+            FROM base
+        ),
+        scored AS (
+            SELECT doc_id, card, formatted,
+                   'order ' || formatted || ' confirmed' AS text,
+                   {luhn} AS mod10
+            FROM fmt
+        )
+        SELECT doc_id, card, mod10,
+               mod10 = 0 AS valid,
+               CASE WHEN mod10 = 0 THEN 1 ELSE 0 END AS n_card,
+               CASE WHEN mod10 = 0
+                    THEN replace(text, formatted, '<CARD>')
+                    ELSE text END AS text_redacted
+        FROM scored ORDER BY doc_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -11999,6 +12209,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q284_source_bandit": q284_source_bandit,
         "q285_bradley_terry": q285_bradley_terry,
         "q286_geo_blocking": q286_geo_blocking,
+        "q287_conformal": q287_conformal,
+        "q288_crawl_coverage": q288_crawl_coverage,
+        "q289_luhn_cards": q289_luhn_cards,
     }
 
 
@@ -15943,4 +16156,10 @@ def extra_oracle_sql() -> dict[str, str]:
     # q286: definitional brute-force radius join + independent
     # bit-shift geohash; equality == blocking losslessness
     out["q286_geo_blocking"] = _geo_oracle_sql()
+    # q287: value-class ceil-k quantile + interval/coverage replay
+    out["q287_conformal"] = _CONFORMAL_ORACLE_SQL
+    # q288: exact Chapman + Chao1 rationals, integer-div floors
+    out["q288_crawl_coverage"] = _CRAWL_COVERAGE_ORACLE_SQL
+    # q289: 16 unrolled integer Luhn terms + gated replace replay
+    out["q289_luhn_cards"] = _luhn_oracle_sql()
     return out

@@ -22,6 +22,75 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+# Candidate payment-card numbers: 13-19 digits with optional single
+# space/dash separators. \b (not lookaround) so the pattern stays in
+# the Java∩RE2 subset the oracle can replay.
+CARD_PATTERN = r"\b\d(?:[ -]?\d){12,18}\b"
+
+
+def luhn_checksum(digits: Column) -> Column:
+    """Luhn mod-10 checksum (ISO/IEC 7812-1 Annex B; Luhn 1960, US
+    patent 2,950,048) of a digit-only string, as a pure native HOF:
+    reverse, then from the right double every second digit and
+    subtract 9 when it exceeds 9; the string validates iff the sum is
+    0 mod 10. No Python, no UDF — one aggregate over the char
+    positions."""
+    rev = F.reverse(digits)
+    return (
+        F.aggregate(
+            F.sequence(F.lit(0), F.length(digits) - 1),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.when(
+                j % 2 == 0,
+                F.ascii(rev.substr(j + 1, F.lit(1))) - 48,
+            ).otherwise(
+                F.when(
+                    F.ascii(rev.substr(j + 1, F.lit(1))) - 48 > 4,
+                    2 * (F.ascii(rev.substr(j + 1, F.lit(1))) - 48) - 9,
+                ).otherwise(
+                    2 * (F.ascii(rev.substr(j + 1, F.lit(1))) - 48)
+                )
+            ),
+        )
+        % 10
+    )
+
+
+def luhn_valid(digits: Column) -> Column:
+    """True iff the digit string passes the Luhn check (and is 13-19
+    digits — the ISO/IEC 7812 PAN length range)."""
+    return (
+        F.length(digits).between(13, 19) & (luhn_checksum(digits) == 0)
+    )
+
+
+def redact_card_numbers(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``text_redacted`` (Luhn-VALID card candidates replaced by
+    ``<CARD>``) and ``n_card`` (how many were replaced).
+
+    The point of the checksum gate: a bare 16-digit regex redacts
+    order ids, tracking numbers and timestamps wholesale; the Luhn
+    filter (which every real PAN satisfies by construction) keeps the
+    false-positive rate at ~10% of digit runs instead of 100%. Shape:
+    extract candidates (regexp_extract_all), validate with the native
+    checksum, fold the valid ones through literal replace — one
+    codegen pass, no shuffle, no Python."""
+    cands = F.regexp_extract_all(F.col(text_col), F.lit(CARD_PATTERN), 0)
+    valid = F.filter(
+        cands, lambda c: luhn_valid(F.regexp_replace(c, "[ -]", ""))
+    )
+    return df.select(
+        "*",
+        F.aggregate(
+            valid,
+            F.col(text_col),
+            lambda acc, c: F.replace(acc, c, F.lit("<CARD>")),
+        ).alias("text_redacted"),
+        F.size(valid).cast("long").alias("n_card"),
+    )
+
+
 def redacted(text: Column) -> Column:
     """The text with all PII patterns replaced, applied in PII_PATTERNS order."""
     out = text
