@@ -10347,6 +10347,123 @@ _DUST_ORACLE_SQL = """
 """
 
 
+def q291_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war F2 sketch vs exact second moment
+    (textops/moments.py) over the document token stream — the exact
+    self-join-size / skew number plus its mergeable linear sketch,
+    completing the sketch quartet beside CMS (q64-era), HLL (q239) and
+    KMV (q63). Nine ±1-signed counters from the portable md5 hash, one
+    wide map-side-combinable aggregate, exact-integer squares and
+    median. Oracle replays signs, counters, quantile_disc median and
+    the exact twin."""
+    from spanluke_spark.textops.moments import ams_f2
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("item")
+    ).where(F.col("item") != "")
+    return ams_f2(toks, d=9)
+
+
+_AMS_ORACLE_SQL = """
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+'))
+                       AS item
+            FROM documents
+        ),
+        tok AS (SELECT item FROM toks WHERE item <> ''),
+        rs AS (SELECT unnest(range(0, 9)) AS r),
+        zs AS (
+            SELECT rs.r,
+                   sum((('0x' || substr(md5(tok.item || '|ams' || rs.r),
+                                        1, 15))::BIGINT % 2) * 2 - 1) AS z
+            FROM tok CROSS JOIN rs GROUP BY rs.r
+        ),
+        est AS (SELECT r, z, z * z AS est FROM zs),
+        med AS (SELECT quantile_disc(est, 0.5) AS est_median FROM est),
+        counts AS (SELECT item, count(*) AS c FROM tok GROUP BY item),
+        exact AS (
+            SELECT sum(c) AS n_occurrences, count(*) AS n_distinct,
+                   sum(c * c) AS f2_exact
+            FROM counts
+        )
+        SELECT r, z, est, est_median, n_occurrences, n_distinct, f2_exact
+        FROM est, med, exact ORDER BY r
+"""
+
+
+def q292_disruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CD / disruption index (graph/disruption.py; Funk & Owen-Smith
+    2017, Wu-Wang-Evans 2019) over a deterministic citation DAG
+    (citer = doc_id%180 + 20, cited = hash % citer, so edges always
+    point "back in time"). All focal nodes scored at once by three
+    (f, p)-keyed joins — no per-focal loops; exact (num, den) rational
+    plus sign-split trunc-toward-zero ppm. Oracle replays the joins
+    and the CASE-split rounding."""
+    from spanluke_spark.graph.disruption import disruption_index
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        ((F.col("doc_id") % 180) + 20).alias("citer"),
+        ((F.col("doc_id") * 7919) % ((F.col("doc_id") % 180) + 20)).alias(
+            "cited"
+        ),
+    )
+    return disruption_index(edges).orderBy("f")
+
+
+_DISRUPTION_ORACLE_SQL = """
+        WITH e AS (
+            SELECT DISTINCT (doc_id % 180) + 20 AS citer,
+                   (doc_id * 7919) % ((doc_id % 180) + 20) AS cited
+            FROM documents
+        ),
+        citers AS (SELECT cited AS f, citer AS p FROM e),
+        refs AS (SELECT citer AS f, cited AS r FROM e),
+        rc AS (
+            SELECT DISTINCT refs.f, e2.citer AS p
+            FROM refs JOIN e e2 ON e2.cited = refs.r
+            WHERE e2.citer <> refs.f
+        ),
+        nj AS (
+            SELECT c.f, count(*) AS n_j
+            FROM citers c JOIN rc ON c.f = rc.f AND c.p = rc.p
+            GROUP BY c.f
+        ),
+        ni AS (
+            SELECT c.f, count(*) AS n_i
+            FROM citers c LEFT JOIN rc ON c.f = rc.f AND c.p = rc.p
+            WHERE rc.p IS NULL GROUP BY c.f
+        ),
+        nk AS (
+            SELECT rc.f, count(*) AS n_k
+            FROM rc LEFT JOIN citers c ON c.f = rc.f AND c.p = rc.p
+            WHERE c.p IS NULL GROUP BY rc.f
+        ),
+        allf AS (
+            SELECT f FROM ni UNION SELECT f FROM nj UNION SELECT f FROM nk
+        ),
+        comb AS (
+            SELECT allf.f,
+                   coalesce(ni.n_i, 0) AS n_i,
+                   coalesce(nj.n_j, 0) AS n_j,
+                   coalesce(nk.n_k, 0) AS n_k
+            FROM allf
+            LEFT JOIN ni USING (f) LEFT JOIN nj USING (f)
+            LEFT JOIN nk USING (f)
+        )
+        SELECT f, n_i, n_j, n_k,
+               n_i - n_j AS cd_num,
+               n_i + n_j + n_k AS cd_den,
+               CASE WHEN n_i + n_j + n_k = 0 THEN NULL
+                    WHEN n_i - n_j < 0
+                        THEN -((n_j - n_i) * 1000000 // (n_i + n_j + n_k))
+                    ELSE (n_i - n_j) * 1000000 // (n_i + n_j + n_k)
+               END AS cd_ppm
+        FROM comb ORDER BY f
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -12299,6 +12416,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q288_crawl_coverage": q288_crawl_coverage,
         "q289_luhn_cards": q289_luhn_cards,
         "q290_dust_rules": q290_dust_rules,
+        "q291_ams_f2": q291_ams_f2,
+        "q292_disruption": q292_disruption,
     }
 
 
@@ -16251,4 +16370,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q289_luhn_cards"] = _luhn_oracle_sql()
     # q290: full replay — cap, pairs, monotone LCP/LCS, substitution
     out["q290_dust_rules"] = _DUST_ORACLE_SQL
+    # q291: md5-twin signs, integer squares, quantile_disc median
+    out["q291_ams_f2"] = _AMS_ORACLE_SQL
+    # q292: three (f,p) joins + CASE-split trunc rounding
+    out["q292_disruption"] = _DISRUPTION_ORACLE_SQL
     return out
