@@ -10464,6 +10464,113 @@ _DISRUPTION_ORACLE_SQL = """
 """
 
 
+_FSEM_M = [900, 800, 700]
+_FSEM_U = [200, 300, 100]
+
+
+def q293_fs_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter EM parameter estimation (link/fellegi.py fs_em;
+    Winkler 1988) — the stage fs_score's header deferred 'offline', now
+    distributed: one groupBy collapses the pair stream to <=2^K
+    agreement patterns, then 4 unrolled all-integer ppm EM rounds on
+    the summary (the Bradley-Terry MM shape). Mixture planted through
+    the portable md5 hash: 30% matches, per-field agree rates
+    m=(.9,.8,.7), u=(.2,.3,.1) — recovery gated in tests/test_fs_em.py;
+    the driver row checks the bit-exact integer rounds. Oracle unrolls
+    the same 4 rounds with // arithmetic and the degenerate-denominator
+    CASE guards."""
+    from spanluke_spark.dedup.dedup import portable_hash64
+    from spanluke_spark.link.fellegi import fs_em
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    is_match = portable_hash64(F.concat(d, F.lit("|m"))) % 10 < 3
+    cols = []
+    for k in range(3):
+        hk = portable_hash64(F.concat(d, F.lit(f"|f{k}"))) % 1000
+        thr = F.when(is_match, F.lit(_FSEM_M[k])).otherwise(F.lit(_FSEM_U[k]))
+        cols.append(F.when(hk < thr, 1).otherwise(0).alias(f"f{k}"))
+    base = docs.select(*cols)
+    return fs_em(base, ["f0", "f1", "f2"], rounds=4).orderBy("field")
+
+
+def _fs_em_oracle_sql(rounds: int = 4) -> str:
+    S = 1_000_000
+
+    def h(salt: str) -> str:
+        return f"('0x' || substr(md5(doc_id || '{salt}'), 1, 15))::BIGINT"
+
+    gdefs = ", ".join(
+        f"CASE WHEN {h(f'|f{k}')} % 1000 < "
+        f"(CASE WHEN {h('|m')} % 10 < 3 THEN {_FSEM_M[k]}"
+        f" ELSE {_FSEM_U[k]} END) THEN 1 ELSE 0 END AS g{k}"
+        for k in range(3)
+    )
+    parts = [
+        f"""
+        WITH pairs AS (SELECT {gdefs} FROM documents),
+        s AS MATERIALIZED (
+            SELECT g0, g1, g2, count(*) AS n FROM pairs GROUP BY 1, 2, 3
+        ),
+        p0 AS (
+            SELECT 500000::BIGINT AS p,
+                   900000::BIGINT AS m0, 900000::BIGINT AS m1,
+                   900000::BIGINT AS m2,
+                   100000::BIGINT AS u0, 100000::BIGINT AS u1,
+                   100000::BIGINT AS u2
+        )"""
+    ]
+    for t in range(1, rounds + 1):
+        pm = pu = str(S)
+        for k in range(3):
+            tm = f"(CASE WHEN g{k} = 1 THEN m{k} ELSE {S} - m{k} END)"
+            tu = f"(CASE WHEN g{k} = 1 THEN u{k} ELSE {S} - u{k} END)"
+            pm = f"(({pm}) * {tm} // {S})"
+            pu = f"(({pu}) * {tu} // {S})"
+        wnum = f"(pr.p * {pm} // {S})"
+        wden = f"({wnum} + (({S} - pr.p) * {pu} // {S}))"
+        mexprs, uexprs = [], []
+        for k in range(3):
+            mexprs.append(
+                f"CASE WHEN sum(n * w) = 0 THEN max(m{k}) ELSE "
+                f"least(greatest(sum(n * w * g{k}) * {S} // sum(n * w),"
+                f" 1), {S - 1}) END AS m{k}"
+            )
+            uexprs.append(
+                f"CASE WHEN sum(n * ({S} - w)) = 0 THEN max(u{k}) ELSE "
+                f"least(greatest(sum(n * ({S} - w) * g{k}) * {S}"
+                f" // sum(n * ({S} - w)), 1), {S - 1}) END AS u{k}"
+            )
+        parts.append(
+            f""",
+        w{t} AS (
+            SELECT s.*, pr.m0, pr.m1, pr.m2, pr.u0, pr.u1, pr.u2,
+                   CASE WHEN {wden} = 0 THEN 0
+                        ELSE {wnum} * {S} // {wden} END AS w
+            FROM s, p{t - 1} pr
+        ),
+        p{t} AS MATERIALIZED (
+            SELECT least(greatest(sum(n * w) // sum(n), 1), {S - 1}) AS p,
+                   {", ".join(mexprs)}, {", ".join(uexprs)}
+            FROM w{t}
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT f.field,
+               CASE f.k WHEN 0 THEN pr.m0 WHEN 1 THEN pr.m1
+                        ELSE pr.m2 END AS m_ppm,
+               CASE f.k WHEN 0 THEN pr.u0 WHEN 1 THEN pr.u1
+                        ELSE pr.u2 END AS u_ppm,
+               pr.p AS p_ppm,
+               (SELECT sum(n) FROM s) AS n_pairs
+        FROM (VALUES ('f0', 0), ('f1', 1), ('f2', 2)) AS f(field, k),
+             p{rounds} pr
+        ORDER BY f.field"""
+    )
+    return "".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -12418,6 +12525,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q290_dust_rules": q290_dust_rules,
         "q291_ams_f2": q291_ams_f2,
         "q292_disruption": q292_disruption,
+        "q293_fs_em": q293_fs_em,
     }
 
 
@@ -16374,4 +16482,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q291_ams_f2"] = _AMS_ORACLE_SQL
     # q292: three (f,p) joins + CASE-split trunc rounding
     out["q292_disruption"] = _DISRUPTION_ORACLE_SQL
+    # q293: 4 unrolled all-integer ppm EM rounds, md5-planted mixture
+    out["q293_fs_em"] = _fs_em_oracle_sql(4)
     return out
