@@ -10571,6 +10571,122 @@ def _fs_em_oracle_sql(rounds: int = 4) -> str:
     return "".join(parts)
 
 
+def q294_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (textops/psample.py; Duffield-Lund-Thorup JACM
+    2007): keep 40 weighted documents yet answer any subset-sum query
+    unbiasedly via w_hat = max(w, tau) — the estimation-side sibling of
+    the Efraimidis-Spirakis sampler (q46-family). Priorities are exact
+    integers w*S^2 div u from the portable md5 hash, tau is the 41st
+    priority, ties broken by id. Oracle replays priorities, the
+    ordered LIMIT head, tau and the estimates."""
+    from spanluke_spark.textops.psample import priority_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("n_chars") % 60 + 1).alias("weight"),
+    )
+    return priority_sample(base, 40).orderBy("id")
+
+
+_PSAMPLE_ORACLE_SQL = """
+        WITH base AS (
+            SELECT doc_id AS id, n_chars % 60 + 1 AS weight
+            FROM documents WHERE n_chars % 60 + 1 > 0
+        ),
+        pq AS (
+            SELECT id, weight,
+                   ('0x' || substr(md5(id || '|psample'), 1, 15))::BIGINT
+                       % 1000000 + 1 AS u_scaled,
+                   weight * 1000000 * 1000000
+                       // (('0x' || substr(md5(id || '|psample'), 1, 15))
+                           ::BIGINT % 1000000 + 1) AS priority
+            FROM base
+        ),
+        topk1 AS (
+            SELECT * FROM pq ORDER BY priority DESC, id ASC LIMIT 41
+        ),
+        tau AS (
+            SELECT CASE WHEN count(*) > 40 THEN min(priority)
+                        ELSE 0 END AS tau
+            FROM topk1
+        ),
+        kept AS (
+            SELECT * FROM topk1 ORDER BY priority DESC, id ASC LIMIT 40
+        )
+        SELECT id, weight, u_scaled, priority, tau.tau,
+               greatest(weight, tau.tau // 1000000) AS w_hat
+        FROM kept, tau ORDER BY id
+"""
+
+
+def q295_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test (etl/trend.py) per event type
+    over week-hour volume series — the trend member of the time-series
+    audit family (CUSUM shifts q-family, MAD outliers, bursts). Bucket
+    = (epoch div 3600) % 168 keeps n <= 168 per key at EVERY SF (the
+    pair join is O(n^2) per key by design, so n must not grow with the
+    corpus). Exact integers: S, the tie-corrected 18*Var, and the
+    significance verdict as the squared-inequality test — no sqrt, no
+    floats. Oracle replays pairs, ties and the verdict CASE."""
+    from spanluke_spark.etl.trend import mann_kendall
+
+    ev = _t(spark, sf_dir, "events")
+    series = (
+        ev.select(
+            F.col("event_type").alias("key"),
+            (
+                F.expr(
+                    "cast(cast(ts as timestamp_ltz) as long) div 3600"
+                )
+                % 168
+            ).alias("bucket"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    return mann_kendall(series, "key", "bucket", "x").orderBy("key")
+
+
+_MK_ORACLE_SQL = """
+        WITH series AS (
+            SELECT event_type AS key,
+                   (CAST(floor(epoch(ts) / 3600) AS BIGINT)) % 168
+                       AS bucket,
+                   count(*) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT a.key,
+                   sum(CASE WHEN c.x > a.x THEN 1
+                            WHEN c.x < a.x THEN -1 ELSE 0 END) AS s
+            FROM series a JOIN series c
+              ON a.key = c.key AND a.bucket < c.bucket
+            GROUP BY a.key
+        ),
+        n AS (SELECT key, count(*) AS n FROM series GROUP BY key),
+        ties AS (
+            SELECT key, sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+            FROM (
+                SELECT key, x, count(*) AS t FROM series GROUP BY key, x
+            ) GROUP BY key
+        ),
+        comb AS (
+            SELECT n.key, n.n, s.s,
+                   n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term AS var18
+            FROM n JOIN s USING (key) JOIN ties USING (key)
+        )
+        SELECT key, n, s, var18,
+               CASE WHEN NOT (abs(s) >= 2 AND
+                        (abs(s) - 1) * (abs(s) - 1) * 18 * 1000000
+                            > var18 * 3841459)
+                    THEN 'no_trend'
+                    WHEN s > 0 THEN 'increasing'
+                    ELSE 'decreasing' END AS trend
+        FROM comb ORDER BY key
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -12526,6 +12642,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q291_ams_f2": q291_ams_f2,
         "q292_disruption": q292_disruption,
         "q293_fs_em": q293_fs_em,
+        "q294_priority_sample": q294_priority_sample,
+        "q295_mann_kendall": q295_mann_kendall,
     }
 
 
@@ -16484,4 +16602,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q292_disruption"] = _DISRUPTION_ORACLE_SQL
     # q293: 4 unrolled all-integer ppm EM rounds, md5-planted mixture
     out["q293_fs_em"] = _fs_em_oracle_sql(4)
+    # q294: md5 priorities, ordered-LIMIT head, 41st-priority tau
+    out["q294_priority_sample"] = _PSAMPLE_ORACLE_SQL
+    # q295: O(n^2) pair replay, tie-corrected var18, squared inequality
+    out["q295_mann_kendall"] = _MK_ORACLE_SQL
     return out
