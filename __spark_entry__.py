@@ -10687,6 +10687,148 @@ _MK_ORACLE_SQL = """
 """
 
 
+def q296_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC per language (evaluation/roc.py) over a planted
+    quality gate: label = doc_id % 4 == 0, score = n_chars % 100 +
+    30 * label (positives genuinely score higher, %100 forces ties so
+    the tie-pair half-credit term is exercised). Mann-Whitney identity
+    — per-score groupBy + one cumulative window, NO pair join; AUC is
+    the exact integer pair (num2, den2) plus trunc-ppm. Oracle replays
+    the cumulative-window identity."""
+    from spanluke_spark.evaluation.roc import roc_auc
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("lang").alias("grp"),
+        (F.col("doc_id") % 4 == 0).cast("long").alias("label"),
+        (
+            F.col("n_chars") % 100
+            + 30 * (F.col("doc_id") % 4 == 0).cast("long")
+        ).alias("score"),
+    )
+    return roc_auc(base, "grp", "label", "score").orderBy("grp")
+
+
+_ROC_ORACLE_SQL = """
+        WITH base AS (
+            SELECT lang AS grp,
+                   CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS y,
+                   n_chars % 100
+                       + 30 * CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+                       AS s
+            FROM documents
+        ),
+        per_score AS (
+            SELECT grp, s, sum(y) AS pos_s, sum(1 - y) AS neg_s
+            FROM base GROUP BY grp, s
+        ),
+        cum AS (
+            SELECT grp, s, pos_s, neg_s,
+                   coalesce(sum(neg_s) OVER (
+                       PARTITION BY grp ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_neg_below
+            FROM per_score
+        ),
+        agg AS (
+            SELECT grp,
+                   CAST(sum(pos_s) AS BIGINT) AS n_pos,
+                   CAST(sum(neg_s) AS BIGINT) AS n_neg,
+                   CAST(2 * sum(pos_s * cum_neg_below)
+                        + sum(pos_s * neg_s) AS BIGINT) AS auc_num2
+            FROM cum GROUP BY grp
+        )
+        SELECT grp, n_pos, n_neg, auc_num2,
+               CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den2,
+               CASE WHEN n_pos > 0 AND n_neg > 0
+                    THEN auc_num2 * 1000000 // (2 * n_pos * n_neg)
+               END AS auc_ppm
+        FROM agg ORDER BY grp
+"""
+
+
+def q297_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier
+    (textops/nbayes.py): train add-one-smoothed per-lang token
+    log-likelihoods on even doc_ids, classify odd doc_ids. Every
+    log-prob is quantized ONCE to round(ln(p)*1e6) BIGINT so document
+    scores are integer sums — order-free and bit-identical in SQL.
+    One-pass training agg, broadcast V*K model join for scoring, K-row
+    argmax window per doc. Oracle replays the full train+score chain
+    including the unseen-token smoothing floor."""
+    from spanluke_spark.textops.nbayes import nb_classify, nb_train
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("id"), F.col("lang").alias("label"), "text"
+    )
+    test = docs.where(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    model, priors = nb_train(train)
+    return nb_classify(test, model, priors).orderBy("id")
+
+
+_NB_ORACLE_SQL = """
+        WITH train AS (
+            SELECT doc_id AS id, lang AS k, text FROM documents
+            WHERE doc_id % 2 = 0
+        ),
+        test AS (
+            SELECT doc_id AS id, text FROM documents WHERE doc_id % 2 = 1
+        ),
+        ttok AS (
+            SELECT id, k, w
+            FROM train, unnest(string_split(text, ' ')) AS u(w)
+            WHERE w <> ''
+        ),
+        ckw AS (SELECT k, w, count(*) AS c FROM ttok GROUP BY k, w),
+        vocab AS (SELECT DISTINCT w FROM ttok),
+        vsize AS (SELECT count(*) AS v FROM vocab),
+        totals AS (SELECT k, sum(c) AS t FROM ckw GROUP BY k),
+        model AS (
+            SELECT totals.k, vocab.w,
+                   CAST(round(ln((coalesce(ckw.c, 0) + 1)
+                                 / (totals.t + vsize.v)) * 1000000)
+                        AS BIGINT) AS tok_ppm,
+                   CAST(round(ln(1.0 / (totals.t + vsize.v)) * 1000000)
+                        AS BIGINT) AS zero_ppm
+            FROM totals CROSS JOIN vocab CROSS JOIN vsize
+            LEFT JOIN ckw ON ckw.k = totals.k AND ckw.w = vocab.w
+        ),
+        priors AS (
+            SELECT k, CAST(round(ln(count(*) * 1.0
+                                    / (SELECT count(*) FROM train))
+                                 * 1000000) AS BIGINT) AS prior_ppm
+            FROM train GROUP BY k
+        ),
+        terms AS (
+            SELECT id, w, count(*) AS n
+            FROM test, unnest(string_split(text, ' ')) AS u(w)
+            WHERE w <> ''
+            GROUP BY id, w
+        ),
+        zeros AS (SELECT DISTINCT k, zero_ppm FROM model),
+        scored AS (
+            SELECT terms.id, zeros.k,
+                   sum(terms.n * coalesce(model.tok_ppm, zeros.zero_ppm))
+                       + any_value(priors.prior_ppm) AS score_ppm
+            FROM terms CROSS JOIN zeros
+            LEFT JOIN model ON model.k = zeros.k AND model.w = terms.w
+            JOIN priors ON priors.k = zeros.k
+            GROUP BY terms.id, zeros.k
+        ),
+        ranked AS (
+            SELECT id, k AS pred, score_ppm,
+                   row_number() OVER (
+                       PARTITION BY id ORDER BY score_ppm DESC, k ASC
+                   ) AS rn
+            FROM scored
+        )
+        SELECT id, pred, score_ppm FROM ranked WHERE rn = 1 ORDER BY id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -12644,6 +12786,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q293_fs_em": q293_fs_em,
         "q294_priority_sample": q294_priority_sample,
         "q295_mann_kendall": q295_mann_kendall,
+        "q296_roc_auc": q296_roc_auc,
+        "q297_naive_bayes": q297_naive_bayes,
     }
 
 
@@ -16606,4 +16750,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q294_priority_sample"] = _PSAMPLE_ORACLE_SQL
     # q295: O(n^2) pair replay, tie-corrected var18, squared inequality
     out["q295_mann_kendall"] = _MK_ORACLE_SQL
+    out["q296_roc_auc"] = _ROC_ORACLE_SQL
+    out["q297_naive_bayes"] = _NB_ORACLE_SQL
     return out
