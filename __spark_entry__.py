@@ -10829,6 +10829,144 @@ _NB_ORACLE_SQL = """
 """
 
 
+def q298_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation (etl/acf.py) at lags 1..6 per event type
+    over the q295 week-hour volume series — diurnal/weekly memory
+    audit. Exact n^2-scaled integers: centered terms c_t = n*x_t - S,
+    num_l = sum c_t*c_{t+l} over the lag-l band join, den = sum c_t^2,
+    sign-split trunc-ppm (the q292 contract). n <= 168 per key at
+    every SF. Oracle replays centering, the band join and the
+    sign-split division."""
+    from spanluke_spark.etl.acf import acf
+
+    ev = _t(spark, sf_dir, "events")
+    series = (
+        ev.select(
+            F.col("event_type").alias("key"),
+            (
+                F.expr(
+                    "cast(cast(ts as timestamp_ltz) as long) div 3600"
+                )
+                % 168
+            ).alias("bucket"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    return acf(series, "key", "bucket", "x", max_lag=6).orderBy(
+        "key", "lag"
+    )
+
+
+_ACF_ORACLE_SQL = """
+        WITH series AS (
+            SELECT event_type AS key,
+                   (CAST(floor(epoch(ts) / 3600) AS BIGINT)) % 168
+                       AS bucket,
+                   count(*) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT key, count(*) AS n, sum(x) AS s
+            FROM series GROUP BY key
+        ),
+        cen AS (
+            SELECT series.key, series.bucket,
+                   stats.n * series.x - stats.s AS c
+            FROM series JOIN stats USING (key)
+        ),
+        lags AS (SELECT unnest(range(1, 7)) AS lag),
+        num AS (
+            SELECT a.key, lags.lag,
+                   count(*) AS n_pairs,
+                   CAST(sum(a.c * b.c) AS BIGINT) AS acf_num
+            FROM cen a
+            CROSS JOIN lags
+            JOIN cen b ON b.key = a.key AND b.bucket = a.bucket + lags.lag
+            GROUP BY a.key, lags.lag
+        ),
+        den AS (
+            SELECT key, CAST(sum(c * c) AS BIGINT) AS acf_den
+            FROM cen GROUP BY key
+        )
+        SELECT num.key, CAST(lag AS INT) AS lag, n_pairs, acf_num,
+               acf_den,
+               CASE WHEN acf_den = 0 THEN NULL
+                    WHEN acf_num < 0
+                        THEN -(abs(acf_num) * 1000000 // acf_den)
+                    ELSE acf_num * 1000000 // acf_den END AS acf_ppm
+        FROM num JOIN den USING (key)
+        ORDER BY key, lag
+"""
+
+
+def q299_voting_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-Shubik + Banzhaf voting power (graph/power.py) for the
+    top-8 sources by document count under strict-majority quota —
+    "weight share is not power share" audit for the majority-fusion
+    lanes (truth discovery, Copeland, consensus). All 256 coalitions
+    enumerated relationally: range(2^8) masks x broadcast 8-row player
+    dim, shiftright membership, native-HOF factorials with the
+    sequence(1,0) guard; exact integer (num, den) pairs for both
+    indices. Oracle replays the full enumeration with DuckDB's
+    independent factorial()."""
+    from spanluke_spark.graph.power import voting_power
+
+    docs = _t(spark, sf_dir, "documents")
+    players = (
+        docs.groupBy(F.col("source").alias("id"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .orderBy(F.col("w").desc(), F.col("id").asc())
+        .limit(8)
+    )
+    return voting_power(players, "id", "w").orderBy("id")
+
+
+_POWER_ORACLE_SQL = """
+        WITH players AS (
+            SELECT source AS id, count(*) AS w FROM documents
+            GROUP BY source ORDER BY w DESC, id ASC LIMIT 8
+        ),
+        dim AS (
+            SELECT id, w,
+                   row_number() OVER (ORDER BY id ASC) - 1 AS idx
+            FROM players
+        ),
+        q AS (SELECT sum(w) // 2 + 1 AS quota FROM players),
+        masks AS (SELECT unnest(range(0, 256)) AS mask),
+        mw AS (
+            SELECT masks.mask,
+                   coalesce(sum(dim.w), 0) AS sw,
+                   count(dim.id) AS sz
+            FROM masks LEFT JOIN dim ON (masks.mask >> dim.idx) & 1 = 1
+            GROUP BY masks.mask
+        ),
+        swings AS (
+            SELECT dim.id,
+                   count(*) AS bz_num,
+                   CAST(sum(
+                       CAST(factorial(CAST(mw.sz AS INTEGER)) AS BIGINT)
+                       * CAST(factorial(CAST(7 - mw.sz AS INTEGER))
+                              AS BIGINT)) AS BIGINT) AS ss_num
+            FROM mw JOIN dim ON (mw.mask >> dim.idx) & 1 = 0
+            CROSS JOIN q
+            WHERE mw.sw < q.quota AND mw.sw + dim.w >= q.quota
+            GROUP BY dim.id
+        )
+        SELECT dim.id, dim.w,
+               CAST(q.quota AS BIGINT) AS quota,
+               coalesce(swings.bz_num, 0) AS bz_num,
+               CAST(128 AS BIGINT) AS bz_den,
+               coalesce(swings.ss_num, 0) AS ss_num,
+               CAST(40320 AS BIGINT) AS ss_den,
+               coalesce(swings.bz_num, 0) * 1000000 // 128 AS bz_ppm,
+               coalesce(swings.ss_num, 0) * 1000000 // 40320 AS ss_ppm
+        FROM dim CROSS JOIN q
+        LEFT JOIN swings ON swings.id = dim.id
+        ORDER BY dim.id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -12788,6 +12926,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q295_mann_kendall": q295_mann_kendall,
         "q296_roc_auc": q296_roc_auc,
         "q297_naive_bayes": q297_naive_bayes,
+        "q298_acf": q298_acf,
+        "q299_voting_power": q299_voting_power,
     }
 
 
@@ -16752,4 +16892,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q295_mann_kendall"] = _MK_ORACLE_SQL
     out["q296_roc_auc"] = _ROC_ORACLE_SQL
     out["q297_naive_bayes"] = _NB_ORACLE_SQL
+    out["q298_acf"] = _ACF_ORACLE_SQL
+    out["q299_voting_power"] = _POWER_ORACLE_SQL
     return out
