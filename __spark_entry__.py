@@ -10967,6 +10967,210 @@ _POWER_ORACLE_SQL = """
 """
 
 
+def q300_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set operations (textops/sketch.kmv_setops; Beyer et al.
+    SIGMOD 2007): pairwise union / intersection / Jaccard estimates
+    between per-source word-bigram vocabularies from k=32 sketches
+    ONLY — the sketches are the sole join payload, never the corpora
+    (two 10^11-distinct-item corpora compare on a driver-sized join).
+    Deterministic md5 hashing makes the whole chain — k-min windows,
+    sketch union, theta, the exact-regime branch — bit-replayable in
+    SQL. jacc carried exactly as inter_kept*1e6 div n_kept."""
+    from spanluke_spark.textops.sketch import kmv_setops
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN"
+                " transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> concat_ws(' ', element_at(split(text, ' '), i),"
+                " element_at(split(text, ' '), i + 1)))"
+                " ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    return kmv_setops(grams, "source", F.col("gram"), k=32).orderBy(
+        "ga", "gb"
+    )
+
+
+_KMV_SETOPS_ORACLE_SQL = """
+        WITH toks AS (
+            SELECT source, string_split(text, ' ') AS a FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT source AS g,
+                   ('0x' || substr(md5(a[i] || ' ' || a[i + 1]), 1, 15))
+                       ::BIGINT AS h
+            FROM toks, unnest(range(1, len(a))) AS t(i)
+            WHERE len(a) >= 2
+        ),
+        sk AS (
+            SELECT g, h FROM (
+                SELECT g, h,
+                       row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+                FROM grams
+            ) WHERE rn <= 32
+        ),
+        gs AS (SELECT DISTINCT g FROM sk),
+        pairs AS (
+            SELECT a.g AS ga, b.g AS gb FROM gs a, gs b WHERE a.g < b.g
+        ),
+        u AS (
+            SELECT coalesce(au.ga, bu.ga) AS ga,
+                   coalesce(au.gb, bu.gb) AS gb,
+                   coalesce(au.h, bu.h) AS h,
+                   CASE WHEN au.h IS NULL THEN 0 ELSE 1 END AS in_a,
+                   CASE WHEN bu.h IS NULL THEN 0 ELSE 1 END AS in_b
+            FROM (SELECT pairs.ga, pairs.gb, sk.h FROM sk
+                  JOIN pairs ON sk.g = pairs.ga) au
+            FULL OUTER JOIN
+                 (SELECT pairs.ga, pairs.gb, sk.h FROM sk
+                  JOIN pairs ON sk.g = pairs.gb) bu
+            ON au.ga = bu.ga AND au.gb = bu.gb AND au.h = bu.h
+        ),
+        topu AS (
+            SELECT * FROM (
+                SELECT ga, gb, h, in_a, in_b,
+                       row_number() OVER (
+                           PARTITION BY ga, gb ORDER BY h
+                       ) AS rn
+                FROM u
+            ) WHERE rn <= 32
+        ),
+        agg AS (
+            SELECT ga, gb, count(*) AS n_kept, max(h) AS theta,
+                   CAST(sum(in_a * in_b) AS BIGINT) AS inter_kept
+            FROM topu GROUP BY ga, gb
+        ),
+        est AS (
+            SELECT ga, gb, n_kept, theta, inter_kept,
+                   round(CASE WHEN n_kept < 32 THEN n_kept::DOUBLE
+                              ELSE 31 / (theta / 1152921504606846976.0)
+                         END, 6) AS union_est,
+                   inter_kept * 1000000 // n_kept AS jacc_ppm
+            FROM agg
+        )
+        SELECT ga, gb, n_kept, theta, inter_kept, union_est, jacc_ppm,
+               round(inter_kept * union_est / n_kept, 6) AS inter_est
+        FROM est ORDER BY ga, gb
+"""
+
+
+def q301_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BLEU (evaluation/bleu.py; Papineni et al. ACL 2002) per
+    language between each document and a deterministically-degraded
+    candidate (every 7th token dropped — a lossy-extraction stand-in),
+    so precision orders 1..4 and the brevity penalty all engage.
+    Exact carry: integer clipped matches/totals, once-quantized
+    ln-ppm precisions, rational brevity term, sign-split /4 mean —
+    ln_bleu_ppm is an integer. Oracle replays grams, clipping, and
+    the ppm chain for all four orders via a lateral n-range."""
+    from spanluke_spark.evaluation.bleu import bleu_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("lang").alias("grp"),
+        F.col("doc_id").alias("id"),
+        F.expr(
+            "concat_ws(' ', filter(split(text, ' '),"
+            " (x, i) -> i % 7 != 3))"
+        ).alias("cand"),
+        F.col("text").alias("ref"),
+    )
+    return bleu_corpus(pairs, "grp", "id", "cand", "ref").orderBy(
+        "grp", "n"
+    )
+
+
+_BLEU_ORACLE_SQL = """
+        WITH base AS (
+            SELECT lang AS grp, doc_id AS d,
+                   list_filter(string_split(text, ' '),
+                               x -> x <> '') AS ra
+            FROM documents
+        ),
+        cand AS (
+            SELECT grp, d, ra,
+                   [ra[CAST(i AS INTEGER)]
+                    FOR i IN range(1, len(ra) + 1)
+                    IF (i - 1) % 7 <> 3] AS ca
+            FROM base
+        ),
+        lens AS (
+            SELECT grp, CAST(sum(len(ca)) AS BIGINT) AS c_len,
+                   CAST(sum(len(ra)) AS BIGINT) AS r_len
+            FROM cand GROUP BY grp
+        ),
+        ns AS (SELECT CAST(unnest(range(1, 5)) AS INTEGER) AS n),
+        cg AS (
+            SELECT grp, d, ns.n,
+                   array_to_string(ca[CAST(i AS INTEGER):
+                                      CAST(i + ns.n - 1 AS INTEGER)],
+                                   ' ') AS gram,
+                   count(*) AS cc
+            FROM cand, ns,
+                 unnest(range(1, len(ca) - ns.n + 2)) AS t(i)
+            WHERE len(ca) >= ns.n
+            GROUP BY grp, d, ns.n, gram
+        ),
+        rg AS (
+            SELECT grp, d, ns.n,
+                   array_to_string(ra[CAST(i AS INTEGER):
+                                      CAST(i + ns.n - 1 AS INTEGER)],
+                                   ' ') AS gram,
+                   count(*) AS rc
+            FROM cand, ns,
+                 unnest(range(1, len(ra) - ns.n + 2)) AS t(i)
+            WHERE len(ra) >= ns.n
+            GROUP BY grp, d, ns.n, gram
+        ),
+        clipped AS (
+            SELECT cg.grp, cg.n, cg.cc,
+                   least(cg.cc, coalesce(rg.rc, 0)) AS clip
+            FROM cg LEFT JOIN rg
+              ON rg.grp = cg.grp AND rg.d = cg.d AND rg.n = cg.n
+             AND rg.gram = cg.gram
+        ),
+        per_n AS (
+            SELECT grp, n,
+                   CAST(sum(clip) AS BIGINT) AS match_cnt,
+                   CAST(sum(cc) AS BIGINT) AS total_cnt
+            FROM clipped GROUP BY grp, n
+        ),
+        prec AS (
+            SELECT grp, n, match_cnt, total_cnt,
+                   CASE WHEN match_cnt > 0 AND total_cnt > 0
+                        THEN CAST(round(ln(match_cnt / total_cnt)
+                                        * 1000000) AS BIGINT)
+                   END AS ln_prec_ppm
+            FROM per_n
+        ),
+        tot AS (
+            SELECT grp, sum(ln_prec_ppm) AS sum_ln,
+                   min(match_cnt) AS min_match
+            FROM prec GROUP BY grp
+        )
+        SELECT prec.grp, prec.n, match_cnt, total_cnt, ln_prec_ppm,
+               c_len, r_len,
+               CASE WHEN r_len <= c_len THEN 0
+                    ELSE -((r_len - c_len) * 1000000 // c_len)
+               END AS bp_ln_ppm,
+               CASE WHEN min_match > 0 THEN
+                   CAST(CASE WHEN r_len <= c_len THEN 0
+                             ELSE -((r_len - c_len) * 1000000 // c_len)
+                        END - ((-sum_ln) // 4) AS BIGINT)
+               END AS ln_bleu_ppm,
+               min_match = 0 AS zero_match
+        FROM prec
+        JOIN tot ON tot.grp = prec.grp
+        JOIN lens ON lens.grp = prec.grp
+        ORDER BY prec.grp, prec.n
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -12928,6 +13132,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q297_naive_bayes": q297_naive_bayes,
         "q298_acf": q298_acf,
         "q299_voting_power": q299_voting_power,
+        "q300_kmv_setops": q300_kmv_setops,
+        "q301_bleu": q301_bleu,
     }
 
 
@@ -16894,4 +17100,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q297_naive_bayes"] = _NB_ORACLE_SQL
     out["q298_acf"] = _ACF_ORACLE_SQL
     out["q299_voting_power"] = _POWER_ORACLE_SQL
+    out["q300_kmv_setops"] = _KMV_SETOPS_ORACLE_SQL
+    out["q301_bleu"] = _BLEU_ORACLE_SQL
     return out

@@ -196,3 +196,85 @@ def cms_estimate(
         .groupBy("item")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+def kmv_setops(
+    df: DataFrame,
+    group_col: str,
+    item: Column,
+    k: int = 32,
+) -> DataFrame:
+    """KMV set operations (Beyer, Haas, Reinwald, Sismanis & Gemulla,
+    SIGMOD 2007): pairwise union / intersection / Jaccard estimates for
+    every group pair, from per-group k-min sketches ONLY — the sketches
+    are the sole shuffle payload (k rows per group), never the corpora,
+    which is why two 10^11-distinct-item corpora can be compared on a
+    driver-sized join.
+
+    Per pair (ga < gb): K = the k smallest distinct hashes of the sketch
+    union, theta = max(K); c = |{h in K present in BOTH sketches}|.
+      union_est   = (k-1) / (theta / M)      (exact |K| when |K| < k)
+      jaccard     = c / |K|   (emitted exactly as jacc_ppm = c*10^6 div |K|)
+      inter_est   = round(c * union_est / |K|, 6)
+    Deterministic by construction (portable md5 hash) so the whole chain
+    replays bit-identically in the SQL oracle, exact-regime branch
+    included.
+    """
+    hashed = (
+        df.select(
+            F.col(group_col).alias("g"), portable_hash64(item).alias("h")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy(F.asc("h"))
+    sk = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("g", "h")
+    )
+    groups = sk.select("g").distinct()
+    pairs = (
+        groups.select(F.col("g").alias("ga"))
+        .join(groups.select(F.col("g").alias("gb")))
+        .where(F.col("ga") < F.col("gb"))
+    )
+    au = sk.join(pairs, sk["g"] == pairs["ga"]).select(
+        "ga", "gb", "h", F.lit(1).alias("in_a")
+    )
+    bu = sk.join(pairs, sk["g"] == pairs["gb"]).select(
+        "ga", "gb", "h", F.lit(1).alias("in_b")
+    )
+    u = (
+        au.join(bu, ["ga", "gb", "h"], "full_outer")
+        .select(
+            "ga",
+            "gb",
+            "h",
+            F.coalesce(F.col("in_a"), F.lit(0)).alias("in_a"),
+            F.coalesce(F.col("in_b"), F.lit(0)).alias("in_b"),
+        )
+    )
+    wu = Window.partitionBy("ga", "gb").orderBy(F.asc("h"))
+    topu = u.withColumn("_rn", F.row_number().over(wu)).filter(
+        F.col("_rn") <= k
+    )
+    agg = topu.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("theta"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("inter_kept"),
+    )
+    union_est = F.round(
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+            (k - 1) / (F.col("theta") / F.lit(M60))
+        ),
+        6,
+    )
+    out = agg.withColumn("union_est", union_est).withColumn(
+        "jacc_ppm", F.expr("inter_kept * 1000000 div n_kept")
+    )
+    return out.withColumn(
+        "inter_est",
+        F.round(
+            F.col("inter_kept") * F.col("union_est") / F.col("n_kept"), 6
+        ),
+    )
