@@ -11171,6 +11171,177 @@ _BLEU_ORACLE_SQL = """
 """
 
 
+def q302_milne_witten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Milne-Witten wikilink relatedness distance
+    (graph/linkpred.milne_witten; Milne & Witten 2008) over a
+    modulus-capped synthetic link graph — the pairwise
+    entity-coherence signal behind TAGME-style linking, completing
+    the relatedness family beside co-citation (q143) and Adamic-Adar
+    (q127). Wedge join on shared inlinks only (pairs with zero common
+    inlinks are undefined and never materialize), 1-row broadcast N,
+    once-quantized ln-ppm terms combined by integer div. Oracle
+    replays degrees, wedges and the ppm arithmetic."""
+    from spanluke_spark.graph.linkpred import milne_witten
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 40
+    e1 = docs.select(m.alias("src"), ((m * 3 + 1) % 40).alias("dst"))
+    e2 = docs.select(m.alias("src"), ((m + 7) % 40).alias("dst"))
+    e3 = docs.select(
+        ((m * 2 + 1) % 40).alias("src"), ((m * 5 + 2) % 40).alias("dst")
+    )
+    edges = e1.unionByName(e2).unionByName(e3)
+    return milne_witten(edges).orderBy("u", "v")
+
+
+_MW_ORACLE_SQL = """
+        WITH raw AS (SELECT doc_id % 40 AS m FROM documents),
+        e AS (
+            SELECT DISTINCT s, d FROM (
+                SELECT m AS s, (m * 3 + 1) % 40 AS d FROM raw
+                UNION ALL SELECT m, (m + 7) % 40 FROM raw
+                UNION ALL
+                SELECT (m * 2 + 1) % 40, (m * 5 + 2) % 40 FROM raw
+            )
+        ),
+        inl AS (SELECT d AS node, s AS inlink FROM e),
+        deg AS (SELECT node, count(*) AS deg FROM inl GROUP BY node),
+        nn AS (
+            SELECT count(*) AS n_nodes FROM (
+                SELECT s AS n FROM e UNION SELECT d FROM e
+            )
+        ),
+        pairs AS (
+            SELECT a.node AS u, b.node AS v, count(*) AS common
+            FROM inl a JOIN inl b
+              ON a.inlink = b.inlink AND a.node < b.node
+            GROUP BY a.node, b.node
+        ),
+        j AS (
+            SELECT u, v, common,
+                   du.deg AS deg_u, dv.deg AS deg_v, nn.n_nodes,
+                   CAST(round(ln(greatest(du.deg, dv.deg)) * 1000000)
+                        AS BIGINT)
+                   - CAST(round(ln(common) * 1000000) AS BIGINT)
+                       AS num_ppm,
+                   CAST(round(ln(nn.n_nodes) * 1000000) AS BIGINT)
+                   - CAST(round(ln(least(du.deg, dv.deg)) * 1000000)
+                          AS BIGINT) AS den_ppm
+            FROM pairs
+            JOIN deg du ON du.node = pairs.u
+            JOIN deg dv ON dv.node = pairs.v
+            CROSS JOIN nn
+        )
+        SELECT u, v, common, deg_u, deg_v, n_nodes,
+               CASE WHEN den_ppm > 0
+                    THEN num_ppm * 1000000 // den_ppm END AS mw_ppm
+        FROM j ORDER BY u, v
+"""
+
+
+def q303_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer phrase spotting with leftmost-longest resolution
+    (link/gazetteer.py) — the Aho-Corasick use-case expressed
+    relationally: dictionary = corpus top-10 unigrams + top-10
+    bigrams + top-5 trigrams (deterministic freq-desc/phrase-asc
+    tie-break), candidates from per-length native-HOF n-grams joined
+    to the BROADCAST dictionary, overlap resolution as ONE native
+    aggregate fold per doc over the (start asc, end desc)-sorted
+    match array — the lexer scan, no Python, docs scale out. Oracle
+    replays the dictionary, the grams and the greedy fold via
+    list_reduce."""
+    from spanluke_spark.link.gazetteer import spot_phrases
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("id"),
+        F.filter(F.split("text", " "), lambda t: t != "").alias("arr"),
+    )
+
+    def topk(n: int, k: int):
+        g = base.select(
+            F.explode(
+                F.when(
+                    F.size("arr") >= n,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("arr") - n),
+                        lambda i: F.concat_ws(
+                            " ", F.slice("arr", i + 1, n)
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("phrase")
+        )
+        return (
+            g.groupBy("phrase")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), F.col("phrase").asc())
+            .limit(k)
+            .select("phrase")
+        )
+
+    dic = topk(1, 10).unionByName(topk(2, 10)).unionByName(topk(3, 5))
+    out = spot_phrases(
+        docs.select(F.col("doc_id").alias("id"), "text"), dic
+    )
+    return out.orderBy("id", "s")
+
+
+_GAZ_ORACLE_SQL = """
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '),
+                                       x -> x <> '') AS a
+            FROM documents
+        ),
+        ns AS (SELECT CAST(unnest(range(1, 4)) AS INTEGER) AS n),
+        grams AS (
+            SELECT doc_id, ns.n,
+                   CAST(i - 1 AS INTEGER) AS s,
+                   CAST(i - 1 + ns.n AS INTEGER) AS e,
+                   array_to_string(a[CAST(i AS INTEGER):
+                                     CAST(i + ns.n - 1 AS INTEGER)],
+                                   ' ') AS gram
+            FROM toks, ns, unnest(range(1, len(a) - ns.n + 2)) AS t(i)
+            WHERE len(a) >= ns.n
+        ),
+        dict AS (
+            SELECT gram FROM (
+                SELECT gram, count(*) AS c,
+                       row_number() OVER (
+                           PARTITION BY n
+                           ORDER BY count(*) DESC, gram ASC
+                       ) AS rk, n
+                FROM grams GROUP BY n, gram
+            ) WHERE (n = 1 AND rk <= 10) OR (n = 2 AND rk <= 10)
+                 OR (n = 3 AND rk <= 5)
+        ),
+        matches AS (
+            SELECT doc_id, s, e, grams.gram
+            FROM grams JOIN dict USING (gram)
+        ),
+        perdoc AS (
+            SELECT doc_id,
+                   list({'s': s, 'e': e, 'phrase': gram}
+                        ORDER BY s ASC, e DESC) AS ms
+            FROM matches GROUP BY doc_id
+        ),
+        sel AS (
+            -- plain-list accumulator: DuckDB 1.0's list_reduce drops
+            -- list concatenation inside a STRUCT accumulator (probed
+            -- during build), so last_e is read from the list tail
+            SELECT doc_id,
+                   list_reduce(
+                       list_transform(ms, m -> [m]),
+                       (a, b) -> CASE WHEN b[1].s >= a[len(a)].e
+                                 THEN a || b ELSE a END) AS acc
+            FROM perdoc
+        ),
+        u AS (SELECT doc_id, unnest(acc) AS m FROM sel)
+        SELECT doc_id AS id, m.s AS s, m.e AS e, m.phrase AS phrase
+        FROM u ORDER BY id, s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -13134,6 +13305,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q299_voting_power": q299_voting_power,
         "q300_kmv_setops": q300_kmv_setops,
         "q301_bleu": q301_bleu,
+        "q302_milne_witten": q302_milne_witten,
+        "q303_gazetteer": q303_gazetteer,
     }
 
 
@@ -17102,4 +17275,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q299_voting_power"] = _POWER_ORACLE_SQL
     out["q300_kmv_setops"] = _KMV_SETOPS_ORACLE_SQL
     out["q301_bleu"] = _BLEU_ORACLE_SQL
+    out["q302_milne_witten"] = _MW_ORACLE_SQL
+    out["q303_gazetteer"] = _GAZ_ORACLE_SQL
     return out

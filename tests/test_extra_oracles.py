@@ -274,6 +274,24 @@ EXTRA_NAMES = [
         "q283_salsa",
         "q284_source_bandit",
         "q285_bradley_terry",
+        "q286_geo_blocking",
+        "q287_conformal",
+        "q288_crawl_coverage",
+        "q289_luhn_cards",
+        "q290_dust_rules",
+        "q291_ams_f2",
+        "q292_disruption",
+        "q293_fs_em",
+        "q294_priority_sample",
+        "q295_mann_kendall",
+        "q296_roc_auc",
+        "q297_naive_bayes",
+        "q298_acf",
+        "q299_voting_power",
+        "q300_kmv_setops",
+        "q301_bleu",
+        "q302_milne_witten",
+        "q303_gazetteer",
 ]
 
 
