@@ -11342,6 +11342,199 @@ _GAZ_ORACLE_SQL = """
 """
 
 
+def q304_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (evaluation/rbo.py; Webber et al. TOIS
+    2010) between two source rankings — by document count vs by total
+    chars — the top-weighted ranker-drift audit completing the
+    rank-comparison family beside Kendall tau-b (q266) and Copeland
+    fusion (q269). p = 9/10 makes every weight the integer rational
+    9^(k-1)/10^k, so each depth term is an exact trunc-ppm and rbo@k
+    is a running integer prefix sum; overlap-at-depth comes from ONE
+    groupBy on max(rank_a, rank_b) + one cumulative window, no per-k
+    recomputation. Oracle replays ranks, the overlap entry depths and
+    the ppm chain."""
+    from spanluke_spark.evaluation.rbo import rbo
+
+    docs = _t(spark, sf_dir, "documents")
+    ra = (
+        docs.groupBy(F.col("source").alias("item"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "item",
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("c").desc(), F.col("item").asc())
+            )
+            .alias("rank"),
+        )
+    )
+    rb = (
+        docs.groupBy(F.col("source").alias("item"))
+        .agg(F.sum("n_chars").alias("c"))
+        .select(
+            "item",
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("c").desc(), F.col("item").asc())
+            )
+            .alias("rank"),
+        )
+    )
+    return rbo(ra, rb, depth=10).orderBy("k")
+
+
+_RBO_ORACLE_SQL = """
+        WITH ra AS (
+            SELECT source AS item,
+                   row_number() OVER (
+                       ORDER BY count(*) DESC, source ASC
+                   ) AS r
+            FROM documents GROUP BY source
+        ),
+        rb AS (
+            SELECT source AS item,
+                   row_number() OVER (
+                       ORDER BY sum(n_chars) DESC, source ASC
+                   ) AS r
+            FROM documents GROUP BY source
+        ),
+        m AS (
+            SELECT greatest(ra.r, rb.r) AS m
+            FROM ra JOIN rb USING (item)
+            WHERE ra.r <= 10 AND rb.r <= 10
+        ),
+        grid AS (SELECT CAST(unnest(range(1, 11)) AS INTEGER) AS k),
+        cnt AS (SELECT m, count(*) AS c FROM m GROUP BY m),
+        j AS (
+            SELECT k, coalesce(c, 0) AS c
+            FROM grid LEFT JOIN cnt ON cnt.m = grid.k
+        ),
+        cum AS (
+            SELECT k, CAST(sum(c) OVER (ORDER BY k) AS BIGINT) AS ov
+            FROM j
+        ),
+        t AS (
+            SELECT k, ov,
+                   ov * CAST(round(power(9, k - 1)) AS BIGINT) * 1000000
+                       // (k * CAST(round(power(10, k)) AS BIGINT))
+                       AS term_ppm
+            FROM cum
+        )
+        SELECT k, ov, term_ppm,
+               CAST(sum(term_ppm) OVER (ORDER BY k) AS BIGINT)
+                   AS rbo_ppm
+        FROM t ORDER BY k
+"""
+
+
+def q305_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law vocabulary-growth fit (textops/heaps.py) per
+    language — the companion corpus statistic to the Zipf spectrum
+    fit (q102); beta drift is the noise/saturation audit. The whole
+    growth curve costs ONE pass (first-occurrence doc per word, then
+    a running-sum window), ~20 SF-invariant rank checkpoints, logs
+    quantized once at 1e4 (long-overflow-safe), and the log-log OLS slope carried as the
+    exact integer rational (n·Sxy − Sx·Sy, n·Sxx − Sx²) with ln K
+    recovered from the TRUNCATED slope — bit-identical in SQL."""
+    from spanluke_spark.textops.heaps import heaps_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    return heaps_fit(
+        docs.select(
+            F.col("lang").alias("grp"),
+            F.col("doc_id").alias("id"),
+            "text",
+        )
+    ).orderBy("grp")
+
+
+_HEAPS_ORACLE_SQL = """
+        WITH toks AS (
+            SELECT lang AS grp, doc_id AS d, w
+            FROM documents, unnest(string_split(text, ' ')) AS u(w)
+            WHERE w <> ''
+        ),
+        first AS (
+            SELECT grp, w, min(d) AS fd FROM toks GROUP BY grp, w
+        ),
+        newpd AS (
+            SELECT grp, fd AS d, count(*) AS nw
+            FROM first GROUP BY grp, fd
+        ),
+        tokpd AS (
+            SELECT grp, d, count(*) AS nt FROM toks GROUP BY grp, d
+        ),
+        perdoc AS (
+            SELECT tokpd.grp, tokpd.d, nt, coalesce(nw, 0) AS nw
+            FROM tokpd LEFT JOIN newpd
+              ON newpd.grp = tokpd.grp AND newpd.d = tokpd.d
+        ),
+        cum AS (
+            SELECT grp, d,
+                   row_number() OVER (
+                       PARTITION BY grp ORDER BY d
+                   ) AS rn,
+                   sum(nt) OVER (
+                       PARTITION BY grp ORDER BY d
+                   ) AS cum_n,
+                   sum(nw) OVER (
+                       PARTITION BY grp ORDER BY d
+                   ) AS cum_v
+            FROM perdoc
+        ),
+        nd AS (SELECT grp, max(rn) AS n_docs FROM cum GROUP BY grp),
+        pts AS (
+            SELECT cum.grp, nd.n_docs,
+                   CAST(round(ln(cum_n) * 10000) AS BIGINT) AS x,
+                   CAST(round(ln(cum_v) * 10000) AS BIGINT) AS y
+            FROM cum JOIN nd ON nd.grp = cum.grp
+            WHERE rn % CAST((n_docs + 19) // 20 AS INTEGER) = 0
+              AND cum_v > 0
+        ),
+        fit AS (
+            SELECT grp, n_docs, count(*) AS n_points,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM pts GROUP BY grp, n_docs
+        ),
+        tot AS (
+            SELECT lang AS grp,
+                   CAST(sum(len(list_filter(string_split(text, ' '),
+                                            x -> x <> ''))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY lang
+        ),
+        voc AS (SELECT grp, count(*) AS vocab FROM first GROUP BY grp),
+        b AS (
+            SELECT fit.grp, n_points, n_docs, n_tokens, vocab,
+                   CAST(n_points * sxy - sx * sy AS BIGINT) AS beta_num,
+                   CAST(n_points * sxx - sx * sx AS BIGINT) AS beta_den,
+                   sx, sy
+            FROM fit JOIN tot ON tot.grp = fit.grp
+            JOIN voc ON voc.grp = fit.grp
+        ),
+        bb AS (
+            SELECT *, CASE WHEN beta_den <= 0 THEN NULL
+                           WHEN beta_num < 0
+                               THEN -(abs(beta_num) * 1000000
+                                      // beta_den)
+                           ELSE beta_num * 1000000 // beta_den
+                      END AS beta_ppm
+            FROM b
+        )
+        SELECT grp, n_points, n_docs, n_tokens, vocab,
+               beta_num, beta_den, beta_ppm,
+               CASE WHEN beta_ppm IS NULL THEN NULL
+                    WHEN sy * 100000000 - beta_ppm * sx * 100 < 0
+                        THEN -(abs(sy * 100000000 - beta_ppm * sx * 100)
+                               // (n_points * 1000000))
+                    ELSE (sy * 100000000 - beta_ppm * sx * 100)
+                         // (n_points * 1000000)
+               END AS lnk_ppm
+        FROM bb ORDER BY grp
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -13307,6 +13500,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q301_bleu": q301_bleu,
         "q302_milne_witten": q302_milne_witten,
         "q303_gazetteer": q303_gazetteer,
+        "q304_rbo": q304_rbo,
+        "q305_heaps": q305_heaps,
     }
 
 
@@ -17277,4 +17472,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q301_bleu"] = _BLEU_ORACLE_SQL
     out["q302_milne_witten"] = _MW_ORACLE_SQL
     out["q303_gazetteer"] = _GAZ_ORACLE_SQL
+    out["q304_rbo"] = _RBO_ORACLE_SQL
+    out["q305_heaps"] = _HEAPS_ORACLE_SQL
     return out

@@ -292,6 +292,8 @@ EXTRA_NAMES = [
         "q301_bleu",
         "q302_milne_witten",
         "q303_gazetteer",
+        "q304_rbo",
+        "q305_heaps",
 ]
 
 
