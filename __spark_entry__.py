@@ -11535,6 +11535,191 @@ _HEAPS_ORACLE_SQL = """
 """
 
 
+def q306_texttiling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling topic segmentation (textops/texttiling.py; Hearst
+    CL 1997) over every document at block = 5 tokens — lexical-
+    cohesion valleys as segment boundaries, the segmentation front
+    end beside fixed chunking (q52). Exact squared-cosine gap
+    similarities (dot² · 10⁶ div nl·nr), the peak CLIMB computed as
+    run-labeled window maxes (not a sequential loop), mean-depth
+    cutoff as the integer inequality n·depth > Σdepth. Oracle replays
+    blocks, the 4-gap fan-out, both directional runs and the
+    inequality."""
+    from spanluke_spark.textops.texttiling import texttiling
+
+    docs = _t(spark, sf_dir, "documents")
+    return texttiling(
+        docs.select(F.col("doc_id").alias("id"), "text"), block=5
+    ).orderBy("id", "g")
+
+
+_TILE_ORACLE_SQL = """
+        WITH toks AS (
+            SELECT doc_id AS id, (ord - 1) // 5 AS b, w
+            FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS w,
+                       generate_subscripts(
+                           list_filter(string_split(text, ' '),
+                                       x -> x <> ''), 1) AS ord
+                FROM documents
+            )
+        ),
+        nb AS (SELECT id, max(b) + 1 AS n_blocks FROM toks GROUP BY id),
+        cnt AS (
+            SELECT id, b, w, count(*) AS c FROM toks GROUP BY id, b, w
+        ),
+        sides AS (
+            SELECT id, w, c, g, side FROM (
+                SELECT id, w, c, b + 1 AS g, 'l' AS side FROM cnt
+                UNION ALL SELECT id, w, c, b + 2, 'l' FROM cnt
+                UNION ALL SELECT id, w, c, b - 1, 'r' FROM cnt
+                UNION ALL SELECT id, w, c, b, 'r' FROM cnt
+            ) s JOIN nb USING (id)
+            WHERE g >= 2 AND g <= n_blocks - 2
+        ),
+        agg AS (
+            SELECT id, g, w, side, sum(c) AS c
+            FROM sides GROUP BY id, g, w, side
+        ),
+        l AS (SELECT id, g, w, c AS cl FROM agg WHERE side = 'l'),
+        r AS (SELECT id, g, w, c AS cr FROM agg WHERE side = 'r'),
+        dotp AS (
+            SELECT l.id, l.g, CAST(sum(cl * cr) AS BIGINT) AS dot
+            FROM l JOIN r ON r.id = l.id AND r.g = l.g AND r.w = l.w
+            GROUP BY l.id, l.g
+        ),
+        nl AS (
+            SELECT id, g, CAST(sum(cl * cl) AS BIGINT) AS nl
+            FROM l GROUP BY id, g
+        ),
+        nr AS (
+            SELECT id, g, CAST(sum(cr * cr) AS BIGINT) AS nr
+            FROM r GROUP BY id, g
+        ),
+        sims AS (
+            SELECT nl.id, nl.g, coalesce(dot, 0) AS dot, nl.nl, nr.nr,
+                   coalesce(dot, 0) * coalesce(dot, 0) * 1000000
+                       // (nl.nl * nr.nr) AS sim2_ppm
+            FROM nl JOIN nr ON nr.id = nl.id AND nr.g = nl.g
+            LEFT JOIN dotp ON dotp.id = nl.id AND dotp.g = nl.g
+        ),
+        runs AS (
+            SELECT *,
+                   sum(linc) OVER (PARTITION BY id ORDER BY g) AS lrun,
+                   sum(rinc) OVER (
+                       PARTITION BY id ORDER BY g DESC
+                   ) AS rrun
+            FROM (
+                SELECT *,
+                       CASE WHEN lag(sim2_ppm) OVER (
+                                PARTITION BY id ORDER BY g
+                            ) IS NULL
+                            OR sim2_ppm > lag(sim2_ppm) OVER (
+                                PARTITION BY id ORDER BY g
+                            ) THEN 1 ELSE 0 END AS linc,
+                       CASE WHEN lag(sim2_ppm) OVER (
+                                PARTITION BY id ORDER BY g DESC
+                            ) IS NULL
+                            OR sim2_ppm > lag(sim2_ppm) OVER (
+                                PARTITION BY id ORDER BY g DESC
+                            ) THEN 1 ELSE 0 END AS rinc
+                FROM sims
+            )
+        ),
+        peaks AS (
+            SELECT *,
+                   max(sim2_ppm) OVER (PARTITION BY id, lrun) AS lp,
+                   max(sim2_ppm) OVER (PARTITION BY id, rrun) AS rp
+            FROM runs
+        ),
+        depth AS (
+            SELECT id, g, dot, nl, nr, sim2_ppm,
+                   CAST(lp + rp - 2 * sim2_ppm AS BIGINT) AS depth_ppm
+            FROM peaks
+        ),
+        stats AS (
+            SELECT id, count(*) AS n_gaps, sum(depth_ppm) AS sum_depth
+            FROM depth GROUP BY id
+        )
+        SELECT depth.id, CAST(g AS INTEGER) AS g, dot, nl, nr,
+               sim2_ppm, depth_ppm,
+               depth_ppm > 0 AND
+                   n_gaps * depth_ppm > sum_depth AS boundary
+        FROM depth JOIN stats ON stats.id = depth.id
+        ORDER BY depth.id, g
+"""
+
+
+def q307_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional entropy / adjacent-token mutual information
+    per language (textops/entropy.py; Shannon 1951 plug-in estimate)
+    — the info-theoretic crawl-quality audit beside KL drift (q275):
+    H(W|C) collapse = boilerplate, H(W|C) ~ H(W) = word salad. Each
+    ln ratio quantized once per (context, word), integer weighted
+    sums, trunc-ppm division. Oracle replays the bigram explode and
+    the three count relations."""
+    from spanluke_spark.textops.entropy import bigram_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_entropy(
+        docs.select(F.col("lang").alias("grp"), "text")
+    ).orderBy("grp")
+
+
+_ENT_ORACLE_SQL = """
+        WITH toks AS (
+            SELECT lang AS grp,
+                   list_filter(string_split(text, ' '), x -> x <> '')
+                       AS a
+            FROM documents
+        ),
+        bg AS (
+            SELECT grp, a[CAST(i AS INTEGER)] AS c,
+                   a[CAST(i + 1 AS INTEGER)] AS w
+            FROM toks, unnest(range(1, len(a))) AS t(i)
+            WHERE len(a) >= 2
+        ),
+        ncw AS (
+            SELECT grp, c, w, count(*) AS ncw FROM bg GROUP BY grp, c, w
+        ),
+        nc AS (SELECT grp, c, sum(ncw) AS nc FROM ncw GROUP BY grp, c),
+        nw AS (SELECT grp, w, sum(ncw) AS nw FROM ncw GROUP BY grp, w),
+        tot AS (
+            SELECT grp, CAST(sum(ncw) AS BIGINT) AS n
+            FROM ncw GROUP BY grp
+        ),
+        s_wc AS (
+            SELECT ncw.grp,
+                   sum(ncw.ncw * CAST(round(ln(ncw.ncw / nc.nc)
+                                            * 1000000) AS BIGINT))
+                       AS s_wc
+            FROM ncw JOIN nc ON nc.grp = ncw.grp AND nc.c = ncw.c
+            GROUP BY ncw.grp
+        ),
+        s_w AS (
+            SELECT nw.grp,
+                   sum(nw.nw * CAST(round(ln(nw.nw / tot.n) * 1000000)
+                                    AS BIGINT)) AS s_w
+            FROM nw JOIN tot ON tot.grp = nw.grp
+            GROUP BY nw.grp
+        ),
+        cc AS (
+            SELECT grp, count(*) AS n_contexts FROM nc GROUP BY grp
+        ),
+        cw AS (SELECT grp, count(*) AS n_words FROM nw GROUP BY grp)
+        SELECT tot.grp, n AS n_bigrams, n_contexts, n_words,
+               (-s_w) // n AS h_w_ppm,
+               (-s_wc) // n AS h_wc_ppm,
+               (-s_w) // n - (-s_wc) // n AS mi_ppm
+        FROM tot JOIN cc USING (grp) JOIN cw USING (grp)
+        JOIN s_wc ON s_wc.grp = tot.grp
+        JOIN s_w ON s_w.grp = tot.grp
+        ORDER BY tot.grp
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -13502,6 +13687,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q303_gazetteer": q303_gazetteer,
         "q304_rbo": q304_rbo,
         "q305_heaps": q305_heaps,
+        "q306_texttiling": q306_texttiling,
+        "q307_bigram_entropy": q307_bigram_entropy,
     }
 
 
@@ -17474,4 +17661,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q303_gazetteer"] = _GAZ_ORACLE_SQL
     out["q304_rbo"] = _RBO_ORACLE_SQL
     out["q305_heaps"] = _HEAPS_ORACLE_SQL
+    out["q306_texttiling"] = _TILE_ORACLE_SQL
+    out["q307_bigram_entropy"] = _ENT_ORACLE_SQL
     return out

@@ -294,6 +294,8 @@ EXTRA_NAMES = [
         "q303_gazetteer",
         "q304_rbo",
         "q305_heaps",
+        "q306_texttiling",
+        "q307_bigram_entropy",
 ]
 
 
