@@ -11720,6 +11720,176 @@ _ENT_ORACLE_SQL = """
 """
 
 
+def q308_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest with exact MASE (etl/forecast.py; Hyndman &
+    Koehler 2006) per event type over the week-hour volume series —
+    naive / seasonal-naive / truncated-EWMA from a fixed origin over
+    the last 24 buckets, the FORECAST member of the time-series audit
+    family (trend q295, ACF q298). EWMA weights quantized once per
+    lag (exact-mantissa doubles), forecasts carried as exact
+    rationals, MASE as the two-stage trunc-ppm sized to the long
+    bound. Oracle replays the splits, lag joins, weights and both
+    trunc stages."""
+    from spanluke_spark.etl.forecast import forecast_backtest
+
+    ev = _t(spark, sf_dir, "events")
+    series = (
+        ev.select(
+            F.col("event_type").alias("key"),
+            (
+                F.expr(
+                    "cast(cast(ts as timestamp_ltz) as long) div 3600"
+                )
+                % 168
+            ).alias("bucket"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    return forecast_backtest(series).orderBy("key", "method")
+
+
+_FCAST_ORACLE_SQL = """
+        WITH series AS (
+            SELECT event_type AS key,
+                   (CAST(floor(epoch(ts) / 3600) AS BIGINT)) % 168
+                       AS b,
+                   count(*) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        train AS (SELECT * FROM series WHERE b < 144),
+        test AS (SELECT * FROM series WHERE b >= 144),
+        scale AS (
+            SELECT a.key, count(*) AS scale_terms,
+                   CAST(sum(abs(a.x - t.xl)) AS BIGINT) AS scale_num
+            FROM train a
+            JOIN (SELECT key, b + 24 AS b, x AS xl FROM train) t
+              ON t.key = a.key AND t.b = a.b
+            GROUP BY a.key
+        ),
+        last AS (SELECT key, max(b) AS lb FROM train GROUP BY key),
+        lastv AS (
+            SELECT train.key, train.x AS f_num,
+                   CAST(1 AS BIGINT) AS f_den
+            FROM train JOIN last
+              ON last.key = train.key AND train.b = last.lb
+        ),
+        naive AS (
+            SELECT test.key, 'naive' AS method,
+                   count(*) AS n_terms,
+                   CAST(sum(abs(test.x * f_den - f_num)) AS BIGINT)
+                       AS err_num,
+                   max(f_den) AS f_den
+            FROM test JOIN lastv ON lastv.key = test.key
+            GROUP BY test.key
+        ),
+        seasonal AS (
+            SELECT test.key, 'seasonal_naive' AS method,
+                   count(*) AS n_terms,
+                   CAST(sum(abs(test.x - s.f)) AS BIGINT) AS err_num,
+                   CAST(1 AS BIGINT) AS f_den
+            FROM test
+            JOIN (SELECT key, b + 24 AS b, x AS f FROM series) s
+              ON s.key = test.key AND s.b = test.b
+            GROUP BY test.key
+        ),
+        tail AS (
+            SELECT train.key, train.x,
+                   CAST(round(0.25 * power(0.75, last.lb - train.b)
+                              * 1000000) AS BIGINT) AS w
+            FROM train JOIN last ON last.key = train.key
+            WHERE last.lb - train.b < 24
+        ),
+        ew AS (
+            SELECT key, CAST(sum(w * x) AS BIGINT) AS f_num,
+                   CAST(sum(w) AS BIGINT) AS f_den
+            FROM tail GROUP BY key
+        ),
+        ewma AS (
+            SELECT test.key, 'ewma' AS method,
+                   count(*) AS n_terms,
+                   CAST(sum(abs(test.x * ew.f_den - ew.f_num))
+                        AS BIGINT) AS err_num,
+                   max(ew.f_den) AS f_den
+            FROM test JOIN ew ON ew.key = test.key
+            GROUP BY test.key
+        ),
+        methods AS (
+            SELECT * FROM naive
+            UNION ALL SELECT * FROM seasonal
+            UNION ALL SELECT * FROM ewma
+        )
+        SELECT methods.key, method, n_terms,
+               err_num AS mae_num,
+               CAST(n_terms * f_den AS BIGINT) AS mae_den,
+               scale_terms, scale_num,
+               CASE WHEN scale_num > 0 AND n_terms > 0 THEN
+                   (err_num * 1000000 // (n_terms * f_den))
+                       * scale_terms // scale_num
+               END AS mase_ppm
+        FROM methods JOIN scale ON scale.key = methods.key
+        ORDER BY methods.key, method
+"""
+
+
+def q309_dyad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyad census + reciprocity (graph/dyads.py; Holland & Leinhardt
+    1970) over the q302 synthetic link graph — mutual/asymmetric/null
+    dyad counts and the reciprocated-edge fraction, the generic
+    structural audit generalizing hreflang reciprocity (q197): link
+    farms reciprocate, organic citation barely. One canonical-pair
+    groupBy counting directions; N is arithmetic. Oracle replays the
+    census exactly."""
+    from spanluke_spark.graph.dyads import dyad_census
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 40
+    e1 = docs.select(m.alias("src"), ((m * 3 + 1) % 40).alias("dst"))
+    e2 = docs.select(m.alias("src"), ((m + 7) % 40).alias("dst"))
+    e3 = docs.select(
+        ((m * 2 + 1) % 40).alias("src"), ((m * 5 + 2) % 40).alias("dst")
+    )
+    return dyad_census(e1.unionByName(e2).unionByName(e3))
+
+
+_DYAD_ORACLE_SQL = """
+        WITH raw AS (SELECT doc_id % 40 AS m FROM documents),
+        e AS (
+            SELECT DISTINCT s, d FROM (
+                SELECT m AS s, (m * 3 + 1) % 40 AS d FROM raw
+                UNION ALL SELECT m, (m + 7) % 40 FROM raw
+                UNION ALL
+                SELECT (m * 2 + 1) % 40, (m * 5 + 2) % 40 FROM raw
+            ) WHERE s <> d
+        ),
+        pairs AS (
+            SELECT least(s, d) AS a, greatest(s, d) AS b,
+                   count(*) AS dirs
+            FROM e GROUP BY 1, 2
+        ),
+        counts AS (
+            SELECT CAST(sum(CASE WHEN dirs = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS mutual,
+                   CAST(sum(CASE WHEN dirs = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS asym
+            FROM pairs
+        ),
+        nodes AS (
+            SELECT count(*) AS n_nodes FROM (
+                SELECT s AS n FROM e UNION SELECT d FROM e
+            )
+        ),
+        ne AS (SELECT count(*) AS n_edges FROM e)
+        SELECT n_nodes, n_edges, mutual, asym,
+               CAST(n_nodes * (n_nodes - 1) / 2 - mutual - asym
+                    AS BIGINT) AS null_dyads,
+               CASE WHEN 2 * mutual + asym > 0 THEN
+                   2 * mutual * 1000000 // (2 * mutual + asym)
+               END AS reciprocity_ppm
+        FROM counts, nodes, ne
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -13689,6 +13859,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q305_heaps": q305_heaps,
         "q306_texttiling": q306_texttiling,
         "q307_bigram_entropy": q307_bigram_entropy,
+        "q308_forecast_backtest": q308_forecast_backtest,
+        "q309_dyad_census": q309_dyad_census,
     }
 
 
@@ -17663,4 +17835,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q305_heaps"] = _HEAPS_ORACLE_SQL
     out["q306_texttiling"] = _TILE_ORACLE_SQL
     out["q307_bigram_entropy"] = _ENT_ORACLE_SQL
+    out["q308_forecast_backtest"] = _FCAST_ORACLE_SQL
+    out["q309_dyad_census"] = _DYAD_ORACLE_SQL
     return out

@@ -296,6 +296,8 @@ EXTRA_NAMES = [
         "q305_heaps",
         "q306_texttiling",
         "q307_bigram_entropy",
+        "q308_forecast_backtest",
+        "q309_dyad_census",
 ]
 
 
