@@ -11890,6 +11890,132 @@ _DYAD_ORACLE_SQL = """
 """
 
 
+def q310_directed_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cyclic vs transitive directed-triangle counts
+    (graph/triads.py) over the q302 synthetic link graph — the
+    hierarchy audit completing the triangle family (undirected q65,
+    dyads q309): citation DAGs close transitively, link rings close
+    cyclically. Min-rotation dedup for cycles, one wedge join + one
+    closing-edge join. Oracle replays both patterns."""
+    from spanluke_spark.graph.triads import directed_triangles
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 40
+    e1 = docs.select(m.alias("src"), ((m * 3 + 1) % 40).alias("dst"))
+    e2 = docs.select(m.alias("src"), ((m + 7) % 40).alias("dst"))
+    e3 = docs.select(
+        ((m * 2 + 1) % 40).alias("src"), ((m * 5 + 2) % 40).alias("dst")
+    )
+    return directed_triangles(e1.unionByName(e2).unionByName(e3))
+
+
+_TRIAD_ORACLE_SQL = """
+        WITH raw AS (SELECT doc_id % 40 AS m FROM documents),
+        e AS (
+            SELECT DISTINCT s, d FROM (
+                SELECT m AS s, (m * 3 + 1) % 40 AS d FROM raw
+                UNION ALL SELECT m, (m + 7) % 40 FROM raw
+                UNION ALL
+                SELECT (m * 2 + 1) % 40, (m * 5 + 2) % 40 FROM raw
+            ) WHERE s <> d
+        ),
+        wedges AS (
+            SELECT ab.s AS a, ab.d AS b, bc.d AS c
+            FROM e ab JOIN e bc ON bc.s = ab.d
+            WHERE ab.s <> bc.d
+        ),
+        cyc AS (
+            SELECT CAST(count(*) AS BIGINT) AS cyclic
+            FROM wedges JOIN e ON e.s = wedges.c AND e.d = wedges.a
+            WHERE a < b AND a < c
+        ),
+        tra AS (
+            SELECT CAST(count(*) AS BIGINT) AS transitive
+            FROM wedges JOIN e ON e.s = wedges.a AND e.d = wedges.c
+        ),
+        ne AS (SELECT count(*) AS n_edges FROM e)
+        SELECT n_edges, cyclic, transitive,
+               CASE WHEN cyclic + transitive > 0 THEN
+                   transitive * 1000000 // (transitive + cyclic)
+               END AS hierarchy_ppm
+        FROM ne, cyc, tra
+"""
+
+
+def q311_adjusted_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rand and adjusted Rand index (evaluation/rand.py; Hubert &
+    Arabie 1985) between the language and source partitions of a
+    deterministic 2000-doc slice (the q253 cap pattern — the exact
+    integer contract bounds items at 50k; production compares slices
+    or uses B-cubed q274 which is cap-free). All pair counts are
+    closed-form from the contingency table — no pair join; ARI's ppm
+    divides against the 10^6-truncated denominator above 10^6
+    (overflow-safe, documented in the module). Oracle replays cells,
+    marginals and both branches."""
+    from spanluke_spark.evaluation.rand import adjusted_rand
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
+    return adjusted_rand(
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.col("lang").alias("a"),
+            F.col("source").alias("b"),
+        )
+    )
+
+
+_ARI_ORACLE_SQL = """
+        WITH base AS (
+            SELECT doc_id AS i, lang AS ca, source AS cb
+            FROM documents WHERE doc_id < 2000
+        ),
+        cells AS (
+            SELECT ca, cb, count(*) AS c FROM base GROUP BY ca, cb
+        ),
+        sc AS (
+            SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS s_cells
+            FROM cells
+        ),
+        ma AS (
+            SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS s_a,
+                   count(*) AS k_a
+            FROM (SELECT ca, count(*) AS c FROM base GROUP BY ca)
+        ),
+        mb AS (
+            SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS s_b,
+                   count(*) AS k_b
+            FROM (SELECT cb, count(*) AS c FROM base GROUP BY cb)
+        ),
+        nn AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS pn
+            FROM base
+        ),
+        j AS (
+            SELECT n_items, k_a, k_b, s_cells, s_a, s_b, pn,
+                   2 * (pn * s_cells - s_a * s_b) AS num2,
+                   pn * (s_a + s_b) - 2 * s_a * s_b AS den2
+            FROM sc, ma, mb, nn
+        )
+        SELECT n_items, k_a AS n_clusters_a, k_b AS n_clusters_b,
+               s_cells AS sum_pair_cells, s_a AS sum_pair_a,
+               s_b AS sum_pair_b,
+               CASE WHEN pn > 0 THEN
+                   (pn - s_a - s_b + 2 * s_cells) * 1000000 // pn
+               END AS ri_ppm,
+               CASE WHEN den2 = 0 THEN NULL
+                    WHEN num2 < 0 THEN
+                        -(CASE WHEN den2 >= 1000000
+                          THEN abs(num2) // (den2 // 1000000)
+                          ELSE abs(num2) * 1000000 // den2 END)
+                    ELSE CASE WHEN den2 >= 1000000
+                         THEN abs(num2) // (den2 // 1000000)
+                         ELSE abs(num2) * 1000000 // den2 END
+               END AS ari_ppm
+        FROM j
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -13861,6 +13987,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q307_bigram_entropy": q307_bigram_entropy,
         "q308_forecast_backtest": q308_forecast_backtest,
         "q309_dyad_census": q309_dyad_census,
+        "q310_directed_triangles": q310_directed_triangles,
+        "q311_adjusted_rand": q311_adjusted_rand,
     }
 
 
@@ -17837,4 +17965,6 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q307_bigram_entropy"] = _ENT_ORACLE_SQL
     out["q308_forecast_backtest"] = _FCAST_ORACLE_SQL
     out["q309_dyad_census"] = _DYAD_ORACLE_SQL
+    out["q310_directed_triangles"] = _TRIAD_ORACLE_SQL
+    out["q311_adjusted_rand"] = _ARI_ORACLE_SQL
     return out

@@ -298,6 +298,8 @@ EXTRA_NAMES = [
         "q307_bigram_entropy",
         "q308_forecast_backtest",
         "q309_dyad_census",
+        "q310_directed_triangles",
+        "q311_adjusted_rand",
 ]
 
 
