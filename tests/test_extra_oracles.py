@@ -300,6 +300,8 @@ EXTRA_NAMES = [
         "q309_dyad_census",
         "q310_directed_triangles",
         "q311_adjusted_rand",
+        "q312_robustness",
+        "q313_good_turing",
 ]
 
 
