@@ -12174,6 +12174,189 @@ _GT_ORACLE_SQL = """
 """
 
 
+# integer-quantized 3-state HMM used by q314 (closed vocab v0..v3);
+# literal constants shared verbatim with the oracle SQL below.
+_VIT_START = [-100, -200, -300]
+_VIT_TRANS = [[-10, -60, -90], [-70, -20, -80], [-95, -55, -15]]
+_VIT_EMIT = {
+    "v0": [-5, -80, -90],
+    "v1": [-85, -10, -70],
+    "v2": [-75, -65, -12],
+    "v3": [-40, -45, -50],
+}
+
+
+def q314_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HMM Viterbi MAP decoding (ner/viterbi.py; Viterbi 1967) over 40
+    event streams with a literal integer-quantized 3-state model — the
+    exact transition-aware counterpart to the greedy decode (q11/W1-W2;
+    reference decodes greedily, `legal_ner/inference.py`). The fold
+    carries per-state best paths so no backtrack pass exists; ties
+    break to the lowest state index at every argmax and the oracle
+    replays every DP step in a recursive CTE."""
+    from spanluke_spark.ner.viterbi import viterbi_decode
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    seqs = (
+        ev.select(
+            (e % 40).alias("seq_id"),
+            e.alias("pos"),
+            F.concat(
+                F.lit("v"), ((e * 31 + 7) % 97 % 4).cast("string")
+            ).alias("tok"),
+        )
+        .groupBy("seq_id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "tok"))).alias("s"))
+        .select(
+            "seq_id", F.transform(F.col("s"), lambda x: x["tok"]).alias("obs")
+        )
+    )
+    return viterbi_decode(seqs, _VIT_START, _VIT_TRANS, _VIT_EMIT).orderBy(
+        "seq_id"
+    )
+
+
+_VIT_ORACLE_SQL = """
+        WITH RECURSIVE
+        ev AS (
+            SELECT event_id % 40 AS seq_id, event_id AS pos,
+                   'v' || CAST((event_id * 31 + 7) % 97 % 4 AS VARCHAR)
+                       AS tok
+            FROM events
+        ),
+        seqs AS (
+            SELECT seq_id, list(tok ORDER BY pos) AS obs
+            FROM ev GROUP BY seq_id
+        ),
+        step(seq_id, i, scores, paths) AS (
+            SELECT seq_id, 1,
+                   list_transform([1, 2, 3], s ->
+                       [-100, -200, -300][s] +
+                       (CASE obs[1] WHEN 'v0' THEN [-5, -80, -90]
+                                    WHEN 'v1' THEN [-85, -10, -70]
+                                    WHEN 'v2' THEN [-75, -65, -12]
+                                    ELSE [-40, -45, -50] END)[s]),
+                   ['0', '1', '2']
+            FROM seqs
+            UNION ALL
+            SELECT step.seq_id, i + 1,
+                   list_transform([1, 2, 3], s ->
+                       list_max(list_transform([1, 2, 3], p ->
+                           scores[p] + [[-10, -60, -90], [-70, -20, -80],
+                                        [-95, -55, -15]][p][s])) +
+                       (CASE obs[i + 1] WHEN 'v0' THEN [-5, -80, -90]
+                                        WHEN 'v1' THEN [-85, -10, -70]
+                                        WHEN 'v2' THEN [-75, -65, -12]
+                                        ELSE [-40, -45, -50] END)[s]),
+                   list_transform([1, 2, 3], s ->
+                       paths[list_position(
+                           list_transform([1, 2, 3], p ->
+                               scores[p] +
+                               [[-10, -60, -90], [-70, -20, -80],
+                                [-95, -55, -15]][p][s]),
+                           list_max(list_transform([1, 2, 3], p ->
+                               scores[p] +
+                               [[-10, -60, -90], [-70, -20, -80],
+                                [-95, -55, -15]][p][s])))]
+                       || ',' || CAST(s - 1 AS VARCHAR))
+            FROM step JOIN seqs USING (seq_id)
+            WHERE i < len(obs)
+        ),
+        fin AS (
+            SELECT step.seq_id, len(obs) AS n, scores, paths
+            FROM step JOIN seqs USING (seq_id) WHERE i = len(obs)
+        )
+        SELECT seq_id, CAST(n AS BIGINT) AS n,
+               paths[list_position(scores, list_max(scores))] AS path,
+               CAST(list_max(scores) AS BIGINT) AS best_score
+        FROM fin ORDER BY seq_id
+"""
+
+
+def q315_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L summarization eval (evaluation/rouge.py; Lin 2004 §3)
+    over candidate/reference pairs derived from documents (reference =
+    first 25 tokens; candidate = first 30 tokens with deterministic
+    index-arithmetic deletions and 'zz' substitutions) — LCS by the
+    monotone-row prefix-max fold, exact rational F1 = 2·lcs/(C+R), the
+    oracle replaying every DP row in a recursive CTE."""
+    from spanluke_spark.evaluation.rouge import rouge_l
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    a = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    kept = F.filter(
+        F.sequence(F.lit(1), F.least(F.size(a), F.lit(30))),
+        lambda i: (i + d) % 5 != 0,
+    )
+    pairs = docs.select(
+        d.alias("pair_id"),
+        F.transform(
+            kept,
+            lambda i: F.when((i * 3 + d) % 7 == 0, F.lit("zz")).otherwise(
+                F.element_at(a, i.cast("int"))
+            ),
+        ).alias("cand"),
+        F.slice(a, 1, 25).alias("ref"),
+    )
+    return rouge_l(pairs).orderBy("pair_id")
+
+
+_ROUGE_ORACLE_SQL = """
+        WITH RECURSIVE
+        toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS a
+            FROM documents
+        ),
+        base AS (
+            SELECT doc_id, a[1:25] AS ref,
+                   list_transform(
+                       list_filter(range(1, least(len(a), 30) + 1),
+                                   i -> (i + doc_id) % 5 <> 0),
+                       i -> CASE WHEN (i * 3 + doc_id) % 7 = 0
+                                 THEN 'zz' ELSE a[i] END) AS cand
+            FROM toks
+        ),
+        b2 AS (
+            SELECT * FROM base WHERE len(cand) > 0 AND len(ref) > 0
+        ),
+        step(doc_id, i, row) AS (
+            SELECT doc_id, 0,
+                   list_transform(range(1, len(ref) + 2),
+                                  j -> CAST(0 AS BIGINT))
+            FROM b2
+            UNION ALL
+            SELECT step.doc_id, i + 1,
+                   list_transform(range(1, len(ref) + 2), j ->
+                       CASE WHEN j = 1 THEN CAST(0 AS BIGINT)
+                            ELSE greatest(row[j],
+                                list_max(list_transform(range(1, j), k ->
+                                    CASE WHEN ref[k] = cand[i + 1]
+                                         THEN row[k] + 1
+                                         ELSE CAST(-1 AS BIGINT) END)))
+                       END)
+            FROM step JOIN b2 USING (doc_id)
+            WHERE i < len(cand)
+        ),
+        fin AS (
+            SELECT step.doc_id, len(cand) AS c_len, len(ref) AS r_len,
+                   row[len(ref) + 1] AS lcs
+            FROM step JOIN b2 USING (doc_id)
+            WHERE i = len(cand)
+        )
+        SELECT doc_id AS pair_id, CAST(c_len AS BIGINT) AS c_len,
+               CAST(r_len AS BIGINT) AS r_len, CAST(lcs AS BIGINT) AS lcs,
+               lcs * 1000000 // c_len AS p_ppm,
+               lcs * 1000000 // r_len AS r_ppm,
+               CAST(lcs * 2 AS BIGINT) AS f_num,
+               CAST(c_len + r_len AS BIGINT) AS f_den,
+               lcs * 2 * 1000000 // (c_len + r_len) AS f_ppm
+        FROM fin ORDER BY pair_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -14149,6 +14332,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q311_adjusted_rand": q311_adjusted_rand,
         "q312_robustness": q312_robustness,
         "q313_good_turing": q313_good_turing,
+        "q314_viterbi": q314_viterbi,
+        "q315_rouge_l": q315_rouge_l,
     }
 
 
@@ -18129,4 +18314,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q311_adjusted_rand"] = _ARI_ORACLE_SQL
     out["q312_robustness"] = _ROBUST_ORACLE_SQL
     out["q313_good_turing"] = _GT_ORACLE_SQL
+    # q314: every DP step replayed in a recursive CTE, paths carried
+    out["q314_viterbi"] = _VIT_ORACLE_SQL
+    # q315: recursive-CTE DP rows with the same prefix-max recurrence
+    out["q315_rouge_l"] = _ROUGE_ORACLE_SQL
     return out

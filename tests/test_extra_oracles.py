@@ -302,6 +302,8 @@ EXTRA_NAMES = [
         "q311_adjusted_rand",
         "q312_robustness",
         "q313_good_turing",
+        "q314_viterbi",
+        "q315_rouge_l",
 ]
 
 
