@@ -12357,6 +12357,150 @@ _ROUGE_ORACLE_SQL = """
 """
 
 
+def q316_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control (evaluation/fdr.py; Benjamini &
+    Hochberg 1995) over 24 hosts x 36 audited pages each — exact
+    dyadic binomial tail p-values from a Pascal-row fold, the step-up
+    decided by exact cross-multiplication, q-values by the stated
+    once-quantized suffix-min. Failure rates planted by host class
+    (12/31 .. 24/31 vs the 1/2 null) so some classes reject and some
+    never do; the oracle rebuilds the Pascal rows recursively."""
+    from spanluke_spark.evaluation.fdr import bh_fdr
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    trials = ev.where(F.expr("event_id div 24 < 36")).select(
+        (e % 24).alias("grp"),
+        (((e * 13 + 5) % 31) < (12 + (e % 24 % 4) * 4)).alias("fail"),
+    )
+    return bh_fdr(trials, alpha_num=1, alpha_den=10).orderBy("grp")
+
+
+_FDR_ORACLE_SQL = """
+        WITH RECURSIVE
+        tr AS (
+            SELECT event_id % 24 AS grp,
+                   ((event_id * 13 + 5) % 31)
+                       < (12 + (event_id % 24 % 4) * 4) AS fail
+            FROM events WHERE event_id // 24 < 36
+        ),
+        agg AS (
+            SELECT grp, CAST(count(*) AS INTEGER) AS n,
+                   CAST(sum(CASE WHEN fail THEN 1 ELSE 0 END)
+                        AS INTEGER) AS x
+            FROM tr GROUP BY grp
+        ),
+        pascal(t, row) AS (
+            SELECT 0, [CAST(1 AS BIGINT)]
+            UNION ALL
+            SELECT t + 1,
+                   list_prepend(CAST(1 AS BIGINT),
+                       list_append(
+                           list_transform(range(1, len(row)),
+                                          i -> row[i] + row[i + 1]),
+                           CAST(1 AS BIGINT)))
+            FROM pascal WHERE t < 40
+        ),
+        p AS (
+            SELECT grp, n, x,
+                   list_sum(row[x + 1 : n + 1]) AS p_num,
+                   CAST(1 AS BIGINT) << n AS p_den,
+                   list_sum(row[x + 1 : n + 1]) << (40 - n) AS p_s
+            FROM agg JOIN pascal ON pascal.t = agg.n
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (ORDER BY p_s, grp) AS rank,
+                   count(*) OVER () AS m
+            FROM p
+        ),
+        k AS (
+            SELECT *,
+                   max(CASE WHEN p_num * 10 * m <= rank * 1 * p_den
+                            THEN rank ELSE 0 END) OVER () AS kstar
+            FROM ranked
+        )
+        SELECT grp, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x,
+               CAST(p_num AS BIGINT) AS p_num, p_den,
+               CAST(rank AS BIGINT) AS rank,
+               rank <= kstar AS reject,
+               min(m * (p_num * 1000000 // p_den) // rank) OVER (
+                   ORDER BY p_s, grp
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS qval_ppm
+        FROM k ORDER BY grp
+"""
+
+
+def q317_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted isotonic calibration (evaluation/isotonic.py; PAVA via
+    the Robertson-Wright-Dykstra minimax closed form) of the q148
+    synthetic scorer's 10 reliability bins — exact rational interval
+    means compared through the order-exact (num·10^10 div den) key,
+    (key, den, num) struct ties, fit nondecreasing by construction.
+    The oracle replays prefix sums, all O(B^2) interval means and both
+    min/max selections with the same composite ordering."""
+    from spanluke_spark.evaluation.isotonic import isotonic_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    bins = docs.groupBy(
+        F.expr("(doc_id * 37) % 100 div 10 + 1").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("w"),
+        F.sum(((d * 53) % 100 < (d * 37) % 100).cast("int"))
+        .cast("long")
+        .alias("y"),
+    )
+    return isotonic_fit(bins).orderBy("bin")
+
+
+_ISO_ORACLE_SQL = """
+        WITH pref AS (
+            SELECT (doc_id * 37) % 100 // 10 + 1 AS bin,
+                   CAST(count(*) AS BIGINT) AS w,
+                   CAST(sum(CASE WHEN (doc_id * 53) % 100
+                                      < (doc_id * 37) % 100
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS y
+            FROM documents GROUP BY 1
+        ),
+        ps AS (
+            SELECT bin, w, y,
+                   sum(w) OVER (ORDER BY bin) AS cw,
+                   sum(y) OVER (ORDER BY bin) AS cy
+            FROM pref
+        ),
+        ivals AS (
+            SELECT lo.bin AS j, hi.bin AS k,
+                   hi.cy - (lo.cy - lo.y) AS num,
+                   hi.cw - (lo.cw - lo.w) AS den,
+                   (hi.cy - (lo.cy - lo.y)) * 10000000000
+                       // (hi.cw - (lo.cw - lo.w)) AS key
+            FROM ps lo, ps hi WHERE lo.bin <= hi.bin
+        ),
+        inner_min AS (
+            SELECT i.bin AS i, j, key, den, num,
+                   row_number() OVER (PARTITION BY i.bin, j
+                                      ORDER BY key, den, num) AS rn
+            FROM ps i
+            JOIN ivals ON ivals.j <= i.bin AND ivals.k >= i.bin
+        ),
+        outer_max AS (
+            SELECT i, key, den, num,
+                   row_number() OVER (
+                       PARTITION BY i
+                       ORDER BY key DESC, den DESC, num DESC) AS rn
+            FROM inner_min WHERE rn = 1
+        )
+        SELECT ps.bin, ps.w, ps.y,
+               ps.y * 1000000 // ps.w AS rate_ppm,
+               CAST(num AS BIGINT) AS fit_num,
+               CAST(den AS BIGINT) AS fit_den,
+               num * 1000000 // den AS fit_ppm
+        FROM ps JOIN outer_max ON outer_max.i = ps.bin AND outer_max.rn = 1
+        ORDER BY ps.bin
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -14334,6 +14478,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q313_good_turing": q313_good_turing,
         "q314_viterbi": q314_viterbi,
         "q315_rouge_l": q315_rouge_l,
+        "q316_bh_fdr": q316_bh_fdr,
+        "q317_isotonic": q317_isotonic,
     }
 
 
@@ -18318,4 +18464,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q314_viterbi"] = _VIT_ORACLE_SQL
     # q315: recursive-CTE DP rows with the same prefix-max recurrence
     out["q315_rouge_l"] = _ROUGE_ORACLE_SQL
+    # q316: recursive Pascal rows, exact step-up, suffix-min q-values
+    out["q316_bh_fdr"] = _FDR_ORACLE_SQL
+    # q317: O(B^2) interval means + composite-ordered min/max replay
+    out["q317_isotonic"] = _ISO_ORACLE_SQL
     return out

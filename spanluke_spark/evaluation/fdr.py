@@ -1,0 +1,120 @@
+"""Multiple-testing control for fleet-wide quality audits: exact
+one-sided binomial tail tests per group + the Benjamini-Hochberg
+step-up (Benjamini & Hochberg 1995) — the statistically honest way to
+flag "hosts whose failure rate exceeds 1/2" across thousands of
+simultaneous hypotheses without drowning in false discoveries.
+
+All arithmetic exact-integer:
+
+  p_i   = P(X >= x_i | n_i, 1/2) = (sum_{j>=x_i} C(n_i, j)) / 2^{n_i}
+          — the full Pascal row is built by an n_i-step HOF fold
+          (exact longs; n_i <= 40 keeps C(n,j) and 2^n in range),
+          so the p-value is the exact dyadic rational
+          (p_num, p_den = 2^n).
+  p_s   = p_num << (NMAX - n_i) — every p-value rescaled to the
+          common denominator 2^NMAX: an exact integer SORT key.
+  BH    : with ranks i over p ascending (ties by group id), reject
+          ranks <= k* = max{ i : p_i <= i·alpha/m }, decided by the
+          exact cross-multiplication
+              p_num · alpha_den · m  <=  i · alpha_num · p_den.
+  q_i   = suffix-min over ranks j >= i of (m · p_ppm_j) div j, where
+          p_ppm_j = (p_num · 10^6) div p_den is the ONCE-quantized
+          trunc-ppm p-value — the BH-adjusted q-value on the stated
+          quantize-then-min contract (the reject decision itself never
+          quantizes; suffix min includes rank m where the term is
+          p_ppm_m <= 10^6, so q <= 1 holds by construction).
+
+Distributed shape: one groupBy to per-group (n, x), a per-row fold for
+the Pascal tail, and rank windows over the HYPOTHESIS table — which is
+model-sized (one row per host/group), not corpus-sized; the corpus
+axis reduces fully map-side. Overflow discipline: p_num <= 2^40, so
+p_num · 10^6 < 2^60 and the BH inequality term
+p_num · alpha_den · m stays under 2^63 whenever
+m · alpha_den < 2^22 (~4.2e6) — ample for any real hypothesis table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["bh_fdr"]
+
+NMAX = 40
+
+
+def bh_fdr(
+    trials: DataFrame,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+    group_col: str = "grp",
+    fail_col: str = "fail",
+) -> DataFrame:
+    """(grp, fail: boolean) rows -> per grp: (grp, n, x, p_num, p_den,
+    rank, reject, qval_ppm). Requires per-group trial counts <= 40."""
+    agg = trials.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("int").alias("n"),
+        F.sum(F.col(fail_col).cast("int")).cast("int").alias("x"),
+    )
+
+    # Pascal row for n via fold: row_t = [C(t,0..t)], t = 0..n
+    pascal = F.aggregate(
+        F.sequence(F.lit(1), F.col("n")),
+        F.array(F.lit(1).cast("long")),
+        lambda row, _: F.concat(
+            F.array(F.lit(1).cast("long")),
+            F.zip_with(
+                F.slice(row, 1, F.size(row) - 1),
+                F.slice(row, 2, F.size(row) - 1),
+                lambda a, b: a + b,
+            ),
+            F.array(F.lit(1).cast("long")),
+        ),
+    )
+    # tail sum: slots x+1 .. n+1 (slot j+1 holds C(n, j))
+    p = agg.select(
+        "grp",
+        "n",
+        "x",
+        F.aggregate(
+            F.slice(pascal, F.col("x") + 1, F.col("n") - F.col("x") + 1),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("p_num"),
+        F.expr("shiftleft(cast(1 as bigint), n)").alias("p_den"),
+    ).withColumn(
+        "p_s",
+        F.expr(f"shiftleft(p_num, {NMAX} - n)"),
+    )
+
+    w = Window.orderBy("p_s", "grp")
+    m = Window.partitionBy()
+    ranked = p.select(
+        "*",
+        F.row_number().over(w).alias("rank"),
+        F.count(F.lit(1)).over(m).alias("m"),
+    )
+    # exact BH inequality per rank, then k* = max passing rank
+    cond = (
+        F.col("p_num") * F.lit(alpha_den) * F.col("m")
+        <= F.col("rank") * F.lit(alpha_num) * F.col("p_den")
+    )
+    ranked = ranked.withColumn(
+        "kstar",
+        F.max(F.when(cond, F.col("rank")).otherwise(F.lit(0))).over(m),
+    )
+    suffix = Window.orderBy("p_s", "grp").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    return ranked.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.col("x").cast("long").alias("x"),
+        "p_num",
+        "p_den",
+        F.col("rank").cast("long").alias("rank"),
+        (F.col("rank") <= F.col("kstar")).alias("reject"),
+        F.min(
+            F.expr("m * (p_num * 1000000 div p_den) div rank")
+        ).over(suffix).alias("qval_ppm"),
+    )

@@ -304,6 +304,8 @@ EXTRA_NAMES = [
         "q313_good_turing",
         "q314_viterbi",
         "q315_rouge_l",
+        "q316_bh_fdr",
+        "q317_isotonic",
 ]
 
 
