@@ -12501,6 +12501,178 @@ _ISO_ORACLE_SQL = """
 """
 
 
+def q318_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF2 character n-gram F-score (evaluation/chrf.py; Popović
+    2015) over 400 SF-invariant (hyp, ref) pairs built from document
+    text — hyp is a shifted 40-char slice with 'e'→'y' noise, ref the
+    leading 40-char slice; whitespace removed, orders 1..6, clipped
+    matches, per-order trunc-ppm P/R then exact integer means and the
+    beta=2 combination. The oracle replays the gram explode with two
+    lateral UNNESTs and the same once-quantized arithmetic."""
+    from spanluke_spark.evaluation.chrf import chrf
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 400")
+    pairs = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.expr("replace(substr(text, 1 + doc_id % 7, 40), 'e', 'y')").alias(
+            "hyp"
+        ),
+        F.expr("substr(text, 1, 40)").alias("ref"),
+    )
+    return chrf(pairs).orderBy("pair_id")
+
+
+_CHRF_ORACLE_SQL = r"""
+        WITH base AS (
+            SELECT doc_id AS pair_id,
+                   regexp_replace(
+                       replace(substr(text, CAST(1 + doc_id % 7 AS INTEGER),
+                                      40), 'e', 'y'),
+                       '\s+', '', 'g') AS h,
+                   regexp_replace(substr(text, 1, 40), '\s+', '', 'g') AS r
+            FROM documents WHERE doc_id < 400
+        ),
+        b2 AS (
+            SELECT * FROM base WHERE length(h) > 0 AND length(r) > 0
+        ),
+        hg AS (
+            SELECT pair_id, n,
+                   substr(h, CAST(i AS INTEGER), CAST(n AS INTEGER)) AS gram
+            FROM b2,
+                 UNNEST(range(1, least(6, length(h)) + 1)) AS tn(n),
+                 UNNEST(range(1, length(h) - n + 2)) AS ti(i)
+        ),
+        rg AS (
+            SELECT pair_id, n,
+                   substr(r, CAST(i AS INTEGER), CAST(n AS INTEGER)) AS gram
+            FROM b2,
+                 UNNEST(range(1, least(6, length(r)) + 1)) AS tn(n),
+                 UNNEST(range(1, length(r) - n + 2)) AS ti(i)
+        ),
+        hc AS (
+            SELECT pair_id, n, gram, CAST(count(*) AS BIGINT) AS ch
+            FROM hg GROUP BY 1, 2, 3
+        ),
+        rc AS (
+            SELECT pair_id, n, gram, CAST(count(*) AS BIGINT) AS cr
+            FROM rg GROUP BY 1, 2, 3
+        ),
+        mm AS (
+            SELECT pair_id, n, CAST(sum(least(ch, cr)) AS BIGINT) AS m
+            FROM hc JOIN rc USING (pair_id, n, gram) GROUP BY 1, 2
+        ),
+        ht AS (
+            SELECT pair_id, n, CAST(sum(ch) AS BIGINT) AS ht
+            FROM hc GROUP BY 1, 2
+        ),
+        rt AS (
+            SELECT pair_id, n, CAST(sum(cr) AS BIGINT) AS rt
+            FROM rc GROUP BY 1, 2
+        ),
+        per AS (
+            SELECT pair_id, n, COALESCE(m, 0) AS m, ht, rt,
+                   COALESCE(m, 0) * 1000000 // ht AS p_ppm_n,
+                   COALESCE(m, 0) * 1000000 // rt AS r_ppm_n
+            FROM ht JOIN rt USING (pair_id, n)
+                    LEFT JOIN mm USING (pair_id, n)
+        ),
+        agg AS (
+            SELECT pair_id, CAST(count(*) AS BIGINT) AS eff,
+                   CAST(sum(p_ppm_n) AS BIGINT) AS sp,
+                   CAST(sum(r_ppm_n) AS BIGINT) AS sr
+            FROM per GROUP BY 1
+        )
+        SELECT b2.pair_id, CAST(length(h) AS BIGINT) AS h_chars,
+               CAST(length(r) AS BIGINT) AS r_chars, eff,
+               sp // eff AS p_ppm, sr // eff AS r_ppm,
+               CASE WHEN sp // eff + sr // eff = 0 THEN 0
+                    ELSE 5 * (sp // eff) * (sr // eff)
+                         // (4 * (sp // eff) + (sr // eff)) END AS chrf_ppm
+        FROM b2 JOIN agg USING (pair_id)
+        ORDER BY pair_id
+"""
+
+
+def q319_lru_hit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LRU hit-ratio curves from exact reuse (stack) distances
+    (etl/cache.py; Mattson et al. 1970) over an SF-invariant 960-access
+    trace split across 8 hosts with quadratic-residue keys (varying
+    reuse gaps) — the imperative LRU stack becomes two windows and one
+    bounded range join, and one stack-distance histogram prices EVERY
+    candidate capacity at once (the stack-algorithm inclusion
+    property). The oracle replays windows, range join, histogram and
+    the capacity cross join verbatim."""
+    from spanluke_spark.etl.cache import lru_hit_curve
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 960")
+    acc = ev.select(
+        (F.col("event_id") % 8).alias("host"),
+        F.col("event_id").alias("pos"),
+        ((F.col("event_id") * F.col("event_id")) % 37).alias("key"),
+    )
+    return lru_hit_curve(acc, capacities=[1, 2, 4, 8, 16, 32]).orderBy(
+        "host", "c"
+    )
+
+
+_LRU_ORACLE_SQL = """
+        WITH acc AS (
+            SELECT event_id % 8 AS host, event_id AS pos,
+                   (event_id * event_id) % 37 AS key
+            FROM events WHERE event_id < 960
+        ),
+        w AS (
+            SELECT host, pos, key,
+                   lag(pos) OVER (PARTITION BY host, key
+                                  ORDER BY pos) AS prev,
+                   lead(pos) OVER (PARTITION BY host, key
+                                   ORDER BY pos) AS nxt
+            FROM acc
+        ),
+        b AS (
+            SELECT host, pos, prev FROM w WHERE prev IS NOT NULL
+        ),
+        betw AS (
+            SELECT b.host, b.pos, CAST(count(*) AS BIGINT) AS between
+            FROM b JOIN w j
+              ON j.host = b.host AND j.pos > b.prev AND j.pos < b.pos
+                 AND (j.nxt IS NULL OR j.nxt >= b.pos)
+            GROUP BY 1, 2
+        ),
+        sd AS (
+            SELECT b.host, b.pos,
+                   COALESCE(between, 0) + 1 AS sd
+            FROM b LEFT JOIN betw USING (host, pos)
+            UNION ALL
+            SELECT host, pos, CAST(NULL AS BIGINT) AS sd
+            FROM w WHERE prev IS NULL
+        ),
+        hist AS (
+            SELECT host, sd, CAST(count(*) AS BIGINT) AS n
+            FROM sd GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT host, CAST(sum(n) AS BIGINT) AS total
+            FROM hist GROUP BY 1
+        ),
+        frame AS (
+            SELECT host, total, CAST(c AS BIGINT) AS c
+            FROM tot, UNNEST([1, 2, 4, 8, 16, 32]) AS tc(c)
+        ),
+        hits AS (
+            SELECT frame.host, c, total,
+                   CAST(COALESCE(sum(n), 0) AS BIGINT) AS hits
+            FROM frame LEFT JOIN hist
+              ON hist.host = frame.host
+                 AND hist.sd IS NOT NULL AND hist.sd <= frame.c
+            GROUP BY 1, 2, 3
+        )
+        SELECT host, c, hits, total,
+               hits * 1000000 // total AS hit_ppm
+        FROM hits ORDER BY host, c
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -14480,6 +14652,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q315_rouge_l": q315_rouge_l,
         "q316_bh_fdr": q316_bh_fdr,
         "q317_isotonic": q317_isotonic,
+        "q318_chrf": q318_chrf,
+        "q319_lru_hit_curve": q319_lru_hit_curve,
     }
 
 
@@ -18468,4 +18642,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q316_bh_fdr"] = _FDR_ORACLE_SQL
     # q317: O(B^2) interval means + composite-ordered min/max replay
     out["q317_isotonic"] = _ISO_ORACLE_SQL
+    # q318: lateral-UNNEST gram replay, once-quantized per-order P/R
+    out["q318_chrf"] = _CHRF_ORACLE_SQL
+    # q319: window + range-join + histogram stack-distance replay
+    out["q319_lru_hit_curve"] = _LRU_ORACLE_SQL
     return out

@@ -306,6 +306,8 @@ EXTRA_NAMES = [
         "q315_rouge_l",
         "q316_bh_fdr",
         "q317_isotonic",
+        "q318_chrf",
+        "q319_lru_hit_curve",
 ]
 
 
