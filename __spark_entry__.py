@@ -12673,6 +12673,156 @@ _LRU_ORACLE_SQL = """
 """
 
 
+def q320_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word error rate with pinned lex-min (d, s, dd, ii) operation
+    counts (evaluation/wer.py) over hypothesis/reference token pairs
+    from documents (reference = first 18 tokens; hypothesis = first 22
+    with deterministic deletions and 'zz' substitutions) — the whole
+    Levenshtein DP is one min-plus fold on packed integer keys with
+    the deletion-chain unrolled into a prefix-min; the oracle replays
+    every DP row in a recursive CTE on the same packed keys."""
+    from spanluke_spark.evaluation.wer import wer
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    a = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    kept = F.filter(
+        F.sequence(F.lit(1), F.least(F.size(a), F.lit(22))),
+        lambda i: (i + d) % 6 != 0,
+    )
+    pairs = docs.select(
+        d.alias("pair_id"),
+        F.transform(
+            kept,
+            lambda i: F.when((i * 5 + d) % 9 == 0, F.lit("zz")).otherwise(
+                F.element_at(a, i.cast("int"))
+            ),
+        ).alias("hyp"),
+        F.slice(a, 1, 18).alias("ref"),
+    )
+    return wer(pairs).orderBy("pair_id")
+
+
+_WER_ORACLE_SQL = """
+        WITH RECURSIVE
+        toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS a
+            FROM documents
+        ),
+        base AS (
+            SELECT doc_id, a[1:18] AS ref,
+                   list_transform(
+                       list_filter(range(1, least(len(a), 22) + 1),
+                                   i -> (i + doc_id) % 6 <> 0),
+                       i -> CASE WHEN (i * 5 + doc_id) % 9 = 0
+                                 THEN 'zz' ELSE a[i] END) AS hyp
+            FROM toks
+        ),
+        b2 AS (
+            SELECT * FROM base WHERE len(ref) > 0
+        ),
+        step(doc_id, t, row) AS (
+            SELECT doc_id, 0,
+                   list_transform(range(1, len(ref) + 2),
+                                  i -> CAST((i - 1) * 1073742848 AS BIGINT))
+            FROM b2
+            UNION ALL
+            SELECT step.doc_id, t + 1,
+                   list_transform(range(1, len(ref) + 2), j ->
+                       list_min(list_transform(range(1, j + 1), i ->
+                           (CASE WHEN i = 1 THEN row[1] + 1073741825
+                                 ELSE least(row[i] + 1073741825,
+                                      row[i - 1]
+                                      + CASE WHEN ref[i - 1] = hyp[t + 1]
+                                             THEN 0 ELSE 1074790400 END)
+                            END) + (j - i) * 1073742848)))
+            FROM step JOIN b2 USING (doc_id)
+            WHERE t < len(hyp)
+        ),
+        fin AS (
+            SELECT step.doc_id, len(hyp) AS h_len, len(ref) AS r_len,
+                   row[len(ref) + 1] AS key
+            FROM step JOIN b2 USING (doc_id)
+            WHERE t = len(hyp)
+        )
+        SELECT doc_id AS pair_id, CAST(h_len AS BIGINT) AS h_len,
+               CAST(r_len AS BIGINT) AS r_len,
+               key // 1073741824 AS dist,
+               key // 1048576 % 1024 AS subs,
+               key // 1024 % 1024 AS dels,
+               key % 1024 AS ins,
+               (key // 1073741824) * 1000000 // r_len AS wer_ppm
+        FROM fin ORDER BY pair_id
+"""
+
+
+def q321_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries mergeable heavy hitters (textops/heavyhitters.py;
+    Agarwal et al. 2012 merge rule) over the word stream of 400
+    SF-invariant documents sharded doc_id % 8, k = 16 — per-shard
+    exact counts pruned to k by subtracting the (k+1)-st largest,
+    counter-sum merge, one final prune; (count DESC, token ASC)
+    row_number pins every rank boundary. The oracle replays both
+    prune levels and the merge with the same windows."""
+    from spanluke_spark.textops.heavyhitters import misra_gries
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 400")
+    toks = docs.select(
+        (F.col("doc_id") % 8).alias("shard"),
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    return misra_gries(toks, k=16).orderBy("rnk")
+
+
+_MG_ORACLE_SQL = """
+        WITH toks AS (
+            SELECT doc_id % 8 AS shard,
+                   unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS token
+            FROM documents WHERE doc_id < 400
+        ),
+        sc AS (
+            SELECT shard, token, CAST(count(*) AS BIGINT) AS cnt
+            FROM toks GROUP BY 1, 2
+        ),
+        r1 AS (
+            SELECT *, row_number() OVER (PARTITION BY shard
+                                         ORDER BY cnt DESC, token) AS rnk
+            FROM sc
+        ),
+        t1 AS (
+            SELECT shard, cnt AS thr FROM r1 WHERE rnk = 17
+        ),
+        p1 AS (
+            SELECT r1.shard, token,
+                   cnt - COALESCE(thr, 0) AS cnt
+            FROM r1 LEFT JOIN t1 ON t1.shard = r1.shard
+            WHERE rnk <= 16 AND cnt - COALESCE(thr, 0) > 0
+        ),
+        m AS (
+            SELECT token, CAST(sum(cnt) AS BIGINT) AS cnt
+            FROM p1 GROUP BY 1
+        ),
+        r2 AS (
+            SELECT *, row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+            FROM m
+        ),
+        t2 AS (
+            SELECT max(CASE WHEN rnk = 17 THEN cnt END) AS thr FROM r2
+        )
+        SELECT token, CAST(cnt - COALESCE(thr, 0) AS BIGINT) AS f_hat,
+               CAST(row_number() OVER (
+                   ORDER BY cnt - COALESCE(thr, 0) DESC, token)
+                   AS INTEGER) AS rnk
+        FROM r2, t2
+        WHERE r2.rnk <= 16 AND cnt - COALESCE(thr, 0) > 0
+        ORDER BY rnk
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -14654,6 +14804,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q317_isotonic": q317_isotonic,
         "q318_chrf": q318_chrf,
         "q319_lru_hit_curve": q319_lru_hit_curve,
+        "q320_wer": q320_wer,
+        "q321_misra_gries": q321_misra_gries,
     }
 
 
@@ -18646,4 +18798,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q318_chrf"] = _CHRF_ORACLE_SQL
     # q319: window + range-join + histogram stack-distance replay
     out["q319_lru_hit_curve"] = _LRU_ORACLE_SQL
+    # q320: recursive-CTE DP rows on the same packed min-plus keys
+    out["q320_wer"] = _WER_ORACLE_SQL
+    # q321: both prune levels + counter-sum merge replayed verbatim
+    out["q321_misra_gries"] = _MG_ORACLE_SQL
     return out

@@ -308,6 +308,8 @@ EXTRA_NAMES = [
         "q317_isotonic",
         "q318_chrf",
         "q319_lru_hit_curve",
+        "q320_wer",
+        "q321_misra_gries",
 ]
 
 
