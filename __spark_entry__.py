@@ -12823,6 +12823,163 @@ _MG_ORACLE_SQL = """
 """
 
 
+def q322_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's exact paired test (evaluation/mcnemar.py; McNemar
+    1947) comparing two synthetic quality classifiers on the same 240
+    documents across 6 groups — discordant pairs split Binomial(nd,
+    1/2) under H0, exact dyadic two-sided p = min(1, 2·P(X <= k)) from
+    the Pascal-row fold, significance by exact cross-multiplication
+    at alpha = 1/20. Classifier B is planted better in two group
+    classes (thresholds 55/70/85) so some groups reject and some
+    cannot. The oracle rebuilds Pascal rows recursively."""
+    from spanluke_spark.evaluation.mcnemar import mcnemar_exact
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 240")
+    d = F.col("doc_id")
+    pr = docs.select(
+        (d % 6).alias("grp"),
+        ((d * 7) % 100 < 55).alias("a_ok"),
+        ((d * 13) % 100 < 55 + (d % 6 % 3) * 15).alias("b_ok"),
+    )
+    return mcnemar_exact(pr, alpha_num=1, alpha_den=20).orderBy("grp")
+
+
+_MCNEMAR_ORACLE_SQL = """
+        WITH RECURSIVE
+        pr AS (
+            SELECT doc_id % 6 AS grp,
+                   (doc_id * 7) % 100 < 55 AS a_ok,
+                   (doc_id * 13) % 100 < 55 + (doc_id % 6 % 3) * 15 AS b_ok
+            FROM documents WHERE doc_id < 240
+        ),
+        tb AS (
+            SELECT grp,
+                   CAST(sum(CASE WHEN NOT a_ok AND NOT b_ok
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+                   CAST(sum(CASE WHEN NOT a_ok AND b_ok
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+                   CAST(sum(CASE WHEN a_ok AND NOT b_ok
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+                   CAST(sum(CASE WHEN a_ok AND b_ok
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+            FROM pr GROUP BY grp
+        ),
+        tk AS (
+            SELECT *, n01 + n10 AS nd, least(n01, n10) AS k FROM tb
+        ),
+        pascal(t, row) AS (
+            SELECT 0, [CAST(1 AS BIGINT)]
+            UNION ALL
+            SELECT t + 1,
+                   list_prepend(CAST(1 AS BIGINT),
+                       list_append(
+                           list_transform(range(1, len(row)),
+                                          i -> row[i] + row[i + 1]),
+                           CAST(1 AS BIGINT)))
+            FROM pascal WHERE t < 40
+        ),
+        p AS (
+            SELECT grp, n00, n01, n10, n11, nd, k,
+                   least(CAST(1 AS BIGINT) << nd,
+                         2 * list_sum(row[1 : k + 1])) AS p_num,
+                   CAST(1 AS BIGINT) << nd AS p_den
+            FROM tk JOIN pascal ON pascal.t = tk.nd
+        )
+        SELECT grp, n00, n01, n10, n11, nd, k,
+               CAST(p_num AS BIGINT) AS p_num, p_den,
+               p_num * 1000000 // p_den AS p_ppm,
+               p_num * 20 <= p_den AS signif
+        FROM p ORDER BY grp
+"""
+
+
+def q323_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified 2x2 association
+    (evaluation/cmh.py; Mantel & Haenszel 1959) over 960 SF-invariant
+    events in 10 strata with a planted exposure->outcome lift (+10
+    points) — per-stratum deviation/variance/odds terms once-quantized
+    to sign-split trunc-milli, then the chi-squared statistic, the
+    3841/6635 published critical-value gates and the MH common odds
+    ratio all in exact integer arithmetic. Full per-stratum replay
+    oracle."""
+    from spanluke_spark.evaluation.cmh import cmh_test
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 960")
+    e = F.col("event_id")
+    rows = ev.select(
+        (e % 10).alias("stratum"),
+        ((e * 7) % 100 < 50).alias("exposed"),
+        (
+            (e * 11) % 100
+            < 40 + F.when((e * 7) % 100 < 50, 10).otherwise(0)
+        ).alias("outcome"),
+    )
+    return cmh_test(rows)
+
+
+_CMH_ORACLE_SQL = """
+        WITH rw AS (
+            SELECT event_id % 10 AS stratum,
+                   (event_id * 7) % 100 < 50 AS exposed,
+                   (event_id * 11) % 100 < 40
+                       + CASE WHEN (event_id * 7) % 100 < 50
+                              THEN 10 ELSE 0 END AS outcome
+            FROM events WHERE event_id < 960
+        ),
+        tab AS (
+            SELECT stratum,
+                   CAST(sum(CASE WHEN exposed AND outcome
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                   CAST(sum(CASE WHEN exposed AND NOT outcome
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                   CAST(sum(CASE WHEN NOT exposed AND outcome
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                   CAST(sum(CASE WHEN NOT exposed AND NOT outcome
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS d
+            FROM rw GROUP BY stratum
+        ),
+        per AS (
+            SELECT *, a + b + c + d AS t FROM tab
+            WHERE a + b + c + d >= 2
+        ),
+        q AS (
+            SELECT t, a, b, c, d,
+                   CASE WHEN a * t - (a + b) * (a + c) < 0
+                        THEN -(abs(a * t - (a + b) * (a + c)) * 1000 // t)
+                        ELSE abs(a * t - (a + b) * (a + c)) * 1000 // t
+                   END AS dev_milli,
+                   (a + b) * (c + d) * (a + c) * (b + d) * 1000
+                       // (t * t * (t - 1)) AS var_milli,
+                   a * d * 1000 // t AS ad_milli,
+                   b * c * 1000 // t AS bc_milli
+            FROM per
+        ),
+        ag AS (
+            SELECT CAST(count(*) AS BIGINT) AS k_strata,
+                   CAST(sum(t) AS BIGINT) AS total,
+                   CAST(sum(dev_milli) AS BIGINT) AS s_dev_milli,
+                   CAST(sum(var_milli) AS BIGINT) AS v_milli,
+                   CAST(sum(ad_milli) AS BIGINT) AS s_ad_milli,
+                   CAST(sum(bc_milli) AS BIGINT) AS s_bc_milli
+            FROM q
+        )
+        SELECT k_strata, total, s_dev_milli, v_milli,
+               s_ad_milli, s_bc_milli,
+               CASE WHEN v_milli > 0
+                    THEN s_dev_milli * s_dev_milli // v_milli END
+                   AS chi2_milli,
+               COALESCE(CASE WHEN v_milli > 0
+                    THEN s_dev_milli * s_dev_milli // v_milli END, 0)
+                   >= 3841 AS sig95,
+               COALESCE(CASE WHEN v_milli > 0
+                    THEN s_dev_milli * s_dev_milli // v_milli END, 0)
+                   >= 6635 AS sig99,
+               CASE WHEN s_bc_milli > 0
+                    THEN s_ad_milli * 1000000 // s_bc_milli END AS or_ppm
+        FROM ag
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -14806,6 +14963,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q319_lru_hit_curve": q319_lru_hit_curve,
         "q320_wer": q320_wer,
         "q321_misra_gries": q321_misra_gries,
+        "q322_mcnemar": q322_mcnemar,
+        "q323_cmh": q323_cmh,
     }
 
 
@@ -18802,4 +18961,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q320_wer"] = _WER_ORACLE_SQL
     # q321: both prune levels + counter-sum merge replayed verbatim
     out["q321_misra_gries"] = _MG_ORACLE_SQL
+    # q322: recursive Pascal rows, exact clamped two-sided tails
+    out["q322_mcnemar"] = _MCNEMAR_ORACLE_SQL
+    # q323: per-stratum milli terms + exact integer chi2/OR replay
+    out["q323_cmh"] = _CMH_ORACLE_SQL
     return out

@@ -310,6 +310,8 @@ EXTRA_NAMES = [
         "q319_lru_hit_curve",
         "q320_wer",
         "q321_misra_gries",
+        "q322_mcnemar",
+        "q323_cmh",
 ]
 
 
