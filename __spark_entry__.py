@@ -12980,6 +12980,155 @@ _CMH_ORACLE_SQL = """
 """
 
 
+def q324_llr_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood-ratio keyword extraction
+    (textops/llr.py; Dunning 1993) — top-30 surprise tokens of the
+    doc_id % 3 == 0 foreground slice vs the rest of 400 SF-invariant
+    documents: per-cell ln ratios once-quantized to round-ln-ppm
+    (q307 discipline), exact integer cell sums and doubling, exact
+    cross-multiplied enrichment direction, distributed TakeOrdered
+    before the rank window ever sees a row. The oracle replays all
+    four O·ln(O/E) cells with the same quantization."""
+    from spanluke_spark.textops.llr import llr_keywords
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 400")
+    toks = docs.select(
+        (F.col("doc_id") % 3 == 0).alias("fg"),
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    return llr_keywords(toks, top_k=30).orderBy("rnk")
+
+
+_LLR_ORACLE_SQL = """
+        WITH toks AS (
+            SELECT doc_id % 3 = 0 AS fg,
+                   unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS token
+            FROM documents WHERE doc_id < 400
+        ),
+        counts AS (
+            SELECT token,
+                   CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END)
+                        AS BIGINT) AS a,
+                   CAST(sum(CASE WHEN fg THEN 0 ELSE 1 END)
+                        AS BIGINT) AS b
+            FROM toks GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END)
+                        AS BIGINT) AS na,
+                   CAST(sum(CASE WHEN fg THEN 0 ELSE 1 END)
+                        AS BIGINT) AS nb
+            FROM toks
+        ),
+        sc AS (
+            SELECT token, a, b,
+                   2 * (CASE WHEN a > 0 THEN a * CAST(round(ln(
+                            (a * (na + nb)) / (na * (a + b))
+                        ) * 1000000) AS BIGINT) ELSE 0 END
+                      + CASE WHEN b > 0 THEN b * CAST(round(ln(
+                            (b * (na + nb)) / (nb * (a + b))
+                        ) * 1000000) AS BIGINT) ELSE 0 END
+                      + CASE WHEN na - a > 0 THEN (na - a) * CAST(round(ln(
+                            ((na - a) * (na + nb))
+                            / (na * (na - a + nb - b))
+                        ) * 1000000) AS BIGINT) ELSE 0 END
+                      + CASE WHEN nb - b > 0 THEN (nb - b) * CAST(round(ln(
+                            ((nb - b) * (na + nb))
+                            / (nb * (na - a + nb - b))
+                        ) * 1000000) AS BIGINT) ELSE 0 END)
+                       AS llr_ppm,
+                   a * nb > b * na AS enriched
+            FROM counts, tot
+        )
+        SELECT token, a, b, llr_ppm, enriched,
+               CAST(row_number() OVER (ORDER BY llr_ppm DESC, token)
+                    AS INTEGER) AS rnk
+        FROM sc ORDER BY llr_ppm DESC, token LIMIT 30
+"""
+
+
+def q325_holm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm-Bonferroni step-down FWER control (evaluation/holm.py;
+    Holm 1979) over 20 hosts x 32 audited trials with planted failure
+    classes (11/29 .. 23/29 vs the 1/2 null) — exact dyadic tails
+    shared with the BH lane, step-down decided by cross-multiplied
+    alpha/(m-i+1) thresholds with a prefix-AND running min, adjusted
+    p by the once-quantized running max. Recursive-Pascal oracle with
+    the same prefix windows."""
+    from spanluke_spark.evaluation.holm import holm_stepdown
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    trials = ev.where(F.expr("event_id div 20 < 32")).select(
+        (e % 20).alias("grp"),
+        (((e * 17 + 3) % 29) < (11 + (e % 20 % 5) * 3)).alias("fail"),
+    )
+    return holm_stepdown(trials, alpha_num=1, alpha_den=10).orderBy("grp")
+
+
+_HOLM_ORACLE_SQL = """
+        WITH RECURSIVE
+        tr AS (
+            SELECT event_id % 20 AS grp,
+                   ((event_id * 17 + 3) % 29)
+                       < (11 + (event_id % 20 % 5) * 3) AS fail
+            FROM events WHERE event_id // 20 < 32
+        ),
+        agg AS (
+            SELECT grp, CAST(count(*) AS INTEGER) AS n,
+                   CAST(sum(CASE WHEN fail THEN 1 ELSE 0 END)
+                        AS INTEGER) AS x
+            FROM tr GROUP BY grp
+        ),
+        pascal(t, row) AS (
+            SELECT 0, [CAST(1 AS BIGINT)]
+            UNION ALL
+            SELECT t + 1,
+                   list_prepend(CAST(1 AS BIGINT),
+                       list_append(
+                           list_transform(range(1, len(row)),
+                                          i -> row[i] + row[i + 1]),
+                           CAST(1 AS BIGINT)))
+            FROM pascal WHERE t < 40
+        ),
+        p AS (
+            SELECT grp, n, x,
+                   list_sum(row[x + 1 : n + 1]) AS p_num,
+                   CAST(1 AS BIGINT) << n AS p_den,
+                   list_sum(row[x + 1 : n + 1]) << (40 - n) AS p_s
+            FROM agg JOIN pascal ON pascal.t = agg.n
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (ORDER BY p_s, grp) AS rank,
+                   count(*) OVER () AS m
+            FROM p
+        ),
+        dec AS (
+            SELECT *,
+                   min(CASE WHEN p_num * 10 * (m - rank + 1) <= p_den
+                            THEN 1 ELSE 0 END) OVER (
+                       ORDER BY p_s, grp
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS ok,
+                   max(least(CAST(1000000 AS BIGINT),
+                             (m - rank + 1)
+                             * (p_num * 1000000 // p_den))) OVER (
+                       ORDER BY p_s, grp
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS padj_ppm
+            FROM ranked
+        )
+        SELECT grp, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x,
+               CAST(p_num AS BIGINT) AS p_num, p_den,
+               CAST(rank AS BIGINT) AS rank,
+               ok = 1 AS reject, padj_ppm
+        FROM dec ORDER BY grp
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -14965,6 +15114,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q321_misra_gries": q321_misra_gries,
         "q322_mcnemar": q322_mcnemar,
         "q323_cmh": q323_cmh,
+        "q324_llr_keywords": q324_llr_keywords,
+        "q325_holm": q325_holm,
     }
 
 
@@ -18965,4 +19116,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q322_mcnemar"] = _MCNEMAR_ORACLE_SQL
     # q323: per-stratum milli terms + exact integer chi2/OR replay
     out["q323_cmh"] = _CMH_ORACLE_SQL
+    # q324: all four O·ln(O/E) cells replayed at the same ln-ppm
+    out["q324_llr_keywords"] = _LLR_ORACLE_SQL
+    # q325: recursive Pascal + step-down prefix min/max windows
+    out["q325_holm"] = _HOLM_ORACLE_SQL
     return out

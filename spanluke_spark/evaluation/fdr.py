@@ -38,20 +38,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bh_fdr"]
+__all__ = ["bh_fdr", "binom_tail_pvalues"]
 
 NMAX = 40
 
 
-def bh_fdr(
+def binom_tail_pvalues(
     trials: DataFrame,
-    alpha_num: int = 1,
-    alpha_den: int = 10,
     group_col: str = "grp",
     fail_col: str = "fail",
 ) -> DataFrame:
     """(grp, fail: boolean) rows -> per grp: (grp, n, x, p_num, p_den,
-    rank, reject, qval_ppm). Requires per-group trial counts <= 40."""
+    p_s) — the exact dyadic one-sided tail P(X >= x | n, 1/2) with the
+    common-denominator sort key p_s. Shared by the BH step-up here and
+    the Holm step-down (evaluation/holm.py). Trial counts <= 40."""
     agg = trials.groupBy(F.col(group_col).alias("grp")).agg(
         F.count(F.lit(1)).cast("int").alias("n"),
         F.sum(F.col(fail_col).cast("int")).cast("int").alias("x"),
@@ -86,6 +86,19 @@ def bh_fdr(
         "p_s",
         F.expr(f"shiftleft(p_num, {NMAX} - n)"),
     )
+    return p
+
+
+def bh_fdr(
+    trials: DataFrame,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+    group_col: str = "grp",
+    fail_col: str = "fail",
+) -> DataFrame:
+    """(grp, fail: boolean) rows -> per grp: (grp, n, x, p_num, p_den,
+    rank, reject, qval_ppm). Requires per-group trial counts <= 40."""
+    p = binom_tail_pvalues(trials, group_col, fail_col)
 
     w = Window.orderBy("p_s", "grp")
     m = Window.partitionBy()

@@ -312,6 +312,8 @@ EXTRA_NAMES = [
         "q321_misra_gries",
         "q322_mcnemar",
         "q323_cmh",
+        "q324_llr_keywords",
+        "q325_holm",
 ]
 
 
