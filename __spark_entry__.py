@@ -13129,6 +13129,159 @@ _HOLM_ORACLE_SQL = """
 """
 
 
+def q326_fleiss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa multi-rater agreement (evaluation/fleiss.py;
+    Fleiss 1971) over a 4-rater panel labeling 300 SF-invariant items
+    into 5 categories with ~70% planted consensus — exact rational
+    P_bar/P_e carried to the (kappa_num, kappa_den) cross product,
+    sign-split trunc-ppm report; items with a 5th rating (doc_id %
+    59 == 0) are dropped per the constant-panel contract. The oracle
+    replays both groupBys and the cross products."""
+    from spanluke_spark.evaluation.fleiss import fleiss_kappa
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 300")
+    d = F.col("item")
+    rat = docs.select(F.col("doc_id").alias("item")).select(
+        "item",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.lit(3) + (d % 59 == 0).cast("int"),
+            )
+        ).alias("r"),
+    ).select(
+        "item",
+        (
+            (
+                d * 3
+                + F.when((d * 7 + F.col("r") * 13) % 10 < 7, 0).otherwise(
+                    1 + (d + F.col("r")) % 3
+                )
+            )
+            % 5
+        ).alias("category"),
+    )
+    return fleiss_kappa(rat, n_raters=4)
+
+
+_FLEISS_ORACLE_SQL = """
+        WITH rat AS (
+            SELECT doc_id AS item, r,
+                   (doc_id * 3 + CASE WHEN (doc_id * 7 + r * 13) % 10 < 7
+                                      THEN 0
+                                      ELSE 1 + (doc_id + r) % 3 END) % 5
+                       AS category
+            FROM documents,
+                 UNNEST(range(0, 4 + CASE WHEN doc_id % 59 = 0
+                                          THEN 1 ELSE 0 END)) AS tr(r)
+            WHERE doc_id < 300
+        ),
+        pic AS (
+            SELECT item, category, CAST(count(*) AS BIGINT) AS nij
+            FROM rat GROUP BY 1, 2
+        ),
+        pi AS (
+            SELECT item, CAST(sum(nij) AS BIGINT) AS n_i,
+                   CAST(sum(nij * nij) AS BIGINT) AS sq_i
+            FROM pic GROUP BY 1
+        ),
+        kept AS (SELECT * FROM pi WHERE n_i = 4),
+        drp AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_dropped
+            FROM pi WHERE n_i <> 4
+        ),
+        ct AS (
+            SELECT CAST(COALESCE(sum(cj * cj), 0) AS BIGINT) AS e
+            FROM (SELECT category, CAST(sum(nij) AS BIGINT) AS cj
+                  FROM pic JOIN kept USING (item) GROUP BY 1)
+        ),
+        base AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(sq_i) AS BIGINT) AS sq
+            FROM kept
+        ),
+        vals AS (
+            SELECT n_items, n_dropped, e,
+                   sq - n_items * 4 AS a,
+                   n_items * 4 * 3 AS b,
+                   n_items * 4 * n_items * 4 AS g
+            FROM base, ct, drp
+        )
+        SELECT n_items, CAST(4 AS BIGINT) AS n_raters, n_dropped,
+               a * 1000000 // b AS pbar_ppm,
+               e * 1000000 // g AS pe_ppm,
+               a * g - b * e AS kappa_num,
+               b * (g - e) AS kappa_den,
+               CASE WHEN b * (g - e) = 0 THEN NULL
+                    WHEN a * g - b * e < 0
+                    THEN -(abs(a * g - b * e) * 1000000 // (b * (g - e)))
+                    ELSE abs(a * g - b * e) * 1000000 // (b * (g - e))
+               END AS kappa_ppm
+        FROM vals
+"""
+
+
+def q327_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT sequential crawl-source quality monitoring
+    (evaluation/sprt.py; Wald 1945): H0 p=0.4 vs H1 p=0.6 at
+    alpha=beta=0.05 over 12 sources x 80 ordered trials with planted
+    rates 35/45/55/65% — the four ln constants are once-quantized
+    driver-side (405465 / -405465 / 2944439 / -2944439 ppm, pinned by
+    pytest) so neither engine evaluates a logarithm; cumulative LLR
+    is an exact integer window sum, first boundary crossing decides.
+    The oracle replays the window and the arg_min crossing."""
+    from spanluke_spark.evaluation.sprt import sprt, wald_params
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 960")
+    e = F.col("event_id")
+    trials = ev.select(
+        (e % 12).alias("grp"),
+        e.alias("pos"),
+        ((e * 13 + 7) % 100 < 35 + (e % 12 % 4) * 10).alias("outcome"),
+    )
+    return sprt(trials, **wald_params(0.4, 0.6, 0.05, 0.05)).orderBy("grp")
+
+
+_SPRT_ORACLE_SQL = """
+        WITH tr AS (
+            SELECT event_id % 12 AS grp, event_id AS pos,
+                   (event_id * 13 + 7) % 100
+                       < 35 + (event_id % 12 % 4) * 10 AS outcome
+            FROM events WHERE event_id < 960
+        ),
+        run AS (
+            SELECT grp, pos,
+                   CAST(sum(CASE WHEN outcome THEN 405465
+                                 ELSE -405465 END) OVER (
+                       PARTITION BY grp ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS llr_ppm
+            FROM tr
+        ),
+        tot AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS n_seen,
+                   CAST(arg_max(llr_ppm, pos) AS BIGINT)
+                       AS final_llr_ppm
+            FROM run GROUP BY grp
+        ),
+        cr AS (
+            SELECT grp, CAST(min(pos) AS BIGINT) AS t_decide,
+                   CAST(arg_min(llr_ppm, pos) AS BIGINT)
+                       AS llr_at_decision_ppm
+            FROM run
+            WHERE llr_ppm >= 2944439 OR llr_ppm <= -2944439
+            GROUP BY grp
+        )
+        SELECT tot.grp, n_seen, final_llr_ppm,
+               CASE WHEN t_decide IS NULL THEN 'continue'
+                    WHEN llr_at_decision_ppm >= 2944439 THEN 'accept_h1'
+                    ELSE 'accept_h0' END AS decision,
+               t_decide, llr_at_decision_ppm
+        FROM tot LEFT JOIN cr ON cr.grp = tot.grp
+        ORDER BY tot.grp
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -15116,6 +15269,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q323_cmh": q323_cmh,
         "q324_llr_keywords": q324_llr_keywords,
         "q325_holm": q325_holm,
+        "q326_fleiss": q326_fleiss,
+        "q327_sprt": q327_sprt,
     }
 
 
@@ -19120,4 +19275,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q324_llr_keywords"] = _LLR_ORACLE_SQL
     # q325: recursive Pascal + step-down prefix min/max windows
     out["q325_holm"] = _HOLM_ORACLE_SQL
+    # q326: both count groupBys + exact kappa cross products
+    out["q326_fleiss"] = _FLEISS_ORACLE_SQL
+    # q327: integer window cumsum + arg_min first-crossing replay
+    out["q327_sprt"] = _SPRT_ORACLE_SQL
     return out

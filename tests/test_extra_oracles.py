@@ -314,6 +314,8 @@ EXTRA_NAMES = [
         "q323_cmh",
         "q324_llr_keywords",
         "q325_holm",
+        "q326_fleiss",
+        "q327_sprt",
 ]
 
 
