@@ -13282,6 +13282,148 @@ _SPRT_ORACLE_SQL = """
 """
 
 
+_RING_NODES = [f"fetcher-{i}" for i in range(6)]
+
+
+def q328_ring_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash ring routing (etl/ring.py; Karger et al. 1997):
+    97 crawl hosts over 6 fetcher nodes x 16 virtual points. The ring
+    is ONE sorted struct array broadcast onto the key table — per key
+    the successor point is an F.filter + element_at, zero joins, zero
+    shuffles; the md5-60bit point/key hashes are the identical literal
+    expression in the DuckDB oracle, which replays the clockwise-
+    successor rule (wrap to the ring head) with the same (ph, node, v)
+    tie order."""
+    from spanluke_spark.etl.ring import ring_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    keys = docs.select(
+        F.concat(F.lit("host-"), (F.col("doc_id") % 97).cast("string")).alias(
+            "key"
+        )
+    ).distinct()
+    return ring_assign(keys, _RING_NODES, vnodes=16).orderBy("key")
+
+
+def _ring_oracle_sql() -> str:
+    lits = ", ".join(f"'{n}'" for n in _RING_NODES)
+    return f"""
+        WITH keys AS (
+            SELECT DISTINCT 'host-' || (doc_id % 97) AS key FROM documents
+        ),
+        ring AS (
+            SELECT node, v,
+                   ('0x' || substr(md5(node || ':' || CAST(v AS VARCHAR)),
+                                   1, 15))::BIGINT AS ph
+            FROM (SELECT unnest([{lits}]) AS node) n,
+                 UNNEST(range(0, 16)) AS tv(v)
+        ),
+        k AS (
+            SELECT key,
+                   ('0x' || substr(md5(key), 1, 15))::BIGINT AS kh
+            FROM keys
+        ),
+        succ AS (
+            SELECT key, node, ph,
+                   row_number() OVER (PARTITION BY key
+                                      ORDER BY ph, node, v) AS rn
+            FROM k JOIN ring ON ph >= kh
+        ),
+        head AS (
+            SELECT node, ph FROM (
+                SELECT node, ph,
+                       row_number() OVER (ORDER BY ph, node, v) AS rn
+                FROM ring
+            ) WHERE rn = 1
+        )
+        SELECT k.key, k.kh,
+               COALESCE(s.node, h.node) AS node,
+               COALESCE(s.ph, h.ph) AS point_ph
+        FROM k
+        LEFT JOIN (SELECT key, node, ph FROM succ WHERE rn = 1) s
+            USING (key)
+        CROSS JOIN head h
+        ORDER BY k.key
+    """
+
+
+def q329_brier_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score (evaluation/brier.py;
+    Murphy 1973): BS = REL - RES + UNC over 20 ppm-quantized forecast
+    classes with a deliberately miscalibrated planted scorer (true
+    rate = min(1, 0.7 f + 0.3), all-integer comparison) so REL > 0 and
+    RES > 0. Per-class gaps once-quantized to sign-split trunc-milli,
+    rel/res exact integer sums of nk*d^2 — every remaining division is
+    on non-negative integers so Spark div == DuckDB //; the gap
+    diagnostic decomp_gap_ppm is a subtraction, never a division."""
+    from spanluke_spark.evaluation.brier import brier_decomposition
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    d = F.col("doc_id")
+    f = (((d * 37) % 20) * 50000).cast("long")
+    preds = docs.select(
+        f.alias("f_ppm"),
+        (((d * 7919 + 13) % 1000000) * 10 < f * 7 + 3000000).alias(
+            "outcome"
+        ),
+    )
+    return brier_decomposition(preds)
+
+
+_BRIER_ORACLE_SQL = """
+        WITH preds AS (
+            SELECT CAST(((doc_id * 37) % 20) * 50000 AS BIGINT) AS f,
+                   ((doc_id * 7919 + 13) % 1000000) * 10
+                       < ((doc_id * 37) % 20) * 50000 * 7 + 3000000
+                       AS outcome
+            FROM documents WHERE doc_id < 400
+        ),
+        bins AS (
+            SELECT f, CAST(count(*) AS BIGINT) AS nk,
+                   CAST(sum(CASE WHEN outcome THEN 1 ELSE 0 END)
+                        AS BIGINT) AS xk
+            FROM preds GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(nk) AS BIGINT) AS n,
+                   CAST(sum(xk) AS BIGINT) AS x
+            FROM bins
+        ),
+        per AS (
+            SELECT f, nk, xk, n, x,
+                   CASE WHEN f * nk - 1000000 * xk < 0
+                        THEN -(abs(f * nk - 1000000 * xk) // (1000 * nk))
+                        ELSE abs(f * nk - 1000000 * xk) // (1000 * nk)
+                   END AS d_milli,
+                   CASE WHEN xk * n - x * nk < 0
+                        THEN -(abs(xk * n - x * nk) * 1000 // (nk * n))
+                        ELSE abs(xk * n - x * nk) * 1000 // (nk * n)
+                   END AS e_milli,
+                   xk * (f - 1000000) * (f - 1000000)
+                       + (nk - xk) * f * f AS bs_term
+            FROM bins, tot
+        ),
+        agg AS (
+            SELECT max(n) AS n, max(x) AS x,
+                   CAST(count(*) AS BIGINT) AS n_bins,
+                   CAST(sum(nk * d_milli * d_milli) AS BIGINT) AS rel_micro,
+                   CAST(sum(nk * e_milli * e_milli) AS BIGINT) AS res_micro,
+                   CAST(sum(bs_term) AS BIGINT) AS bs_num
+            FROM per
+        )
+        SELECT n, n_bins,
+               bs_num // (1000000 * n) AS bs_ppm,
+               rel_micro // n AS rel_ppm,
+               res_micro // n AS res_ppm,
+               x * (n - x) * 1000000 // (n * n) AS unc_ppm,
+               bs_num // (1000000 * n)
+                   - (rel_micro // n - res_micro // n
+                      + x * (n - x) * 1000000 // (n * n))
+                   AS decomp_gap_ppm
+        FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -15271,6 +15413,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q325_holm": q325_holm,
         "q326_fleiss": q326_fleiss,
         "q327_sprt": q327_sprt,
+        "q328_ring_assign": q328_ring_assign,
+        "q329_brier_decomp": q329_brier_decomp,
     }
 
 
@@ -19279,4 +19423,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q326_fleiss"] = _FLEISS_ORACLE_SQL
     # q327: integer window cumsum + arg_min first-crossing replay
     out["q327_sprt"] = _SPRT_ORACLE_SQL
+    # q328: clockwise-successor replay with the same (ph, node, v) ties
+    out["q328_ring_assign"] = _ring_oracle_sql()
+    # q329: identical integer milli/ppm arithmetic, all divisions >= 0
+    out["q329_brier_decomp"] = _BRIER_ORACLE_SQL
     return out

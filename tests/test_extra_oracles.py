@@ -316,6 +316,8 @@ EXTRA_NAMES = [
         "q325_holm",
         "q326_fleiss",
         "q327_sprt",
+        "q328_ring_assign",
+        "q329_brier_decomp",
 ]
 
 
