@@ -13424,6 +13424,131 @@ _BRIER_ORACLE_SQL = """
 """
 
 
+def q330_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman's rank correlation with ties (evaluation/spearman.py;
+    Spearman 1904): 240 events scored by two tied quality signals —
+    double-ranks (2*rank + cnt - 1) keep fractional average ranks in
+    the integers, the (num, den2x, den2y) Pearson carry is exact, and
+    rho^2 is reported sqrt-free via the two-stage trunc-ppm sized to
+    the long bound (num^2 <= den2x*den2y by Cauchy-Schwarz). The
+    oracle replays the same rank windows and the same two-stage
+    division."""
+    from spanluke_spark.evaluation.spearman import spearman_rho
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 240")
+    e = F.col("event_id")
+    pairs = ev.select(
+        ((e * 7) % 50).alias("x"),
+        (((e * 7) % 50) * 3 + (e * 13) % 40).alias("y"),
+    )
+    return spearman_rho(pairs)
+
+
+_SPEARMAN_ORACLE_SQL = """
+        WITH p AS (
+            SELECT (event_id * 7) % 50 AS x,
+                   ((event_id * 7) % 50) * 3 + (event_id * 13) % 40 AS y
+            FROM events WHERE event_id < 240
+        ),
+        r AS (
+            SELECT CAST(2 * rank() OVER (ORDER BY x)
+                        + count(*) OVER (PARTITION BY x) - 1
+                        AS BIGINT) AS a,
+                   CAST(2 * rank() OVER (ORDER BY y)
+                        + count(*) OVER (PARTITION BY y) - 1
+                        AS BIGINT) AS b
+            FROM p
+        ),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(a) AS BIGINT) AS sa,
+                   CAST(sum(b) AS BIGINT) AS sb,
+                   CAST(sum(a * b) AS BIGINT) AS sab,
+                   CAST(sum(a * a) AS BIGINT) AS saa,
+                   CAST(sum(b * b) AS BIGINT) AS sbb
+            FROM r
+        )
+        SELECT n,
+               n * sab - sa * sb AS num,
+               n * saa - sa * sa AS den2x,
+               n * sbb - sb * sb AS den2y,
+               CASE WHEN n * saa - sa * sa > 0
+                     AND n * sbb - sb * sb > 0
+                    THEN (n * sab - sa * sb) * (n * sab - sa * sb)
+                         // (n * saa - sa * sa)
+                         * 1000000 // (n * sbb - sb * sb)
+               END AS rho2_ppm,
+               CASE WHEN n * sab - sa * sb > 0 THEN 1
+                    WHEN n * sab - sa * sb < 0 THEN -1
+                    ELSE 0 END AS rho_sign
+        FROM s
+"""
+
+
+def q331_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized mutual information between two clusterings
+    (evaluation/nmi.py; Strehl & Ghosh 2002, arithmetic-mean form so
+    no sqrt enters): a 7-way vs a correlated 5-way partition of 420
+    documents. Cell/marginal ln ratios once-quantized to round-ln-ppm
+    (q307/q324 discipline), mi/ha/hb exact integer sums in n*1e6-nat
+    units, nmi_ppm a single sign-split trunc division."""
+    from spanluke_spark.evaluation.nmi import nmi
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 420)
+    d = F.col("doc_id")
+    items = docs.select(
+        (d % 7).alias("a"),
+        ((d % 7) * 2 + (d * 11) % 3).alias("bq"),
+    ).select("a", (F.col("bq") % 5).alias("b"))
+    return nmi(items)
+
+
+_NMI_ORACLE_SQL = """
+        WITH t AS (
+            SELECT doc_id % 7 AS a,
+                   ((doc_id % 7) * 2 + (doc_id * 11) % 3) % 5 AS b
+            FROM documents WHERE doc_id < 420
+        ),
+        cells AS (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS nij
+            FROM t GROUP BY 1, 2
+        ),
+        am AS (SELECT a, CAST(sum(nij) AS BIGINT) AS ai
+               FROM cells GROUP BY 1),
+        bm AS (SELECT b, CAST(sum(nij) AS BIGINT) AS bj
+               FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM cells),
+        mi AS (
+            SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(sum(nij * CAST(round(
+                       ln((nij * n)::DOUBLE / (ai * bj)) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS mi_num
+            FROM cells JOIN am USING (a) JOIN bm USING (b), tot
+        ),
+        ha AS (
+            SELECT CAST(sum(ai * CAST(round(
+                       ln(n::DOUBLE / ai) * 1000000) AS BIGINT))
+                   AS BIGINT) AS ha_num
+            FROM am, tot
+        ),
+        hb AS (
+            SELECT CAST(sum(bj * CAST(round(
+                       ln(n::DOUBLE / bj) * 1000000) AS BIGINT))
+                   AS BIGINT) AS hb_num
+            FROM bm, tot
+        )
+        SELECT n, n_cells, mi_num, ha_num, hb_num,
+               CASE WHEN ha_num + hb_num > 0 THEN
+                   CASE WHEN mi_num < 0
+                        THEN -(abs(2 * mi_num * 1000000)
+                               // (ha_num + hb_num))
+                        ELSE abs(2 * mi_num * 1000000)
+                             // (ha_num + hb_num) END
+               END AS nmi_ppm
+        FROM mi, ha, hb
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -15415,6 +15540,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q327_sprt": q327_sprt,
         "q328_ring_assign": q328_ring_assign,
         "q329_brier_decomp": q329_brier_decomp,
+        "q330_spearman": q330_spearman,
+        "q331_nmi": q331_nmi,
     }
 
 
@@ -19427,4 +19554,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q328_ring_assign"] = _ring_oracle_sql()
     # q329: identical integer milli/ppm arithmetic, all divisions >= 0
     out["q329_brier_decomp"] = _BRIER_ORACLE_SQL
+    # q330: same rank windows, same two-stage trunc (num^2 >= 0)
+    out["q330_spearman"] = _SPEARMAN_ORACLE_SQL
+    # q331: identical round-ln-ppm cells, sign-split trunc nmi
+    out["q331_nmi"] = _NMI_ORACLE_SQL
     return out

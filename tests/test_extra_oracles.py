@@ -318,6 +318,8 @@ EXTRA_NAMES = [
         "q327_sprt",
         "q328_ring_assign",
         "q329_brier_decomp",
+        "q330_spearman",
+        "q331_nmi",
 ]
 
 
