@@ -13549,6 +13549,174 @@ _NMI_ORACLE_SQL = """
 """
 
 
+def q332_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's exact test (evaluation/fisher.py; Fisher 1934) over 9
+    per-stratum 2x2 host incident tables (20-per-arm, one deliberately
+    out-of-regime stratum gating the NULL contract): hypergeometric
+    weights as exact integer binomial numerators from factorial(<=20),
+    the shared C(n, c1) denominator recovered by Vandermonde (never a
+    factorial above 20), method-of-small-P two-sided tail on exact
+    integers and the cross-multiplied 20*p_num <= p_den significance.
+    The oracle replays the same k-grid with HUGEINT factorials cast
+    back to BIGINT."""
+    from spanluke_spark.evaluation.fisher import fisher_exact
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 360")
+    e = F.col("event_id")
+    grp = (e / 40).cast("long")
+    arm = F.when(grp == 8, F.lit(1)).otherwise(e % 2)
+    succ = (e * 13 + grp * 31) % 100 < 30 + (grp % 4) * 15 + arm * (
+        (grp % 3) * 12
+    )
+    rows = ev.select(grp.alias("grp"), arm.alias("arm"), succ.alias("succ"))
+    tabs = rows.groupBy("grp").agg(
+        F.sum(((F.col("arm") == 1) & F.col("succ")).cast("int"))
+        .cast("long")
+        .alias("a"),
+        F.sum(((F.col("arm") == 1) & ~F.col("succ")).cast("int"))
+        .cast("long")
+        .alias("b"),
+        F.sum(((F.col("arm") == 0) & F.col("succ")).cast("int"))
+        .cast("long")
+        .alias("c"),
+        F.sum(((F.col("arm") == 0) & ~F.col("succ")).cast("int"))
+        .cast("long")
+        .alias("d"),
+    )
+    return fisher_exact(tabs).orderBy("grp")
+
+
+_FISHER_ORACLE_SQL = """
+        WITH ev AS (
+            SELECT event_id AS e, event_id // 40 AS grp
+            FROM events WHERE event_id < 360
+        ),
+        rws AS (
+            SELECT grp,
+                   CASE WHEN grp = 8 THEN 1 ELSE e % 2 END AS arm,
+                   (e * 13 + grp * 31) % 100
+                       < 30 + (grp % 4) * 15
+                         + (CASE WHEN grp = 8 THEN 1 ELSE e % 2 END)
+                           * ((grp % 3) * 12) AS succ
+            FROM ev
+        ),
+        tabs AS (
+            SELECT grp,
+                   CAST(sum(CASE WHEN arm = 1 AND succ THEN 1 ELSE 0 END)
+                        AS BIGINT) AS a,
+                   CAST(sum(CASE WHEN arm = 1 AND NOT succ THEN 1 ELSE 0 END)
+                        AS BIGINT) AS b,
+                   CAST(sum(CASE WHEN arm = 0 AND succ THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c,
+                   CAST(sum(CASE WHEN arm = 0 AND NOT succ THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d
+            FROM rws GROUP BY 1
+        ),
+        m AS (
+            SELECT grp, CAST(a AS INTEGER) AS a,
+                   CAST(a + b AS INTEGER) AS r1,
+                   CAST(c + d AS INTEGER) AS r2,
+                   CAST(a + c AS INTEGER) AS c1
+            FROM tabs
+            WHERE a + b <= 20 AND c + d <= 20
+        ),
+        sc AS (
+            SELECT grp,
+                   CAST(factorial(r1) // (factorial(k) * factorial(r1 - k))
+                        * (factorial(r2) // (factorial(c1 - k)
+                                             * factorial(r2 - c1 + k)))
+                        AS BIGINT) AS w,
+                   CAST(factorial(r1) // (factorial(a) * factorial(r1 - a))
+                        * (factorial(r2) // (factorial(c1 - a)
+                                             * factorial(r2 - c1 + a)))
+                        AS BIGINT) AS w_obs
+            FROM m, UNNEST(range(0, 21)) AS tk(kk)
+            CROSS JOIN LATERAL (SELECT CAST(kk AS INTEGER) AS k)
+            WHERE k >= greatest(0, c1 - r2) AND k <= least(r1, c1)
+        ),
+        agg AS (
+            SELECT grp, CAST(max(w_obs) AS BIGINT) AS w_obs,
+                   CAST(sum(CASE WHEN w <= w_obs THEN w END)
+                        AS BIGINT) AS p_num,
+                   CAST(sum(w) AS BIGINT) AS p_den
+            FROM sc GROUP BY grp
+        )
+        SELECT t.grp, t.a, t.b, t.c, t.d,
+               g.w_obs, g.p_num, g.p_den,
+               CAST(g.p_num * 1000000 // g.p_den AS BIGINT) AS p_ppm,
+               g.p_num * 20 <= g.p_den AS sig05
+        FROM tabs t LEFT JOIN agg g USING (grp)
+        ORDER BY t.grp
+"""
+
+
+def q333_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance (graph/conductance.py; Kannan,
+    Vempala & Vetta 2004) of a planted 4-block partition over an
+    80%-intra / 20%-random event-derived multigraph on 200 nodes —
+    exact integer cut and endpoint-volume counts, one trunc division
+    per community; the external-sparsity companion to the Louvain
+    modularity lane (q270)."""
+    from spanluke_spark.graph.conductance import conductance
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 800")
+    e = F.col("event_id")
+    u = (e % 200).alias("u")
+    off = (e * 17 + 3) % 997
+    edges = ev.select(u, off.alias("off")).select(
+        "u",
+        F.when(
+            F.col("off") % 10 < 8,
+            (F.col("u") / 50).cast("long") * 50
+            + (F.col("u") + 1 + F.col("off") % 49) % 50,
+        )
+        .otherwise(F.col("off") % 200)
+        .alias("v"),
+    )
+    nodes = spark.range(200).select(
+        F.col("id"), (F.col("id") / 50).cast("long").alias("community")
+    )
+    return conductance(edges, nodes).orderBy("community")
+
+
+_CONDUCTANCE_ORACLE_SQL = """
+        WITH ed0 AS (
+            SELECT event_id % 200 AS u,
+                   (event_id * 17 + 3) % 997 AS off
+            FROM events WHERE event_id < 800
+        ),
+        edges AS (
+            SELECT u,
+                   CASE WHEN off % 10 < 8
+                        THEN (u // 50) * 50 + (u + 1 + off % 49) % 50
+                        ELSE off % 200 END AS v
+            FROM ed0
+        ),
+        e2 AS (
+            SELECT u, v, u // 50 AS lu, v // 50 AS lv
+            FROM edges WHERE u != v
+        ),
+        sides AS (
+            SELECT lu AS community,
+                   CASE WHEN lu != lv THEN 1 ELSE 0 END AS is_cut
+            FROM e2
+            UNION ALL
+            SELECT lv, CASE WHEN lu != lv THEN 1 ELSE 0 END FROM e2
+        ),
+        per AS (
+            SELECT community, CAST(count(*) AS BIGINT) AS vol,
+                   CAST(sum(is_cut) AS BIGINT) AS cut
+            FROM sides GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(vol) AS BIGINT) AS m2 FROM per)
+        SELECT community, vol, cut,
+               CASE WHEN least(vol, m2 - vol) > 0
+                    THEN cut * 1000000 // least(vol, m2 - vol)
+               END AS phi_ppm
+        FROM per, tot ORDER BY community
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -15542,6 +15710,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q329_brier_decomp": q329_brier_decomp,
         "q330_spearman": q330_spearman,
         "q331_nmi": q331_nmi,
+        "q332_fisher_exact": q332_fisher_exact,
+        "q333_conductance": q333_conductance,
     }
 
 
@@ -19558,4 +19728,9 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q330_spearman"] = _SPEARMAN_ORACLE_SQL
     # q331: identical round-ln-ppm cells, sign-split trunc nmi
     out["q331_nmi"] = _NMI_ORACLE_SQL
+    # q332: same k-grid, HUGEINT factorials cast to BIGINT, LEFT JOIN
+    # restores the out-of-regime stratum as NULLs
+    out["q332_fisher_exact"] = _FISHER_ORACLE_SQL
+    # q333: endpoint-volume + boundary-edge counts, one trunc div
+    out["q333_conductance"] = _CONDUCTANCE_ORACLE_SQL
     return out

@@ -320,6 +320,8 @@ EXTRA_NAMES = [
         "q329_brier_decomp",
         "q330_spearman",
         "q331_nmi",
+        "q332_fisher_exact",
+        "q333_conductance",
 ]
 
 
