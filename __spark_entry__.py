@@ -13717,6 +13717,144 @@ _CONDUCTANCE_ORACLE_SQL = """
 """
 
 
+def q334_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon vocabulary divergence (textops/jsd.py; Lin
+    1991) between the doc_id % 3 == 0 slice and the rest of 400
+    documents — the smoothing-free symmetric drift score beside the
+    smoothed KL lane (q275): midpoint ratios reduce to integer
+    arguments, each quantized once to round-ln-ppm; weighted sums are
+    exact integers and jsd_ppm is one sign-split trunc division. The
+    oracle replays the same cells."""
+    from spanluke_spark.textops.jsd import jsd
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 400")
+    toks = docs.select(
+        (F.col("doc_id") % 3 == 0).alias("fg"),
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    return jsd(toks)
+
+
+_JSD_ORACLE_SQL = """
+        WITH toks AS (
+            SELECT doc_id % 3 = 0 AS fg,
+                   unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS token
+            FROM documents WHERE doc_id < 400
+        ),
+        counts AS (
+            SELECT token,
+                   CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END)
+                        AS BIGINT) AS p,
+                   CAST(sum(CASE WHEN fg THEN 0 ELSE 1 END)
+                        AS BIGINT) AS q
+            FROM toks GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(p) AS BIGINT) AS np_total,
+                   CAST(sum(q) AS BIGINT) AS nq_total
+            FROM counts
+        ),
+        cells AS (
+            SELECT np_total, nq_total,
+                   CASE WHEN p > 0 THEN p * CAST(round(ln(
+                       (2 * p * nq_total)::DOUBLE
+                       / (p * nq_total + q * np_total)) * 1000000)
+                       AS BIGINT) ELSE 0 END AS cp,
+                   CASE WHEN q > 0 THEN q * CAST(round(ln(
+                       (2 * q * np_total)::DOUBLE
+                       / (p * nq_total + q * np_total)) * 1000000)
+                       AS BIGINT) ELSE 0 END AS cq
+            FROM counts, tot
+        ),
+        agg AS (
+            SELECT max(np_total) AS np_total,
+                   max(nq_total) AS nq_total,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(cp) AS BIGINT) AS num_p,
+                   CAST(sum(cq) AS BIGINT) AS num_q
+            FROM cells
+        )
+        SELECT np_total, nq_total, n_tokens, num_p, num_q,
+               CASE WHEN num_p * nq_total + num_q * np_total < 0
+                    THEN -(abs(num_p * nq_total + num_q * np_total)
+                           // (2 * np_total * nq_total))
+                    ELSE abs(num_p * nq_total + num_q * np_total)
+                         // (2 * np_total * nq_total)
+               END AS jsd_ppm
+        FROM agg
+"""
+
+
+def q335_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point silhouette (link/silhouette.py; Rousseeuw 1987) of a
+    3-way partition of 180 embedding vectors on the exact
+    integer-quantized squared-L2 metric (the LOF lane's, q277):
+    per-(point, cluster) sums and counts exact, cluster means
+    once-quantized to trunc-ppm, b the plain min over quantized other
+    means, s one sign-split trunc division. Oracle replays the full
+    pair-join chain."""
+    from spanluke_spark.link.silhouette import silhouette
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 180)
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        (F.col("vec_id") % 3).alias("cluster"),
+        F.transform(
+            F.slice(F.col("embedding"), 1, 8),
+            lambda x: F.round(x.cast("double") * 64).cast("long"),
+        ).alias("vec"),
+    )
+    return silhouette(pts).orderBy("id")
+
+
+_SILHOUETTE_ORACLE_SQL = """
+        WITH pts AS (
+            SELECT vec_id AS id, vec_id % 3 AS cluster,
+                   list_transform(embedding[1:8],
+                                  x -> round(x::DOUBLE * 64)::BIGINT) AS v
+            FROM embeddings WHERE vec_id < 180
+        ),
+        pair AS (
+            SELECT a.id, a.cluster, b.cluster AS cj,
+                   list_sum(list_transform(range(1, len(a.v) + 1),
+                            i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])
+                   ))::BIGINT AS d2
+            FROM pts a JOIN pts b ON a.id != b.id
+        ),
+        per AS (
+            SELECT id, cluster, cj,
+                   CAST(sum(d2) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM pair GROUP BY 1, 2, 3
+        ),
+        m AS (SELECT id, cluster, cj, s * 1000000 // c AS m_ppm FROM per),
+        own AS (
+            SELECT id, m_ppm AS a_ppm FROM m WHERE cj = cluster
+        ),
+        oth AS (
+            SELECT id, CAST(min(m_ppm) AS BIGINT) AS b_ppm
+            FROM m WHERE cj != cluster GROUP BY 1
+        )
+        SELECT p.id, p.cluster, own.a_ppm, oth.b_ppm,
+               CASE WHEN own.a_ppm IS NULL
+                         OR greatest(own.a_ppm, oth.b_ppm) <= 0
+                    THEN CAST(0 AS BIGINT)
+                    WHEN oth.b_ppm - own.a_ppm < 0
+                    THEN -(abs(oth.b_ppm - own.a_ppm) * 1000000
+                           // greatest(own.a_ppm, oth.b_ppm))
+                    ELSE abs(oth.b_ppm - own.a_ppm) * 1000000
+                         // greatest(own.a_ppm, oth.b_ppm)
+               END AS s_ppm
+        FROM pts p
+        LEFT JOIN own ON own.id = p.id
+        LEFT JOIN oth ON oth.id = p.id
+        ORDER BY p.id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -15712,6 +15850,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q331_nmi": q331_nmi,
         "q332_fisher_exact": q332_fisher_exact,
         "q333_conductance": q333_conductance,
+        "q334_jsd": q334_jsd,
+        "q335_silhouette": q335_silhouette,
     }
 
 
@@ -19733,4 +19873,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q332_fisher_exact"] = _FISHER_ORACLE_SQL
     # q333: endpoint-volume + boundary-edge counts, one trunc div
     out["q333_conductance"] = _CONDUCTANCE_ORACLE_SQL
+    # q334: identical integer-argument ln cells, sign-split trunc
+    out["q334_jsd"] = _JSD_ORACLE_SQL
+    # q335: full pair-join replay, trunc-ppm means, min over others
+    out["q335_silhouette"] = _SILHOUETTE_ORACLE_SQL
     return out

@@ -322,6 +322,8 @@ EXTRA_NAMES = [
         "q331_nmi",
         "q332_fisher_exact",
         "q333_conductance",
+        "q334_jsd",
+        "q335_silhouette",
 ]
 
 
