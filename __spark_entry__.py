@@ -13855,6 +13855,139 @@ _SILHOUETTE_ORACLE_SQL = """
 """
 
 
+def q336_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein-1 drift (textops/wasserstein.py; the
+    |F_P - F_Q| closed form) between the doc_id % 3 == 0 slice and
+    the rest, over 25-char document-length buckets — the value-units
+    drift score beside KL (q275) and JSD (q334). CDF gaps
+    cross-multiplied to exact integers on the shared NP*NQ
+    denominator, weighted by exact grid gaps, one trunc division."""
+    from spanluke_spark.textops.wasserstein import wasserstein_1d
+
+    docs = _t(spark, sf_dir, "documents")
+    samples = docs.select(
+        (F.col("doc_id") % 3 == 0).alias("p_side"),
+        (F.col("n_chars") / 25).cast("long").alias("value"),
+    )
+    return wasserstein_1d(samples)
+
+
+_WASSERSTEIN_ORACLE_SQL = """
+        WITH s AS (
+            SELECT doc_id % 3 = 0 AS p_side, n_chars // 25 AS value
+            FROM documents
+        ),
+        grid AS (
+            SELECT value,
+                   CAST(sum(CASE WHEN p_side THEN 1 ELSE 0 END)
+                        AS BIGINT) AS p,
+                   CAST(sum(CASE WHEN p_side THEN 0 ELSE 1 END)
+                        AS BIGINT) AS q
+            FROM s GROUP BY 1
+        ),
+        cum AS (
+            SELECT value,
+                   CAST(sum(p) OVER (ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cp,
+                   CAST(sum(q) OVER (ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cq,
+                   CAST(COALESCE(lead(value) OVER (ORDER BY value), value)
+                        - value AS BIGINT) AS gap
+            FROM grid
+        ),
+        tot AS (
+            SELECT CAST(sum(p) AS BIGINT) AS np_total,
+                   CAST(sum(q) AS BIGINT) AS nq_total
+            FROM grid
+        )
+        SELECT np_total, nq_total,
+               CAST(count(*) AS BIGINT) AS n_values,
+               CAST(sum(abs(cp * nq_total - cq * np_total) * gap)
+                    AS BIGINT) AS w1_num,
+               CAST(sum(abs(cp * nq_total - cq * np_total) * gap)
+                    AS BIGINT) * 1000 // (np_total * nq_total) AS w1_milli
+        FROM cum, tot
+        GROUP BY np_total, nq_total
+"""
+
+
+def q337_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H (evaluation/kruskal.py; Kruskal & Wallis
+    1952) across 4 crawl-source groups of 80 events with planted
+    location shifts — double-rank exactness (q330), once-quantized
+    rj2q ppm cells (the /4 folded into 250000), exact integer tie
+    correction by cross-multiplication, published chi-squared
+    df=3 critical value 7.815 supplied driver-side as 7815000 ppm
+    (the q327 constant discipline)."""
+    from spanluke_spark.evaluation.kruskal import kruskal_wallis
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 320")
+    e = F.col("event_id")
+    samples = ev.select(
+        (e % 4).alias("grp"),
+        ((e * 13) % 50 + (e % 4) * 6).alias("value"),
+    )
+    return kruskal_wallis(samples, crit_ppm=7_815_000)
+
+
+_KRUSKAL_ORACLE_SQL = """
+        WITH s AS (
+            SELECT event_id % 4 AS grp,
+                   (event_id * 13) % 50 + (event_id % 4) * 6 AS value
+            FROM events WHERE event_id < 320
+        ),
+        r AS (
+            SELECT grp,
+                   CAST(2 * rank() OVER (ORDER BY value)
+                        + count(*) OVER (PARTITION BY value) - 1
+                        AS BIGINT) AS dr
+            FROM s
+        ),
+        per AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS nj,
+                   CAST(sum(dr) AS BIGINT) AS drj
+            FROM r GROUP BY 1
+        ),
+        cells AS (
+            SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(drj * drj * 250000 // nj) AS BIGINT)
+                       AS sum_rj2q,
+                   CAST(sum(nj) AS BIGINT) AS n
+            FROM per
+        ),
+        ties AS (
+            SELECT CAST(sum(tc * tc * tc - tc) AS BIGINT) AS tie_cube
+            FROM (SELECT CAST(count(*) AS BIGINT) AS tc
+                  FROM s GROUP BY value)
+        ),
+        h AS (
+            SELECT n, k, sum_rj2q, tie_cube,
+                   12 * sum_rj2q // (n * (n + 1))
+                       - 3 * (n + 1) * 1000000 AS h_ppm
+            FROM cells, ties
+        )
+        SELECT n, k, sum_rj2q, h_ppm, tie_cube,
+               CASE WHEN n * n * n - n - tie_cube > 0 THEN
+                   CASE WHEN h_ppm < 0
+                        THEN -(abs(h_ppm) * (n * n * n - n)
+                               // (n * n * n - n - tie_cube))
+                        ELSE abs(h_ppm) * (n * n * n - n)
+                             // (n * n * n - n - tie_cube) END
+               END AS hc_ppm,
+               CASE WHEN n * n * n - n - tie_cube > 0 THEN
+                   CASE WHEN h_ppm < 0
+                        THEN -(abs(h_ppm) * (n * n * n - n)
+                               // (n * n * n - n - tie_cube))
+                        ELSE abs(h_ppm) * (n * n * n - n)
+                             // (n * n * n - n - tie_cube) END
+                   >= 7815000
+               END AS sig
+        FROM h
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -15852,6 +15985,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q333_conductance": q333_conductance,
         "q334_jsd": q334_jsd,
         "q335_silhouette": q335_silhouette,
+        "q336_wasserstein": q336_wasserstein,
+        "q337_kruskal_wallis": q337_kruskal_wallis,
     }
 
 
@@ -19877,4 +20012,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q334_jsd"] = _JSD_ORACLE_SQL
     # q335: full pair-join replay, trunc-ppm means, min over others
     out["q335_silhouette"] = _SILHOUETTE_ORACLE_SQL
+    # q336: cross-multiplied CDF gaps on the merged grid, exact gaps
+    out["q336_wasserstein"] = _WASSERSTEIN_ORACLE_SQL
+    # q337: same double-rank windows, staged integer H + tie factor
+    out["q337_kruskal_wallis"] = _KRUSKAL_ORACLE_SQL
     return out

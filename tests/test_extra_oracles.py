@@ -324,6 +324,8 @@ EXTRA_NAMES = [
         "q333_conductance",
         "q334_jsd",
         "q335_silhouette",
+        "q336_wasserstein",
+        "q337_kruskal_wallis",
 ]
 
 
