@@ -13988,6 +13988,162 @@ _KRUSKAL_ORACLE_SQL = """
 """
 
 
+def q338_smith_waterman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smith-Waterman local alignment (textops/swalign.py; 1981) of
+    overlapping token windows of 80 documents (hyp = tokens 1..14,
+    ref = tokens 7..22 — a guaranteed real island): max-plus fold in
+    the WER lane's shape (q320) with the clamp folded into the
+    candidate row and the in-row gap chain unrolled by the
+    prefix-max monotone-row trick; the (row, best) struct carries the
+    max-over-all-cells so one fold suffices. Oracle replays the DP
+    with a recursive CTE and takes max(list_max(row)) over all
+    rows."""
+    from spanluke_spark.textops.swalign import smith_waterman
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 80")
+    toks = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias("a"),
+    )
+    pairs = toks.select(
+        "pair_id",
+        F.slice(F.col("a"), 1, 14).alias("hyp"),
+        F.slice(F.col("a"), 7, 16).alias("ref"),
+    )
+    return smith_waterman(pairs).orderBy("pair_id")
+
+
+_SW_ORACLE_SQL = """
+        WITH RECURSIVE
+        toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS a
+            FROM documents WHERE doc_id < 80
+        ),
+        b2 AS (
+            SELECT doc_id, a[1:14] AS hyp, a[7:22] AS ref FROM toks
+        ),
+        step(doc_id, t, row) AS (
+            SELECT doc_id, 0,
+                   list_transform(range(1, len(ref) + 2),
+                                  i -> CAST(0 AS BIGINT))
+            FROM b2
+            UNION ALL
+            SELECT step.doc_id, t + 1,
+                   list_transform(range(1, len(ref) + 2), j ->
+                       list_max(list_transform(range(1, j + 1), i ->
+                           (CASE WHEN i = 1 THEN 0
+                                 ELSE greatest(0, row[i] - 1,
+                                      row[i - 1]
+                                      + CASE WHEN ref[i - 1] = hyp[t + 1]
+                                             THEN 2 ELSE -1 END)
+                            END) + i)) - j)
+            FROM step JOIN b2 USING (doc_id)
+            WHERE t < len(hyp)
+        ),
+        fin AS (
+            SELECT doc_id, CAST(max(list_max(row)) AS BIGINT) AS score
+            FROM step GROUP BY doc_id
+        )
+        SELECT b2.doc_id AS pair_id,
+               CAST(len(hyp) AS BIGINT) AS h_len,
+               CAST(len(ref) AS BIGINT) AS r_len,
+               score,
+               CASE WHEN least(len(hyp), len(ref)) > 0
+                    THEN score * 1000000
+                         // (2 * least(len(hyp), len(ref)))
+               END AS sw_ppm
+        FROM b2 JOIN fin USING (doc_id)
+        ORDER BY pair_id
+"""
+
+
+def q339_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B lift (evaluation/cuped.py; Deng et
+    al. 2013) over 400 events with a PLANTED pre-period selection
+    bias (+6 baseline in treatment) and a true effect of +9: the raw
+    difference reads ~15, the covariate-adjusted one recovers ~9.
+    Pooled moment sums exact, theta/raw sign-split milli, adjusted
+    diff staged sign-split trunc; the oracle replays every stage."""
+    from spanluke_spark.evaluation.cuped import cuped
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 400")
+    e = F.col("event_id")
+    t = (e % 2 == 1)
+    x = (e * 7) % 50 + t.cast("long") * 6
+    units = ev.select(
+        t.alias("treat"),
+        x.alias("x"),
+        (x + t.cast("long") * 9 + (e * 13) % 5).alias("y"),
+    )
+    return cuped(units)
+
+
+_CUPED_ORACLE_SQL = """
+        WITH u AS (
+            SELECT event_id % 2 = 1 AS t,
+                   (event_id * 7) % 50
+                       + CASE WHEN event_id % 2 = 1 THEN 6 ELSE 0 END AS x,
+                   (event_id * 7) % 50
+                       + CASE WHEN event_id % 2 = 1 THEN 6 ELSE 0 END
+                       + CASE WHEN event_id % 2 = 1 THEN 9 ELSE 0 END
+                       + (event_id * 13) % 5 AS y
+            FROM events WHERE event_id < 400
+        ),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx_raw,
+                   CAST(sum(x * y) AS BIGINT) AS sxy_raw,
+                   CAST(sum(y * y) AS BIGINT) AS syy_raw,
+                   CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+                   CAST(sum(CASE WHEN t THEN x ELSE 0 END) AS BIGINT) AS sxt,
+                   CAST(sum(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS syt
+            FROM u
+        ),
+        m AS (
+            SELECT n_t, n - n_t AS n_c,
+                   n * sxx_raw - sx * sx AS sxx,
+                   n * sxy_raw - sx * sy AS sxy,
+                   n * syy_raw - sy * sy AS syy,
+                   sxt, syt, sx - sxt AS sxc, sy - syt AS syc
+            FROM s
+        ),
+        m2 AS (
+            SELECT *,
+                   syt * n_c - syc * n_t AS rawnum,
+                   (syt * n_c - syc * n_t) * sxx
+                       - sxy * (sxt * n_c - sxc * n_t) AS adjnum
+            FROM m
+        ),
+        m3 AS (
+            SELECT *,
+                   CASE WHEN adjnum < 0
+                        THEN -(abs(adjnum) // (n_t * n_c))
+                        ELSE abs(adjnum) // (n_t * n_c) END AS adj1
+            FROM m2
+        )
+        SELECT n_t, n_c, sxx, sxy, syy,
+               CASE WHEN sxx > 0 THEN
+                   CASE WHEN sxy < 0 THEN -(abs(sxy) * 1000 // sxx)
+                        ELSE abs(sxy) * 1000 // sxx END
+               END AS theta_milli,
+               CASE WHEN sxx > 0 AND syy > 0
+                    THEN (sxy * sxy // sxx) * 1000000 // syy
+               END AS var_red_ppm,
+               CASE WHEN rawnum < 0
+                    THEN -(abs(rawnum) * 1000 // (n_t * n_c))
+                    ELSE abs(rawnum) * 1000 // (n_t * n_c)
+               END AS diff_raw_milli,
+               CASE WHEN sxx > 0 THEN
+                   CASE WHEN adj1 < 0 THEN -(abs(adj1) * 1000 // sxx)
+                        ELSE abs(adj1) * 1000 // sxx END
+               END AS diff_adj_milli
+        FROM m3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -15987,6 +16143,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q335_silhouette": q335_silhouette,
         "q336_wasserstein": q336_wasserstein,
         "q337_kruskal_wallis": q337_kruskal_wallis,
+        "q338_smith_waterman": q338_smith_waterman,
+        "q339_cuped": q339_cuped,
     }
 
 
@@ -20016,4 +20174,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q336_wasserstein"] = _WASSERSTEIN_ORACLE_SQL
     # q337: same double-rank windows, staged integer H + tie factor
     out["q337_kruskal_wallis"] = _KRUSKAL_ORACLE_SQL
+    # q338: recursive-CTE DP replay, max over all rows' cells
+    out["q338_smith_waterman"] = _SW_ORACLE_SQL
+    # q339: every stage replayed with sign-split //
+    out["q339_cuped"] = _CUPED_ORACLE_SQL
     return out

@@ -326,6 +326,8 @@ EXTRA_NAMES = [
         "q335_silhouette",
         "q336_wasserstein",
         "q337_kruskal_wallis",
+        "q338_smith_waterman",
+        "q339_cuped",
 ]
 
 
