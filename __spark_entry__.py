@@ -14144,6 +14144,168 @@ _CUPED_ORACLE_SQL = """
 """
 
 
+def q340_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test + Kendall's W (evaluation/friedman.py; 1937 /
+    1939) for a 4-system ranker shoot-out over 60 blocks with a
+    planted treatment effect and one deliberately incomplete block
+    (gating the drop contract): within-block double-ranks, the
+    12/4=3-folded one-division chi2, exact cross-multiplied tie
+    correction, staged Kendall's W, published df=3 critical 7.815
+    ppm gate driver-side."""
+    from spanluke_spark.evaluation.friedman import friedman
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 242")
+    e = F.col("event_id")
+    block = (e / 4).cast("long")
+    trt = e % 4
+    samples = ev.select(
+        block.alias("block"),
+        trt.alias("trt"),
+        ((block * 7) % 30 + trt * 3 + (block * trt * 5) % 7).alias("value"),
+    )
+    return friedman(samples, k=4, crit_ppm=7_815_000)
+
+
+_FRIEDMAN_ORACLE_SQL = """
+        WITH s AS (
+            SELECT event_id // 4 AS block, event_id % 4 AS trt,
+                   ((event_id // 4) * 7) % 30 + (event_id % 4) * 3
+                       + ((event_id // 4) * (event_id % 4) * 5) % 7 AS value
+            FROM events WHERE event_id < 242
+        ),
+        sizes AS (
+            SELECT block, CAST(count(*) AS BIGINT) AS bn
+            FROM s GROUP BY 1
+        ),
+        keep AS (SELECT block FROM sizes WHERE bn = 4),
+        drp AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_dropped
+            FROM sizes WHERE bn <> 4
+        ),
+        r AS (
+            SELECT s.block, trt, value,
+                   CAST(2 * rank() OVER (PARTITION BY s.block
+                                         ORDER BY value)
+                        + count(*) OVER (PARTITION BY s.block, value) - 1
+                        AS BIGINT) AS dr
+            FROM s JOIN keep USING (block)
+        ),
+        per AS (
+            SELECT trt, CAST(sum(dr) AS BIGINT) AS drj FROM r GROUP BY 1
+        ),
+        agg AS (
+            SELECT CAST(sum(drj * drj) AS BIGINT) AS sum_drj2 FROM per
+        ),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM keep),
+        ties AS (
+            SELECT CAST(sum(tc * tc * tc - tc) AS BIGINT) AS tie_cube
+            FROM (SELECT CAST(count(*) AS BIGINT) AS tc
+                  FROM r GROUP BY block, value)
+        ),
+        x AS (
+            SELECT n AS n_blocks, CAST(4 AS BIGINT) AS k,
+                   COALESCE(n_dropped, 0) AS n_dropped,
+                   sum_drj2, tie_cube,
+                   3 * sum_drj2 * 1000000 // (n * 4 * 5)
+                       - 3 * n * 5 * 1000000 AS chi2_ppm
+            FROM agg, nn, ties, drp
+        ),
+        x2 AS (
+            SELECT *,
+                   CASE WHEN n_blocks * 60 - tie_cube > 0 THEN
+                       CASE WHEN chi2_ppm < 0
+                            THEN -(abs(chi2_ppm) * (n_blocks * 60)
+                                   // (n_blocks * 60 - tie_cube))
+                            ELSE abs(chi2_ppm) * (n_blocks * 60)
+                                 // (n_blocks * 60 - tie_cube) END
+                   END AS chi2c_ppm
+            FROM x
+        )
+        SELECT *,
+               CASE WHEN chi2c_ppm < 0
+                    THEN -(abs(chi2c_ppm) // (n_blocks * 3))
+                    ELSE abs(chi2c_ppm) // (n_blocks * 3)
+               END AS w_ppm,
+               chi2c_ppm >= 7815000 AS sig
+        FROM x2
+"""
+
+
+def q341_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test (etl/survival.py log_rank; Mantel
+    1966) on page lifetimes with 20% right-censoring and a planted
+    +4 longevity shift in group 1 — the inferential companion to the
+    Kaplan-Meier lane: once-quantized oe_milli / v_micro cells whose
+    units cancel into ONE division chi2_milli = S*S*1000 div V,
+    published chi-squared df=1 gate 3841 milli (the CMH constant)."""
+    from spanluke_spark.etl.survival import log_rank
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 300")
+    e = F.col("event_id")
+    g = e % 2
+    subjects = ev.select(
+        (1 + (e * 13) % 40 + g * 4).alias("duration"),
+        ((e * 7) % 10 < 8).cast("long").alias("event"),
+        g.alias("grp"),
+    )
+    return log_rank(subjects)
+
+
+_LOGRANK_ORACLE_SQL = """
+        WITH subj AS (
+            SELECT 1 + (event_id * 13) % 40 + (event_id % 2) * 4 AS t,
+                   CASE WHEN (event_id * 7) % 10 < 8 THEN 1 ELSE 0 END
+                       AS event,
+                   event_id % 2 AS g
+            FROM events WHERE event_id < 300
+        ),
+        per AS (
+            SELECT t, CAST(count(*) AS BIGINT) AS arr,
+                   CAST(sum(g) AS BIGINT) AS arr1,
+                   CAST(sum(event) AS BIGINT) AS d,
+                   CAST(sum(event * g) AS BIGINT) AS d1
+            FROM subj GROUP BY 1
+        ),
+        risk AS (
+            SELECT t, d, d1,
+                   CAST(sum(arr) OVER (ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS nj,
+                   CAST(sum(arr1) OVER (ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS n1j
+            FROM per
+        ),
+        cells AS (
+            SELECT CASE WHEN d1 * nj - d * n1j < 0
+                        THEN -(abs(d1 * nj - d * n1j) * 1000 // nj)
+                        ELSE abs(d1 * nj - d * n1j) * 1000 // nj
+                   END AS oe_milli,
+                   CASE WHEN nj > 1
+                        THEN d * n1j * (nj - n1j) * (nj - d) * 1000000
+                             // (nj * nj * (nj - 1))
+                        ELSE 0 END AS v_micro
+            FROM risk WHERE d >= 1
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_times,
+                   CAST(sum(oe_milli) AS BIGINT) AS oe_sum_milli,
+                   CAST(sum(v_micro) AS BIGINT) AS var_sum_micro
+            FROM cells
+        )
+        SELECT n_times, oe_sum_milli, var_sum_micro,
+               CASE WHEN var_sum_micro > 0
+                    THEN oe_sum_milli * oe_sum_milli * 1000
+                         // var_sum_micro
+               END AS chi2_milli,
+               CASE WHEN var_sum_micro > 0
+                    THEN oe_sum_milli * oe_sum_milli * 1000
+                         // var_sum_micro >= 3841
+               END AS sig
+        FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -16145,6 +16307,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q337_kruskal_wallis": q337_kruskal_wallis,
         "q338_smith_waterman": q338_smith_waterman,
         "q339_cuped": q339_cuped,
+        "q340_friedman": q340_friedman,
+        "q341_log_rank": q341_log_rank,
     }
 
 
@@ -20178,4 +20342,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q338_smith_waterman"] = _SW_ORACLE_SQL
     # q339: every stage replayed with sign-split //
     out["q339_cuped"] = _CUPED_ORACLE_SQL
+    # q340: same within-block rank windows, 3-folded chi2, staged W
+    out["q340_friedman"] = _FRIEDMAN_ORACLE_SQL
+    # q341: suffix-sum risk sets, unit-cancelling milli/micro cells
+    out["q341_log_rank"] = _LOGRANK_ORACLE_SQL
     return out

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kaplan_meier"]
+__all__ = ["kaplan_meier", "log_rank"]
 
 
 def kaplan_meier(
@@ -75,3 +75,90 @@ def kaplan_meier(
         "censored",
         F.round(survival, 6).alias("survival"),
     )
+
+
+def log_rank(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    group_col: str = "grp",
+    crit_milli: int = 3841,
+) -> DataFrame:
+    """Two-group log-rank test (Mantel 1966; Peto & Peto 1972) — do
+    two cohorts share a survival curve? The inferential companion to
+    ``kaplan_meier``: the KM lane draws the curves, this lane says
+    whether the gap is real. ``df(duration, event 1/0, grp 0/1)`` ->
+    ONE row (n_times, oe_sum_milli, var_sum_micro, chi2_milli, sig).
+
+    Exactness discipline: at each death time the observed-minus-
+    expected increment and its hypergeometric variance are quantized
+    ONCE —
+
+      oe_milli = sign-split (d1*nj - d*n1j) * 1000 div nj
+      v_micro  = d*n1j*(nj-n1j)*(nj-d) * 10^6 div (nj^2*(nj-1))
+
+    — then summed exactly; because oe is milli (10^3) and v is micro
+    (10^6), the units cancel so that
+
+      chi2_milli = S*S * 1000 div V
+
+    is one integer division (S = sum oe_milli, V = sum v_micro).
+    Significance is the integer gate chi2_milli >= crit_milli against
+    the caller-supplied published chi-squared df=1 critical value
+    (3841 = the CMH lane's 3.841). A time with nj = 1 has zero
+    variance (v = 0); V = 0 overall surfaces NULL. Overflow: the v
+    numerator is <= nj^4/16 * 10^6, safe to risk sets ~5*10^3.
+
+    Relational shape: one (t, grp-folded) aggregate, ONE descending
+    cumulative window building both risk sets (suffix sums), one
+    final aggregate."""
+    t = df.select(
+        F.col(duration_col).alias("t"),
+        F.col(event_col).cast("long").alias("event"),
+        F.col(group_col).cast("long").alias("g"),
+    )
+    per = t.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("arr"),
+        F.sum("g").alias("arr1"),
+        F.sum("event").alias("d"),
+        F.sum(F.col("event") * F.col("g")).alias("d1"),
+    )
+    w = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = per.select(
+        "t",
+        "d",
+        "d1",
+        F.sum("arr").over(w).alias("nj"),
+        F.sum("arr1").over(w).alias("n1j"),
+    ).where(F.col("d") >= 1)
+    oe_num = F.col("d1") * F.col("nj") - F.col("d") * F.col("n1j")
+    oe_mag = F.expr("abs(d1 * nj - d * n1j) * 1000 div nj")
+    cells = risk.select(
+        F.when(oe_num < 0, -oe_mag).otherwise(oe_mag).alias("oe_milli"),
+        F.when(
+            F.col("nj") > 1,
+            F.expr(
+                "d * n1j * (nj - n1j) * (nj - d) * 1000000"
+                " div (nj * nj * (nj - 1))"
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("v_micro"),
+    )
+    agg = cells.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_times"),
+        F.sum("oe_milli").alias("oe_sum_milli"),
+        F.sum("v_micro").alias("var_sum_micro"),
+    )
+    chi2 = F.when(
+        F.col("var_sum_micro") > 0,
+        F.expr("oe_sum_milli * oe_sum_milli * 1000 div var_sum_micro"),
+    )
+    return agg.select(
+        "n_times",
+        "oe_sum_milli",
+        "var_sum_micro",
+        chi2.alias("chi2_milli"),
+    ).select("*", (F.col("chi2_milli") >= F.lit(crit_milli)).alias("sig"))

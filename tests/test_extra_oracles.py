@@ -328,6 +328,8 @@ EXTRA_NAMES = [
         "q337_kruskal_wallis",
         "q338_smith_waterman",
         "q339_cuped",
+        "q340_friedman",
+        "q341_log_rank",
 ]
 
 
