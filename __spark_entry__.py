@@ -14306,6 +14306,143 @@ _LOGRANK_ORACLE_SQL = """
 """
 
 
+def q342_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q (evaluation/cochranq.py; 1950): 5 extraction rules
+    on 60 shared items with planted per-rule success rates 0.4..0.8
+    and one incomplete block gating the drop contract — binary data
+    makes Q fully exact (ONE integer division, no cell quantization);
+    published df=4 critical 9.488 supplied driver-side as 9488
+    milli."""
+    from spanluke_spark.evaluation.cochranq import cochran_q
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 303")
+    e = F.col("event_id")
+    item = (e / 5).cast("long")
+    trt = e % 5
+    outcomes = ev.select(
+        item.alias("item"),
+        trt.alias("trt"),
+        ((e * 7 + trt * trt * 3 + item) % 10 < 4 + trt)
+        .cast("long")
+        .alias("x"),
+    )
+    return cochran_q(outcomes, k=5, crit_milli=9488)
+
+
+_COCHRANQ_ORACLE_SQL = """
+        WITH t AS (
+            SELECT event_id // 5 AS item, event_id % 5 AS trt,
+                   CASE WHEN (event_id * 7
+                              + (event_id % 5) * (event_id % 5) * 3
+                              + event_id // 5) % 10 < 4 + event_id % 5
+                        THEN 1 ELSE 0 END AS x
+            FROM events WHERE event_id < 303
+        ),
+        rws AS (
+            SELECT item, CAST(count(*) AS BIGINT) AS bn,
+                   CAST(sum(x) AS BIGINT) AS ri
+            FROM t GROUP BY 1
+        ),
+        keep AS (SELECT item, ri FROM rws WHERE bn = 5),
+        drp AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_dropped
+            FROM rws WHERE bn <> 5
+        ),
+        rstats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(ri) AS BIGINT) AS nsucc,
+                   CAST(sum(ri * ri) AS BIGINT) AS r2
+            FROM keep
+        ),
+        cols AS (
+            SELECT trt, CAST(sum(x) AS BIGINT) AS cj
+            FROM t JOIN keep USING (item) GROUP BY 1
+        ),
+        csum AS (
+            SELECT CAST(sum((5 * cj - nsucc) * (5 * cj - nsucc))
+                        AS BIGINT) AS cdev2
+            FROM cols, rstats
+        )
+        SELECT n_items, CAST(5 AS BIGINT) AS k, n_dropped,
+               nsucc AS n_succ,
+               4 * cdev2 AS num,
+               5 * (5 * nsucc - r2) AS den,
+               CASE WHEN 5 * (5 * nsucc - r2) > 0
+                    THEN 4 * cdev2 * 1000 // (5 * (5 * nsucc - r2))
+               END AS q_milli,
+               CASE WHEN 5 * (5 * nsucc - r2) > 0
+                    THEN 4 * cdev2 * 1000 // (5 * (5 * nsucc - r2))
+                         >= 9488
+               END AS sig
+        FROM rstats, csum, drp
+"""
+
+
+def q343_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic-weighted Cohen's kappa (evaluation/agreement.py
+    weighted_kappa; Cohen 1968) between two ordinal 5-bucket quality
+    labelings of 500 documents that mostly agree with occasional
+    off-by-1 and rare off-by-3 drifts — integer end-to-end: exact
+    n*sum(w*O) and sum(w*a*b) sums, one sign-split trunc-ppm
+    division."""
+    from spanluke_spark.evaluation.agreement import weighted_kappa
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 500")
+    d = F.col("doc_id")
+    qa = (d * 3) % 5
+    a = docs.select(F.col("doc_id").alias("k"), qa.alias("label"))
+    b = docs.select(
+        F.col("doc_id").alias("k"),
+        (
+            (
+                qa
+                + F.when(d % 7 == 0, 1).otherwise(0)
+                + F.when(d % 11 == 0, 3).otherwise(0)
+            )
+            % 5
+        ).alias("label"),
+    )
+    return weighted_kappa(a, b, key_cols=["k"])
+
+
+_WKAPPA_ORACLE_SQL = """
+        WITH colab AS (
+            SELECT (doc_id * 3) % 5 AS la,
+                   ((doc_id * 3) % 5
+                    + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+                    + CASE WHEN doc_id % 11 = 0 THEN 3 ELSE 0 END) % 5
+                       AS lb
+            FROM documents WHERE doc_id < 500
+        ),
+        cells AS (
+            SELECT la, lb, CAST(count(*) AS BIGINT) AS oij
+            FROM colab GROUP BY 1, 2
+        ),
+        ma AS (SELECT la AS i, CAST(sum(oij) AS BIGINT) AS ai
+               FROM cells GROUP BY 1),
+        mb AS (SELECT lb AS j, CAST(sum(oij) AS BIGINT) AS bj
+               FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(sum(oij) AS BIGINT) AS n_items FROM cells),
+        num AS (
+            SELECT max(n_items) AS n_items,
+                   CAST(sum(n_items * (la - lb) * (la - lb) * oij)
+                        AS BIGINT) AS num
+            FROM cells, tot
+        ),
+        den AS (
+            SELECT CAST(sum((i - j) * (i - j) * ai * bj) AS BIGINT) AS den
+            FROM ma, mb
+        )
+        SELECT n_items, num, den,
+               CASE WHEN den > 0 THEN
+                   CASE WHEN den - num < 0
+                        THEN -(abs(den - num) * 1000000 // den)
+                        ELSE abs(den - num) * 1000000 // den END
+               END AS kappa_ppm
+        FROM num, den
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -16309,6 +16446,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q339_cuped": q339_cuped,
         "q340_friedman": q340_friedman,
         "q341_log_rank": q341_log_rank,
+        "q342_cochran_q": q342_cochran_q,
+        "q343_weighted_kappa": q343_weighted_kappa,
     }
 
 
@@ -20346,4 +20485,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q340_friedman"] = _FRIEDMAN_ORACLE_SQL
     # q341: suffix-sum risk sets, unit-cancelling milli/micro cells
     out["q341_log_rank"] = _LOGRANK_ORACLE_SQL
+    # q342: binary data -> fully exact Q, one integer division
+    out["q342_cochran_q"] = _COCHRANQ_ORACLE_SQL
+    # q343: identical integer num/den sums, sign-split trunc-ppm
+    out["q343_weighted_kappa"] = _WKAPPA_ORACLE_SQL
     return out

@@ -142,3 +142,75 @@ def krippendorff_alpha(
             ).alias("alpha"),
         )
     )
+
+
+def weighted_kappa(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    label_col: str = "label",
+    quadratic: bool = True,
+) -> DataFrame:
+    """Weighted Cohen's kappa for ORDINAL labels (Cohen 1968) — the
+    agreement score when categories are ordered quality buckets and a
+    4-vs-3 disagreement must cost less than a 4-vs-0: quadratic
+    weights w_ij = (i - j)^2 (the reported-everywhere QWK) or linear
+    |i - j|. ``a``/``b`` carry integer-ordinal labels.
+
+    Exactness discipline: with observed cells O_ij and marginals
+    a_i, b_j over n co-labeled items,
+
+      kappa_w = 1 - n*sum w_ij*O_ij / sum w_ij*a_i*b_j
+
+    is one exact rational: kappa_ppm = sign-split
+    (den - num) * 10^6 div den with num = n*sum(w*O) (both exact
+    integer sums). den = 0 (no weighted chance disagreement — both
+    sides constant on the same label) surfaces NULL. Perfect
+    agreement gives num = 0 -> exactly 10^6; exact-independence
+    grids (O_ij = a_i*b_j/n) give num == den -> exactly 0. Unlike
+    the unweighted ``cohen_kappa`` above (float p_o/p_e), this lane
+    is integer end-to-end.
+
+    Shape: one co-label equi-join, one (la, lb) cell aggregate, two
+    label-cardinality marginals cross-joined broadcast-side."""
+    la = a.select(*key_cols, F.col(label_col).cast("long").alias("_la"))
+    lb = b.select(*key_cols, F.col(label_col).cast("long").alias("_lb"))
+    both = la.join(lb, key_cols)
+
+    def w(i, j):
+        d = F.abs(i - j)
+        return (d * d) if quadratic else d
+
+    cells = both.groupBy("_la", "_lb").agg(
+        F.count(F.lit(1)).cast("long").alias("oij")
+    )
+    ma = cells.groupBy(F.col("_la").alias("i")).agg(
+        F.sum("oij").alias("ai")
+    )
+    mb = cells.groupBy(F.col("_lb").alias("j")).agg(
+        F.sum("oij").alias("bj")
+    )
+    tot = cells.groupBy().agg(F.sum("oij").alias("n_items"))
+    num = cells.crossJoin(F.broadcast(tot)).groupBy().agg(
+        F.max("n_items").alias("n_items"),
+        F.sum(
+            F.col("n_items") * w(F.col("_la"), F.col("_lb")) * F.col("oij")
+        ).alias("num"),
+    )
+    den = ma.crossJoin(mb).groupBy().agg(
+        F.sum(w(F.col("i"), F.col("j")) * F.col("ai") * F.col("bj")).alias(
+            "den"
+        )
+    )
+    x = num.crossJoin(F.broadcast(den))
+    diff = F.col("den") - F.col("num")
+    mag = F.expr("abs(den - num) * 1000000 div den")
+    return x.select(
+        "n_items",
+        "num",
+        "den",
+        F.when(
+            F.col("den") > 0,
+            F.when(diff < 0, -mag).otherwise(mag),
+        ).alias("kappa_ppm"),
+    )

@@ -330,6 +330,8 @@ EXTRA_NAMES = [
         "q339_cuped",
         "q340_friedman",
         "q341_log_rank",
+        "q342_cochran_q",
+        "q343_weighted_kappa",
 ]
 
 
