@@ -14443,6 +14443,112 @@ _WKAPPA_ORACLE_SQL = """
 """
 
 
+def q344_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil + Hoover crawl-concentration panel
+    (textops/inequality.py; Theil 1967 / Hoover 1936) over the
+    naturally-skewed quadratic-residue host map (e*e % 37): Theil on
+    once-quantized round-ln-ppm cells, Hoover fully exact with no
+    logs — the decomposable and the operational inequality reads
+    beside the Gini lane."""
+    from spanluke_spark.textops.inequality import inequality_panel
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 1000")
+    e = F.col("event_id")
+    units = ev.select(((e * e) % 37).alias("unit"), F.lit(1).alias("w"))
+    return inequality_panel(units)
+
+
+_INEQUALITY_ORACLE_SQL = """
+        WITH per AS (
+            SELECT (event_id * event_id) % 37 AS unit,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events WHERE event_id < 1000 GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS s
+            FROM per
+        ),
+        agg AS (
+            SELECT max(n) AS n_units, max(s) AS total,
+                   CAST(sum(CASE WHEN x > 0 THEN x * CAST(round(
+                       ln((x * n)::DOUBLE / s) * 1000000) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS theil_num,
+                   CAST(sum(abs(n * x - s)) AS BIGINT) AS hoover_num
+            FROM per, tot
+        )
+        SELECT n_units, total, theil_num,
+               CASE WHEN total > 0 THEN
+                   CASE WHEN theil_num < 0
+                        THEN -(abs(theil_num) // total)
+                        ELSE abs(theil_num) // total END
+               END AS theil_ppm,
+               hoover_num,
+               CASE WHEN total > 0
+                    THEN hoover_num * 1000000 // (2 * n_units * total)
+               END AS hoover_ppm
+        FROM agg
+"""
+
+
+def q345_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate Mahalanobis outlier audit (link/mahalanobis.py;
+    1936) over 150 embedding points quantized to 2^4 — the
+    parametric joint-ellipse fence beside the density-based LOF
+    (q277): exact integer adjugate closed form (the n^2 scalings
+    cancel algebraically), one trunc division per point, published
+    df=2 critical 5.991 as 5991 milli."""
+    from spanluke_spark.link.mahalanobis import mahalanobis2
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 150)
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.round(F.element_at("embedding", 1).cast("double") * 16)
+        .cast("long")
+        .alias("x"),
+        F.round(F.element_at("embedding", 2).cast("double") * 16)
+        .cast("long")
+        .alias("y"),
+    )
+    return mahalanobis2(pts).orderBy("id")
+
+
+_MAHALANOBIS_ORACLE_SQL = """
+        WITH pts AS (
+            SELECT vec_id AS id,
+                   round(embedding[1]::DOUBLE * 16)::BIGINT AS x,
+                   round(embedding[2]::DOUBLE * 16)::BIGINT AS y
+            FROM embeddings WHERE vec_id < 150
+        ),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(count(*) * sum(x * x) - sum(x) * sum(x)
+                        AS BIGINT) AS sxx,
+                   CAST(count(*) * sum(x * y) - sum(x) * sum(y)
+                        AS BIGINT) AS sxy,
+                   CAST(count(*) * sum(y * y) - sum(y) * sum(y)
+                        AS BIGINT) AS syy
+            FROM pts
+        ),
+        sc AS (
+            SELECT id,
+                   syy * (n * x - sx) * (n * x - sx)
+                       - 2 * sxy * (n * x - sx) * (n * y - sy)
+                       + sxx * (n * y - sy) * (n * y - sy) AS num,
+                   sxx * syy - sxy * sxy AS det
+            FROM pts, m
+        )
+        SELECT id, num, det,
+               CASE WHEN det > 0 THEN num * 1000 // det END AS d2_milli,
+               CASE WHEN det > 0
+                    THEN num * 1000 // det >= 5991
+               END AS outlier
+        FROM sc ORDER BY id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -16448,6 +16554,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q341_log_rank": q341_log_rank,
         "q342_cochran_q": q342_cochran_q,
         "q343_weighted_kappa": q343_weighted_kappa,
+        "q344_inequality": q344_inequality,
+        "q345_mahalanobis": q345_mahalanobis,
     }
 
 
@@ -20489,4 +20597,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q342_cochran_q"] = _COCHRANQ_ORACLE_SQL
     # q343: identical integer num/den sums, sign-split trunc-ppm
     out["q343_weighted_kappa"] = _WKAPPA_ORACLE_SQL
+    # q344: ln-ppm Theil cells + fully exact Hoover
+    out["q344_inequality"] = _INEQUALITY_ORACLE_SQL
+    # q345: exact adjugate closed form, per-point trunc division
+    out["q345_mahalanobis"] = _MAHALANOBIS_ORACLE_SQL
     return out

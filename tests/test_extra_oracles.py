@@ -332,6 +332,8 @@ EXTRA_NAMES = [
         "q341_log_rank",
         "q342_cochran_q",
         "q343_weighted_kappa",
+        "q344_inequality",
+        "q345_mahalanobis",
 ]
 
 
