@@ -14549,6 +14549,154 @@ _MAHALANOBIS_ORACLE_SQL = """
 """
 
 
+def q346_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gries' DP corpus dispersion (textops/dispersion.py; Gries
+    2008) for every token with >= 80 occurrences across 8 document
+    shards — the per-token Hoover (q344): fully exact
+    cross-multiplied deviations including ABSENT parts (the grid
+    cross join against the broadcast part table), one trunc division
+    per token."""
+    from spanluke_spark.textops.dispersion import dispersion_dp
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 400")
+    toks = docs.select(
+        (F.col("doc_id") % 8).alias("part"),
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    return dispersion_dp(toks, min_count=80).orderBy("token")
+
+
+_DISPERSION_ORACLE_SQL = """
+        WITH t AS (
+            SELECT doc_id % 8 AS part,
+                   unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS token
+            FROM documents WHERE doc_id < 400
+        ),
+        parts AS (
+            SELECT part, CAST(count(*) AS BIGINT) AS ni
+            FROM t GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(ni) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_parts
+            FROM parts
+        ),
+        cnt AS (
+            SELECT token, part, CAST(count(*) AS BIGINT) AS f
+            FROM t GROUP BY 1, 2
+        ),
+        ft AS (
+            SELECT token, CAST(sum(f) AS BIGINT) AS f_total
+            FROM cnt GROUP BY 1 HAVING sum(f) >= 80
+        ),
+        cells AS (
+            SELECT ft.token, ft.f_total,
+                   abs(COALESCE(c.f, 0) * tot.n - p.ni * ft.f_total)
+                       AS dev
+            FROM ft CROSS JOIN parts p
+            LEFT JOIN cnt c ON c.token = ft.token AND c.part = p.part
+            CROSS JOIN tot
+        )
+        SELECT token, max(f_total) AS f_total,
+               (SELECT n_parts FROM tot) AS n_parts,
+               CAST(sum(dev) AS BIGINT) AS dp_num,
+               CAST(sum(dev) AS BIGINT) * 1000000
+                   // (2 * max(f_total) * (SELECT n FROM tot)) AS dp_ppm
+        FROM cells GROUP BY token ORDER BY token
+"""
+
+
+_UMASS_TOPICS: dict[int, list[str]] = {
+    0: ["scan", "column", "window", "order"],
+    1: ["sort", "part", "agg", "value"],
+    2: ["join", "merge", "query", "group"],
+    3: ["zzznope", "line"],  # absent conditioning word -> undefined
+}
+
+
+def q347_umass_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UMass topic coherence (textops/coherence.py; Mimno et al.
+    2011) for three real query-vocabulary topics plus one with an
+    absent conditioning word (gating the n_undefined contract):
+    round-ln-ppm (D(wi,wj)+1)/D(wj) cells on integer arguments,
+    exact per-topic sums, sign-split mean-per-pair."""
+    from spanluke_spark.textops.coherence import umass_coherence
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 400")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    return umass_coherence(toks, _UMASS_TOPICS).orderBy("topic_id")
+
+
+def _umass_oracle_sql() -> str:
+    vocab = sorted({w for ws in _UMASS_TOPICS.values() for w in ws})
+    vlits = ", ".join(f"'{w}'" for w in vocab)
+    pair_vals = ", ".join(
+        f"({tid}, '{ws[i]}', '{ws[j]}')"
+        for tid, ws in _UMASS_TOPICS.items()
+        for i in range(1, len(ws))
+        for j in range(i)
+    )
+    return f"""
+        WITH inc AS (
+            SELECT DISTINCT doc_id AS doc, token AS w FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS token
+                FROM documents WHERE doc_id < 400
+            ) WHERE token IN ({vlits})
+        ),
+        dfreq AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS d FROM inc GROUP BY 1
+        ),
+        pairs(topic_id, wi, wj) AS (VALUES {pair_vals}),
+        co AS (
+            SELECT topic_id, wi, wj, CAST(count(*) AS BIGINT) AS dij
+            FROM inc a JOIN inc b ON a.doc = b.doc
+            JOIN pairs ON a.w = wi AND b.w = wj
+            GROUP BY 1, 2, 3
+        ),
+        cells AS (
+            SELECT p.topic_id,
+                   COALESCE(co.dij, 0) AS dij,
+                   COALESCE(df.d, 0) AS dj
+            FROM pairs p
+            LEFT JOIN co ON co.topic_id = p.topic_id
+                AND co.wi = p.wi AND co.wj = p.wj
+            LEFT JOIN dfreq df ON df.w = p.wj
+        ),
+        agg AS (
+            SELECT topic_id,
+                   CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(sum(CASE WHEN dj = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_undefined,
+                   CAST(COALESCE(sum(CASE WHEN dj > 0 THEN
+                       CAST(round(ln((dij + 1)::DOUBLE / dj)
+                                  * 1000000) AS BIGINT) END), 0)
+                        AS BIGINT) AS coh_num
+            FROM cells GROUP BY 1
+        )
+        SELECT CAST(topic_id AS BIGINT) AS topic_id,
+               n_cells - n_undefined AS n_pairs,
+               n_undefined, coh_num,
+               CASE WHEN n_cells - n_undefined > 0 THEN
+                   CASE WHEN coh_num < 0
+                        THEN -(abs(coh_num)
+                               // (n_cells - n_undefined))
+                        ELSE abs(coh_num) // (n_cells - n_undefined)
+                   END
+               END AS mean_pair_ppm
+        FROM agg ORDER BY topic_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -16556,6 +16704,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q343_weighted_kappa": q343_weighted_kappa,
         "q344_inequality": q344_inequality,
         "q345_mahalanobis": q345_mahalanobis,
+        "q346_dispersion": q346_dispersion,
+        "q347_umass_coherence": q347_umass_coherence,
     }
 
 
@@ -20601,4 +20751,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q344_inequality"] = _INEQUALITY_ORACLE_SQL
     # q345: exact adjugate closed form, per-point trunc division
     out["q345_mahalanobis"] = _MAHALANOBIS_ORACLE_SQL
+    # q346: exact cross-multiplied deviations incl. absent parts
+    out["q346_dispersion"] = _DISPERSION_ORACLE_SQL
+    # q347: same ln-ppm cells, undefined pairs skipped + counted
+    out["q347_umass_coherence"] = _umass_oracle_sql()
     return out

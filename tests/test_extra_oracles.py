@@ -334,6 +334,8 @@ EXTRA_NAMES = [
         "q343_weighted_kappa",
         "q344_inequality",
         "q345_mahalanobis",
+        "q346_dispersion",
+        "q347_umass_coherence",
 ]
 
 
