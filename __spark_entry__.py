@@ -14697,6 +14697,122 @@ def _umass_oracle_sql() -> str:
     """
 
 
+def q348_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope (etl/trend.py theil_sen; Sen 1968) of a
+    180-bucket quality series with planted +500 outliers every 17th
+    bucket — the magnitude companion to Mann-Kendall (q295), median
+    of once-quantized sign-split trunc-ppm pairwise slopes with the
+    lower-median row_number pin; the outliers leave the median slope
+    at ~3.0 where OLS would be dragged."""
+    from spanluke_spark.etl.trend import theil_sen
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 180")
+    e = F.col("event_id")
+    series = ev.select(
+        e.alias("t"),
+        (e * 3 + (e * 13) % 9 + F.when(e % 17 == 0, 500).otherwise(0))
+        .alias("y"),
+    )
+    return theil_sen(series)
+
+
+_THEIL_SEN_ORACLE_SQL = """
+        WITH s AS (
+            SELECT event_id AS t,
+                   event_id * 3 + (event_id * 13) % 9
+                       + CASE WHEN event_id % 17 = 0 THEN 500 ELSE 0 END
+                       AS y
+            FROM events WHERE event_id < 180
+        ),
+        pairs AS (
+            SELECT a.t, b.t AS tj,
+                   CASE WHEN b.y - a.y < 0
+                        THEN -(abs(b.y - a.y) * 1000000 // (b.t - a.t))
+                        ELSE abs(b.y - a.y) * 1000000 // (b.t - a.t)
+                   END AS slope_ppm
+            FROM s a JOIN s b ON a.t < b.t
+        ),
+        ranked AS (
+            SELECT slope_ppm,
+                   row_number() OVER (ORDER BY slope_ppm, t, tj) AS rn
+            FROM pairs
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(min(slope_ppm) AS BIGINT) AS lo_ppm,
+                   CAST(max(slope_ppm) AS BIGINT) AS hi_ppm
+            FROM ranked
+        ),
+        med AS (
+            SELECT CAST(slope_ppm AS BIGINT) AS slope_ppm
+            FROM ranked, stats WHERE rn = (n_pairs + 1) // 2
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n,
+               n_pairs, med.slope_ppm, lo_ppm, hi_ppm
+        FROM stats, med
+"""
+
+
+def q349_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test (etl/runs.py; 1940) on a
+    deliberately CLUMPED fetch-outcome stream (12-long blocks):
+    exact integer run count from one lag window, the n^2-cancelled
+    z^2 as ONE integer division, 3841-milli two-sided gate and the
+    cross-multiplied clumping/alternating direction read — the
+    i.i.d. audit under the SPRT lane's assumptions (q327)."""
+    from spanluke_spark.etl.runs import runs_test
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 600")
+    e = F.col("event_id")
+    seq = ev.select(
+        e.alias("pos"),
+        (((e / 12).cast("long") + ((e * 7) % 50 == 0).cast("long")) % 2
+         == 0).alias("x"),
+    )
+    return runs_test(seq)
+
+
+_RUNS_ORACLE_SQL = """
+        WITH s AS (
+            SELECT event_id AS pos,
+                   ((event_id // 12
+                     + CASE WHEN (event_id * 7) % 50 = 0
+                            THEN 1 ELSE 0 END) % 2 = 0) AS x
+            FROM events WHERE event_id < 600
+        ),
+        flg AS (
+            SELECT CAST(x AS INT) AS x,
+                   CASE WHEN lag(x) OVER (ORDER BY pos) IS NULL
+                             OR lag(x) OVER (ORDER BY pos) <> x
+                        THEN 1 ELSE 0 END AS new_run
+            FROM s
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS n1,
+                   CAST(count(*) - sum(x) AS BIGINT) AS n2,
+                   CAST(sum(new_run) AS BIGINT) AS r
+            FROM flg
+        )
+        SELECT n, n1, n2, r,
+               CASE WHEN 2 * n1 * n2 * (2 * n1 * n2 - n) > 0
+                    THEN (r * n - n - 2 * n1 * n2)
+                         * (r * n - n - 2 * n1 * n2) * (n - 1) * 1000
+                         // (2 * n1 * n2 * (2 * n1 * n2 - n))
+               END AS z2_milli,
+               CASE WHEN 2 * n1 * n2 * (2 * n1 * n2 - n) <= 0 THEN NULL
+                    WHEN r * n < n + 2 * n1 * n2 THEN 'clumping'
+                    WHEN r * n > n + 2 * n1 * n2 THEN 'alternating'
+                    ELSE 'exact_expectation' END AS direction,
+               CASE WHEN 2 * n1 * n2 * (2 * n1 * n2 - n) > 0
+                    THEN (r * n - n - 2 * n1 * n2)
+                         * (r * n - n - 2 * n1 * n2) * (n - 1) * 1000
+                         // (2 * n1 * n2 * (2 * n1 * n2 - n)) >= 3841
+               END AS sig
+        FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -16706,6 +16822,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q345_mahalanobis": q345_mahalanobis,
         "q346_dispersion": q346_dispersion,
         "q347_umass_coherence": q347_umass_coherence,
+        "q348_theil_sen": q348_theil_sen,
+        "q349_runs_test": q349_runs_test,
     }
 
 
@@ -20755,4 +20873,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q346_dispersion"] = _DISPERSION_ORACLE_SQL
     # q347: same ln-ppm cells, undefined pairs skipped + counted
     out["q347_umass_coherence"] = _umass_oracle_sql()
+    # q348: same quantized pair slopes, same lower-median pin
+    out["q348_theil_sen"] = _THEIL_SEN_ORACLE_SQL
+    # q349: lag-window run count, n^2-cancelled exact z^2
+    out["q349_runs_test"] = _RUNS_ORACLE_SQL
     return out

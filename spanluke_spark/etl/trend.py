@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["mann_kendall"]
+__all__ = ["mann_kendall", "theil_sen"]
 
 # round(z^2 * 1e6) for the two-sided 95% / 99% normal quantiles
 Z2_PPM = {95: 3_841_459, 99: 6_634_897}
@@ -100,4 +100,75 @@ def mann_kendall(
         F.when(~sig, F.lit("no_trend"))
         .when(F.col("s") > 0, F.lit("increasing"))
         .otherwise(F.lit("decreasing")),
+    )
+
+
+def theil_sen(
+    series: DataFrame,
+    t_col: str = "t",
+    y_col: str = "y",
+    max_n: int = 200,
+) -> DataFrame:
+    """Theil-Sen slope estimator (Theil 1950; Sen 1968) — the MAGNITUDE
+    companion to ``mann_kendall`` above: MK says a host's quality IS
+    drifting, Theil-Sen says how fast, robustly (the median of all
+    pairwise slopes has a 29% breakdown point where OLS has 0%).
+    ``series(t, y)`` -> ONE row (n, n_pairs, slope_ppm, lo_ppm,
+    hi_ppm): the median pairwise slope plus the min/max as a crude
+    envelope.
+
+    Exactness discipline: every pairwise slope is quantized ONCE to
+    sign-split trunc-ppm, slope_ppm = (y_j - y_i) * 10^6 div
+    (t_j - t_i) over pairs with t_i < t_j; the median over the
+    quantized values is pinned by a (slope_ppm, ti, tj) row_number
+    (even counts take the LOWER median — documented, deterministic,
+    no averaging of two quantized values). The pair join is the
+    definitional O(n^2) baseline, gated to ``max_n`` rows by an
+    explicit filter contract like the kNN/LOF evaluation slices.
+    Duplicate-t pairs (vertical slopes) are excluded, the standard
+    convention. Fewer than 2 distinct t surfaces an empty frame."""
+    import pyspark.sql.functions as _F
+    from pyspark.sql import Window as _W
+
+    s = series.select(
+        _F.col(t_col).cast("long").alias("t"),
+        _F.col(y_col).cast("long").alias("y"),
+    ).limit(max_n)
+    b = s.select(_F.col("t").alias("tj"), _F.col("y").alias("yj"))
+    num = _F.col("yj") - _F.col("y")
+    mag = _F.expr("abs(yj - y) * 1000000 div (tj - t)")
+    pairs = (
+        s.join(b, _F.col("t") < _F.col("tj"))
+        .select(
+            "t",
+            "tj",
+            _F.when(num < 0, -mag).otherwise(mag).alias("slope_ppm"),
+        )
+    )
+    w = _W.orderBy("slope_ppm", "t", "tj")
+    ranked = pairs.select(
+        "slope_ppm",
+        _F.row_number().over(w).alias("rn"),
+    )
+    stats = ranked.groupBy().agg(
+        _F.count(_F.lit(1)).cast("long").alias("n_pairs"),
+        _F.min("slope_ppm").alias("lo_ppm"),
+        _F.max("slope_ppm").alias("hi_ppm"),
+    )
+    cnt = s.groupBy().agg(_F.count(_F.lit(1)).cast("long").alias("n"))
+    med = (
+        ranked.crossJoin(_F.broadcast(stats))
+        .where(_F.col("rn") == _F.expr("(n_pairs + 1) div 2"))
+        .select(_F.col("slope_ppm").alias("slope_med"))
+    )
+    return (
+        cnt.crossJoin(_F.broadcast(stats))
+        .crossJoin(_F.broadcast(med))
+        .select(
+            "n",
+            "n_pairs",
+            _F.col("slope_med").alias("slope_ppm"),
+            "lo_ppm",
+            "hi_ppm",
+        )
     )

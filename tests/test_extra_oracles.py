@@ -336,6 +336,8 @@ EXTRA_NAMES = [
         "q345_mahalanobis",
         "q346_dispersion",
         "q347_umass_coherence",
+        "q348_theil_sen",
+        "q349_runs_test",
 ]
 
 
