@@ -14813,6 +14813,125 @@ _RUNS_ORACLE_SQL = """
 """
 
 
+def q350_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test (evaluation/wilcoxon.py; 1945) on
+    250 paired before/after quality scores with a planted +5 shift,
+    value noise and a zero-difference decile (gating the
+    drop-and-count convention): |d| double-ranks, the /4 and /12
+    cancel into one 3-scaled integer division, 3841-milli gate and
+    the exact-sign direction."""
+    from spanluke_spark.evaluation.wilcoxon import wilcoxon_signed_rank
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 250")
+    e = F.col("event_id")
+    x = (e * 11) % 60
+    dd = F.when(e % 10 == 3, 0).otherwise(1 + (e * 7) % 9)
+    return wilcoxon_signed_rank(
+        ev.select(x.alias("x"), (x + dd).alias("y"))
+    )
+
+
+_WILCOXON_ORACLE_SQL = """
+        WITH p AS (
+            SELECT CASE WHEN event_id % 10 = 3 THEN 0
+                        ELSE 1 + (event_id * 7) % 9 END AS d
+            FROM events WHERE event_id < 250
+        ),
+        z AS (
+            SELECT CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_zero
+            FROM p
+        ),
+        nz AS (SELECT d, abs(d) AS ad FROM p WHERE d <> 0),
+        r AS (
+            SELECT d,
+                   CAST(2 * rank() OVER (ORDER BY ad)
+                        + count(*) OVER (PARTITION BY ad) - 1
+                        AS BIGINT) AS dr
+            FROM nz
+        ),
+        ties AS (
+            SELECT CAST(COALESCE(sum(tc * tc * tc - tc), 0) AS BIGINT)
+                       AS tie_cube
+            FROM (SELECT CAST(count(*) AS BIGINT) AS tc
+                  FROM nz GROUP BY ad)
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_nonzero,
+                   CAST(sum(CASE WHEN d > 0 THEN dr ELSE 0 END)
+                        AS BIGINT) AS w2_pos
+            FROM r
+        ),
+        x AS (
+            SELECT n_nonzero, n_zero, w2_pos, tie_cube,
+                   2 * w2_pos - n_nonzero * (n_nonzero + 1) AS dev,
+                   2 * n_nonzero * (n_nonzero + 1)
+                       * (2 * n_nonzero + 1) - tie_cube AS den
+            FROM agg, ties, z
+        )
+        SELECT n_nonzero, n_zero, w2_pos, tie_cube,
+               CASE WHEN den > 0
+                    THEN 3 * dev * dev * 1000 // den
+               END AS z2_milli,
+               CASE WHEN den <= 0 THEN NULL
+                    WHEN dev > 0 THEN 'shift_up'
+                    WHEN dev < 0 THEN 'shift_down'
+                    ELSE 'exact_expectation' END AS direction,
+               CASE WHEN den > 0
+                    THEN 3 * dev * dev * 1000 // den >= 3841
+               END AS sig
+        FROM x
+"""
+
+
+def q351_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann pseudo-median (evaluation/wilcoxon.py; 1963) of
+    the same paired differences — the MAGNITUDE to q350's verdict,
+    exactly the Mann-Kendall/Theil-Sen relationship (q295/q348):
+    Walsh averages carried as EXACT (d_i + d_j)*500 milli integers
+    (no trunc anywhere), lower-median row_number pin; the multiset of
+    unordered index pairs is indexing-invariant so the oracle's
+    event_id indexing replays the Spark row_number indexing
+    bit-exactly."""
+    from spanluke_spark.evaluation.wilcoxon import hodges_lehmann
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 250")
+    e = F.col("event_id")
+    x = (e * 11) % 60
+    dd = F.when(e % 10 == 3, 0).otherwise(1 + (e * 7) % 9)
+    return hodges_lehmann(ev.select(x.alias("x"), (x + dd).alias("y")))
+
+
+_HL_ORACLE_SQL = """
+        WITH d AS (
+            SELECT event_id AS i,
+                   CASE WHEN event_id % 10 = 3 THEN 0
+                        ELSE 1 + (event_id * 7) % 9 END AS d
+            FROM events WHERE event_id < 250
+        ),
+        walsh AS (
+            SELECT CAST((a.d + b.d) * 500 AS BIGINT) AS wm
+            FROM d a JOIN d b ON a.i <= b.i
+        ),
+        ranked AS (
+            SELECT wm, row_number() OVER (ORDER BY wm) AS rn FROM walsh
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_walsh,
+                   CAST(min(wm) AS BIGINT) AS lo_milli,
+                   CAST(max(wm) AS BIGINT) AS hi_milli
+            FROM ranked
+        ),
+        med AS (
+            SELECT CAST(wm AS BIGINT) AS hl_milli
+            FROM ranked, stats WHERE rn = (n_walsh + 1) // 2
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n,
+               n_walsh, hl_milli, lo_milli, hi_milli
+        FROM stats, med
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -16824,6 +16943,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q347_umass_coherence": q347_umass_coherence,
         "q348_theil_sen": q348_theil_sen,
         "q349_runs_test": q349_runs_test,
+        "q350_wilcoxon": q350_wilcoxon,
+        "q351_hodges_lehmann": q351_hodges_lehmann,
     }
 
 
@@ -20877,4 +20998,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q348_theil_sen"] = _THEIL_SEN_ORACLE_SQL
     # q349: lag-window run count, n^2-cancelled exact z^2
     out["q349_runs_test"] = _RUNS_ORACLE_SQL
+    # q350: same |d| double-rank windows, 3-scaled single division
+    out["q350_wilcoxon"] = _WILCOXON_ORACLE_SQL
+    # q351: Walsh multiset is indexing-invariant, exact milli values
+    out["q351_hodges_lehmann"] = _HL_ORACLE_SQL
     return out
