@@ -14932,6 +14932,165 @@ _HL_ORACLE_SQL = """
 """
 
 
+def q352_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-trend test (evaluation/ordinal.py;
+    Terpstra 1952, Jonckheere 1954) across 4 crawl-depth groups of 40
+    events with a planted +3-per-depth quality drift — the ORDERED
+    alternative Kruskal-Wallis (q337) has no power for: J2 = 2*less +
+    eq carried exact via a dense (value x group) cumulative grid (no
+    pair join), Hollander-Wolfe tie-corrected variance cleared to ONE
+    integer division over 72n(n-1)(n-2), 3841-milli z^2 gate."""
+    from spanluke_spark.evaluation.ordinal import jonckheere_terpstra
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 160")
+    e = F.col("event_id")
+    samples = ev.select(
+        (e % 4).alias("grp"),
+        ((e * 17) % 40 + 3 * (e % 4)).alias("value"),
+    )
+    return jonckheere_terpstra(samples)
+
+
+_JONCKHEERE_ORACLE_SQL = """
+        WITH s AS (
+            SELECT event_id % 4 AS grp,
+                   (event_id * 17) % 40 + 3 * (event_id % 4) AS value
+            FROM events WHERE event_id < 160
+        ),
+        counts AS (
+            SELECT value, grp, CAST(count(*) AS BIGINT) AS cnt
+            FROM s GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT v.value, g.grp, COALESCE(c.cnt, 0) AS cnt
+            FROM (SELECT DISTINCT value FROM s) v
+            CROSS JOIN (SELECT DISTINCT grp FROM s) g
+            LEFT JOIN counts c ON c.value = v.value AND c.grp = g.grp
+        ),
+        cum AS (
+            SELECT value, grp, cnt,
+                   COALESCE(sum(cnt) OVER (
+                       PARTITION BY grp ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cumless
+            FROM grid
+        ),
+        j AS (
+            SELECT CAST(COALESCE(sum(
+                       b.cnt * (2 * a.cumless + a.cnt)), 0) AS BIGINT)
+                       AS j2
+            FROM cum a JOIN cum b
+              ON a.value = b.value AND a.grp < b.grp AND b.cnt > 0
+        ),
+        per AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS nj FROM s GROUP BY 1
+        ),
+        gs AS (
+            SELECT CAST(sum(nj) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(nj * nj) AS BIGINT) AS sum_nj2,
+                   CAST(sum(nj * (nj - 1) * (2 * nj + 5)) AS BIGINT)
+                       AS g25,
+                   CAST(sum(nj * (nj - 1) * (nj - 2)) AS BIGINT) AS v2,
+                   CAST(sum(nj * (nj - 1)) AS BIGINT) AS v4
+            FROM per
+        ),
+        ts AS (
+            SELECT CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT)
+                       AS t25,
+                   CAST(sum(tc * (tc - 1) * (tc - 2)) AS BIGINT) AS v3,
+                   CAST(sum(tc * (tc - 1)) AS BIGINT) AS v5
+            FROM (SELECT CAST(count(*) AS BIGINT) AS tc
+                  FROM s GROUP BY value)
+        ),
+        x AS (
+            SELECT n, k, j2,
+                   j2 - (n * n - sum_nj2) // 2 AS h,
+                   (n * (n - 1) * (2 * n + 5) - g25 - t25)
+                       * n * (n - 1) * (n - 2)
+                       + 2 * v2 * v3 + 9 * (n - 2) * v4 * v5 AS d
+            FROM j, gs, ts
+        )
+        SELECT n, k, j2, h,
+               CASE WHEN d > 0
+                    THEN 18000 * n * (n - 1) * (n - 2) * h * h // d
+               END AS z2_milli,
+               CASE WHEN d <= 0 THEN NULL
+                    WHEN h > 0 THEN 'increasing'
+                    WHEN h < 0 THEN 'decreasing'
+                    ELSE 'exact_expectation' END AS direction,
+               CASE WHEN d > 0
+                    THEN 18000 * n * (n - 1) * (n - 2) * h * h // d
+                         >= 3841
+               END AS sig
+        FROM x
+"""
+
+
+def q353_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta + Vargha-Delaney A (evaluation/ordinal.py; Cliff
+    1993, Vargha & Delaney 2000) for a 150/150 treated-vs-control
+    quality split with a planted +5 shift: the MAGNITUDE to the
+    Mann-Whitney verdict (q246), exactly the Theil-Sen/Hodges-Lehmann
+    relationship (q348/q351). U2 = 2*gt + eq from the pooled
+    double-rank sum (q296 identity, no pair join), sign-split
+    trunc-ppm delta, Romano magnitude bands, and the A = (delta+1)/2
+    identity surviving quantization within 1 ppm (pytest-gated)."""
+    from spanluke_spark.evaluation.ordinal import cliffs_delta
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 300")
+    e = F.col("event_id")
+    samples = ev.select(
+        (e % 2).alias("grp"),
+        ((e * 7) % 30 + 5 * (e % 2)).alias("value"),
+    )
+    return cliffs_delta(samples)
+
+
+_CLIFFS_ORACLE_SQL = """
+        WITH s AS (
+            SELECT event_id % 2 = 1 AS is_a,
+                   (event_id * 7) % 30 + 5 * (event_id % 2) AS value
+            FROM events WHERE event_id < 300
+        ),
+        r AS (
+            SELECT is_a,
+                   CAST(2 * rank() OVER (ORDER BY value)
+                        + count(*) OVER (PARTITION BY value) - 1
+                        AS BIGINT) AS dr
+            FROM s
+        ),
+        agg AS (
+            SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_b,
+                   CAST(sum(CASE WHEN is_a THEN dr ELSE 0 END)
+                        AS BIGINT) AS dra
+            FROM r
+        ),
+        x AS (
+            SELECT n_a, n_b, dra - n_a * (n_a + 1) AS u2 FROM agg
+        ),
+        y AS (
+            SELECT n_a, n_b, u2,
+                   CASE WHEN u2 - n_a * n_b < 0
+                        THEN -(abs(u2 - n_a * n_b) * 1000000
+                               // (n_a * n_b))
+                        ELSE abs(u2 - n_a * n_b) * 1000000
+                             // (n_a * n_b) END AS delta_ppm,
+                   u2 * 1000000 // (2 * n_a * n_b) AS a_ppm
+            FROM x
+        )
+        SELECT n_a, n_b, u2, delta_ppm, a_ppm,
+               CASE WHEN abs(delta_ppm) < 147000 THEN 'negligible'
+                    WHEN abs(delta_ppm) < 330000 THEN 'small'
+                    WHEN abs(delta_ppm) < 474000 THEN 'medium'
+                    ELSE 'large' END AS magnitude
+        FROM y
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -16945,6 +17104,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q349_runs_test": q349_runs_test,
         "q350_wilcoxon": q350_wilcoxon,
         "q351_hodges_lehmann": q351_hodges_lehmann,
+        "q352_jonckheere": q352_jonckheere,
+        "q353_cliffs_delta": q353_cliffs_delta,
     }
 
 
@@ -21002,4 +21163,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q350_wilcoxon"] = _WILCOXON_ORACLE_SQL
     # q351: Walsh multiset is indexing-invariant, exact milli values
     out["q351_hodges_lehmann"] = _HL_ORACLE_SQL
+    # q352: same dense-grid cumulative J2, one-division H-W variance
+    out["q352_jonckheere"] = _JONCKHEERE_ORACLE_SQL
+    # q353: same pooled double-rank U2, sign-split trunc-ppm delta
+    out["q353_cliffs_delta"] = _CLIFFS_ORACLE_SQL
     return out
