@@ -15091,6 +15091,114 @@ _CLIFFS_ORACLE_SQL = """
 """
 
 
+def q354_mcc_fm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation + Fowlkes-Mallows (evaluation/
+    concordance.py; Matthews 1975, Fowlkes & Mallows 1983) for a
+    deterministic noisy classifier over 400 events — the
+    imbalance-honest confusion summary: sqrt-free SIGNED SQUARES
+    (mcc2_ppm, fm2_ppm) on exact integer cross products (the q311
+    discipline), NULL on zero marginals, symmetry under truth/pred
+    swap pytest-gated."""
+    from spanluke_spark.evaluation.concordance import mcc_fm
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 400")
+    e = F.col("event_id")
+    scored = ev.select(
+        ((e * 13) % 100 < 40).alias("truth"),
+        ((e * 13) % 100 + 7 * (e % 5) - 3 * (e % 3) < 45).alias("pred"),
+    )
+    return mcc_fm(scored)
+
+
+_MCC_FM_ORACLE_SQL = """
+        WITH s AS (
+            SELECT (event_id * 13) % 100 < 40 AS truth,
+                   (event_id * 13) % 100 + 7 * (event_id % 5)
+                       - 3 * (event_id % 3) < 45 AS pred
+            FROM events WHERE event_id < 400
+        ),
+        c AS (
+            SELECT CAST(sum(CASE WHEN truth AND pred THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tp,
+                   CAST(sum(CASE WHEN NOT truth AND pred THEN 1 ELSE 0
+                            END) AS BIGINT) AS fp,
+                   CAST(sum(CASE WHEN truth AND NOT pred THEN 1 ELSE 0
+                            END) AS BIGINT) AS fn,
+                   CAST(sum(CASE WHEN NOT truth AND NOT pred THEN 1
+                            ELSE 0 END) AS BIGINT) AS tn
+            FROM s
+        )
+        SELECT tp, fp, fn, tn,
+               CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+                         > 0 THEN
+                   CASE WHEN tp * tn - fp * fn < 0
+                        THEN -((tp * tn - fp * fn) * (tp * tn - fp * fn)
+                               * 1000000
+                               // ((tp + fp) * (tp + fn)
+                                   * (tn + fp) * (tn + fn)))
+                        ELSE (tp * tn - fp * fn) * (tp * tn - fp * fn)
+                             * 1000000
+                             // ((tp + fp) * (tp + fn)
+                                 * (tn + fp) * (tn + fn)) END
+               END AS mcc2_ppm,
+               CASE WHEN (tp + fp) * (tp + fn) > 0
+                    THEN tp * tp * 1000000 // ((tp + fp) * (tp + fn))
+               END AS fm2_ppm
+        FROM c
+"""
+
+
+def q355_lin_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lin's concordance correlation (evaluation/concordance.py; Lin
+    1989) between two integer quality scorings of 200 events with a
+    planted small disagreement — charges for location/scale departure
+    from the 45-degree line that Pearson r (q265) forgives: exact
+    n^2-cross-multiplied integer numerator/denominator, ONE
+    sign-split trunc to ppm; y==x exact-1e6 and y==x+c closed-form
+    2Dx/(2Dx+n^2c^2) lanes pytest-gated."""
+    from spanluke_spark.evaluation.concordance import lin_ccc
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 200")
+    e = F.col("event_id")
+    x = (e * 11) % 50
+    pairs = ev.select(
+        x.alias("x"),
+        (x + (e * 7) % 9 - 4).alias("y"),
+    )
+    return lin_ccc(pairs)
+
+
+_LIN_CCC_ORACLE_SQL = """
+        WITH p AS (
+            SELECT (event_id * 11) % 50 AS x,
+                   (event_id * 11) % 50 + (event_id * 7) % 9 - 4 AS y
+            FROM events WHERE event_id < 200
+        ),
+        a AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM p
+        ),
+        z AS (
+            SELECT n, 2 * (n * sxy - sx * sy) AS num,
+                   (n * sxx - sx * sx) + (n * syy - sy * sy)
+                       + (sx - sy) * (sx - sy) AS den
+            FROM a
+        )
+        SELECT n, num, den,
+               CASE WHEN den > 0 THEN
+                   CASE WHEN num < 0
+                        THEN -(abs(num) * 1000000 // den)
+                        ELSE abs(num) * 1000000 // den END
+               END AS ccc_ppm
+        FROM z
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -17106,6 +17214,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q351_hodges_lehmann": q351_hodges_lehmann,
         "q352_jonckheere": q352_jonckheere,
         "q353_cliffs_delta": q353_cliffs_delta,
+        "q354_mcc_fm": q354_mcc_fm,
+        "q355_lin_ccc": q355_lin_ccc,
     }
 
 
@@ -21167,4 +21277,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q352_jonckheere"] = _JONCKHEERE_ORACLE_SQL
     # q353: same pooled double-rank U2, sign-split trunc-ppm delta
     out["q353_cliffs_delta"] = _CLIFFS_ORACLE_SQL
+    # q354: same exact confusion cross products, signed squares
+    out["q354_mcc_fm"] = _MCC_FM_ORACLE_SQL
+    # q355: same n^2-cross-multiplied sums, one sign-split trunc
+    out["q355_lin_ccc"] = _LIN_CCC_ORACLE_SQL
     return out
