@@ -15199,6 +15199,124 @@ _LIN_CCC_ORACLE_SQL = """
 """
 
 
+def q356_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage dose-response trend (evaluation/trendtests.py;
+    Cochran 1954, Armitage 1955): does the legal-mention rate rise
+    with crawl depth 0..3 (planted +8%/depth over 400 events)? Exact
+    conditional hypergeometric variance cleared to ONE integer
+    division 1000(N-1)dev^2 div (R(N-R)(N*S2-S1^2)); the 2x2
+    (N-1)/N-chi-squared reduction and degenerate NULLs are
+    pytest-gated; 3841-milli df=1 gate."""
+    from spanluke_spark.evaluation.trendtests import cochran_armitage
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 400")
+    e = F.col("event_id")
+    dosed = ev.select(
+        (e % 4).alias("score"),
+        ((e * 13) % 100 < 30 + 8 * (e % 4)).alias("outcome"),
+    )
+    return cochran_armitage(dosed)
+
+
+_COCHRAN_ARMITAGE_ORACLE_SQL = """
+        WITH s AS (
+            SELECT event_id % 4 AS s,
+                   (event_id * 13) % 100 < 30 + 8 * (event_id % 4)
+                       AS y
+            FROM events WHERE event_id < 400
+        ),
+        per AS (
+            SELECT s, CAST(count(*) AS BIGINT) AS nj,
+                   CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                       AS rj
+            FROM s GROUP BY 1
+        ),
+        a AS (
+            SELECT CAST(sum(nj) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(rj) AS BIGINT) AS r,
+                   CAST(sum(s * rj) AS BIGINT) AS t,
+                   CAST(sum(s * nj) AS BIGINT) AS s1,
+                   CAST(sum(s * s * nj) AS BIGINT) AS s2
+            FROM per
+        ),
+        x AS (
+            SELECT n, k, r, t, s1, s2,
+                   n * t - r * s1 AS dev,
+                   r * (n - r) * (n * s2 - s1 * s1) AS d
+            FROM a
+        )
+        SELECT n, k, r, t, s1, s2, dev,
+               CASE WHEN d > 0
+                    THEN 1000 * (n - 1) * dev * dev // d
+               END AS z2_milli,
+               CASE WHEN d <= 0 THEN NULL
+                    WHEN dev > 0 THEN 'rate_increasing'
+                    WHEN dev < 0 THEN 'rate_decreasing'
+                    ELSE 'exact_expectation' END AS direction,
+               CASE WHEN d > 0
+                    THEN 1000 * (n - 1) * dev * dev // d >= 3841
+               END AS sig
+        FROM x
+"""
+
+
+def q357_bowker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowker symmetry test (evaluation/trendtests.py; Bowker 1948)
+    between two 4-label model versions over 300 paired events with a
+    planted upgrade drift — the k x k McNemar: directed disagreements
+    fold onto canonical (lo, hi) pairs, each contributing the
+    once-quantized milli cell 1000(up-down)^2 div (up+down); exact
+    integer sum, df = contributing pairs, diagonal-only NULL;
+    k=2 == uncorrected McNemar pinned by pytest. Critical value for
+    the maximal df = k(k-1)/2 = 6 supplied driver-side as 12592 milli
+    (the q327/q342 constant discipline — conservative for smaller
+    observed df)."""
+    from spanluke_spark.evaluation.trendtests import bowker_symmetry
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 300")
+    e = F.col("event_id")
+    paired = ev.select(
+        ((e * 3) % 4).alias("a"),
+        (((e * 3) % 4 + (e % 7 < 2).cast("long")) % 4).alias("b"),
+    )
+    return bowker_symmetry(paired, crit_milli=12_592)
+
+
+_BOWKER_ORACLE_SQL = """
+        WITH s AS (
+            SELECT (event_id * 3) % 4 AS i,
+                   ((event_id * 3) % 4
+                    + CASE WHEN event_id % 7 < 2 THEN 1 ELSE 0 END)
+                       % 4 AS j
+            FROM events WHERE event_id < 300
+        ),
+        d AS (SELECT i, j FROM s WHERE i <> j),
+        cells AS (
+            SELECT least(i, j) AS lo, greatest(i, j) AS hi,
+                   CAST(sum(CASE WHEN i < j THEN 1 ELSE 0 END)
+                        AS BIGINT) AS up,
+                   CAST(sum(CASE WHEN i > j THEN 1 ELSE 0 END)
+                        AS BIGINT) AS down
+            FROM d GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_pairs_df,
+                   CAST(COALESCE(sum(
+                       1000 * (up - down) * (up - down)
+                       // (up + down)), 0) AS BIGINT) AS chi2_milli,
+                   CAST(COALESCE(sum(up + down), 0) AS BIGINT)
+                       AS n_disagree
+            FROM cells
+        )
+        SELECT n_pairs_df, chi2_milli, n_disagree,
+               CASE WHEN n_pairs_df > 0
+                    THEN chi2_milli >= 12592
+               END AS sig
+        FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -17216,6 +17334,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q353_cliffs_delta": q353_cliffs_delta,
         "q354_mcc_fm": q354_mcc_fm,
         "q355_lin_ccc": q355_lin_ccc,
+        "q356_cochran_armitage": q356_cochran_armitage,
+        "q357_bowker": q357_bowker,
     }
 
 
@@ -21281,4 +21401,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q354_mcc_fm"] = _MCC_FM_ORACLE_SQL
     # q355: same n^2-cross-multiplied sums, one sign-split trunc
     out["q355_lin_ccc"] = _LIN_CCC_ORACLE_SQL
+    # q356: same per-dose agg, one-division hypergeometric variance
+    out["q356_cochran_armitage"] = _COCHRAN_ARMITAGE_ORACLE_SQL
+    # q357: same canonical-pair fold, once-quantized milli cells
+    out["q357_bowker"] = _BOWKER_ORACLE_SQL
     return out
