@@ -15317,6 +15317,153 @@ _BOWKER_ORACLE_SQL = """
 """
 
 
+def q358_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe median-based variance-homogeneity test
+    (evaluation/levene.py; Levene 1960, Brown & Forsythe 1974) across
+    4 equal crawl-source groups of 60 with group 3 planted 3x wider —
+    the SCALE companion to the location tests (q337/q352): exact
+    integer doubled medians med2 = two middle order stats, doubled
+    deviations |2x - med2| whose doubling cancels in the F ratio,
+    cleared to ONE integer division under the equal-group-size
+    contract (unequal sizes surface NULL); location-shift invariance
+    pytest-gated; F(3, 236) critical 2.642 supplied driver-side as
+    2642 milli."""
+    from spanluke_spark.evaluation.levene import brown_forsythe
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 240")
+    e = F.col("event_id")
+    samples = ev.select(
+        (e % 4).alias("grp"),
+        F.when(e % 4 == 3, (e * 13) % 60)
+        .otherwise((e * 13) % 20)
+        .alias("value"),
+    )
+    return brown_forsythe(samples, crit_milli=2_642)
+
+
+_BROWN_FORSYTHE_ORACLE_SQL = """
+        WITH s AS (
+            SELECT event_id % 4 AS grp,
+                   CASE WHEN event_id % 4 = 3
+                        THEN (event_id * 13) % 60
+                        ELSE (event_id * 13) % 20 END AS value
+            FROM events WHERE event_id < 240
+        ),
+        r AS (
+            SELECT grp, value,
+                   row_number() OVER (PARTITION BY grp
+                                      ORDER BY value) AS rn,
+                   CAST(count(*) OVER (PARTITION BY grp) AS BIGINT)
+                       AS m
+            FROM s
+        ),
+        med AS (
+            SELECT grp,
+                   CASE WHEN max(m) % 2 = 1 THEN 2 * max(value)
+                        ELSE sum(value) END AS med2
+            FROM r
+            WHERE rn = m // 2 + 1 OR rn = (m + 1) // 2
+            GROUP BY grp
+        ),
+        z AS (
+            SELECT s.grp, abs(2 * s.value - med.med2) AS z2
+            FROM s JOIN med ON s.grp = med.grp
+        ),
+        per AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS mj,
+                   CAST(sum(z2) AS BIGINT) AS zj,
+                   CAST(sum(z2 * z2) AS BIGINT) AS ssj
+            FROM z GROUP BY grp
+        ),
+        agg AS (
+            SELECT CAST(sum(mj) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS k,
+                   CAST(min(mj) AS BIGINT) AS m_lo,
+                   CAST(max(mj) AS BIGINT) AS m_hi,
+                   CAST(sum(zj) AS BIGINT) AS z_tot,
+                   CAST(sum(ssj) AS BIGINT) AS ss,
+                   CAST(sum(zj * zj) AS BIGINT) AS sum_zj2
+            FROM per
+        ),
+        betw AS (
+            SELECT CAST(sum((agg.n * per.zj - agg.m_lo * agg.z_tot)
+                            * (agg.n * per.zj - agg.m_lo * agg.z_tot))
+                        AS BIGINT) AS num_raw
+            FROM per, agg
+        ),
+        x AS (
+            SELECT n, k, m_lo AS m, m_lo = m_hi AS equal_sizes,
+                   1000 * (n - k) * num_raw AS num,
+                   (k - 1) * n * n * (m_lo * ss - sum_zj2) AS den
+            FROM agg, betw
+        )
+        SELECT n, k, m, num, den,
+               CASE WHEN equal_sizes AND den > 0
+                    THEN num // den END AS f_milli,
+               CASE WHEN equal_sizes AND den > 0
+                    THEN num // den >= 2642 END AS sig
+        FROM x
+"""
+
+
+def q359_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard (etl/survival.py; Nelson 1972,
+    Aalen 1978) over 300 page lifetimes with 20% right-censoring —
+    the integral companion to the Kaplan-Meier lane (q228) and the
+    same risk-set machinery as the log-rank (q341): suffix-sum risk
+    sets from one descending window, once-quantized per-death cells
+    d*1e6 div n (hazard ppm) and d(n-d)*1e9 div n^3 (variance ppb),
+    exact cumulative sums over one ascending window; censor-only
+    times shrink risk sets but emit no row; exp(-H) >= S_KM
+    (Breslow >= product-limit) float-gated in pytest."""
+    from spanluke_spark.etl.survival import nelson_aalen
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 300")
+    e = F.col("event_id")
+    obs = ev.select(
+        ((e * 7) % 40 + 1).alias("duration"),
+        (e % 5 != 0).cast("int").alias("event"),
+    )
+    return nelson_aalen(obs)
+
+
+_NELSON_AALEN_ORACLE_SQL = """
+        WITH o AS (
+            SELECT (event_id * 7) % 40 + 1 AS t,
+                   CASE WHEN event_id % 5 <> 0 THEN 1 ELSE 0 END
+                       AS event
+            FROM events WHERE event_id < 300
+        ),
+        per AS (
+            SELECT t, CAST(count(*) AS BIGINT) AS arr,
+                   CAST(sum(event) AS BIGINT) AS d
+            FROM o GROUP BY t
+        ),
+        risk AS (
+            SELECT t, d,
+                   CAST(sum(arr) OVER (ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS n_risk
+            FROM per
+        ),
+        cells AS (
+            SELECT t, n_risk, d AS deaths,
+                   d * 1000000 // n_risk AS h_step_ppm,
+                   d * (n_risk - d) * 1000000000
+                       // (n_risk * n_risk * n_risk) AS v_step_ppb
+            FROM risk WHERE d >= 1
+        )
+        SELECT t, n_risk, deaths, h_step_ppm,
+               CAST(sum(h_step_ppm) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS h_ppm,
+               CAST(sum(v_step_ppb) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS var_ppb
+        FROM cells
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -17336,6 +17483,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q355_lin_ccc": q355_lin_ccc,
         "q356_cochran_armitage": q356_cochran_armitage,
         "q357_bowker": q357_bowker,
+        "q358_brown_forsythe": q358_brown_forsythe,
+        "q359_nelson_aalen": q359_nelson_aalen,
     }
 
 
@@ -21405,4 +21554,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q356_cochran_armitage"] = _COCHRAN_ARMITAGE_ORACLE_SQL
     # q357: same canonical-pair fold, once-quantized milli cells
     out["q357_bowker"] = _BOWKER_ORACLE_SQL
+    # q358: same doubled medians/deviations, one-division F
+    out["q358_brown_forsythe"] = _BROWN_FORSYTHE_ORACLE_SQL
+    # q359: same suffix-sum risk sets, once-quantized hazard cells
+    out["q359_nelson_aalen"] = _NELSON_AALEN_ORACLE_SQL
     return out

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kaplan_meier", "log_rank"]
+__all__ = ["kaplan_meier", "log_rank", "nelson_aalen"]
 
 
 def kaplan_meier(
@@ -162,3 +162,67 @@ def log_rank(
         "var_sum_micro",
         chi2.alias("chi2_milli"),
     ).select("*", (F.col("chi2_milli") >= F.lit(crit_milli)).alias("sig"))
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator (Nelson 1972; Aalen
+    1978) — the INTEGRAL companion to ``kaplan_meier``: H(t) =
+    sum over death times t_i <= t of d_i/n_i. Where KM multiplies
+    survival factors (forcing the exp-of-log-sum lowering above), the
+    hazard ADDS rationals — so the once-quantized cell discipline
+    applies directly: each death time contributes
+
+      h_step_ppm = d_i * 10^6 div n_i
+      v_step_ppb = d_i * (n_i - d_i) * 10^9 div (n_i^3)
+
+    (the ppb variance cell is the Klein survival-analysis form
+    d(n-d)/n^3), and H / Var(H) are their exact cumulative sums over
+    one ascending window. Censor-only times shrink later risk sets
+    but emit no row (d = 0) — pinned by pytest against a censoring-
+    free replay. exp(-H) >= S_KM (Breslow >= product-limit, since
+    exp(-x) >= 1-x) is float-gated per step.
+
+    df(duration, event 1/0) -> one row per DEATH time: (t, n_risk,
+    deaths, h_step_ppm, h_ppm, var_ppb). Distributed shape: one
+    (t) aggregate, one descending suffix-sum window for the risk set,
+    one ascending cumulative window — exactly the kaplan_meier plan
+    with the log-product replaced by integer sums."""
+    t = df.select(
+        F.col(duration_col).alias("t"),
+        F.col(event_col).cast("long").alias("event"),
+    )
+    per = t.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("arr"),
+        F.sum("event").alias("d"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = per.select(
+        "t", "d", F.sum("arr").over(w_desc).alias("n_risk")
+    ).where(F.col("d") >= 1)
+    cells = risk.select(
+        "t",
+        "n_risk",
+        F.col("d").alias("deaths"),
+        F.expr("d * 1000000 div n_risk").alias("h_step_ppm"),
+        F.expr(
+            "d * (n_risk - d) * 1000000000"
+            " div (n_risk * n_risk * n_risk)"
+        ).alias("v_step_ppb"),
+    )
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return cells.select(
+        "t",
+        "n_risk",
+        "deaths",
+        "h_step_ppm",
+        F.sum("h_step_ppm").over(w_asc).alias("h_ppm"),
+        F.sum("v_step_ppb").over(w_asc).alias("var_ppb"),
+    )
