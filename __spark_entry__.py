@@ -15464,6 +15464,117 @@ _NELSON_AALEN_ORACLE_SQL = """
 """
 
 
+def q360_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient sweep (graph/richclub.py; Zhou &
+    Mondragon 2004) over a 40-node host graph with 5 planted hubs
+    (every node also links into hosts 0..4) — the link-farm
+    "do the hubs form a clique" signal: canonical simple edges, exact
+    integer degrees, one constant-fan-out k-explode (no per-k jobs),
+    phi_ppm = 2*E_k*1e6 div (N_k(N_k-1)) with N_k < 2 NULL;
+    complete-graph exact-1e6 and ring closed-form lanes
+    pytest-gated."""
+    from spanluke_spark.graph.richclub import rich_club
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 200")
+    e = F.col("event_id")
+    e1 = ev.select(
+        (e % 40).alias("src"), ((e * 7 + 1) % 40).alias("dst")
+    )
+    e2 = ev.select((e % 40).alias("src"), (e % 5).alias("dst"))
+    return rich_club(e1.unionByName(e2), k_max=12).orderBy("k")
+
+
+_RICH_CLUB_ORACLE_SQL = """
+        WITH raw AS (
+            SELECT event_id % 40 AS src, (event_id * 7 + 1) % 40 AS dst
+            FROM events WHERE event_id < 200
+            UNION ALL
+            SELECT event_id % 40, event_id % 5
+            FROM events WHERE event_id < 200
+        ),
+        e AS (
+            SELECT DISTINCT least(src, dst) AS lo,
+                   greatest(src, dst) AS hi
+            FROM raw WHERE src <> dst
+        ),
+        deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS deg
+            FROM (SELECT lo AS node FROM e
+                  UNION ALL SELECT hi FROM e)
+            GROUP BY node
+        ),
+        ks AS (SELECT unnest(range(1, 13)) AS k),
+        nk AS (
+            SELECT k, CAST(count(*) AS BIGINT) AS n_k
+            FROM deg, ks WHERE deg > k GROUP BY k
+        ),
+        ed AS (
+            SELECT least(d1.deg, d2.deg) AS dmin
+            FROM e JOIN deg d1 ON e.lo = d1.node
+                   JOIN deg d2 ON e.hi = d2.node
+        ),
+        ek AS (
+            SELECT k, CAST(count(*) AS BIGINT) AS e_k
+            FROM ed, ks WHERE dmin > k GROUP BY k
+        )
+        SELECT nk.k, n_k, COALESCE(e_k, 0) AS e_k,
+               CASE WHEN n_k >= 2
+                    THEN 2 * COALESCE(e_k, 0) * 1000000
+                         // (n_k * (n_k - 1))
+               END AS phi_ppm
+        FROM nk LEFT JOIN ek ON nk.k = ek.k
+        ORDER BY nk.k
+"""
+
+
+def q361_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K + Simpson's D lexical richness (textops/richness.py;
+    Yule 1944, Simpson 1949) over 100 documents — the repetitiveness
+    constants beside Heaps growth (q305) and Good-Turing spectrum
+    (q313): exact integer frequency spectrum (vocab, hapax, dis
+    legomena, S2), k_milli = 1e7(S2-N) div N^2 and d_ppm =
+    1e6*sum f(f-1) div (N(N-1)) each one trunc; all-distinct zero and
+    single-type exact closed forms pytest-gated."""
+    from spanluke_spark.textops.richness import lexical_richness
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 100")
+    return lexical_richness(docs)
+
+
+_RICHNESS_ORACLE_SQL = """
+        WITH toks AS (
+            SELECT tok FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE doc_id < 100
+            ) WHERE tok <> ''
+        ),
+        freq AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS f
+            FROM toks GROUP BY tok
+        ),
+        agg AS (
+            SELECT CAST(COALESCE(sum(f), 0) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS v_types,
+                   CAST(COALESCE(sum(CASE WHEN f = 1 THEN 1 ELSE 0
+                       END), 0) AS BIGINT) AS v1_hapax,
+                   CAST(COALESCE(sum(CASE WHEN f = 2 THEN 1 ELSE 0
+                       END), 0) AS BIGINT) AS v2_dis,
+                   CAST(COALESCE(sum(f * f), 0) AS BIGINT) AS s2,
+                   CAST(COALESCE(sum(f * (f - 1)), 0) AS BIGINT)
+                       AS rep
+            FROM freq
+        )
+        SELECT n_tokens, v_types, v1_hapax, v2_dis, s2,
+               CASE WHEN n_tokens >= 2
+                    THEN 10000000 * (s2 - n_tokens)
+                         // (n_tokens * n_tokens) END AS k_milli,
+               CASE WHEN n_tokens >= 2
+                    THEN 1000000 * rep
+                         // (n_tokens * (n_tokens - 1)) END AS d_ppm
+        FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -17485,6 +17596,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q357_bowker": q357_bowker,
         "q358_brown_forsythe": q358_brown_forsythe,
         "q359_nelson_aalen": q359_nelson_aalen,
+        "q360_rich_club": q360_rich_club,
+        "q361_lexical_richness": q361_lexical_richness,
     }
 
 
@@ -21558,4 +21671,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q358_brown_forsythe"] = _BROWN_FORSYTHE_ORACLE_SQL
     # q359: same suffix-sum risk sets, once-quantized hazard cells
     out["q359_nelson_aalen"] = _NELSON_AALEN_ORACLE_SQL
+    # q360: same canonical edges/degrees, same k-grid fan-out
+    out["q360_rich_club"] = _RICH_CLUB_ORACLE_SQL
+    # q361: same frequency spectrum, same single-trunc rationals
+    out["q361_lexical_richness"] = _RICHNESS_ORACLE_SQL
     return out
