@@ -15575,6 +15575,125 @@ _RICHNESS_ORACLE_SQL = """
 """
 
 
+def q362_err_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Reciprocal Rank @10 (evaluation/ranking.py; Chapelle
+    2009) for 8 ranked lists with deterministic grades in {0,1,2,3} —
+    the cascade-model metric beside nDCG (q209): the survival product
+    over (8 - num) bases {1,5,7,8} recovered EXACTLY from one
+    cumulative window of base counts (5^c5 * 7^c7 * 8^c8, each factor
+    double-exact before the long cast), once-quantized ppb cells
+    1e9*num*P div (r*8^r); the oracle replays via DuckDB's product()
+    window on the same integers."""
+    from spanluke_spark.evaluation.ranking import err_at_k
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 80")
+    e = F.col("event_id")
+    q = (e / 10).cast("long") + 1
+    r = (e % 10) + 1
+    ranked = ev.select(
+        q.alias("query_id"),
+        r.alias("rank"),
+        ((q * 13 + r * 7) % 4).alias("grade"),
+    )
+    return err_at_k(ranked, k=10).orderBy("query_id")
+
+
+_ERR_ORACLE_SQL = """
+        WITH s AS (
+            SELECT event_id // 10 + 1 AS q,
+                   event_id % 10 + 1 AS r,
+                   CAST((1 << CAST(((event_id // 10 + 1) * 13
+                        + (event_id % 10 + 1) * 7) % 4 AS INT)) - 1
+                        AS BIGINT) AS num
+            FROM events WHERE event_id < 80
+        ),
+        p AS (
+            SELECT q, r, num,
+                   CAST(COALESCE(product(8 - num) OVER (
+                       PARTITION BY q ORDER BY r
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 1) AS BIGINT)
+                       AS surv
+            FROM s
+        ),
+        cells AS (
+            SELECT q,
+                   1000000000 * num * surv
+                       // (CAST(r AS BIGINT)
+                           * CAST(1 << (3 * CAST(r AS INT))
+                                  AS BIGINT)) AS cell_ppb
+            FROM p
+        )
+        SELECT q AS query_id,
+               CAST(count(*) AS BIGINT) AS n_ranked,
+               CAST(sum(cell_ppb) AS BIGINT) AS err_ppb
+        FROM cells GROUP BY q ORDER BY q
+"""
+
+
+def q363_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep (evaluation/threshold.py; Youden 1950)
+    over 400 integer-scored events — the deployment cutoff the ROC
+    lane (q296) prices only in aggregate: full TP/FP curve from one
+    descending cumulative window (no per-threshold jobs),
+    once-quantized f1_ppm and two-term j_milli cells, best-F1 row
+    pinned by (f1 desc, t asc) row_number; perfect-separation
+    f1=1e6/j=1000 exact lanes pytest-gated."""
+    from spanluke_spark.evaluation.threshold import threshold_sweep
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 400")
+    e = F.col("event_id")
+    scored = ev.select(
+        ((e * 13) % 100).alias("score"),
+        ((e * 13) % 100 + (e * 11) % 30 > 60).alias("label"),
+    )
+    return threshold_sweep(scored).orderBy("t")
+
+
+_THRESHOLD_ORACLE_SQL = """
+        WITH s AS (
+            SELECT (event_id * 13) % 100 AS t,
+                   (event_id * 13) % 100 + (event_id * 11) % 30 > 60
+                       AS y
+            FROM events WHERE event_id < 400
+        ),
+        per AS (
+            SELECT t, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                       AS pos
+            FROM s GROUP BY t
+        ),
+        tot AS (
+            SELECT CAST(sum(pos) AS BIGINT) AS p,
+                   CAST(sum(cnt - pos) AS BIGINT) AS nn
+            FROM per
+        ),
+        cum AS (
+            SELECT t,
+                   CAST(sum(pos) OVER (ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS tp,
+                   CAST(sum(cnt - pos) OVER (ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS fp
+            FROM per
+        ),
+        x AS (
+            SELECT t, tp, fp,
+                   2 * tp * 1000000 // (2 * tp + fp + (p - tp))
+                       AS f1_ppm,
+                   CASE WHEN p > 0 AND nn > 0
+                        THEN tp * 1000 // p - fp * 1000 // nn
+                   END AS j_milli
+            FROM cum, tot
+        )
+        SELECT t, tp, fp, f1_ppm, j_milli,
+               row_number() OVER (ORDER BY f1_ppm DESC, t ASC) = 1
+                   AS is_best_f1
+        FROM x ORDER BY t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -17598,6 +17717,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q359_nelson_aalen": q359_nelson_aalen,
         "q360_rich_club": q360_rich_club,
         "q361_lexical_richness": q361_lexical_richness,
+        "q362_err_at_k": q362_err_at_k,
+        "q363_threshold_sweep": q363_threshold_sweep,
     }
 
 
@@ -21675,4 +21796,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q360_rich_club"] = _RICH_CLUB_ORACLE_SQL
     # q361: same frequency spectrum, same single-trunc rationals
     out["q361_lexical_richness"] = _RICHNESS_ORACLE_SQL
+    # q362: product() window vs base-count powers — same integers
+    out["q362_err_at_k"] = _ERR_ORACLE_SQL
+    # q363: same descending cumulative curve, same quantized cells
+    out["q363_threshold_sweep"] = _THRESHOLD_ORACLE_SQL
     return out

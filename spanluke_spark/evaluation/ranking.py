@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ndcg_at_k", "average_precision_at_k"]
+__all__ = ["ndcg_at_k", "average_precision_at_k", "err_at_k"]
 
 
 def ndcg_at_k(
@@ -134,5 +134,83 @@ def average_precision_at_k(
                 / F.least(F.col("n_rel"), F.lit(k)),
                 6,
             ).alias("ap"),
+        )
+    )
+
+
+def err_at_k(
+    ranked: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    grade_col: str = "grade",
+) -> DataFrame:
+    """Expected Reciprocal Rank (Chapelle et al., CIKM 2009) — the
+    cascade-model graded metric beside nDCG (ndcg_at_k): the user
+    scans down, stops at a satisfying result with probability
+    R(g) = (2^g - 1)/2^gmax, and ERR = sum_r (1/r) R_r prod_{i<r}
+    (1 - R_i) is the expected reciprocal stopping rank. Unlike nDCG,
+    one perfect result at rank 1 nearly saturates it — the metric of
+    choice when only the first satisfying hit matters.
+
+    Exactness (gmax = 3 contract, grades in {0,1,2,3}): with
+    num = 2^g - 1 in {0,1,3,7}, the survival product
+    P_{r-1} = prod (8 - num_i) only ever multiplies bases {1,5,7,8},
+    so ONE cumulative window counting prior 5s/7s/8s recovers the
+    exact integer product P = 5^c5 * 7^c7 * 8^c8 (each factor <= 8^9
+    is exact in the double pow before the long cast) — no product
+    aggregate, no fold, no Python. Each rank then contributes the
+    once-quantized cell
+
+      cell_ppb = 10^9 * num_r * P_{r-1} div (r * 8^r)
+
+    and err_ppb is the exact per-query sum. Long bound: 10^9*7*8^9 ~
+    9.4e17 at k = 10 (the contract cap). Closed forms pinned by
+    pytest: a rank-1 grade-3 result alone gives exactly 875e6 ppb;
+    an all-zero list gives 0; prefix monotonicity and the
+    rank-1-dominance property are gated.
+
+    ranked(query_id, rank 1.., grade 0..3) -> one row per query:
+    (query_id, n_ranked, err_ppb)."""
+    s = ranked.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("q"),
+        F.col(rank_col).cast("int").alias("r"),
+        F.expr(
+            f"cast(shiftleft(1, cast({grade_col} as int)) - 1"
+            " as bigint)"
+        ).alias("num"),
+    )
+    wprev = (
+        Window.partitionBy("q")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    def _cnt(base: int):
+        return F.coalesce(
+            F.sum((F.col("num") == 8 - base).cast("long")).over(wprev),
+            F.lit(0).cast("long"),
+        )
+
+    p = (
+        F.pow(F.lit(5.0), _cnt(5)).cast("long")
+        * F.pow(F.lit(7.0), _cnt(7)).cast("long")
+        * F.pow(F.lit(8.0), _cnt(8)).cast("long")
+    )
+    cells = s.select(
+        "q",
+        (F.lit(10**9) * F.col("num") * p).alias("numer"),
+        F.expr(
+            "cast(r as bigint)"
+            " * cast(shiftleft(1, 3 * r) as bigint)"
+        ).alias("den"),
+    )
+    cell = F.expr("numer div den")
+    return (
+        cells.select("q", cell.alias("cell_ppb"))
+        .groupBy(F.col("q").alias(query_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ranked"),
+            F.sum("cell_ppb").alias("err_ppb"),
         )
     )
