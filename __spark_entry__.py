@@ -15694,6 +15694,133 @@ _THRESHOLD_ORACLE_SQL = """
 """
 
 
+def q364_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's ordered-alternative trend test (evaluation/pagetest.py;
+    Page 1963) over 60 blocks x 5 hypothesis-ordered treatments with
+    a planted +4-per-position drift — the ordered Friedman (q340),
+    completing the Jonckheere:Kruskal-Wallis relationship (q352:q337)
+    for the BLOCKED design: within-block double-ranks, tie/incomplete
+    blocks dropped and counted, 12L - 3bk(k+1)^2 = 3*dev folded into
+    one 9000-scaled integer division, 3841-milli gate and exact-sign
+    direction."""
+    from spanluke_spark.evaluation.pagetest import page_trend
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 300")
+    e = F.col("event_id")
+    samples = ev.select(
+        (e / 5).cast("long").alias("block"),
+        (e % 5 + 1).alias("score"),
+        ((e * 17) % 50 + 4 * (e % 5)).alias("value"),
+    )
+    return page_trend(samples, k=5)
+
+
+_PAGE_ORACLE_SQL = """
+        WITH s AS (
+            SELECT event_id // 5 AS block,
+                   event_id % 5 + 1 AS s,
+                   (event_id * 17) % 50 + 4 * (event_id % 5) AS value
+            FROM events WHERE event_id < 300
+        ),
+        valid AS (
+            SELECT block,
+                   count(*) = 5 AND count(DISTINCT value) = 5 AS ok
+            FROM s GROUP BY block
+        ),
+        r AS (
+            SELECT s.block, ok, s.s,
+                   CAST(2 * rank() OVER (PARTITION BY s.block
+                                         ORDER BY value)
+                        + count(*) OVER (PARTITION BY s.block, value)
+                        - 1 AS BIGINT) AS dr
+            FROM s JOIN valid ON s.block = valid.block
+        ),
+        agg AS (
+            SELECT CAST(count(DISTINCT CASE WHEN ok THEN block END)
+                        AS BIGINT) AS b_blocks,
+                   CAST(count(DISTINCT CASE WHEN NOT ok THEN block
+                        END) AS BIGINT) AS n_dropped,
+                   CAST(COALESCE(sum(CASE WHEN ok THEN s * dr END), 0)
+                        AS BIGINT) AS l2
+            FROM r
+        ),
+        x AS (
+            SELECT b_blocks, n_dropped, l2,
+                   2 * l2 - b_blocks * 5 * 6 * 6 AS dev,
+                   b_blocks * 25 * 6 * 24 AS d
+            FROM agg
+        )
+        SELECT b_blocks, n_dropped, l2, dev,
+               CASE WHEN d > 0 THEN 9000 * dev * dev // d
+               END AS z2_milli,
+               CASE WHEN d <= 0 THEN NULL
+                    WHEN dev > 0 THEN 'agrees_with_order'
+                    WHEN dev < 0 THEN 'against_order'
+                    ELSE 'exact_expectation' END AS direction,
+               CASE WHEN d > 0
+                    THEN 9000 * dev * dev // d >= 3841 END AS sig
+        FROM x
+"""
+
+
+def q365_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson serial-correlation statistic (evaluation/dw.py;
+    Durbin & Watson 1950) on the residuals of an exact OLS fit (the
+    q265 machinery) over a 40-point crawl-volume series — residuals
+    carried at the integer scale D = n*Sxx - Sx^2 so the D^2 cancels
+    into ONE integer division 1000*sum(dr^2) div sum(r^2);
+    intercept/slope shift invariance, the [0, 4000] bound and the
+    d~2(1-rho) direction are pytest-gated; perfect fit NULL."""
+    from spanluke_spark.evaluation.dw import durbin_watson
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 40")
+    e = F.col("event_id")
+    series = ev.select(
+        e.alias("t"),
+        e.alias("x"),
+        (2 * e + (e * 7) % 10).alias("y"),
+    )
+    return durbin_watson(series)
+
+
+_DW_ORACLE_SQL = """
+        WITH s AS (
+            SELECT event_id AS t, event_id AS x,
+                   2 * event_id + (event_id * 7) % 10 AS y
+            FROM events WHERE event_id < 40
+        ),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM s
+        ),
+        r AS (
+            SELECT t, n,
+                   (n * sxx - sx * sx) * y
+                       - (sxx * sy - sx * sxy)
+                       - (n * sxy - sx * sy) * x AS r
+            FROM s, m
+        ),
+        lagged AS (
+            SELECT n, r, lag(r) OVER (ORDER BY t) AS rp FROM r
+        ),
+        agg AS (
+            SELECT CAST(max(n) AS BIGINT) AS n,
+                   CAST(COALESCE(sum(CASE WHEN rp IS NOT NULL
+                       THEN (r - rp) * (r - rp) END), 0) AS BIGINT)
+                       AS num,
+                   CAST(sum(r * r) AS BIGINT) AS den
+            FROM lagged
+        )
+        SELECT n, num, den,
+               CASE WHEN den > 0 THEN 1000 * num // den END AS d_milli
+        FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -17719,6 +17846,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q361_lexical_richness": q361_lexical_richness,
         "q362_err_at_k": q362_err_at_k,
         "q363_threshold_sweep": q363_threshold_sweep,
+        "q364_page_trend": q364_page_trend,
+        "q365_durbin_watson": q365_durbin_watson,
     }
 
 
@@ -21800,4 +21929,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q362_err_at_k"] = _ERR_ORACLE_SQL
     # q363: same descending cumulative curve, same quantized cells
     out["q363_threshold_sweep"] = _THRESHOLD_ORACLE_SQL
+    # q364: same within-block double-ranks, drop-and-count blocks
+    out["q364_page_trend"] = _PAGE_ORACLE_SQL
+    # q365: same D-scaled residuals, D^2-cancelled single division
+    out["q365_durbin_watson"] = _DW_ORACLE_SQL
     return out
