@@ -15821,6 +15821,125 @@ _DW_ORACLE_SQL = """
 """
 
 
+def q366_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman crawl concentration (textops/
+    concentration.py; Hirschman 1945) over 500 events with a planted
+    dominant host (every third event lands on host 0) — HHI,
+    normalized HHI and effective-number-of-hosts as exact integer
+    rationals with one trunc each beside the Theil/Hoover panel
+    (q344); equal-shares and monopoly exact closed forms plus the
+    merger S2 identity pytest-gated."""
+    from spanluke_spark.textops.concentration import hhi_panel
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 500")
+    e = F.col("event_id")
+    rows = ev.select(
+        F.when(e % 3 == 0, 0).otherwise(e % 25).alias("unit")
+    )
+    return hhi_panel(rows)
+
+
+_HHI_ORACLE_SQL = """
+        WITH rows_ AS (
+            SELECT CASE WHEN event_id % 3 = 0 THEN 0
+                        ELSE event_id % 25 END AS unit
+            FROM events WHERE event_id < 500
+        ),
+        per AS (
+            SELECT unit, CAST(count(*) AS BIGINT) AS c
+            FROM rows_ GROUP BY unit
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_units,
+                   CAST(sum(c) AS BIGINT) AS total,
+                   CAST(sum(c * c) AS BIGINT) AS s2
+            FROM per
+        )
+        SELECT n_units, total, s2,
+               CASE WHEN total > 0
+                    THEN 1000000 * s2 // (total * total)
+               END AS hhi_ppm,
+               CASE WHEN total > 0 AND n_units > 1
+                    THEN 1000000 * (n_units * s2 - total * total)
+                         // (total * total * (n_units - 1))
+               END AS nhhi_ppm,
+               CASE WHEN s2 > 0
+                    THEN 1000 * total * total // s2
+               END AS enp_milli
+        FROM agg
+"""
+
+
+def q367_distribution_distance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Total-variation + two-sample chi-square token-distribution
+    distance (textops/distances.py) between the even- and odd-id
+    halves of 200 documents — the LOG-FREE drift pair beside KL
+    (q275) and JSD (q334): TVD as ONE exact cross-multiplied integer
+    division, chi-square from once-quantized per-type milli cells via
+    the (a*N_b - b*N_a)^2 identity; identity-zero, disjoint-1e6,
+    swap-symmetry and corpus-duplication invariance pytest-gated."""
+    from spanluke_spark.textops.distances import distribution_distance
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 200")
+    return distribution_distance(
+        docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1")
+    )
+
+
+_DIST_ORACLE_SQL = """
+        WITH ta AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS a FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE doc_id < 200 AND doc_id % 2 = 0
+            ) WHERE tok <> '' GROUP BY tok
+        ),
+        tb AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS b FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE doc_id < 200 AND doc_id % 2 = 1
+            ) WHERE tok <> '' GROUP BY tok
+        ),
+        grid AS (
+            SELECT COALESCE(a, 0) AS a, COALESCE(b, 0) AS b
+            FROM ta FULL OUTER JOIN tb ON ta.tok = tb.tok
+        ),
+        tot AS (
+            SELECT CAST(sum(a) AS BIGINT) AS n_a,
+                   CAST(sum(b) AS BIGINT) AS n_b
+            FROM grid
+        ),
+        cells AS (
+            SELECT n_a, n_b, a, b,
+                   abs(a * n_b - b * n_a) AS l1_num,
+                   1000 * (a * n_b - b * n_a) * (a * n_b - b * n_a)
+                       // (n_a * n_b * (a + b)) AS cell_milli
+            FROM grid, tot
+        ),
+        agg AS (
+            SELECT CAST(max(n_a) AS BIGINT) AS n_a,
+                   CAST(max(n_b) AS BIGINT) AS n_b,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(CASE WHEN a > 0 AND b > 0 THEN 1 ELSE 0
+                       END) AS BIGINT) AS n_shared,
+                   CAST(sum(CASE WHEN a > 0 AND b = 0 THEN 1 ELSE 0
+                       END) AS BIGINT) AS n_only_a,
+                   CAST(sum(CASE WHEN a = 0 AND b > 0 THEN 1 ELSE 0
+                       END) AS BIGINT) AS n_only_b,
+                   CAST(sum(l1_num) AS BIGINT) AS l1_sum,
+                   CAST(sum(cell_milli) AS BIGINT) AS chi2_milli
+            FROM cells
+        )
+        SELECT n_a, n_b, n_types, n_shared, n_only_a, n_only_b,
+               CASE WHEN n_a > 0 AND n_b > 0
+                    THEN 1000000 * l1_sum // (2 * n_a * n_b)
+               END AS tv_ppm,
+               chi2_milli
+        FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -17848,6 +17967,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q363_threshold_sweep": q363_threshold_sweep,
         "q364_page_trend": q364_page_trend,
         "q365_durbin_watson": q365_durbin_watson,
+        "q366_hhi": q366_hhi,
+        "q367_distribution_distance": q367_distribution_distance,
     }
 
 
@@ -21933,4 +22054,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q364_page_trend"] = _PAGE_ORACLE_SQL
     # q365: same D-scaled residuals, D^2-cancelled single division
     out["q365_durbin_watson"] = _DW_ORACLE_SQL
+    # q366: same per-unit counts, same single-trunc rationals
+    out["q366_hhi"] = _HHI_ORACLE_SQL
+    # q367: same full-outer type grid, same quantized cells
+    out["q367_distribution_distance"] = _DIST_ORACLE_SQL
     return out
