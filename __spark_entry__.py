@@ -15940,6 +15940,166 @@ _DIST_ORACLE_SQL = """
 """
 
 
+def q368_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gwet's AC1 agreement (evaluation/gwet.py; Gwet 2008) between
+    two 4-label annotators over 300 events with one-in-six planted
+    disagreements — the kappa-paradox fix beside q109/q217/q326/q343:
+    pooled marginals cleared onto the common denominator 4n^2(Q-1),
+    exact integers, one sign-split trunc to ppm; perfect-agreement
+    exact 1e6, relabeling invariance and the skewed-marginal
+    AC1-vs-kappa separation pytest-gated."""
+    from spanluke_spark.evaluation.gwet import gwet_ac1
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 300")
+    e = F.col("event_id")
+    a = (e * 3) % 4
+    paired = ev.select(
+        a.alias("a"),
+        F.when(e % 6 == 0, (a + 1) % 4).otherwise(a).alias("b"),
+    )
+    return gwet_ac1(paired)
+
+
+_GWET_ORACLE_SQL = """
+        WITH s AS (
+            SELECT CAST((event_id * 3) % 4 AS VARCHAR) AS a,
+                   CAST(CASE WHEN event_id % 6 = 0
+                             THEN ((event_id * 3) % 4 + 1) % 4
+                             ELSE (event_id * 3) % 4 END AS VARCHAR)
+                       AS b
+            FROM events WHERE event_id < 300
+        ),
+        base AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END)
+                        AS BIGINT) AS agree
+            FROM s
+        ),
+        pooled AS (
+            SELECT lab, CAST(count(*) AS BIGINT) AS mq
+            FROM (SELECT a AS lab FROM s
+                  UNION ALL SELECT b FROM s)
+            GROUP BY lab
+        ),
+        marg AS (
+            SELECT CAST(count(*) AS BIGINT) AS q,
+                   CAST(sum(mq * (2 * n - mq)) AS BIGINT) AS t
+            FROM pooled, base
+        ),
+        x AS (
+            SELECT n, q, agree, t,
+                   agree * 4 * n * (q - 1) - t AS num,
+                   4 * n * n * (q - 1) - t AS den
+            FROM base, marg
+        )
+        SELECT n, q, agree, t,
+               CASE WHEN q >= 2 AND den > 0 THEN
+                   CASE WHEN num < 0
+                        THEN -(abs(num) * 1000000 // den)
+                        ELSE abs(num) * 1000000 // den END
+               END AS ac1_ppm
+        FROM x
+"""
+
+
+def q369_osa_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal-string-alignment Damerau-Levenshtein distance
+    (textops/osa.py; Damerau 1964) on token windows of 60 documents
+    with a planted adjacent swap (positions 5/6) and, on odd ids, a
+    trailing deletion — transpositions cost 1 where plain Levenshtein
+    (q147) pays 2: the WER min-plus fold (q320) with the accumulator
+    widened to a two-row struct so the d[i-2][j-2] transposition
+    candidate is in reach, in-row deletion chain unrolled by the
+    prefix-min trick; OSA("ca","abc")=3 restriction and swap-cost-1
+    pytest-gated; recursive-CTE oracle carries both rows."""
+    from spanluke_spark.textops.osa import osa_distance
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 60")
+    toks = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias(
+            "a"
+        ),
+    ).where(F.size("a") >= 12)
+    ref = F.slice(F.col("a"), 1, 12)
+    swapped = F.concat(
+        F.slice(F.col("a"), 1, 4),
+        F.array(F.element_at(F.col("a"), 6), F.element_at(F.col("a"), 5)),
+        F.slice(F.col("a"), 7, 6),
+    )
+    pairs = toks.select(
+        "pair_id",
+        F.when(
+            F.col("pair_id") % 2 == 1, F.slice(swapped, 1, 11)
+        )
+        .otherwise(swapped)
+        .alias("hyp"),
+        ref.alias("ref"),
+    )
+    return osa_distance(pairs).orderBy("pair_id")
+
+
+_OSA_ORACLE_SQL = """
+        WITH RECURSIVE
+        toks AS (
+            SELECT doc_id AS pair_id,
+                   list_filter(string_split(text, ' '), x -> x <> '')
+                       AS a
+            FROM documents WHERE doc_id < 60
+        ),
+        base AS (
+            SELECT pair_id, a[1:12] AS ref,
+                   CASE WHEN pair_id % 2 = 1
+                        THEN (a[1:4] || [a[6], a[5]] || a[7:12])[1:11]
+                        ELSE a[1:4] || [a[6], a[5]] || a[7:12]
+                   END AS hyp
+            FROM toks WHERE len(a) >= 12
+        ),
+        step(pair_id, t, pp, p, pc) AS (
+            SELECT pair_id, 0,
+                   list_transform(range(1, len(ref) + 2),
+                                  i -> CAST(i - 1 AS BIGINT)),
+                   list_transform(range(1, len(ref) + 2),
+                                  i -> CAST(i - 1 AS BIGINT)),
+                   ''
+            FROM base
+            UNION ALL
+            SELECT step.pair_id, t + 1, p,
+                   list_transform(range(1, len(ref) + 2), j ->
+                       list_min(list_transform(range(1, j + 1), i ->
+                           (CASE WHEN i = 1 THEN p[1] + 1
+                                 ELSE least(
+                                     p[i] + 1,
+                                     p[i - 1]
+                                     + CASE WHEN ref[i - 1] = hyp[t + 1]
+                                            THEN 0 ELSE 1 END,
+                                     CASE WHEN t >= 1 AND i >= 3
+                                               AND ref[i - 2]
+                                                   = hyp[t + 1]
+                                               AND ref[i - 1] = pc
+                                          THEN pp[i - 2] + 1
+                                          ELSE 1099511627776 END)
+                            END) + (j - i)))),
+                   hyp[t + 1]
+            FROM step JOIN base USING (pair_id)
+            WHERE t < len(hyp)
+        ),
+        fin AS (
+            SELECT step.pair_id, len(hyp) AS h_len, len(ref) AS r_len,
+                   p[len(ref) + 1] AS dist
+            FROM step JOIN base USING (pair_id)
+            WHERE t = len(hyp)
+        )
+        SELECT pair_id, CAST(h_len AS BIGINT) AS h_len,
+               CAST(r_len AS BIGINT) AS r_len,
+               CAST(dist AS BIGINT) AS dist,
+               CASE WHEN greatest(h_len, r_len) > 0
+                    THEN dist * 1000000 // greatest(h_len, r_len)
+               END AS osa_ppm
+        FROM fin ORDER BY pair_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -17969,6 +18129,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q365_durbin_watson": q365_durbin_watson,
         "q366_hhi": q366_hhi,
         "q367_distribution_distance": q367_distribution_distance,
+        "q368_gwet_ac1": q368_gwet_ac1,
+        "q369_osa_distance": q369_osa_distance,
     }
 
 
@@ -22058,4 +22220,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q366_hhi"] = _HHI_ORACLE_SQL
     # q367: same full-outer type grid, same quantized cells
     out["q367_distribution_distance"] = _DIST_ORACLE_SQL
+    # q368: same pooled marginals on 4n^2(Q-1), sign-split trunc
+    out["q368_gwet_ac1"] = _GWET_ORACLE_SQL
+    # q369: recursive-CTE DP carrying both rows, same candidates
+    out["q369_osa_distance"] = _OSA_ORACLE_SQL
     return out
