@@ -16100,6 +16100,135 @@ _OSA_ORACLE_SQL = """
 """
 
 
+def q370_needleman_wunsch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needleman-Wunsch global alignment (textops/nwalign.py; 1970)
+    of the same overlapping token windows as the Smith-Waterman lane
+    (q338: hyp = tokens 1..14, ref = tokens 7..22 of 80 documents) —
+    the end-to-end version-diff score: same 2/-1/-1 max-plus fold
+    with gap-penalty init row and NO zero clamp, score read from the
+    last slot; identity-2*len, empty-side -(len) and SW>=max(NW,0)
+    cross-lane gates pytest-pinned; recursive-CTE oracle."""
+    from spanluke_spark.textops.nwalign import needleman_wunsch
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 80")
+    toks = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias(
+            "a"
+        ),
+    )
+    pairs = toks.select(
+        "pair_id",
+        F.slice(F.col("a"), 1, 14).alias("hyp"),
+        F.slice(F.col("a"), 7, 16).alias("ref"),
+    )
+    return needleman_wunsch(pairs).orderBy("pair_id")
+
+
+_NW_ORACLE_SQL = """
+        WITH RECURSIVE
+        toks AS (
+            SELECT doc_id AS pair_id,
+                   list_filter(string_split(text, ' '), x -> x <> '')
+                       AS a
+            FROM documents WHERE doc_id < 80
+        ),
+        base AS (
+            SELECT pair_id, a[1:14] AS hyp, a[7:22] AS ref FROM toks
+        ),
+        step(pair_id, t, row) AS (
+            SELECT pair_id, 0,
+                   list_transform(range(1, len(ref) + 2),
+                                  i -> CAST(1 - i AS BIGINT))
+            FROM base
+            UNION ALL
+            SELECT step.pair_id, t + 1,
+                   list_transform(range(1, len(ref) + 2), j ->
+                       list_max(list_transform(range(1, j + 1), i ->
+                           (CASE WHEN i = 1 THEN row[1] - 1
+                                 ELSE greatest(
+                                     row[i] - 1,
+                                     row[i - 1]
+                                     + CASE WHEN ref[i - 1] = hyp[t + 1]
+                                            THEN 2 ELSE -1 END)
+                            END) + (i - j))))
+            FROM step JOIN base USING (pair_id)
+            WHERE t < len(hyp)
+        ),
+        fin AS (
+            SELECT step.pair_id, len(hyp) AS h_len, len(ref) AS r_len,
+                   row[len(ref) + 1] AS score
+            FROM step JOIN base USING (pair_id)
+            WHERE t = len(hyp)
+        )
+        SELECT pair_id, CAST(h_len AS BIGINT) AS h_len,
+               CAST(r_len AS BIGINT) AS r_len,
+               CAST(score AS BIGINT) AS score,
+               CASE WHEN least(h_len, r_len) > 0 THEN
+                   CASE WHEN score < 0
+                        THEN -((-score) * 1000000
+                               // (2 * least(h_len, r_len)))
+                        ELSE score * 1000000
+                             // (2 * least(h_len, r_len)) END
+               END AS nw_ppm
+        FROM fin ORDER BY pair_id
+"""
+
+
+def q371_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson dispersion index (textops/fano.py; Fisher 1950) over
+    50 crawl-traffic buckets of 20 events with every fifth bucket
+    planted as a burst — the one-number bursty-vs-regular test beside
+    the Kleinberg burst lane (q110): zeros-included per-bucket
+    counts, chi-squared and variance-to-mean ratio each cleared to
+    ONE integer division, constant-zero and single-loaded-bucket
+    closed forms pytest-gated."""
+    from spanluke_spark.textops.fano import dispersion_index
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 1000")
+    e = F.col("event_id")
+    counts = ev.groupBy((e / 20).cast("long").alias("bucket")).agg(
+        F.sum(
+            (((e / 20).cast("long") % 5 == 0) | (e % 7 == 0)).cast(
+                "long"
+            )
+        ).alias("x")
+    )
+    return dispersion_index(counts)
+
+
+_FANO_ORACLE_SQL = """
+        WITH counts AS (
+            SELECT event_id // 20 AS bucket,
+                   CAST(sum(CASE WHEN (event_id // 20) % 5 = 0
+                                   OR event_id % 7 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS x
+            FROM events WHERE event_id < 1000
+            GROUP BY bucket
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM counts
+        )
+        SELECT n, sx, sxx,
+               CASE WHEN n >= 2 AND sx > 0
+                    THEN 1000 * (n * sxx - sx * sx) // sx
+               END AS chi2_milli,
+               CASE WHEN n >= 2 AND sx > 0
+                    THEN 1000 * (n * sxx - sx * sx) // ((n - 1) * sx)
+               END AS vmr_milli,
+               CASE WHEN n < 2 OR sx = 0 THEN NULL
+                    WHEN 1000 * (n * sxx - sx * sx) // ((n - 1) * sx)
+                         > 1000 THEN 'overdispersed'
+                    WHEN 1000 * (n * sxx - sx * sx) // ((n - 1) * sx)
+                         < 1000 THEN 'underdispersed'
+                    ELSE 'poisson_consistent' END AS direction
+        FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -18131,6 +18260,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q367_distribution_distance": q367_distribution_distance,
         "q368_gwet_ac1": q368_gwet_ac1,
         "q369_osa_distance": q369_osa_distance,
+        "q370_needleman_wunsch": q370_needleman_wunsch,
+        "q371_dispersion_index": q371_dispersion_index,
     }
 
 
@@ -22224,4 +22355,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q368_gwet_ac1"] = _GWET_ORACLE_SQL
     # q369: recursive-CTE DP carrying both rows, same candidates
     out["q369_osa_distance"] = _OSA_ORACLE_SQL
+    # q370: same max-plus DP replayed by a recursive CTE
+    out["q370_needleman_wunsch"] = _NW_ORACLE_SQL
+    # q371: same zeros-included counts, single-division rationals
+    out["q371_dispersion_index"] = _FANO_ORACLE_SQL
     return out
