@@ -16229,6 +16229,149 @@ _FANO_ORACLE_SQL = """
 """
 
 
+def q372_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (textops/psi.py; the model-
+    monitoring standard) between the even-id reference and odd-id
+    current score buckets of 800 events with a planted +25-point
+    shift — the thresholded drift dashboard number beside KL/JSD/TVD
+    (q275/q334/q367): share gaps on exact integer cross products,
+    once-quantized round-ln-ppm cells on the same rational in both
+    engines, one final division to ppm, either-side-empty buckets
+    skipped and counted; identity-zero, symmetry and duplication
+    exactness pytest-gated; conventional 0.10/0.25 bands."""
+    from spanluke_spark.textops.psi import psi
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 800")
+    e = F.col("event_id")
+    ref = ev.where(e % 2 == 0).select(
+        ((e * 13) % 100 / 10).cast("long").alias("bucket")
+    )
+    cur = ev.where(e % 2 == 1).select(
+        F.least(
+            F.lit(9).cast("long"),
+            (((e * 13) % 100 + 25) / 10).cast("long"),
+        ).alias("bucket")
+    )
+    return psi(ref, cur)
+
+
+_PSI_ORACLE_SQL = """
+        WITH ref AS (
+            SELECT (event_id * 13) % 100 // 10 AS bucket
+            FROM events WHERE event_id < 800 AND event_id % 2 = 0
+        ),
+        cur AS (
+            SELECT least(9, ((event_id * 13) % 100 + 25) // 10)
+                       AS bucket
+            FROM events WHERE event_id < 800 AND event_id % 2 = 1
+        ),
+        ca AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS a
+            FROM ref GROUP BY bucket
+        ),
+        cb AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS b
+            FROM cur GROUP BY bucket
+        ),
+        grid AS (
+            SELECT COALESCE(a, 0) AS a, COALESCE(b, 0) AS b
+            FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket
+        ),
+        tot AS (
+            SELECT CAST(sum(a) AS BIGINT) AS na,
+                   CAST(sum(b) AS BIGINT) AS nb
+            FROM grid
+        ),
+        cells AS (
+            SELECT na, nb,
+                   CASE WHEN a > 0 AND b > 0
+                        THEN (b * na - a * nb)
+                             * CAST(round(ln((b * na) / (a * nb))
+                                          * 1000000) AS BIGINT)
+                        ELSE 0 END AS cell,
+                   CASE WHEN a > 0 AND b > 0 THEN 0 ELSE 1 END
+                       AS undef
+            FROM grid, tot
+        ),
+        agg AS (
+            SELECT CAST(max(na) AS BIGINT) AS n_ref,
+                   CAST(max(nb) AS BIGINT) AS n_cur,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(sum(undef) AS BIGINT) AS n_undefined,
+                   CAST(sum(cell) AS BIGINT) AS cell_sum
+            FROM cells
+        )
+        SELECT n_ref, n_cur, n_buckets, n_undefined,
+               CASE WHEN n_ref > 0 AND n_cur > 0
+                    THEN cell_sum // (n_ref * n_cur)
+               END AS psi_ppm,
+               CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL
+                    WHEN cell_sum // (n_ref * n_cur) < 100000
+                         THEN 'stable'
+                    WHEN cell_sum // (n_ref * n_cur) < 250000
+                         THEN 'moderate_shift'
+                    ELSE 'significant_shift' END AS band
+        FROM agg
+"""
+
+
+def q373_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test (evaluation/proportions.py) on a
+    300/300 conversion split with a planted +12-point treatment rate
+    — the binary A/B verdict beside the mean-based CUPED lane (q339):
+    one exact integer division 1000*N*(b*n1 - a*n2)^2 div
+    (n1*n2*(a+b)*(N-a-b)), degenerate-pool NULLs; the z^2 == 2x2
+    Pearson chi-squared identity and the N/(N-1) Cochran-Armitage
+    bridge (q356) pytest-gated; 3841-milli gate."""
+    from spanluke_spark.evaluation.proportions import two_proportion_z
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 600")
+    e = F.col("event_id")
+    rows = ev.select(
+        (e % 2).alias("grp"),
+        ((e * 13) % 100 < 40 + 12 * (e % 2)).alias("converted"),
+    )
+    return two_proportion_z(rows)
+
+
+_TWO_PROP_ORACLE_SQL = """
+        WITH s AS (
+            SELECT event_id % 2 = 1 AS t,
+                   (event_id * 13) % 100 < 40 + 12 * (event_id % 2)
+                       AS y
+            FROM events WHERE event_id < 600
+        ),
+        agg AS (
+            SELECT CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1,
+                   CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n2,
+                   CAST(sum(CASE WHEN NOT t AND y THEN 1 ELSE 0 END)
+                        AS BIGINT) AS a,
+                   CAST(sum(CASE WHEN t AND y THEN 1 ELSE 0 END)
+                        AS BIGINT) AS b
+            FROM s
+        ),
+        x AS (
+            SELECT n1, n2, a, b, b * n1 - a * n2 AS dev,
+                   n1 * n2 * (a + b) * (n1 + n2 - a - b) AS d
+            FROM agg
+        )
+        SELECT n1, n2, a, b, dev,
+               CASE WHEN d > 0
+                    THEN 1000 * (n1 + n2) * dev * dev // d
+               END AS z2_milli,
+               CASE WHEN d <= 0 THEN NULL
+                    WHEN dev > 0 THEN 'treatment_higher'
+                    WHEN dev < 0 THEN 'treatment_lower'
+                    ELSE 'exact_expectation' END AS direction,
+               CASE WHEN d > 0
+                    THEN 1000 * (n1 + n2) * dev * dev // d >= 3841
+               END AS sig
+        FROM x
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -18262,6 +18405,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q369_osa_distance": q369_osa_distance,
         "q370_needleman_wunsch": q370_needleman_wunsch,
         "q371_dispersion_index": q371_dispersion_index,
+        "q372_psi": q372_psi,
+        "q373_two_proportion_z": q373_two_proportion_z,
     }
 
 
@@ -22359,4 +22504,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q370_needleman_wunsch"] = _NW_ORACLE_SQL
     # q371: same zeros-included counts, single-division rationals
     out["q371_dispersion_index"] = _FANO_ORACLE_SQL
+    # q372: same cross-product gaps, same round-ln-ppm cells
+    out["q372_psi"] = _PSI_ORACLE_SQL
+    # q373: same pooled confusion, one-division z^2
+    out["q373_two_proportion_z"] = _TWO_PROP_ORACLE_SQL
     return out
