@@ -16372,6 +16372,134 @@ _TWO_PROP_ORACLE_SQL = """
 """
 
 
+def q374_gini_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CART Gini split gain (evaluation/association.py; Breiman 1984)
+    of a 5-value source feature against a 3-class quality label over
+    400 events, 75% feature-determined — the decision-stump "is this
+    feature worth splitting on" number, log-free: exact integer
+    parent impurity, once-quantized per-child ppm cells on the
+    (N_v^2 - sum n_vc^2)/(N_v*N) rationals; perfect-split
+    gain==parent and replicated-proportions gain==0 exact lanes
+    pytest-gated."""
+    from spanluke_spark.evaluation.association import gini_split_gain
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 400")
+    e = F.col("event_id")
+    feat = (e * 3) % 5
+    rows = ev.select(
+        feat.alias("feature"),
+        F.when(e % 4 == 0, (e * 11) % 3)
+        .otherwise(feat % 3)
+        .alias("label"),
+    )
+    return gini_split_gain(rows)
+
+
+_GINI_GAIN_ORACLE_SQL = """
+        WITH s AS (
+            SELECT CAST((event_id * 3) % 5 AS VARCHAR) AS v,
+                   CAST(CASE WHEN event_id % 4 = 0
+                             THEN (event_id * 11) % 3
+                             ELSE ((event_id * 3) % 5) % 3 END
+                        AS VARCHAR) AS c
+            FROM events WHERE event_id < 400
+        ),
+        vc AS (
+            SELECT v, c, CAST(count(*) AS BIGINT) AS n_vc
+            FROM s GROUP BY v, c
+        ),
+        per_v AS (
+            SELECT v, CAST(sum(n_vc) AS BIGINT) AS n_v,
+                   CAST(sum(n_vc * n_vc) AS BIGINT) AS s2_v
+            FROM vc GROUP BY v
+        ),
+        per_c AS (
+            SELECT c, CAST(count(*) AS BIGINT) AS n_c
+            FROM s GROUP BY c
+        ),
+        parent AS (
+            SELECT CAST(sum(n_c) AS BIGINT) AS n,
+                   CAST(sum(n_c * n_c) AS BIGINT) AS s2
+            FROM per_c
+        ),
+        child AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_values,
+                   CAST(sum(1000000 * (n_v * n_v - s2_v)
+                            // (n_v * n)) AS BIGINT) AS child_ppm
+            FROM per_v, parent
+        )
+        SELECT n, n_values,
+               1000000 * (n * n - s2) // (n * n) AS parent_ppm,
+               child_ppm,
+               1000000 * (n * n - s2) // (n * n) - child_ppm
+                   AS gain_ppm
+        FROM parent, child
+"""
+
+
+def q375_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength (evaluation/association.py;
+    Cramér 1946) between two 4-label page attributes over 320 events,
+    mostly identical with one-in-five drift — the [0,1] effect size
+    the chi-squared verdict (q281) lacks: once-quantized per-cell
+    milli chi-squared on the (N*o - r*c)^2/(N*r*c) identity over the
+    FULL margin-cross grid (zero cells included), sqrt-free squared
+    v2_ppm; identity-table exact 1e6, independence exact 0 and
+    transpose invariance pytest-gated."""
+    from spanluke_spark.evaluation.association import cramers_v
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 320")
+    e = F.col("event_id")
+    a = (e * 3) % 4
+    rows = ev.select(
+        a.alias("a"),
+        ((a + (e % 5 == 0).cast("long")) % 4).alias("b"),
+    )
+    return cramers_v(rows)
+
+
+_CRAMERS_ORACLE_SQL = """
+        WITH s AS (
+            SELECT CAST((event_id * 3) % 4 AS VARCHAR) AS i,
+                   CAST(((event_id * 3) % 4
+                         + CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0
+                           END) % 4 AS VARCHAR) AS j
+            FROM events WHERE event_id < 320
+        ),
+        obs AS (
+            SELECT i, j, CAST(count(*) AS BIGINT) AS o
+            FROM s GROUP BY i, j
+        ),
+        rm AS (SELECT i, CAST(count(*) AS BIGINT) AS ri
+               FROM s GROUP BY i),
+        cm AS (SELECT j, CAST(count(*) AS BIGINT) AS cj
+               FROM s GROUP BY j),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+        grid AS (
+            SELECT n, ri, cj, COALESCE(o, 0) AS o
+            FROM rm CROSS JOIN cm
+            LEFT JOIN obs ON obs.i = rm.i AND obs.j = cm.j
+            CROSS JOIN tot
+        ),
+        agg AS (
+            SELECT CAST(max(n) AS BIGINT) AS n,
+                   CAST(sum(1000 * (n * o - ri * cj)
+                            * (n * o - ri * cj)
+                            // (n * ri * cj)) AS BIGINT) AS chi2_milli
+            FROM grid
+        ),
+        dims AS (
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM rm) AS r,
+                   (SELECT CAST(count(*) AS BIGINT) FROM cm) AS c
+        )
+        SELECT n, r, c, chi2_milli,
+               CASE WHEN least(r, c) >= 2
+                    THEN chi2_milli * 1000 // (n * (least(r, c) - 1))
+               END AS v2_ppm
+        FROM agg, dims
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -18407,6 +18535,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q371_dispersion_index": q371_dispersion_index,
         "q372_psi": q372_psi,
         "q373_two_proportion_z": q373_two_proportion_z,
+        "q374_gini_split_gain": q374_gini_split_gain,
+        "q375_cramers_v": q375_cramers_v,
     }
 
 
@@ -22508,4 +22638,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q372_psi"] = _PSI_ORACLE_SQL
     # q373: same pooled confusion, one-division z^2
     out["q373_two_proportion_z"] = _TWO_PROP_ORACLE_SQL
+    # q374: same per-child quantized cells, exact parent impurity
+    out["q374_gini_split_gain"] = _GINI_GAIN_ORACLE_SQL
+    # q375: same full margin-cross grid, same quantized cells
+    out["q375_cramers_v"] = _CRAMERS_ORACLE_SQL
     return out
