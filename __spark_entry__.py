@@ -16500,6 +16500,144 @@ _CRAMERS_ORACLE_SQL = """
 """
 
 
+def q376_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraclass correlation ICC(1,1) (evaluation/icc.py; Shrout &
+    Fleiss 1979) for 40 documents x 3 raters with a planted document
+    effect — continuous-score reliability completing the categorical
+    agreement family (q109/q217/q326/q343/q368): per-doc sums cleared
+    onto the shared bk(b-1)(k-1) denominator, exact integers, ONE
+    sign-split trunc; perfect-agreement exact 1e6, global-shift
+    invariance and the legal-negative pure-noise lane pytest-gated;
+    unequal rater counts NULL."""
+    from spanluke_spark.evaluation.icc import icc_oneway
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 120")
+    e = F.col("event_id")
+    d = (e / 3).cast("long")
+    r = e % 3
+    ratings = ev.select(
+        d.alias("doc"),
+        ((d * 7) % 30 + (d * 3 + r * 5) % 4).alias("value"),
+    )
+    return icc_oneway(ratings)
+
+
+_ICC_ORACLE_SQL = """
+        WITH s AS (
+            SELECT event_id // 3 AS doc,
+                   ((event_id // 3) * 7) % 30
+                       + ((event_id // 3) * 3 + (event_id % 3) * 5)
+                         % 4 AS x
+            FROM events WHERE event_id < 120
+        ),
+        per AS (
+            SELECT doc, CAST(count(*) AS BIGINT) AS kj,
+                   CAST(sum(x) AS BIGINT) AS tj,
+                   CAST(sum(x * x) AS BIGINT) AS sj
+            FROM s GROUP BY doc
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS b,
+                   CAST(min(kj) AS BIGINT) AS k_lo,
+                   CAST(max(kj) AS BIGINT) AS k_hi,
+                   CAST(sum(tj) AS BIGINT) AS t,
+                   CAST(sum(tj * tj) AS BIGINT) AS a,
+                   CAST(sum(sj) AS BIGINT) AS s
+            FROM per
+        ),
+        x AS (
+            SELECT b, k_lo AS k, k_lo = k_hi AS equal_k,
+                   (b * a - t * t) * (k_lo - 1)
+                       - (k_lo * s - a) * (b - 1) AS num,
+                   (k_lo - 1) * ((b * a - t * t)
+                       + (k_lo * s - a) * (b - 1)) AS den
+            FROM agg
+        )
+        SELECT b, k, num, den,
+               CASE WHEN equal_k AND den > 0 THEN
+                   CASE WHEN num < 0
+                        THEN -(abs(num) * 1000000 // den)
+                        ELSE abs(num) * 1000000 // den END
+               END AS icc_ppm
+        FROM x
+"""
+
+
+def q377_interval_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted interval scheduling (etl/wis.py; the Kleinberg-Tardos
+    DP) over 120 valued crawl windows — the weighted upgrade of the
+    politeness packer (q116): p(i) from ONE end/start sweep window
+    (no inequality join), the sequential M[i] = max(M[i-1], w_i +
+    M[p(i)]) DP as a fold whose accumulator is the whole M prefix
+    (the q369 widened-state pattern); brute-force optimality on all
+    subsets, non-overlapping == total and greedy-beaten fixtures
+    pytest-gated; recursive-CTE oracle rebuilds M row by row."""
+    from spanluke_spark.etl.wis import weighted_interval_schedule
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 120")
+    e = F.col("event_id")
+    s = (e * 7) % 240
+    intervals = ev.select(
+        s.alias("start"),
+        (s + 3 + (e * 5) % 20).alias("end"),
+        (1 + (e * 3) % 10).alias("weight"),
+    )
+    return weighted_interval_schedule(intervals)
+
+
+_WIS_ORACLE_SQL = """
+        WITH RECURSIVE
+        iv AS (
+            SELECT (event_id * 7) % 240 AS s,
+                   (event_id * 7) % 240 + 3 + (event_id * 5) % 20
+                       AS e,
+                   1 + (event_id * 3) % 10 AS w
+            FROM events WHERE event_id < 120
+        ),
+        idx AS (
+            SELECT s, e, w,
+                   row_number() OVER (ORDER BY e, s, w) AS i
+            FROM iv
+        ),
+        sweep AS (
+            SELECT i,
+                   CAST(sum(kind) OVER (ORDER BY t ASC, kind DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS p
+            FROM (
+                SELECT e AS t, 1 AS kind, NULL AS i FROM idx
+                UNION ALL
+                SELECT s, 0, i FROM idx
+            )
+        ),
+        items AS (
+            SELECT idx.i, idx.w, sweep.p
+            FROM idx JOIN sweep ON idx.i = sweep.i
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_intervals,
+                     CAST(sum(w) AS BIGINT) AS total_weight
+              FROM items),
+        dp(t, m) AS (
+            SELECT 0, [CAST(0 AS BIGINT)]
+            UNION ALL
+            SELECT t + 1,
+                   m || [greatest(
+                       m[t + 1],
+                       (SELECT w + m[p + 1] FROM items
+                        WHERE i = t + 1))]
+            FROM dp, n WHERE t < n_intervals
+        )
+        SELECT n_intervals, total_weight,
+               CAST(m[CAST(n_intervals AS INT) + 1] AS BIGINT)
+                   AS best_weight,
+               CASE WHEN total_weight > 0
+                    THEN m[CAST(n_intervals AS INT) + 1] * 1000000
+                         // total_weight
+               END AS util_ppm
+        FROM dp, n WHERE t = n_intervals
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -18537,6 +18675,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q373_two_proportion_z": q373_two_proportion_z,
         "q374_gini_split_gain": q374_gini_split_gain,
         "q375_cramers_v": q375_cramers_v,
+        "q376_icc": q376_icc,
+        "q377_interval_schedule": q377_interval_schedule,
     }
 
 
@@ -22642,4 +22782,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q374_gini_split_gain"] = _GINI_GAIN_ORACLE_SQL
     # q375: same full margin-cross grid, same quantized cells
     out["q375_cramers_v"] = _CRAMERS_ORACLE_SQL
+    # q376: same per-doc sums on the shared denominator
+    out["q376_icc"] = _ICC_ORACLE_SQL
+    # q377: same sweep p(i), recursive-CTE M rebuild
+    out["q377_interval_schedule"] = _WIS_ORACLE_SQL
     return out
