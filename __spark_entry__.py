@@ -16638,6 +16638,123 @@ _WIS_ORACLE_SQL = """
 """
 
 
+def q378_two_rate_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact conditional two-rate Poisson C-test (evaluation/
+    poisson2.py; Przyborowski & Wilenski 1940) — 10 vs 4 incidents
+    over a 3:5 exposure ratio: conditioning on k = a+b makes the
+    count binomial with RATIONAL p = 3/8, so the k+1 outcome weights
+    C(k,x)*3^x*5^(k-x) are exact integers (k <= 14 regime — the ppm
+    scaling is the binding long bound), sum == 8^k by the binomial
+    theorem (pinned), two-sided method-of-small-P with
+    cross-multiplied 20*p_num <= p_den significance;
+    exact-expectation p == 1 and k > 14 NULL lanes pytest-gated."""
+    from spanluke_spark.evaluation.poisson2 import two_rate_poisson
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 14")
+    e = F.col("event_id")
+    rows = ev.select(F.when(e < 10, 0).otherwise(1).alias("grp"))
+    return two_rate_poisson(rows, m1=3, m2=5)
+
+
+_POISSON2_ORACLE_SQL = """
+        WITH s AS (
+            SELECT CASE WHEN event_id < 10 THEN 0 ELSE 1 END AS grp
+            FROM events WHERE event_id < 14
+        ),
+        agg AS (
+            SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS a,
+                   CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS b
+            FROM s
+        ),
+        k AS (SELECT a, b, a + b AS k FROM agg),
+        xs AS (
+            SELECT a, b, k, unnest(range(0, CAST(k AS INT) + 1)) AS x
+            FROM k WHERE k BETWEEN 1 AND 14
+        ),
+        cells AS (
+            SELECT a, b, k,
+                   CAST(factorial(CAST(k AS INT))
+                        // (factorial(CAST(x AS INT))
+                            * factorial(CAST(k - x AS INT)))
+                        AS BIGINT)
+                       * CAST(power(3, x) AS BIGINT)
+                       * CAST(power(5, k - x) AS BIGINT) AS w,
+                   CAST(factorial(CAST(k AS INT))
+                        // (factorial(CAST(a AS INT))
+                            * factorial(CAST(k - a AS INT)))
+                        AS BIGINT)
+                       * CAST(power(3, a) AS BIGINT)
+                       * CAST(power(5, k - a) AS BIGINT) AS w_obs
+            FROM xs
+        ),
+        g AS (
+            SELECT a, b, k,
+                   CAST(max(w_obs) AS BIGINT) AS t_obs,
+                   CAST(sum(CASE WHEN w <= w_obs THEN w ELSE 0 END)
+                        AS BIGINT) AS p_num,
+                   CAST(sum(w) AS BIGINT) AS p_den
+            FROM cells GROUP BY a, b, k
+        )
+        SELECT a, b, k, t_obs, p_num, p_den,
+               p_num * 1000000 // p_den AS p_ppm,
+               CASE WHEN a * 5 - b * 3 > 0 THEN 'a_rate_higher'
+                    WHEN a * 5 - b * 3 < 0 THEN 'b_rate_higher'
+                    ELSE 'exact_expectation' END AS direction,
+               20 * p_num <= p_den AS sig05
+        FROM g
+"""
+
+
+def q379_correlation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation ratio eta-squared (evaluation/eta.py; Pearson
+    1905) of quality scores across 4 crawl sources with a planted
+    +5-per-source shift — the ANOVA effect size beside the verdicts
+    (q337/q358) and the categorical effect sizes (q374/q375): each
+    group contributes the once-quantized ppm cell (N*Tj - nj*T)^2
+    div (nj*N*(N*Sxx - T^2)) — no equal-size contract — summed
+    exactly; float SSB/SST cross-check, determined ~1e6 and
+    single-group exact-0 lanes plus global-shift exactness
+    pytest-gated."""
+    from spanluke_spark.evaluation.eta import correlation_ratio
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 200")
+    e = F.col("event_id")
+    rows = ev.select(
+        (e % 4).alias("grp"),
+        ((e * 13) % 30 + 5 * (e % 4)).alias("value"),
+    )
+    return correlation_ratio(rows)
+
+
+_ETA_ORACLE_SQL = """
+        WITH s AS (
+            SELECT event_id % 4 AS grp,
+                   (event_id * 13) % 30 + 5 * (event_id % 4) AS x
+            FROM events WHERE event_id < 200
+        ),
+        per AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS nj,
+                   CAST(sum(x) AS BIGINT) AS tj
+            FROM s GROUP BY grp
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS t,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM s
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(CASE WHEN n * sxx - t * t > 0
+                   THEN 1000000 * (n * tj - nj * t) * (n * tj - nj * t)
+                        // (nj * n * (n * sxx - t * t)) END)
+                   AS BIGINT) AS eta2_ppm
+        FROM per, tot
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -18677,6 +18794,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q375_cramers_v": q375_cramers_v,
         "q376_icc": q376_icc,
         "q377_interval_schedule": q377_interval_schedule,
+        "q378_two_rate_poisson": q378_two_rate_poisson,
+        "q379_correlation_ratio": q379_correlation_ratio,
     }
 
 
@@ -22786,4 +22905,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q376_icc"] = _ICC_ORACLE_SQL
     # q377: same sweep p(i), recursive-CTE M rebuild
     out["q377_interval_schedule"] = _WIS_ORACLE_SQL
+    # q378: same exact binomial weights, method of small P
+    out["q378_two_rate_poisson"] = _POISSON2_ORACLE_SQL
+    # q379: same per-group quantized cells, no size contract
+    out["q379_correlation_ratio"] = _ETA_ORACLE_SQL
     return out
