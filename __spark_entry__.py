@@ -16755,6 +16755,136 @@ _ETA_ORACLE_SQL = """
 """
 
 
+def q380_ecological_distances(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bray-Curtis + Canberra + Morisita-Horn corpus dissimilarity
+    panel (textops/ecodist.py) between the even/odd halves of 40
+    documents (the Morisita-Horn numerator is the binding long
+    bound) — the ABUNDANCE-space family beside the share-space
+    drift lanes (q367/q372): Bray-Curtis as one exact division of L1
+    count gaps, Canberra as once-quantized rare-type-weighted milli
+    cells, Morisita-Horn as one exact cross-multiplied division
+    that is EXACTLY duplication-invariant where Bray-Curtis is not —
+    the property split pytest-gated with identity/disjoint closed
+    forms."""
+    from spanluke_spark.textops.ecodist import ecological_distances
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 40")
+    return ecological_distances(
+        docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1")
+    )
+
+
+_ECODIST_ORACLE_SQL = """
+        WITH ta AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS a FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE doc_id < 40 AND doc_id % 2 = 0
+            ) WHERE tok <> '' GROUP BY tok
+        ),
+        tb AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS b FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE doc_id < 40 AND doc_id % 2 = 1
+            ) WHERE tok <> '' GROUP BY tok
+        ),
+        grid AS (
+            SELECT COALESCE(a, 0) AS a, COALESCE(b, 0) AS b
+            FROM ta FULL OUTER JOIN tb ON ta.tok = tb.tok
+        ),
+        agg AS (
+            SELECT CAST(sum(a) AS BIGINT) AS n_a,
+                   CAST(sum(b) AS BIGINT) AS n_b,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(abs(a - b)) AS BIGINT) AS l1,
+                   CAST(sum(1000 * abs(a - b) // (a + b)) AS BIGINT)
+                       AS canberra_milli,
+                   CAST(sum(a * b) AS BIGINT) AS sab,
+                   CAST(sum(a * a) AS BIGINT) AS saa,
+                   CAST(sum(b * b) AS BIGINT) AS sbb
+            FROM grid
+        )
+        SELECT n_a, n_b, n_types,
+               CASE WHEN n_a + n_b > 0
+                    THEN 1000000 * l1 // (n_a + n_b) END AS bc_ppm,
+               canberra_milli,
+               CASE WHEN n_a > 0 AND n_b > 0
+                    THEN 1000000 * 2 * sab * n_a * n_b
+                         // (saa * n_b * n_b + sbb * n_a * n_a)
+               END AS mh_ppm
+        FROM agg
+"""
+
+
+def q381_multiclass_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass Matthews correlation R_K (evaluation/
+    concordance.py; Gorodkin 2004) for a 4-label tagger over 400
+    events with one-in-six planted confusions — the K-class
+    generalization of q354's MCC as a signed square (sqrt-free):
+    num = N*agree - sum t_k p_k on exact marginal cross products;
+    the K=2 == binary-MCC identity, perfect-1e6, relabeling
+    invariance and independence-zero lanes pytest-gated."""
+    from spanluke_spark.evaluation.concordance import multiclass_mcc
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 400")
+    e = F.col("event_id")
+    t = (e * 3) % 4
+    scored = ev.select(
+        t.alias("truth"),
+        F.when(e % 6 == 0, (t + 1 + e % 3) % 4).otherwise(t).alias(
+            "pred"
+        ),
+    )
+    return multiclass_mcc(scored)
+
+
+_MULTICLASS_MCC_ORACLE_SQL = """
+        WITH s AS (
+            SELECT CAST((event_id * 3) % 4 AS VARCHAR) AS t,
+                   CAST(CASE WHEN event_id % 6 = 0
+                             THEN ((event_id * 3) % 4 + 1
+                                   + event_id % 3) % 4
+                             ELSE (event_id * 3) % 4 END AS VARCHAR)
+                       AS p
+            FROM events WHERE event_id < 400
+        ),
+        base AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN t = p THEN 1 ELSE 0 END)
+                        AS BIGINT) AS agree
+            FROM s
+        ),
+        tm AS (SELECT t AS lab, CAST(count(*) AS BIGINT) AS tk
+               FROM s GROUP BY t),
+        pm AS (SELECT p AS lab, CAST(count(*) AS BIGINT) AS pk
+               FROM s GROUP BY p),
+        cross_ AS (
+            SELECT CAST(count(*) AS BIGINT) AS k_classes,
+                   CAST(sum(COALESCE(tk, 0) * COALESCE(pk, 0))
+                        AS BIGINT) AS tp_cross,
+                   CAST(sum(COALESCE(tk, 0) * COALESCE(tk, 0))
+                        AS BIGINT) AS t2,
+                   CAST(sum(COALESCE(pk, 0) * COALESCE(pk, 0))
+                        AS BIGINT) AS p2
+            FROM tm FULL OUTER JOIN pm ON tm.lab = pm.lab
+        ),
+        x AS (
+            SELECT n, k_classes, agree,
+                   n * agree - tp_cross AS num,
+                   (n * n - p2) * (n * n - t2) AS den
+            FROM base, cross_
+        )
+        SELECT n, k_classes, agree, num,
+               CASE WHEN den > 0 THEN
+                   CASE WHEN num < 0
+                        THEN -(num * num * 1000000 // den)
+                        ELSE num * num * 1000000 // den END
+               END AS rk2_ppm
+        FROM x
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -18796,6 +18926,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q377_interval_schedule": q377_interval_schedule,
         "q378_two_rate_poisson": q378_two_rate_poisson,
         "q379_correlation_ratio": q379_correlation_ratio,
+        "q380_ecological_distances": q380_ecological_distances,
+        "q381_multiclass_mcc": q381_multiclass_mcc,
     }
 
 
@@ -22909,4 +23041,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q378_two_rate_poisson"] = _POISSON2_ORACLE_SQL
     # q379: same per-group quantized cells, no size contract
     out["q379_correlation_ratio"] = _ETA_ORACLE_SQL
+    # q380: same full-outer type grid, log-free count-space cells
+    out["q380_ecological_distances"] = _ECODIST_ORACLE_SQL
+    # q381: same marginal cross products, signed square
+    out["q381_multiclass_mcc"] = _MULTICLASS_MCC_ORACLE_SQL
     return out

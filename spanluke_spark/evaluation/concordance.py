@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["mcc_fm", "lin_ccc"]
+__all__ = ["mcc_fm", "lin_ccc", "multiclass_mcc"]
 
 
 def mcc_fm(
@@ -109,3 +109,69 @@ def lin_ccc(
         F.col("den") > 0, F.when(F.col("num") < 0, -mag).otherwise(mag)
     )
     return z.select("n", "num", "den", ccc.alias("ccc_ppm"))
+
+
+def multiclass_mcc(
+    scored: DataFrame,
+    truth_col: str = "truth",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """Multiclass Matthews correlation R_K (Gorodkin 2004) — the
+    K-class generalization of mcc_fm's MCC, the single-number
+    confusion summary for the 4+ label taggers (lang-id, doc-type,
+    NER label audits) where binary MCC does not apply and accuracy
+    is still imbalance-blind.
+
+    With confusion counts c_kk (diagonal), truth marginals t_k, pred
+    marginals p_k and N rows:
+
+      num  = N * sum_k c_kk - sum_k t_k * p_k
+      rk2  = num^2 / ((N^2 - sum p_k^2) (N^2 - sum t_k^2))
+
+    carried as the signed square (the q354/q311 sqrt-free
+    discipline): rk2_ppm = sign(num) * num^2 * 10^6 div den — exact
+    integers, one trunc. A constant truth or constant pred zeroes a
+    den factor -> NULL. Pinned by pytest: K = 2 reproduces
+    mcc_fm's mcc2_ppm EXACTLY (same integers after algebra), perfect
+    agreement gives 10^6, consistent relabeling of both columns
+    changes nothing, and independent columns give 0. Long bound:
+    num^2 * 10^6 <= N^4 * 10^6 needs N <= ~5000 per slice.
+
+    (truth label, pred label) -> ONE row (n, k_classes, agree, num,
+    rk2_ppm)."""
+    s = scored.select(
+        F.col(truth_col).cast("string").alias("t"),
+        F.col(pred_col).cast("string").alias("p"),
+    )
+    base = s.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("t") == F.col("p")).cast("long")).alias("agree"),
+    )
+    tm = s.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("tk"))
+    pm = s.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("pk"))
+    cross = (
+        tm.join(pm, tm["t"] == pm["p"], "full")
+        .select(
+            F.coalesce(F.col("tk"), F.lit(0).cast("long")).alias("tk"),
+            F.coalesce(F.col("pk"), F.lit(0).cast("long")).alias("pk"),
+        )
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_classes"),
+            F.sum(F.col("tk") * F.col("pk")).alias("tp_cross"),
+            F.sum(F.col("tk") * F.col("tk")).alias("t2"),
+            F.sum(F.col("pk") * F.col("pk")).alias("p2"),
+        )
+    )
+    x = base.crossJoin(F.broadcast(cross)).select(
+        "n",
+        "k_classes",
+        "agree",
+        F.expr("n * agree - tp_cross").alias("num"),
+        F.expr("(n * n - p2) * (n * n - t2)").alias("den"),
+    )
+    mag = F.expr("num * num * 1000000 div den")
+    rk2 = F.when(
+        F.col("den") > 0, F.when(F.col("num") < 0, -mag).otherwise(mag)
+    )
+    return x.select("n", "k_classes", "agree", "num", rk2.alias("rk2_ppm"))
