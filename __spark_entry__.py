@@ -16885,6 +16885,168 @@ _MULTICLASS_MCC_ORACLE_SQL = """
 """
 
 
+def q382_moran_geary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I + Geary's C spatial autocorrelation (graph/
+    spatial.py; Moran 1950, Geary 1954) of a triangle-wave attribute
+    x = |i - 100| over a 200-node ring + quadratic-chord link graph —
+    smooth along the ring, so I lands strongly positive and C well
+    below 1, the numeric-attribute counterpart of homophily (q254).
+    Exact integer rationals via n-scaled centering (n*x - Sx), one
+    sign-split trunc each; identity/anti/constant closed forms
+    pytest-gated in tests/test_spatial_autocorr.py."""
+    from spanluke_spark.graph.spatial import moran_geary
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 200")
+    d = F.col("doc_id")
+    nodes = docs.select(
+        d.alias("node"), F.abs(d - 100).cast("long").alias("x")
+    )
+    edges = docs.select(
+        d.alias("src"), ((d + 1) % 200).alias("dst")
+    ).unionAll(
+        docs.select(d.alias("src"), ((d * d + 3) % 200).alias("dst"))
+    )
+    return moran_geary(nodes, edges)
+
+
+_MORAN_GEARY_ORACLE_SQL = """
+        WITH nodes AS (
+            SELECT CAST(doc_id AS BIGINT) AS node,
+                   CAST(abs(doc_id - 100) AS BIGINT) AS x
+            FROM documents WHERE doc_id < 200
+        ),
+        e AS (
+            SELECT CAST(doc_id AS BIGINT) AS src,
+                   CAST((doc_id + 1) % 200 AS BIGINT) AS dst
+            FROM documents WHERE doc_id < 200
+            UNION ALL
+            SELECT CAST(doc_id AS BIGINT),
+                   CAST((doc_id * doc_id + 3) % 200 AS BIGINT)
+            FROM documents WHERE doc_id < 200
+        ),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM nodes
+        ),
+        dec AS (
+            SELECT ns.x AS xs, nd.x AS xd
+            FROM e
+            JOIN nodes ns ON e.src = ns.node
+            JOIN nodes nd ON e.dst = nd.node
+            WHERE e.src <> e.dst
+        ),
+        ea AS (
+            SELECT CAST(count(*) AS BIGINT) AS w,
+                   CAST(sum((m.n * xs - m.sx) * (m.n * xd - m.sx))
+                        AS BIGINT) AS cross_num,
+                   CAST(sum((xs - xd) * (xs - xd)) AS BIGINT)
+                       AS geary_d
+            FROM dec, m
+        ),
+        x AS (
+            SELECT m.n, ea.w,
+                   COALESCE(ea.cross_num, 0) AS cross_num,
+                   COALESCE(ea.geary_d, 0) AS geary_d,
+                   m.n * m.sxx - m.sx * m.sx AS szz
+            FROM m, ea
+        )
+        SELECT n AS n_nodes, w AS w_edges, cross_num, geary_d,
+               CASE WHEN w > 0 AND szz > 0 THEN
+                   CASE WHEN cross_num < 0
+                        THEN -(abs(cross_num) * 1000000 // (w * szz))
+                        ELSE abs(cross_num) * 1000000 // (w * szz) END
+               END AS moran_ppm,
+               CASE WHEN n > 1 THEN -(1000000 // (n - 1))
+               END AS expected_i_ppm,
+               CASE WHEN w > 0 AND szz > 0
+                    THEN n * (n - 1) * geary_d * 1000 // (2 * w * szz)
+               END AS geary_milli
+        FROM x
+"""
+
+
+def q383_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary join-count statistics (graph/spatial.py; Cliff & Ord
+    1981) for a one-in-three "black" labelling over a 150-node
+    double-ring (step-1 + step-7 chords): observed BB/WW/BW edge
+    counts against the exact nonfree-sampling expected edge fractions
+    E[BB]/W = nb(nb-1)/(n(n-1)) etc. — the clumping detector a
+    crawler runs before trusting per-host spam labels. The step-1
+    ring makes same-label (period-3) adjacency impossible, the
+    step-7 chords make it guaranteed, so observed BB sits exactly on
+    the chord count; conservation BB+WW+BW == W pytest-gated."""
+    from spanluke_spark.graph.spatial import join_counts
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 150")
+    d = F.col("doc_id")
+    nodes = docs.select(
+        d.alias("node"), (d % 3 == 0).cast("long").alias("b")
+    )
+    edges = docs.select(
+        d.alias("src"), ((d + 1) % 150).alias("dst")
+    ).unionAll(
+        docs.select(d.alias("src"), ((d + 7) % 150).alias("dst"))
+    )
+    return join_counts(nodes, edges)
+
+
+_JOIN_COUNTS_ORACLE_SQL = """
+        WITH nodes AS (
+            SELECT CAST(doc_id AS BIGINT) AS node,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS b
+            FROM documents WHERE doc_id < 150
+        ),
+        e AS (
+            SELECT CAST(doc_id AS BIGINT) AS src,
+                   CAST((doc_id + 1) % 150 AS BIGINT) AS dst
+            FROM documents WHERE doc_id < 150
+            UNION ALL
+            SELECT CAST(doc_id AS BIGINT),
+                   CAST((doc_id + 7) % 150 AS BIGINT)
+            FROM documents WHERE doc_id < 150
+        ),
+        dec AS (
+            SELECT ns.b AS bs, nd.b AS bd
+            FROM e
+            JOIN nodes ns ON e.src = ns.node
+            JOIN nodes nd ON e.dst = nd.node
+            WHERE e.src <> e.dst
+        ),
+        ea AS (
+            SELECT CAST(count(*) AS BIGINT) AS w,
+                   CAST(sum(CASE WHEN bs = 1 AND bd = 1 THEN 1
+                                 ELSE 0 END) AS BIGINT) AS bb,
+                   CAST(sum(CASE WHEN bs = 0 AND bd = 0 THEN 1
+                                 ELSE 0 END) AS BIGINT) AS ww,
+                   CAST(sum(CASE WHEN bs <> bd THEN 1 ELSE 0 END)
+                        AS BIGINT) AS bw
+            FROM dec
+        ),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(b) AS BIGINT) AS nb
+            FROM nodes
+        )
+        SELECT n AS n_nodes, nb AS n_black,
+               COALESCE(w, 0) AS w_edges,
+               COALESCE(bb, 0) AS bb, COALESCE(ww, 0) AS ww,
+               COALESCE(bw, 0) AS bw,
+               CASE WHEN w > 0 AND n > 1 THEN
+                   nb * (nb - 1) * 1000000 // (n * (n - 1))
+               END AS expected_bb_ppm,
+               CASE WHEN w > 0 AND n > 1 THEN
+                   (n - nb) * (n - nb - 1) * 1000000 // (n * (n - 1))
+               END AS expected_ww_ppm,
+               CASE WHEN w > 0 AND n > 1 THEN
+                   2 * nb * (n - nb) * 1000000 // (n * (n - 1))
+               END AS expected_bw_ppm
+        FROM m, ea
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -18928,6 +19090,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q379_correlation_ratio": q379_correlation_ratio,
         "q380_ecological_distances": q380_ecological_distances,
         "q381_multiclass_mcc": q381_multiclass_mcc,
+        "q382_moran_geary": q382_moran_geary,
+        "q383_join_counts": q383_join_counts,
     }
 
 
@@ -23045,4 +23209,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q380_ecological_distances"] = _ECODIST_ORACLE_SQL
     # q381: same marginal cross products, signed square
     out["q381_multiclass_mcc"] = _MULTICLASS_MCC_ORACLE_SQL
+    # q382: same n-scaled centering, same sign-split truncs
+    out["q382_moran_geary"] = _MORAN_GEARY_ORACLE_SQL
+    # q383: same decorated-edge counts, exact expected fractions
+    out["q383_join_counts"] = _JOIN_COUNTS_ORACLE_SQL
     return out
