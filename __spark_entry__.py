@@ -17047,6 +17047,149 @@ _JOIN_COUNTS_ORACLE_SQL = """
 """
 
 
+def q384_gamma_somers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma + both Somers' D (evaluation/gk.py;
+    Goodman & Kruskal 1954, Somers 1962) between a 12-level length
+    bucket and its noisy halved image — the asymmetric does-priority-
+    predict-quality family next to tau-b (q266). Exact C/D/tie counts
+    on value classes, conservation C+D+Tx+Ty+Txy == n(n-1)/2 and the
+    tau_b^2 == D(y|x)*D(x|y) identity pytest-gated."""
+    from spanluke_spark.evaluation.gk import gamma_somers
+
+    docs = _t(spark, sf_dir, "documents")
+    x = F.length("text") % 12
+    return gamma_somers(
+        docs, x, F.floor(x / 2) + F.col("doc_id") % 3
+    )
+
+
+_GAMMA_SOMERS_ORACLE_SQL = """
+        WITH v AS (
+            SELECT length(text) % 12 AS x,
+                   (length(text) % 12) // 2 + doc_id % 3 AS y
+            FROM documents
+        ),
+        cls AS (
+            SELECT x, y, CAST(count(*) AS BIGINT) AS c
+            FROM v GROUP BY x, y
+        ),
+        cx AS (
+            SELECT
+                COALESCE(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                                  THEN a.c * b.c END), 0)
+                    AS concordant,
+                COALESCE(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                                  THEN a.c * b.c END), 0)
+                    AS discordant
+            FROM cls a JOIN cls b
+              ON (a.x < b.x) OR (a.x = b.x AND a.y < b.y)
+        ),
+        m AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(sum(c * (c - 1)) // 2 AS BIGINT) AS t_xy
+            FROM cls
+        ),
+        mx AS (
+            SELECT CAST(sum(t * (t - 1)) // 2 AS BIGINT) AS n1
+            FROM (SELECT sum(c) AS t FROM cls GROUP BY x)
+        ),
+        my AS (
+            SELECT CAST(sum(t * (t - 1)) // 2 AS BIGINT) AS n2
+            FROM (SELECT sum(c) AS t FROM cls GROUP BY y)
+        ),
+        base AS (
+            SELECT n, concordant, discordant,
+                   n1 - t_xy AS t_x, n2 - t_xy AS t_y, t_xy
+            FROM cx, m, mx, my
+        )
+        SELECT n, concordant, discordant, t_x, t_y, t_xy,
+               CASE WHEN concordant + discordant > 0 THEN
+                   CASE WHEN concordant < discordant
+                        THEN -(abs(concordant - discordant) * 1000000
+                               // (concordant + discordant))
+                        ELSE (concordant - discordant) * 1000000
+                             // (concordant + discordant) END
+               END AS gamma_ppm,
+               CASE WHEN concordant + discordant > 0 THEN
+                   CASE WHEN concordant < discordant
+                        THEN -(abs(concordant - discordant) * 1000000
+                               // (concordant + discordant + t_y))
+                        ELSE (concordant - discordant) * 1000000
+                             // (concordant + discordant + t_y) END
+               END AS somers_yx_ppm,
+               CASE WHEN concordant + discordant > 0 THEN
+                   CASE WHEN concordant < discordant
+                        THEN -(abs(concordant - discordant) * 1000000
+                               // (concordant + discordant + t_x))
+                        ELSE (concordant - discordant) * 1000000
+                             // (concordant + discordant + t_x) END
+               END AS somers_xy_ppm
+        FROM base
+"""
+
+
+def q385_gk_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal lambda, both directions + symmetric
+    (evaluation/gk.py) for a 6-bucket source signal against its
+    mostly-faithful 4-level image — the proportional-reduction-in-
+    error audit of a nominal crawl heuristic. Exact modal sums and
+    marginal modes, one trunc each; perfect-prediction 1e6,
+    independence 0, constant-column NULL lanes pytest-gated."""
+    from spanluke_spark.evaluation.gk import gk_lambda
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    return gk_lambda(
+        docs,
+        d % 6,
+        ((d % 6) % 4 + F.when(d % 11 == 0, 1).otherwise(0)) % 4,
+    )
+
+
+_GK_LAMBDA_ORACLE_SQL = """
+        WITH v AS (
+            SELECT doc_id % 6 AS x,
+                   ((doc_id % 6) % 4
+                    + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)
+                   % 4 AS y
+            FROM documents
+        ),
+        cls AS (
+            SELECT x, y, CAST(count(*) AS BIGINT) AS c
+            FROM v GROUP BY x, y
+        ),
+        rm AS (
+            SELECT CAST(sum(m) AS BIGINT) AS sum_rowmax
+            FROM (SELECT max(c) AS m FROM cls GROUP BY x)
+        ),
+        cm AS (
+            SELECT CAST(sum(m) AS BIGINT) AS sum_colmax
+            FROM (SELECT max(c) AS m FROM cls GROUP BY y)
+        ),
+        mr AS (
+            SELECT CAST(max(t) AS BIGINT) AS mode_row
+            FROM (SELECT sum(c) AS t FROM cls GROUP BY x)
+        ),
+        mc AS (
+            SELECT CAST(max(t) AS BIGINT) AS mode_col
+            FROM (SELECT sum(c) AS t FROM cls GROUP BY y)
+        ),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cls)
+        SELECT n, sum_rowmax, sum_colmax, mode_row, mode_col,
+               CASE WHEN n > mode_col THEN
+                   (sum_rowmax - mode_col) * 1000000 // (n - mode_col)
+               END AS lambda_yx_ppm,
+               CASE WHEN n > mode_row THEN
+                   (sum_colmax - mode_row) * 1000000 // (n - mode_row)
+               END AS lambda_xy_ppm,
+               CASE WHEN 2 * n > mode_row + mode_col THEN
+                   (sum_rowmax - mode_col + sum_colmax - mode_row)
+                   * 1000000 // (2 * n - mode_row - mode_col)
+               END AS lambda_sym_ppm
+        FROM tot, rm, cm, mr, mc
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -19092,6 +19235,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q381_multiclass_mcc": q381_multiclass_mcc,
         "q382_moran_geary": q382_moran_geary,
         "q383_join_counts": q383_join_counts,
+        "q384_gamma_somers": q384_gamma_somers,
+        "q385_gk_lambda": q385_gk_lambda,
     }
 
 
@@ -23213,4 +23358,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q382_moran_geary"] = _MORAN_GEARY_ORACLE_SQL
     # q383: same decorated-edge counts, exact expected fractions
     out["q383_join_counts"] = _JOIN_COUNTS_ORACLE_SQL
+    # q384: same class-pair join, same tie clearing
+    out["q384_gamma_somers"] = _GAMMA_SOMERS_ORACLE_SQL
+    # q385: same modal sums and marginal modes
+    out["q385_gk_lambda"] = _GK_LAMBDA_ORACLE_SQL
     return out
