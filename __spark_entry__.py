@@ -17190,6 +17190,165 @@ _GK_LAMBDA_ORACLE_SQL = """
 """
 
 
+def q386_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt change-point scan (evaluation/changepoint.py; Pettitt
+    1979) over a 240-step noisy event series with a +6 level shift
+    planted at t=150 — where did crawl quality break? NO pair join:
+    the double-rank identity U_t = t(n+1) - cum(DR) makes the O(n^2)
+    definitional statistic two windows + one agg; the identity itself
+    is pinned against the definitional replay (ties included) in
+    tests/test_changepoint.py."""
+    from spanluke_spark.evaluation.changepoint import pettitt
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 240")
+    e = F.col("event_id")
+    series = ev.select(
+        e.alias("t"),
+        ((e * 13) % 7 + F.when(e >= 150, 6).otherwise(0)).alias("x"),
+    )
+    return pettitt(series)
+
+
+_PETTITT_ORACLE_SQL = """
+        WITH s AS (
+            SELECT CAST(event_id AS BIGINT) AS t,
+                   CAST((event_id * 13) % 7
+                        + CASE WHEN event_id >= 150 THEN 6 ELSE 0 END
+                        AS BIGINT) AS x
+            FROM events WHERE event_id < 240
+        ),
+        cls AS (
+            SELECT x, CAST(count(*) AS BIGINT) AS c
+            FROM s GROUP BY x
+        ),
+        rk AS (
+            SELECT x,
+                   2 * (sum(c) OVER (ORDER BY x
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) - c)
+                       + c + 1 AS dr
+            FROM cls
+        ),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+        seq AS (
+            SELECT CAST(row_number() OVER (ORDER BY s.t) AS BIGINT)
+                       AS idx,
+                   CAST(sum(rk.dr) OVER (ORDER BY s.t
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
+                       AS cum
+            FROM s JOIN rk USING (x)
+        ),
+        u AS (
+            SELECT n, idx, idx * (n + 1) - cum AS uu
+            FROM seq, nn WHERE idx < n
+        ),
+        k AS (
+            SELECT n, max(abs(uu)) AS k_stat FROM u GROUP BY n
+        ),
+        star AS (
+            SELECT u.n, k.k_stat,
+                   min(idx) AS t_star,
+                   arg_min(uu, idx) AS u_at_break
+            FROM u JOIN k ON u.n = k.n AND abs(uu) = k.k_stat
+            GROUP BY u.n, k.k_stat
+        )
+        SELECT n, k_stat, t_star, u_at_break,
+               6000 * k_stat * k_stat // (n * n * n + n * n)
+                   AS exp_milli,
+               6000000 * k_stat * k_stat
+                   > 3688879 * (n * n * n + n * n) AS sig05
+        FROM star
+"""
+
+
+def q387_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox-Stuart exact sign-trend test (evaluation/changepoint.py;
+    Cox & Stuart 1955) on a 64-step drifting series: pair each point
+    with its half-offset partner, drop ties, exact two-sided binomial
+    tail built by the multiplicative C(m,k) recurrence folded
+    JVM-side (no factorials, valid to m = 40). math.comb replay,
+    monotone/flat/balanced-cap lanes and the m > 40 NULL gate in
+    tests/test_changepoint.py."""
+    from spanluke_spark.evaluation.changepoint import cox_stuart
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 64")
+    e = F.col("event_id")
+    series = ev.select(
+        e.alias("t"),
+        ((e * 11) % 9 + F.floor(e / 8)).alias("x"),
+    )
+    return cox_stuart(series)
+
+
+_COX_STUART_ORACLE_SQL = """
+        WITH RECURSIVE
+        s AS (
+            SELECT CAST(event_id AS BIGINT) AS t,
+                   CAST((event_id * 11) % 9 + event_id // 8
+                        AS BIGINT) AS x
+            FROM events WHERE event_id < 64
+        ),
+        seq AS (
+            SELECT CAST(row_number() OVER (ORDER BY t) AS BIGINT)
+                       AS idx, x
+            FROM s
+        ),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+        pairs AS (
+            SELECT e.x AS xe, l.x AS xl
+            FROM seq e
+            JOIN nn ON e.idx <= nn.n // 2
+            JOIN seq l ON l.idx = e.idx + (nn.n + 1) // 2
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(CASE WHEN xl > xe THEN 1 ELSE 0 END)
+                        AS BIGINT) AS s_plus,
+                   CAST(sum(CASE WHEN xl < xe THEN 1 ELSE 0 END)
+                        AS BIGINT) AS s_minus
+            FROM pairs
+        ),
+        base AS (
+            SELECT n, n_pairs, s_plus, s_minus,
+                   s_plus + s_minus AS m,
+                   least(s_plus, s_minus) AS kmin
+            FROM agg, nn
+        ),
+        bins AS (
+            SELECT 0 AS j, CAST(1 AS BIGINT) AS c,
+                   CAST(1 AS BIGINT) AS acc
+            UNION ALL
+            SELECT bins.j + 1,
+                   bins.c * (base.m - bins.j) // (bins.j + 1),
+                   bins.acc + bins.c * (base.m - bins.j)
+                       // (bins.j + 1)
+            FROM bins, base
+            WHERE bins.j < base.kmin
+        ),
+        tail AS (
+            SELECT CAST(max(acc) AS BIGINT) AS tsum
+            FROM bins, base WHERE bins.j = base.kmin
+        )
+        SELECT n, n_pairs, s_plus, s_minus, m,
+               CASE WHEN m BETWEEN 1 AND 40 THEN
+                   least(2 * tsum, CAST(2 ** m AS BIGINT)) END
+                   AS p_num,
+               CASE WHEN m BETWEEN 1 AND 40 THEN
+                   CAST(2 ** m AS BIGINT) END AS p_den,
+               CASE WHEN m BETWEEN 1 AND 40 THEN
+                   least(2 * tsum, CAST(2 ** m AS BIGINT)) * 1000000
+                       // CAST(2 ** m AS BIGINT) END AS p_ppm,
+               CASE WHEN s_plus > s_minus THEN 'rising'
+                    WHEN s_plus < s_minus THEN 'falling'
+                    ELSE 'balanced' END AS direction,
+               CASE WHEN m BETWEEN 1 AND 40 THEN
+                   20 * least(2 * tsum, CAST(2 ** m AS BIGINT))
+                       <= CAST(2 ** m AS BIGINT) END AS sig05
+        FROM base, tail
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -19237,6 +19396,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q383_join_counts": q383_join_counts,
         "q384_gamma_somers": q384_gamma_somers,
         "q385_gk_lambda": q385_gk_lambda,
+        "q386_pettitt": q386_pettitt,
+        "q387_cox_stuart": q387_cox_stuart,
     }
 
 
@@ -23362,4 +23523,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q384_gamma_somers"] = _GAMMA_SOMERS_ORACLE_SQL
     # q385: same modal sums and marginal modes
     out["q385_gk_lambda"] = _GK_LAMBDA_ORACLE_SQL
+    # q386: same double-rank identity, same windows
+    out["q386_pettitt"] = _PETTITT_ORACLE_SQL
+    # q387: same half-offset pairing, recursive-CTE binomial prefix
+    out["q387_cox_stuart"] = _COX_STUART_ORACLE_SQL
     return out
