@@ -17349,6 +17349,109 @@ _COX_STUART_ORACLE_SQL = """
 """
 
 
+def q388_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley dispersion test (evaluation/scaletests.py;
+    Ansari & Bradley 1960) between a wide-spread and a tight-spread
+    event cohort with matched medians — does one mirror jitter more?
+    Doubled center-distance scores min(DR, 2(N+1)-DR) on integer
+    double ranks, exact finite-population z^2 rational, DECIMAL/
+    HUGEINT wide-integer quantization; Fraction replay and the
+    location-shift-stays-quiet lane pytest-gated."""
+    from spanluke_spark.evaluation.scaletests import ansari_bradley
+
+    return ansari_bradley(_scale_cohorts(spark, sf_dir))
+
+
+def q389_mood_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood squared-rank scale test (evaluation/scaletests.py; Mood
+    1954) on the same cohorts as q388 through the same exact
+    linear-rank engine with (DR - (N+1))^2 scores — the two tests
+    must agree on the verdict with OPPOSITE t_stat directions vs
+    E[T] (gated)."""
+    from spanluke_spark.evaluation.scaletests import mood_scale
+
+    return mood_scale(_scale_cohorts(spark, sf_dir))
+
+
+def _scale_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """120 events, group 0 spread 0..39, group 1 packed 15..24."""
+    ev = _t(spark, sf_dir, "events").where("event_id < 120")
+    e = F.col("event_id")
+    return ev.select(
+        (e % 2).alias("grp"),
+        F.when(e % 2 == 0, (e * 17) % 40)
+        .otherwise(15 + (e * 17) % 10)
+        .alias("x"),
+    )
+
+
+def _scale_test_oracle_sql(score_expr: str) -> str:
+    return f"""
+        WITH s AS (
+            SELECT CAST(event_id % 2 AS BIGINT) AS grp,
+                   CAST(CASE WHEN event_id % 2 = 0
+                             THEN (event_id * 17) % 40
+                             ELSE 15 + (event_id * 17) % 10 END
+                        AS BIGINT) AS x
+            FROM events WHERE event_id < 120
+        ),
+        cls AS (
+            SELECT x, CAST(count(*) AS BIGINT) AS c
+            FROM s GROUP BY x
+        ),
+        rk AS (
+            SELECT x,
+                   2 * (sum(c) OVER (ORDER BY x
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) - c)
+                       + c + 1 AS dr
+            FROM cls
+        ),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM s),
+        scored AS (
+            SELECT s.grp, CAST({score_expr} AS BIGINT) AS sc
+            FROM s JOIN rk USING (x), nn
+        ),
+        agg AS (
+            SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS m,
+                   CAST(sum(CASE WHEN grp <> 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN grp = 0 THEN sc ELSE 0 END)
+                        AS BIGINT) AS t_stat,
+                   CAST(sum(sc) AS BIGINT) AS s_all,
+                   CAST(sum(sc * sc) AS BIGINT) AS s2_all
+            FROM scored
+        ),
+        base AS (
+            SELECT nt AS n_total, m, n, t_stat, s_all,
+                   (nt * t_stat - m * s_all)
+                       * (nt * t_stat - m * s_all) * (nt - 1)
+                       AS z2_num,
+                   m * n * (nt * s2_all - s_all * s_all) AS z2_den
+            FROM agg, nn
+        )
+        SELECT n_total, m, n, t_stat, s_all, z2_num, z2_den,
+               CASE WHEN m > 0 AND n > 0 AND z2_den > 0 THEN
+                   CAST(CAST(z2_num AS HUGEINT) * 1000 // z2_den
+                        AS BIGINT)
+               END AS z2_milli,
+               CASE WHEN m > 0 AND n > 0 AND z2_den > 0 THEN
+                   CAST(z2_num AS HUGEINT) * 1000000
+                       > CAST(z2_den AS HUGEINT) * 3841459
+               END AS sig05
+        FROM base
+"""
+
+
+_ANSARI_ORACLE_SQL = _scale_test_oracle_sql(
+    "least(dr, 2 * (nt + 1) - dr)"
+)
+_MOOD_SCALE_ORACLE_SQL = _scale_test_oracle_sql(
+    "(dr - (nt + 1)) * (dr - (nt + 1))"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -19398,6 +19501,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q385_gk_lambda": q385_gk_lambda,
         "q386_pettitt": q386_pettitt,
         "q387_cox_stuart": q387_cox_stuart,
+        "q388_ansari_bradley": q388_ansari_bradley,
+        "q389_mood_scale": q389_mood_scale,
     }
 
 
@@ -23527,4 +23632,7 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q386_pettitt"] = _PETTITT_ORACLE_SQL
     # q387: same half-offset pairing, recursive-CTE binomial prefix
     out["q387_cox_stuart"] = _COX_STUART_ORACLE_SQL
+    # q388/q389: same double-rank scores, same wide-integer clearing
+    out["q388_ansari_bradley"] = _ANSARI_ORACLE_SQL
+    out["q389_mood_scale"] = _MOOD_SCALE_ORACLE_SQL
     return out
