@@ -17452,6 +17452,178 @@ _MOOD_SCALE_ORACLE_SQL = _scale_test_oracle_sql(
 )
 
 
+def _ballots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90 full preference ballots over 5 candidates: ballot b ranks
+    candidate (j*(1 + b%4) + b) % 5 at position j — the multiplier is
+    coprime to 5, so every ballot is a permutation."""
+    ev = _t(spark, sf_dir, "events").where("event_id < 90")
+    e = F.col("event_id")
+    return ev.select(
+        e.alias("ballot"),
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("j"),
+    ).select(
+        "ballot",
+        F.col("j").cast("long").alias("pos"),
+        (
+            (F.col("j") * (1 + F.col("ballot") % 4) + F.col("ballot"))
+            % 5
+        ).alias("cand"),
+    )
+
+
+_BALLOTS_SQL = """
+        ballots AS (
+            SELECT CAST(event_id AS BIGINT) AS ballot,
+                   CAST(t.j AS BIGINT) AS pos,
+                   CAST((t.j * (1 + event_id % 4) + event_id) % 5
+                        AS BIGINT) AS cand
+            FROM events, range(5) t(j) WHERE event_id < 90
+        ),
+        cands AS (SELECT DISTINCT cand FROM ballots)
+"""
+
+
+def q390_instant_runoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive instant-runoff election (textops/voting.py) over 90
+    permutation ballots x 5 candidates: per-round surviving-top-choice
+    tallies, deterministic larger-id-first tie-break, winner = last
+    survivor (provably identical to majority-stop IRV — a majority
+    holder can never hold the round minimum). Center-squeeze,
+    transfer-conservation and tie-break lanes in tests/test_voting.py;
+    the oracle replays every round with unrolled CTEs."""
+    from spanluke_spark.textops.voting import instant_runoff
+
+    return instant_runoff(_ballots(spark, sf_dir), 5)
+
+
+def _irv_oracle_sql(k: int = 5) -> str:
+    parts = ["WITH " + _BALLOTS_SQL.strip().rstrip()]
+    selects = []
+    for r in range(1, k):
+        not_elim = (
+            ""
+            if r == 1
+            else f" WHERE cand NOT IN (SELECT cand FROM elim{r - 1})"
+        )
+        parts.append(
+            f"""first{r} AS (
+            SELECT ballot, arg_min(cand, pos) AS cand
+            FROM ballots{not_elim} GROUP BY ballot
+        )"""
+        )
+        act = (
+            "cands"
+            if r == 1
+            else f"(SELECT cand FROM cands WHERE cand NOT IN"
+            f" (SELECT cand FROM elim{r - 1}))"
+        )
+        parts.append(
+            f"""tally{r} AS (
+            SELECT c.cand, CAST(count(f.ballot) AS BIGINT) AS votes
+            FROM {act} c LEFT JOIN first{r} f ON c.cand = f.cand
+            GROUP BY c.cand
+        )"""
+        )
+        parts.append(
+            f"""loser{r} AS (
+            SELECT cand FROM tally{r}
+            ORDER BY votes ASC, cand DESC LIMIT 1
+        )"""
+        )
+        prev = f"SELECT cand FROM elim{r - 1} UNION ALL " if r > 1 else ""
+        parts.append(
+            f"elim{r} AS ({prev}SELECT cand FROM loser{r})"
+        )
+        final_status = "'winner'" if r == k - 1 else "'active'"
+        selects.append(
+            f"""SELECT CAST({r} AS BIGINT) AS round, cand, votes,
+            CASE WHEN cand IN (SELECT cand FROM loser{r})
+                 THEN 'eliminated' ELSE {final_status} END AS status
+            FROM tally{r}"""
+        )
+    return (
+        ",\n        ".join(parts)
+        + "\n        "
+        + "\n        UNION ALL\n        ".join(selects)
+    )
+
+
+_IRV_ORACLE_SQL = _irv_oracle_sql(5)
+
+
+def q391_schulze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schulze beatpath election (textops/voting.py; Schulze 2011)
+    over the same 90 ballots: pairwise duel counts, widest-bottleneck
+    path strengths via k-1 max-min relaxations on the k^2 pair grid,
+    and the total beatpath relation p_ab >= p_ba. Floyd-Warshall
+    replay, Condorcet consistency and cycle-totality pytest-gated;
+    the oracle unrolls the relaxations."""
+    from spanluke_spark.textops.voting import schulze
+
+    return schulze(_ballots(spark, sf_dir), 5)
+
+
+def _schulze_oracle_sql(k: int = 5) -> str:
+    parts = [
+        "WITH " + _BALLOTS_SQL.strip().rstrip(),
+        """duels AS (
+            SELECT l.cand AS a, r.cand AS b,
+                   CAST(count(*) AS BIGINT) AS d_ab
+            FROM ballots l JOIN ballots r
+              ON l.ballot = r.ballot AND l.cand <> r.cand
+            WHERE l.pos < r.pos
+            GROUP BY l.cand, r.cand
+        )""",
+        """grid AS (
+            SELECT x.cand AS a, y.cand AS b
+            FROM cands x, cands y WHERE x.cand <> y.cand
+        )""",
+        """dmat AS (
+            SELECT g.a, g.b,
+                   CAST(coalesce(d.d_ab, 0) AS BIGINT) AS d_ab
+            FROM grid g LEFT JOIN duels d
+              ON g.a = d.a AND g.b = d.b
+        )""",
+        """p0 AS (
+            SELECT x.a, x.b, x.d_ab,
+                   CASE WHEN x.d_ab > y.d_ab THEN x.d_ab
+                        ELSE CAST(0 AS BIGINT) END AS p_ab
+            FROM dmat x JOIN dmat y ON x.a = y.b AND x.b = y.a
+        )""",
+    ]
+    for i in range(1, k):
+        parts.append(
+            f"""via{i} AS (
+            SELECT l.a AS a, r.b AS b,
+                   max(least(l.p_ab, r.p_ab)) AS p_via
+            FROM p{i - 1} l JOIN p{i - 1} r
+              ON l.b = r.a AND l.a <> r.b
+            GROUP BY l.a, r.b
+        )"""
+        )
+        parts.append(
+            f"""p{i} AS (
+            SELECT p.a, p.b, p.d_ab,
+                   greatest(p.p_ab,
+                            CAST(coalesce(v.p_via, 0) AS BIGINT))
+                       AS p_ab
+            FROM p{i - 1} p LEFT JOIN via{i} v
+              ON p.a = v.a AND p.b = v.b
+        )"""
+        )
+    last = f"p{k - 1}"
+    return (
+        ",\n        ".join(parts)
+        + f"""
+        SELECT p.a, p.b, p.d_ab, p.p_ab,
+               p.p_ab >= q.p_ab AS a_beats_b
+        FROM {last} p JOIN {last} q ON p.a = q.b AND p.b = q.a"""
+    )
+
+
+_SCHULZE_ORACLE_SQL = _schulze_oracle_sql(5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -19503,6 +19675,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q387_cox_stuart": q387_cox_stuart,
         "q388_ansari_bradley": q388_ansari_bradley,
         "q389_mood_scale": q389_mood_scale,
+        "q390_instant_runoff": q390_instant_runoff,
+        "q391_schulze": q391_schulze,
     }
 
 
@@ -23635,4 +23809,8 @@ def extra_oracle_sql() -> dict[str, str]:
     # q388/q389: same double-rank scores, same wide-integer clearing
     out["q388_ansari_bradley"] = _ANSARI_ORACLE_SQL
     out["q389_mood_scale"] = _MOOD_SCALE_ORACLE_SQL
+    # q390: same elimination schedule, unrolled round CTEs
+    out["q390_instant_runoff"] = _IRV_ORACLE_SQL
+    # q391: same duel grid, unrolled max-min relaxations
+    out["q391_schulze"] = _SCHULZE_ORACLE_SQL
     return out
