@@ -17624,6 +17624,158 @@ def _schulze_oracle_sql(k: int = 5) -> str:
 _SCHULZE_ORACLE_SQL = _schulze_oracle_sql(5)
 
 
+def q392_ccf_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation lead-lag panel (etl/ccf.py) for two host
+    series where y provably echoes x two buckets later (modular
+    shift + weak noise): per-(key, lag) signed-square ccf2_ppm on the
+    exact n-scaled centering, DECIMAL/HUGEINT wide clearing, lags
+    -4..4. The planted-lead peak, lag-0 Pearson^2 consistency and
+    sign antisymmetry are pytest-gated in test_ccf_uncertainty.py."""
+    from spanluke_spark.etl.ccf import ccf
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 200")
+    e = F.col("event_id")
+    series = ev.select(
+        (e % 2).alias("key"),
+        (e / 2).cast("long").alias("bucket"),
+    ).select(
+        "key",
+        "bucket",
+        ((F.col("bucket") * 11 + F.col("key")) % 13).alias("x"),
+        (
+            ((F.col("bucket") + 24) * 11 + F.col("key")) % 13
+            + F.col("bucket") % 3
+        ).alias("y"),
+    )
+    return ccf(series, max_lag=4).orderBy("key", "lag")
+
+
+_CCF_ORACLE_SQL = """
+        WITH s AS (
+            SELECT CAST(event_id % 2 AS BIGINT) AS key,
+                   CAST(event_id // 2 AS BIGINT) AS b,
+                   CAST((event_id // 2 * 11 + event_id % 2) % 13
+                        AS BIGINT) AS x,
+                   CAST(((event_id // 2 + 24) * 11 + event_id % 2)
+                        % 13 + (event_id // 2) % 3 AS BIGINT) AS y
+            FROM events WHERE event_id < 200
+        ),
+        stats AS (
+            SELECT key, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy
+            FROM s GROUP BY key
+        ),
+        cen AS (
+            SELECT s.key, s.b,
+                   stats.n * s.x - stats.sx AS cx,
+                   stats.n * s.y - stats.sy AS cy
+            FROM s JOIN stats USING (key)
+        ),
+        dens AS (
+            SELECT key,
+                   CAST(sum(cx * cx) AS BIGINT) AS den_x,
+                   CAST(sum(cy * cy) AS BIGINT) AS den_y
+            FROM cen GROUP BY key
+        ),
+        num AS (
+            SELECT a.key, t.l AS lag,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(a.cx * c2.cy) AS BIGINT) AS ccf_num
+            FROM cen a, range(-4, 5) t(l)
+            JOIN cen c2
+              ON c2.key = a.key AND c2.b = a.b + t.l
+            GROUP BY a.key, t.l
+        )
+        SELECT num.key, lag, n_pairs, ccf_num, den_x, den_y,
+               CASE WHEN den_x = 0 OR den_y = 0 THEN NULL
+                    WHEN ccf_num < 0 THEN
+                        -CAST(CAST(ccf_num AS HUGEINT) * ccf_num
+                              * 1000000
+                              // (CAST(den_x AS HUGEINT) * den_y)
+                              AS BIGINT)
+                    ELSE
+                        CAST(CAST(ccf_num AS HUGEINT) * ccf_num
+                             * 1000000
+                             // (CAST(den_x AS HUGEINT) * den_y)
+                             AS BIGINT)
+               END AS ccf2_ppm
+        FROM num JOIN dens ON num.key = dens.key
+        ORDER BY num.key, lag
+"""
+
+
+def q393_uncertainty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient panel (evaluation/
+    uncertainty.py; Theil 1970) for a 7-bucket source signal against
+    its mostly-faithful 3-level image — the directional entropy
+    association next to NMI (q331). Once-quantized micro-nat ln
+    cells on exact integer-argument rationals; the y == f(x)
+    EXACT-1e6 and independence-exact-0 lanes pytest-gated."""
+    from spanluke_spark.evaluation.uncertainty import (
+        uncertainty_coefficient,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    return uncertainty_coefficient(
+        docs,
+        d % 7,
+        ((d % 7) % 3 + F.when(d % 9 == 0, 1).otherwise(0)) % 3,
+    )
+
+
+_UNCERTAINTY_ORACLE_SQL = """
+        WITH v AS (
+            SELECT doc_id % 7 AS x,
+                   ((doc_id % 7) % 3
+                    + CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END)
+                   % 3 AS y
+            FROM documents
+        ),
+        cells AS (
+            SELECT x, y, CAST(count(*) AS BIGINT) AS c
+            FROM v GROUP BY x, y
+        ),
+        mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS nx
+               FROM cells GROUP BY x),
+        my AS (SELECT y, CAST(sum(c) AS BIGINT) AS ny
+               FROM cells GROUP BY y),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        hx AS (
+            SELECT CAST(coalesce(sum(
+                nx * CAST(round(ln(CAST(n AS DOUBLE) / nx) * 1000000)
+                          AS BIGINT)), 0) AS BIGINT) AS h_x
+            FROM mx, tot
+        ),
+        hy AS (
+            SELECT CAST(coalesce(sum(
+                ny * CAST(round(ln(CAST(n AS DOUBLE) / ny) * 1000000)
+                          AS BIGINT)), 0) AS BIGINT) AS h_y
+            FROM my, tot
+        ),
+        ic AS (
+            SELECT max(n) AS n,
+                   CAST(count(*) AS BIGINT) AS n_cells,
+                   greatest(CAST(sum(
+                       c * CAST(round(ln(CAST(c AS DOUBLE) * n
+                                         / (nx * ny)) * 1000000)
+                                AS BIGINT)) AS BIGINT),
+                            CAST(0 AS BIGINT)) AS i_cells
+            FROM cells JOIN mx USING (x) JOIN my USING (y), tot
+        )
+        SELECT n, n_cells, i_cells, h_x, h_y,
+               CASE WHEN h_y > 0
+                    THEN i_cells * 1000000 // h_y END AS u_yx_ppm,
+               CASE WHEN h_x > 0
+                    THEN i_cells * 1000000 // h_x END AS u_xy_ppm,
+               CASE WHEN h_x + h_y > 0
+                    THEN 2 * i_cells * 1000000 // (h_x + h_y)
+               END AS u_sym_ppm
+        FROM ic, hx, hy
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -19677,6 +19829,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q389_mood_scale": q389_mood_scale,
         "q390_instant_runoff": q390_instant_runoff,
         "q391_schulze": q391_schulze,
+        "q392_ccf_leadlag": q392_ccf_leadlag,
+        "q393_uncertainty": q393_uncertainty,
     }
 
 
@@ -23813,4 +23967,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q390_instant_runoff"] = _IRV_ORACLE_SQL
     # q391: same duel grid, unrolled max-min relaxations
     out["q391_schulze"] = _SCHULZE_ORACLE_SQL
+    # q392: same centering, same wide-integer signed square
+    out["q392_ccf_leadlag"] = _CCF_ORACLE_SQL
+    # q393: same once-quantized micro-nat cells
+    out["q393_uncertainty"] = _UNCERTAINTY_ORACLE_SQL
     return out
