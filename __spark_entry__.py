@@ -17776,6 +17776,177 @@ _UNCERTAINTY_ORACLE_SQL = """
 """
 
 
+def q394_chow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break F-test (evaluation/chow.py; Chow 1960)
+    across an 80-event split with a planted slope flip (y = 2x+1+e
+    before, 9-x+e after) — the regression companion of the Pettitt
+    rank scan (q386). Per-segment RSS as exact centered-moment
+    rationals, F cleared onto one DECIMAL(38)/HUGEINT division;
+    perfect-fit/degenerate lanes and Fraction replay pytest-gated."""
+    from spanluke_spark.evaluation.chow import chow_test
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 80")
+    e = F.col("event_id")
+    x = e % 20
+    rows = ev.select(
+        F.when(e < 40, 1).otherwise(2).alias("seg"),
+        x.alias("x"),
+        F.when(e < 40, 2 * x + 1 + x % 3)
+        .otherwise(9 - x + x % 2)
+        .alias("y"),
+    )
+    return chow_test(rows)
+
+
+_CHOW_ORACLE_SQL = """
+        WITH s AS (
+            SELECT CASE WHEN event_id < 40 THEN 1 ELSE 2 END AS seg,
+                   CAST(event_id % 20 AS BIGINT) AS x,
+                   CAST(CASE WHEN event_id < 40
+                             THEN 2 * (event_id % 20) + 1
+                                  + (event_id % 20) % 3
+                             ELSE 9 - (event_id % 20)
+                                  + (event_id % 20) % 2 END
+                        AS BIGINT) AS y
+            FROM events WHERE event_id < 80
+        ),
+        per AS (
+            SELECT seg, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+            FROM s GROUP BY seg
+        ),
+        one AS (
+            SELECT
+                sum(CASE WHEN seg = 1 THEN n END) AS n1,
+                sum(CASE WHEN seg = 1 THEN sx END) AS sx1,
+                sum(CASE WHEN seg = 1 THEN sy END) AS sy1,
+                sum(CASE WHEN seg = 1 THEN sxx END) AS sxx1,
+                sum(CASE WHEN seg = 1 THEN sxy END) AS sxy1,
+                sum(CASE WHEN seg = 1 THEN syy END) AS syy1,
+                sum(CASE WHEN seg = 2 THEN n END) AS n2,
+                sum(CASE WHEN seg = 2 THEN sx END) AS sx2,
+                sum(CASE WHEN seg = 2 THEN sy END) AS sy2,
+                sum(CASE WHEN seg = 2 THEN sxx END) AS sxx2,
+                sum(CASE WHEN seg = 2 THEN sxy END) AS sxy2,
+                sum(CASE WHEN seg = 2 THEN syy END) AS syy2
+            FROM per
+        ),
+        rs AS (
+            SELECT n1, n2,
+                (n1*sxx1 - sx1*sx1) * (n1*syy1 - sy1*sy1)
+                    - (n1*sxy1 - sx1*sy1) * (n1*sxy1 - sx1*sy1)
+                    AS qn,
+                n1 * (n1*sxx1 - sx1*sx1) AS qd,
+                (n2*sxx2 - sx2*sx2) * (n2*syy2 - sy2*sy2)
+                    - (n2*sxy2 - sx2*sy2) * (n2*sxy2 - sx2*sy2)
+                    AS rn,
+                n2 * (n2*sxx2 - sx2*sx2) AS rd,
+                ((n1+n2)*(sxx1+sxx2) - (sx1+sx2)*(sx1+sx2))
+                    * ((n1+n2)*(syy1+syy2) - (sy1+sy2)*(sy1+sy2))
+                    - ((n1+n2)*(sxy1+sxy2) - (sx1+sx2)*(sy1+sy2))
+                    * ((n1+n2)*(sxy1+sxy2) - (sx1+sx2)*(sy1+sy2))
+                    AS pn,
+                (n1+n2)
+                    * ((n1+n2)*(sxx1+sxx2) - (sx1+sx2)*(sx1+sx2))
+                    AS pd
+            FROM one
+        ),
+        st AS (
+            SELECT rs.*,
+                CASE WHEN n1 IS NULL OR n2 IS NULL
+                          OR qd <= 0 OR rd <= 0 OR pd <= 0
+                     THEN 'degenerate'
+                     WHEN qn = 0 AND rn = 0 THEN 'perfect_fit'
+                     ELSE 'ok' END AS status
+            FROM rs
+        )
+        SELECT n1, n2,
+            CASE WHEN qd > 0 THEN 1000 * qn // qd END AS rss1_milli,
+            CASE WHEN rd > 0 THEN 1000 * rn // rd END AS rss2_milli,
+            CASE WHEN pd > 0 THEN 1000 * pn // pd END AS rssp_milli,
+            status,
+            CASE WHEN status = 'ok' THEN
+                CAST(1000 * (n1 + n2 - 4)
+                     * (CAST(pn AS HUGEINT) * qd * rd
+                        - CAST(qn AS HUGEINT) * pd * rd
+                        - CAST(rn AS HUGEINT) * pd * qd)
+                     // (2 * CAST(pd AS HUGEINT)
+                         * (CAST(qn AS HUGEINT) * rd
+                            + CAST(rn AS HUGEINT) * qd))
+                     AS BIGINT)
+            END AS f_milli
+        FROM st
+"""
+
+
+def q395_two_by_two(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 effect-size panel (evaluation/twobytwo.py): odds ratio,
+    Yule's Q, relative risk and risk difference for a planted
+    exposure/outcome association over documents — the effect numbers
+    next to the Fisher (q332) and pooled-z (q373) verdicts. Exact
+    cross products, one trunc each; independence identity and
+    row-swap inversion pytest-gated."""
+    from spanluke_spark.evaluation.twobytwo import two_by_two_effects
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    rows = docs.select(
+        (d % 4 == 0).alias("exposed"),
+        (
+            ((d % 4 == 0) & (d % 3 != 0))
+            | ((d % 4 != 0) & (d % 6 == 0))
+        ).alias("positive"),
+    )
+    return two_by_two_effects(rows)
+
+
+_TWO_BY_TWO_ORACLE_SQL = """
+        WITH s AS (
+            SELECT doc_id % 4 = 0 AS e,
+                   (doc_id % 4 = 0 AND doc_id % 3 <> 0)
+                   OR (doc_id % 4 <> 0 AND doc_id % 6 = 0) AS p
+            FROM documents
+        ),
+        agg AS (
+            SELECT
+                CAST(sum(CASE WHEN e AND p THEN 1 ELSE 0 END)
+                     AS BIGINT) AS a,
+                CAST(sum(CASE WHEN e AND NOT p THEN 1 ELSE 0 END)
+                     AS BIGINT) AS b,
+                CAST(sum(CASE WHEN NOT e AND p THEN 1 ELSE 0 END)
+                     AS BIGINT) AS c,
+                CAST(sum(CASE WHEN NOT e AND NOT p THEN 1 ELSE 0 END)
+                     AS BIGINT) AS d
+            FROM s
+        )
+        SELECT a, b, c, d,
+            CASE WHEN b * c > 0
+                 THEN a * d * 1000000 // (b * c) END AS or_ppm,
+            CASE WHEN a * d + b * c > 0 THEN
+                CASE WHEN a * d - b * c < 0
+                     THEN -(abs(a * d - b * c) * 1000000
+                            // (a * d + b * c))
+                     ELSE abs(a * d - b * c) * 1000000
+                          // (a * d + b * c) END
+            END AS yule_q_ppm,
+            CASE WHEN c > 0 AND a + b > 0
+                 THEN a * (c + d) * 1000000 // (c * (a + b))
+            END AS rr_ppm,
+            CASE WHEN a + b > 0 AND c + d > 0 THEN
+                CASE WHEN a * (c + d) - c * (a + b) < 0
+                     THEN -(abs(a * (c + d) - c * (a + b)) * 1000000
+                            // ((a + b) * (c + d)))
+                     ELSE abs(a * (c + d) - c * (a + b)) * 1000000
+                          // ((a + b) * (c + d)) END
+            END AS rd_ppm
+        FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -19831,6 +20002,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q391_schulze": q391_schulze,
         "q392_ccf_leadlag": q392_ccf_leadlag,
         "q393_uncertainty": q393_uncertainty,
+        "q394_chow": q394_chow,
+        "q395_two_by_two": q395_two_by_two,
     }
 
 
@@ -23971,4 +24144,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q392_ccf_leadlag"] = _CCF_ORACLE_SQL
     # q393: same once-quantized micro-nat cells
     out["q393_uncertainty"] = _UNCERTAINTY_ORACLE_SQL
+    # q394: same moment rationals, HUGEINT clearing
+    out["q394_chow"] = _CHOW_ORACLE_SQL
+    # q395: same cross products, same sign splits
+    out["q395_two_by_two"] = _TWO_BY_TWO_ORACLE_SQL
     return out
