@@ -17947,6 +17947,116 @@ _TWO_BY_TWO_ORACLE_SQL = """
 """
 
 
+def _spiky_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-point metric slice with one planted spike (55 at id 17,
+    background 10..15)."""
+    ev = _t(spark, sf_dir, "events").where("event_id < 30")
+    e = F.col("event_id")
+    return ev.select(
+        F.when(e == 17, 55).otherwise(10 + (e * 7) % 6).alias("x")
+    )
+
+
+_SPIKY_SQL = """
+            SELECT CAST(CASE WHEN event_id = 17 THEN 55
+                             ELSE 10 + (event_id * 7) % 6 END
+                        AS BIGINT) AS x
+            FROM events WHERE event_id < 30
+"""
+
+
+def q396_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs most-extreme-point test (evaluation/outliers.py; Grubbs
+    1950) on a 30-point slice with one planted spike: exact squared
+    statistic g2 = maxdev^2(n-1)/(n*Szz) on centered integer moments,
+    suspect identification with the upper-wins tie rule. Float
+    cross-check, algebraic bound G^2 <= (n-1)^2/n and constant-NULL
+    lanes in tests/test_outlier_tests.py."""
+    from spanluke_spark.evaluation.outliers import grubbs
+
+    return grubbs(_spiky_slice(spark, sf_dir))
+
+
+_GRUBBS_ORACLE_SQL = f"""
+        WITH s AS ({_SPIKY_SQL}
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(min(x) AS BIGINT) AS mn,
+                   CAST(max(x) AS BIGINT) AS mx
+            FROM s
+        ),
+        base AS (
+            SELECT n, mn, mx,
+                   n * mx - sx AS dev_hi,
+                   sx - n * mn AS dev_lo,
+                   n * sxx - sx * sx AS szz
+            FROM agg
+        )
+        SELECT n,
+               CASE WHEN dev_hi >= dev_lo THEN mx ELSE mn END
+                   AS suspect,
+               greatest(dev_hi, dev_lo) AS maxdev,
+               szz,
+               CASE WHEN szz > 0 AND n > 1 THEN
+                   1000 * greatest(dev_hi, dev_lo)
+                       * greatest(dev_hi, dev_lo) * (n - 1)
+                       // (n * szz)
+               END AS g2_milli
+        FROM base
+"""
+
+
+def q397_dixon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dixon's Q gap-ratio test (evaluation/outliers.py; Dixon 1950)
+    on the same spiky slice: r10 ratios at both ends from sort-free
+    order statistics (tie-aware x(2)/x(n-1)); the lonely spike drives
+    q_max near 1e6 while the crowded bottom stays near 0. Tied-
+    extreme-zero and reflection-swap lanes pytest-gated."""
+    from spanluke_spark.evaluation.outliers import dixon_q
+
+    return dixon_q(_spiky_slice(spark, sf_dir))
+
+
+_DIXON_ORACLE_SQL = f"""
+        WITH s AS ({_SPIKY_SQL}
+        ),
+        ext AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(x) AS BIGINT) AS x1,
+                   CAST(max(x) AS BIGINT) AS xn
+            FROM s
+        ),
+        gaps AS (
+            SELECT n, x1, xn,
+                   CAST(sum(CASE WHEN x = x1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c1,
+                   CAST(sum(CASE WHEN x = xn THEN 1 ELSE 0 END)
+                        AS BIGINT) AS cn,
+                   min(CASE WHEN x > x1 THEN x END) AS above_min,
+                   max(CASE WHEN x < xn THEN x END) AS below_max
+            FROM s, ext GROUP BY n, x1, xn
+        ),
+        base AS (
+            SELECT n, x1,
+                   COALESCE(CASE WHEN c1 >= 2 THEN x1
+                                 ELSE above_min END, x1) AS x2,
+                   COALESCE(CASE WHEN cn >= 2 THEN xn
+                                 ELSE below_max END, xn) AS xn1,
+                   xn
+            FROM gaps
+        )
+        SELECT n, x1, x2, xn1, xn,
+               CASE WHEN n >= 3 AND xn > x1 THEN
+                   (x2 - x1) * 1000000 // (xn - x1) END AS q_min_ppm,
+               CASE WHEN n >= 3 AND xn > x1 THEN
+                   (xn - xn1) * 1000000 // (xn - x1) END AS q_max_ppm
+        FROM base
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -20004,6 +20114,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q393_uncertainty": q393_uncertainty,
         "q394_chow": q394_chow,
         "q395_two_by_two": q395_two_by_two,
+        "q396_grubbs": q396_grubbs,
+        "q397_dixon": q397_dixon,
     }
 
 
@@ -24148,4 +24260,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q394_chow"] = _CHOW_ORACLE_SQL
     # q395: same cross products, same sign splits
     out["q395_two_by_two"] = _TWO_BY_TWO_ORACLE_SQL
+    # q396: same centered moments, same upper-wins rule
+    out["q396_grubbs"] = _GRUBBS_ORACLE_SQL
+    # q397: same sort-free order statistics
+    out["q397_dixon"] = _DIXON_ORACLE_SQL
     return out
