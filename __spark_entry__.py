@@ -18057,6 +18057,157 @@ _DIXON_ORACLE_SQL = f"""
 """
 
 
+def q398_aalen_johansen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen competing-risks cumulative incidence (etl/
+    survival.py; Aalen & Johansen 1978) for pages that die two ways
+    (content-removed vs host-gone) with ~14% censoring — the correct
+    decomposition where per-cause 1-KM overstates both. Exclusive-
+    window S(t-), KM-identical risk sets; the no-censoring partition
+    cif1+cif2+survival == 1 and single-cause KM collapse are
+    pytest-gated in tests/test_aj_ljungbox.py."""
+    from spanluke_spark.etl.survival import aalen_johansen
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    rows = docs.select(
+        ((d * 7) % 12 + 1).alias("duration"),
+        F.when(d % 7 == 0, 0)
+        .when(d % 3 != 0, 1)
+        .otherwise(2)
+        .alias("cause"),
+    )
+    return aalen_johansen(rows).orderBy("t")
+
+
+_AALEN_JOHANSEN_ORACLE_SQL = """
+        WITH r AS (
+            SELECT (doc_id * 7) % 12 + 1 AS t,
+                   CASE WHEN doc_id % 7 = 0 THEN 0
+                        WHEN doc_id % 3 <> 0 THEN 1
+                        ELSE 2 END AS cause
+            FROM documents
+        ),
+        per AS (
+            SELECT t,
+                   CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d1,
+                   CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d2,
+                   CAST(sum(CASE WHEN cause = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS censored
+            FROM r GROUP BY t
+        ),
+        n AS (
+            SELECT *, sum(d1 + d2 + censored) OVER (
+                ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n_risk
+            FROM per
+        ),
+        f AS (
+            SELECT *,
+                   1.0 - (d1 + d2)::DOUBLE / n_risk AS f
+            FROM n
+        ),
+        sp AS (
+            SELECT *,
+                   CASE WHEN coalesce(min(f) OVER wprev, 1.0) <= 0
+                        THEN 0.0
+                        ELSE exp(coalesce(sum(
+                            CASE WHEN f > 0 THEN ln(f) END)
+                            OVER wprev, 0.0)) END AS sprev
+            FROM f
+            WINDOW wprev AS (ORDER BY t ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT t, n_risk, d1, d2, censored,
+               round(CASE WHEN min(f) OVER w <= 0 THEN 0.0
+                          ELSE exp(sum(CASE WHEN f > 0 THEN ln(f) END)
+                                   OVER w) END, 6) AS survival,
+               round(sum(sprev * d1 / n_risk) OVER w, 6) AS cif1,
+               round(sum(sprev * d2 / n_risk) OVER w, 6) AS cif2
+        FROM sp
+        WINDOW w AS (ORDER BY t ASC ROWS UNBOUNDED PRECEDING)
+        ORDER BY t
+"""
+
+
+def q399_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test (etl/acf.py ljung_box;
+    Ljung & Box 1978) composed over the exact acf rationals of a
+    60-step square-wave-plus-noise series — jointly "is anything left
+    in the first 6 lags?" where per-lag ACF (q298) reads one at a
+    time. Once-quantized r_k^2/(n-k) cells on DECIMAL/HUGEINT, the
+    embedded chi-square(h) 0.95 table; wave-fires/scramble-quiet and
+    short-series h-truncation pytest-gated."""
+    from spanluke_spark.etl.acf import acf, ljung_box
+
+    ev = _t(spark, sf_dir, "events").where("event_id < 60")
+    e = F.col("event_id")
+    series = ev.select(
+        F.lit(0).cast("long").alias("key"),
+        e.alias("bucket"),
+        (
+            20
+            + F.when((e / 5).cast("long") % 2 == 0, 10).otherwise(-10)
+            + (e * 7) % 3
+        ).alias("x"),
+    )
+    return ljung_box(acf(series, max_lag=6), h=6)
+
+
+_LJUNG_BOX_ORACLE_SQL = """
+        WITH s AS (
+            SELECT CAST(event_id AS BIGINT) AS b,
+                   CAST(20 + CASE WHEN (event_id // 5) % 2 = 0
+                                  THEN 10 ELSE -10 END
+                        + (event_id * 7) % 3 AS BIGINT) AS x
+            FROM events WHERE event_id < 60
+        ),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx FROM s),
+        cen AS (SELECT b, st.n * x - st.sx AS c, st.n AS n
+                FROM s, st),
+        dn AS (SELECT CAST(sum(c * c) AS BIGINT) AS den,
+                      max(n) AS n FROM cen),
+        num AS (
+            SELECT t.k AS lag, CAST(sum(a.c * b2.c) AS BIGINT) AS nm
+            FROM cen a, range(1, 7) t(k)
+            JOIN cen b2 ON b2.b = a.b + t.k
+            GROUP BY t.k
+        ),
+        cells AS (
+            SELECT CASE WHEN den > 0 THEN
+                CAST(CAST(nm AS HUGEINT) * nm * 1000000000
+                     // (CAST(den AS HUGEINT) * den * (n - lag))
+                     AS BIGINT) END AS cell, n
+            FROM num, dn
+        ),
+        agg AS (
+            SELECT max(n) AS n,
+                   CAST(count(*) AS BIGINT) AS h,
+                   CAST(sum(cell) AS BIGINT) AS cs
+            FROM cells
+        )
+        SELECT CAST(0 AS BIGINT) AS key, n, h,
+               CASE WHEN cs IS NOT NULL
+                    THEN n * (n + 2) * cs // 1000000 END AS q_milli,
+               CAST(CASE h WHEN 1 THEN 3841 WHEN 2 THEN 5991
+                           WHEN 3 THEN 7815 WHEN 4 THEN 9488
+                           WHEN 5 THEN 11070 WHEN 6 THEN 12592
+                           WHEN 7 THEN 14067 WHEN 8 THEN 15507
+                           WHEN 9 THEN 16919 WHEN 10 THEN 18307
+                      END AS BIGINT) AS crit_milli,
+               CASE WHEN cs IS NOT NULL AND h <= 10
+                    THEN n * (n + 2) * cs // 1000000 >
+                         CASE h WHEN 1 THEN 3841 WHEN 2 THEN 5991
+                                WHEN 3 THEN 7815 WHEN 4 THEN 9488
+                                WHEN 5 THEN 11070 WHEN 6 THEN 12592
+                                WHEN 7 THEN 14067 WHEN 8 THEN 15507
+                                WHEN 9 THEN 16919 ELSE 18307 END
+               END AS sig05
+        FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — sized to the driver's correctness window so EVERY
     registered operator gets a per-round driver row (r02 checked the first 50
@@ -20116,6 +20267,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q395_two_by_two": q395_two_by_two,
         "q396_grubbs": q396_grubbs,
         "q397_dixon": q397_dixon,
+        "q398_aalen_johansen": q398_aalen_johansen,
+        "q399_ljung_box": q399_ljung_box,
     }
 
 
@@ -24264,4 +24417,8 @@ def extra_oracle_sql() -> dict[str, str]:
     out["q396_grubbs"] = _GRUBBS_ORACLE_SQL
     # q397: same sort-free order statistics
     out["q397_dixon"] = _DIXON_ORACLE_SQL
+    # q398: same exclusive-window S(t-), same zero branch
+    out["q398_aalen_johansen"] = _AALEN_JOHANSEN_ORACLE_SQL
+    # q399: same once-quantized cells, same chi2 table
+    out["q399_ljung_box"] = _LJUNG_BOX_ORACLE_SQL
     return out

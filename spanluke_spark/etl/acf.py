@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["acf"]
+__all__ = ["acf", "ljung_box"]
 
 
 def acf(
@@ -87,4 +87,95 @@ def acf(
         F.when(F.col("acf_den") == 0, F.lit(None).cast("long")).otherwise(
             F.when(F.col("acf_num") < 0, -mag).otherwise(mag)
         ),
+    )
+
+
+# chi-square(h) 0.95 quantiles x1000, h = 1..10 (public constants,
+# quantized once; the verdict threshold is stated to the milli)
+_CHI2_95_MILLI = {
+    1: 3841, 2: 5991, 3: 7815, 4: 9488, 5: 11070,
+    6: 12592, 7: 14067, 8: 15507, 9: 16919, 10: 18307,
+}
+
+
+def ljung_box(acf_out: DataFrame, h: int = 6) -> DataFrame:
+    """Ljung-Box portmanteau test (Ljung & Box 1978) COMPOSED over
+    the exact per-lag rationals ``acf`` emits — is the series white
+    noise, jointly across lags 1..h?
+
+      Q = n (n+2) * sum_{k=1..h} r_k^2 / (n - k)
+
+    Exactness (the once-quantized cell discipline): each lag's cell
+    quantizes the exact rational r_k^2/(n-k) once,
+
+      cell_k = num_k^2 * 10^9 div (den^2 * (n - k))
+
+    with num_k^2 and den^2 riding DECIMAL(38,0) / HUGEINT (both
+    overflow int64 inside legal inputs), then
+
+      q_milli = n * (n + 2) * sum(cell) div 10^6
+
+    Verdict against the embedded chi-square(h) 0.95 quantile table
+    (h <= 10; larger h surfaces NULL verdict). n is recovered as
+    n_pairs + lag — valid for GAPLESS bucketed series, the caller's
+    contract (acf drops missing-bucket pairs silently; a gapped
+    series should be re-bucketed first). Constant series (den == 0)
+    surfaces NULL.
+
+    acf_out: the (key, lag, n_pairs, acf_num, acf_den, ...) frame
+    from ``acf`` (lags >= 1) -> per key ONE row (key, n, h, q_milli,
+    crit_milli, sig05)."""
+    if h < 1:
+        raise ValueError("h must be >= 1")
+    lagged = acf_out.where(
+        (F.col("lag") >= 1) & (F.col("lag") <= F.lit(h))
+    ).select(
+        "key",
+        (F.col("n_pairs") + F.col("lag")).alias("n"),
+        "lag",
+        "acf_num",
+        "acf_den",
+    )
+    cells = lagged.select(
+        "key",
+        "n",
+        F.when(
+            F.col("acf_den") > 0,
+            F.expr(
+                "cast(cast(acf_num as decimal(38,0)) * acf_num"
+                " * 1000000000"
+                " div (cast(acf_den as decimal(38,0)) * acf_den"
+                "      * (n - lag)) as long)"
+            ),
+        ).alias("cell"),
+    )
+    agg = cells.groupBy("key").agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("h"),
+        F.sum("cell").alias("cell_sum"),
+    )
+    crit = F.element_at(
+        F.create_map(
+            *[
+                F.lit(v)
+                for kv in _CHI2_95_MILLI.items()
+                for v in kv
+            ]
+        ),
+        F.col("h").cast("int"),
+    )
+    return agg.select(
+        "key",
+        "n",
+        "h",
+        F.when(
+            F.col("cell_sum").isNotNull(),
+            F.expr("n * (n + 2) * cell_sum div 1000000"),
+        ).alias("q_milli"),
+        crit.cast("long").alias("crit_milli"),
+        F.when(
+            F.col("cell_sum").isNotNull() & crit.isNotNull(),
+            F.expr("n * (n + 2) * cell_sum div 1000000")
+            > crit.cast("long"),
+        ).alias("sig05"),
     )

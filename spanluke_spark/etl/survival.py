@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kaplan_meier", "log_rank", "nelson_aalen"]
+__all__ = ["kaplan_meier", "log_rank", "nelson_aalen", "aalen_johansen"]
 
 
 def kaplan_meier(
@@ -225,4 +225,96 @@ def nelson_aalen(
         "h_step_ppm",
         F.sum("h_step_ppm").over(w_asc).alias("h_ppm"),
         F.sum("v_step_ppb").over(w_asc).alias("var_ppb"),
+    )
+
+
+def aalen_johansen(
+    df: DataFrame,
+    duration_col: str = "duration",
+    cause_col: str = "cause",
+) -> DataFrame:
+    """Aalen-Johansen cumulative-incidence estimator (Aalen &
+    Johansen 1978) for TWO competing risks — when a page can die two
+    ways (content removed vs host gone), 1 - KM per cause OVERSTATES
+    both incidences because it treats the rival cause as censoring;
+    the AJ estimator is the correct decomposition:
+
+      CIF_k(t) = sum over t_i <= t of S(t_i-) * d_k,i / n_i
+
+    with S(t-) the ALL-cause KM survival strictly before t_i. Lowering
+    (the kaplan_meier plan + one exclusive window): one (t) aggregate
+    for (d1, d2, censored), the descending suffix-sum risk set, S(t-)
+    as exp-of-log-sum over the EXCLUSIVE ascending window (rows
+    unbounded preceding to -1) with the same explicit zero branch the
+    KM lane pins (Spark ln(0) = NULL vs IEEE -inf), and each CIF as
+    one inclusive cumulative sum of its increments.
+
+    Identities pytest-pinned: with NO censoring,
+    cif1 + cif2 + survival == 1 at every time; with cause 2 empty,
+    cif1 == 1 - survival exactly; both CIFs are monotone
+    nondecreasing and censor-only times leave them unchanged.
+
+    df(duration, cause 0=censored | 1 | 2) -> one row per observed
+    duration: (t, n_risk, d1, d2, censored, survival, cif1, cif2),
+    floats rounded to 1e-6 (the kaplan_meier convention)."""
+    rows = df.select(
+        F.col(duration_col).alias("t"),
+        F.col(cause_col).cast("long").alias("cause"),
+    )
+    per = rows.groupBy("t").agg(
+        F.sum((F.col("cause") == 1).cast("long")).alias("d1"),
+        F.sum((F.col("cause") == 2).cast("long")).alias("d2"),
+        F.sum((F.col("cause") == 0).cast("long")).alias("censored"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    n_risk = F.sum(
+        F.col("d1") + F.col("d2") + F.col("censored")
+    ).over(w_desc)
+    with_n = per.withColumn("n_risk", n_risk).withColumn(
+        "_f",
+        F.lit(1.0) - (F.col("d1") + F.col("d2")) / F.col("n_risk"),
+    )
+    s_prev = F.when(
+        F.coalesce(F.min("_f").over(w_prev), F.lit(1.0)) <= F.lit(0.0),
+        F.lit(0.0),
+    ).otherwise(
+        F.exp(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_f") > 0, F.log(F.col("_f")))
+                ).over(w_prev),
+                F.lit(0.0),
+            )
+        )
+    )
+    stepped = with_n.withColumn("_sprev", s_prev)
+    survival = F.when(
+        F.min("_f").over(w_asc) <= F.lit(0.0), F.lit(0.0)
+    ).otherwise(
+        F.exp(
+            F.sum(
+                F.when(F.col("_f") > 0, F.log(F.col("_f")))
+            ).over(w_asc)
+        )
+    )
+    cif = lambda d: F.sum(
+        F.col("_sprev") * F.col(d) / F.col("n_risk")
+    ).over(w_asc)
+    return stepped.select(
+        "t",
+        "n_risk",
+        "d1",
+        "d2",
+        "censored",
+        F.round(survival, 6).alias("survival"),
+        F.round(cif("d1"), 6).alias("cif1"),
+        F.round(cif("d2"), 6).alias("cif2"),
     )
