@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bh_fdr", "binom_tail_pvalues"]
+__all__ = ["bh_fdr", "binom_tail_pvalues", "by_fdr"]
 
 NMAX = 40
 
@@ -130,4 +130,76 @@ def bh_fdr(
         F.min(
             F.expr("m * (p_num * 1000000 div p_den) div rank")
         ).over(suffix).alias("qval_ppm"),
+    )
+
+
+def by_fdr(
+    trials: DataFrame,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+    group_col: str = "grp",
+    fail_col: str = "fail",
+) -> DataFrame:
+    """Benjamini-Yekutieli FDR (Benjamini & Yekutieli 2001) — the
+    arbitrary-dependence-safe sibling of ``bh_fdr``: same ranked
+    inequality shrunk by the harmonic number H_m = sum_{j<=m} 1/j,
+    which is exactly the price of not assuming independence across
+    the hypothesis table (correlated per-host tests are the NORM in
+    a crawl, so BY is the defensible default).
+
+    Harmonic exactness (stated convention): H rides the ONCE-
+    QUANTIZED micro cell sum h_micro = sum over ranks j of
+    (10^6 div j) — an exact integer both engines compute from the
+    same rank column (a floor-cell harmonic, deterministic, within
+    m/10^6 of the real H_m). The reject inequality clears to one
+    wide-integer comparison (DECIMAL(38)/HUGEINT — p_num alone may
+    reach 2^40):
+
+      p_num * alpha_den * m * h_micro
+          <= rank * alpha_num * p_den * 10^6
+
+    and q-values are the BH suffix-min with the same h_micro factor,
+    capped at 10^6. BY rejects a SUBSET of BH's rejections on the
+    same table (pytest-pinned), coinciding at m = 1 (H_1 == 1).
+
+    -> per grp: (grp, n, x, p_num, p_den, rank, reject, qval_ppm),
+    the ``bh_fdr`` contract with the BY inequality."""
+    p = binom_tail_pvalues(trials, group_col, fail_col)
+    w = Window.orderBy("p_s", "grp")
+    m = Window.partitionBy()
+    ranked = p.select(
+        "*",
+        F.row_number().over(w).alias("rank"),
+        F.count(F.lit(1)).over(m).alias("m"),
+    )
+    ranked = ranked.withColumn(
+        "h_micro",
+        F.sum(F.expr("1000000 div rank")).over(m),
+    )
+    cond = F.expr(
+        "cast(p_num as decimal(38,0)) * {ad} * m * h_micro"
+        " <= cast(rank as decimal(38,0)) * {an} * p_den * 1000000"
+    .format(ad=alpha_den, an=alpha_num))
+    ranked = ranked.withColumn(
+        "kstar",
+        F.max(F.when(cond, F.col("rank")).otherwise(F.lit(0))).over(m),
+    )
+    suffix = Window.orderBy("p_s", "grp").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    term = F.expr(
+        "least(cast(m as decimal(38,0)) * h_micro"
+        " * (p_num * 1000000 div p_den)"
+        " div (cast(rank as decimal(38,0)) * 1000000),"
+        " cast(1000000 as decimal(38,0)))"
+    ).cast("long")
+    return ranked.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.col("x").cast("long").alias("x"),
+        "p_num",
+        "p_den",
+        F.col("rank").cast("long").alias("rank"),
+        (F.col("rank") <= F.col("kstar")).alias("reject"),
+        F.min(term).over(suffix).alias("qval_ppm"),
     )
