@@ -48,7 +48,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-__all__ = ["ansari_bradley", "mood_scale"]
+__all__ = ["ansari_bradley", "mood_scale", "lepage"]
 
 
 def _linear_rank_test(
@@ -79,6 +79,8 @@ def _linear_rank_test(
         score = F.least(
             F.col("dr"), 2 * (F.col("nn") + 1) - F.col("dr")
         )
+    elif score_name == "wilcoxon":
+        score = F.col("dr")
     elif score_name == "mood":
         d = F.col("dr") - (F.col("nn") + 1)
         score = d * d
@@ -161,3 +163,45 @@ def mood_scale(
     rank-distance scale test on (DR - (N+1))^2 scores; a LARGE
     t_stat vs E[T] means group 0 holds the extremes."""
     return _linear_rank_test(df, group_col, x_col, "mood")
+
+
+def lepage(
+    df: DataFrame, group_col: str = "grp", x_col: str = "x"
+) -> DataFrame:
+    """Lepage joint location-scale test (Lepage 1971) — did the
+    cohort move OR spread? L = z_Wilcoxon^2 + z_AnsariBradley^2,
+    against chi-square(2): the omnibus the single-purpose lanes
+    (Mann-Whitney q246 location, Ansari-Bradley q388 scale) each
+    miss half of. Composed EXACTLY from this module's linear-rank
+    engine run twice — Wilcoxon scores are the double ranks
+    themselves, AB scores the folded center distances — and the two
+    quantized z2_milli cells ADD (quantize-then-sum, stated; each
+    cell is the q388 exact rational before one trunc).
+
+    -> ONE row (n_total, m, n, z2_w_milli, z2_ab_milli, l_milli,
+    sig05) with sig05 at the chi-square(2) 0.95 point 5991
+    (quantized constant, stated); either component NULL (constant
+    data, empty group) surfaces NULL L."""
+    w = _linear_rank_test(df, group_col, x_col, "wilcoxon").select(
+        "n_total",
+        "m",
+        "n",
+        F.col("z2_milli").alias("z2_w_milli"),
+    )
+    ab = _linear_rank_test(df, group_col, x_col, "ansari").select(
+        F.col("z2_milli").alias("z2_ab_milli")
+    )
+    base = w.crossJoin(F.broadcast(ab))
+    l_val = F.col("z2_w_milli") + F.col("z2_ab_milli")
+    ok = F.col("z2_w_milli").isNotNull() & F.col(
+        "z2_ab_milli"
+    ).isNotNull()
+    return base.select(
+        "n_total",
+        "m",
+        "n",
+        "z2_w_milli",
+        "z2_ab_milli",
+        F.when(ok, l_val).alias("l_milli"),
+        F.when(ok, l_val > 5991).alias("sig05"),
+    )
