@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kaplan_meier", "log_rank", "nelson_aalen", "aalen_johansen"]
+__all__ = ["kaplan_meier", "log_rank", "nelson_aalen", "aalen_johansen", "c_index", "rmst"]
 
 
 def kaplan_meier(
@@ -317,4 +317,145 @@ def aalen_johansen(
         F.round(survival, 6).alias("survival"),
         F.round(cif("d1"), 6).alias("cif1"),
         F.round(cif("d2"), 6).alias("cif2"),
+    )
+
+
+def c_index(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    risk_col: str = "risk",
+) -> DataFrame:
+    """Harrell's concordance index (Harrell et al. 1982) — does a
+    risk score ORDER the lifetimes correctly under right-censoring?
+    The survival-aware AUC (q296): censored pairs that cannot be
+    ordered are excluded by the standard permissibility rules, not
+    guessed.
+
+    Permissible pairs (i, j), exact integer counting (the q266
+    bounded pair-join contract — scores/durations are per-cohort
+    slices):
+      - t_i < t_j with event_i = 1 (i's death observed first), or
+      - t_i == t_j with event_i = 1 and event_j = 0 (the censored
+        one provably outlived the death).
+    Concordant iff risk_i > risk_j (higher risk should die first);
+    tied risks score half:
+
+      c_ppm = (2 * concordant + risk_ties) * 10^6
+              div (2 * permissible)        NULL when permissible == 0
+
+    Exact lanes pytest-pinned: risk == -duration with no censoring
+    gives EXACTLY 10^6; a constant risk gives EXACTLY 500000 (every
+    permissible pair is a risk tie); reversing the score maps c ->
+    1e6 - c up to the tie term.
+
+    df(duration, event 1/0, risk int) -> ONE row (n, permissible,
+    concordant, risk_ties, c_ppm)."""
+    s = df.select(
+        F.col(duration_col).cast("long").alias("t"),
+        F.col(event_col).cast("long").alias("e"),
+        F.col(risk_col).cast("long").alias("r"),
+    ).localCheckpoint(eager=True)
+    a = s.select(
+        F.col("t").alias("ti"), F.col("e").alias("ei"),
+        F.col("r").alias("ri"),
+    )
+    b = s.select(
+        F.col("t").alias("tj"), F.col("e").alias("ej"),
+        F.col("r").alias("rj"),
+    )
+    perm = (
+        (F.col("ti") < F.col("tj")) & (F.col("ei") == 1)
+    ) | (
+        (F.col("ti") == F.col("tj"))
+        & (F.col("ei") == 1)
+        & (F.col("ej") == 0)
+    )
+    pairs = a.crossJoin(b).where(perm)
+    agg = pairs.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("permissible"),
+        F.sum((F.col("ri") > F.col("rj")).cast("long")).alias(
+            "concordant"
+        ),
+        F.sum((F.col("ri") == F.col("rj")).cast("long")).alias(
+            "risk_ties"
+        ),
+    )
+    n_row = s.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n"))
+    base = n_row.crossJoin(F.broadcast(agg))
+    return base.select(
+        "n",
+        F.coalesce(F.col("permissible"), F.lit(0)).alias(
+            "permissible"
+        ),
+        F.coalesce(F.col("concordant"), F.lit(0)).alias("concordant"),
+        F.coalesce(F.col("risk_ties"), F.lit(0)).alias("risk_ties"),
+        F.when(
+            F.col("permissible") > 0,
+            F.expr(
+                "(2 * concordant + risk_ties) * 1000000"
+                " div (2 * permissible)"
+            ),
+        ).alias("c_ppm"),
+    )
+
+
+def rmst(
+    df: DataFrame,
+    tau: int,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Restricted mean survival time (Royston & Parmar 2013): the
+    area under the Kaplan-Meier curve up to the horizon tau — "how
+    many crawl days does a page live, on average, within the first
+    tau days?" — the one-number survival summary that stays defined
+    under heavy censoring where the plain mean does not. Composes
+    the ``kaplan_meier`` float lane (stated): S is a step function,
+    so RMST = sum over steps of S(t_i) * (min(t_{i+1}, tau) - t_i)
+    plus the leading 1.0 * min(t_1, tau) segment, rounded 1e-6.
+
+    Closed forms pytest-pinned: no deaths -> RMST == tau exactly;
+    everyone dies at t1 -> RMST == min(t1, tau); RMST is monotone
+    nondecreasing in tau and bounded by tau.
+
+    df(duration, event) -> ONE row (tau, n, rmst)."""
+    if tau <= 0:
+        raise ValueError("tau must be > 0")
+    km = kaplan_meier(df, duration_col, event_col)
+    w = Window.orderBy("t")
+    steps = km.select(
+        "t",
+        "survival",
+        F.lead("t").over(w).alias("t_next"),
+        F.row_number().over(w).alias("i"),
+    )
+    seg = steps.select(
+        # leading segment at S = 1 up to the first observed time
+        F.when(
+            F.col("i") == 1,
+            F.least(F.col("t"), F.lit(tau)).cast("double"),
+        )
+        .otherwise(0.0)
+        .alias("lead_seg"),
+        (
+            F.col("survival")
+            * F.greatest(
+                F.least(
+                    F.coalesce(F.col("t_next"), F.lit(tau)),
+                    F.lit(tau),
+                )
+                - F.least(F.col("t"), F.lit(tau)),
+                F.lit(0),
+            )
+        ).alias("seg"),
+    )
+    n_row = df.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n"))
+    agg = seg.groupBy().agg(
+        (F.sum("lead_seg") + F.sum("seg")).alias("_r")
+    )
+    return n_row.crossJoin(F.broadcast(agg)).select(
+        F.lit(tau).cast("long").alias("tau"),
+        "n",
+        F.round("_r", 6).alias("rmst"),
     )
