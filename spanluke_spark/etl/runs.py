@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["runs_test"]
+__all__ = ["runs_test", "ww_two_sample"]
 
 
 def runs_test(
@@ -95,4 +95,58 @@ def runs_test(
         .otherwise(F.lit("exact_expectation"))
         .alias("direction"),
         (F.col("z2_milli") >= F.lit(crit_milli)).alias("sig"),
+    )
+
+
+def ww_two_sample(
+    df: DataFrame, group_col: str = "grp", x_col: str = "x"
+) -> DataFrame:
+    """Two-sample Wald-Wolfowitz runs test (Wald & Wolfowitz 1940):
+    pool both samples, sort by value, count RUNS of the group label —
+    an omnibus test sensitive to ANY distributional difference
+    (location, scale, shape): samples from the same distribution
+    interleave (many runs), any systematic difference clumps the
+    labels (few runs). The omnibus cousin of KS (q267) predating it
+    in the runs form, and literally ``runs_test`` applied to the
+    label sequence in VALUE order instead of arrival order — same
+    exact moments, same one-division z^2, zero new arithmetic (the
+    cross-module identity the pytest pins).
+
+    NO-TIES contract (declared audit, q446/q455 precedent): a tied
+    value makes the label order within the tie class undefined, so
+    any pooled tie -> every statistic NULL, status 'ties'. Complete
+    separation gives the minimum r == 2 and the maximal clumping
+    z^2 — the fires lane; perfect interleaving fires the other tail
+    (direction 'alternating'); same-distribution samples sit near
+    E[R] = 1 + 2*n1*n2/n. Long-bound n <= ~10^3 per the runs_test
+    contract (stated there).
+
+    (grp 0/1, x int) -> ONE row (n, n1, n2, r, z2_milli, direction,
+    sig, status)."""
+    s = df.select(
+        F.col(x_col).cast("long").alias("x"),
+        (F.col(group_col) == 0).cast("int").alias("lab"),
+    )
+    ties = s.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).groupBy().agg(
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias(
+            "n_tied"
+        )
+    )
+    base = runs_test(s, pos_col="x", x_col="lab").crossJoin(
+        F.broadcast(ties)
+    )
+    ok = F.col("n_tied") == 0
+    return base.select(
+        "n",
+        F.when(ok, F.col("n1")).alias("n1"),
+        F.when(ok, F.col("n2")).alias("n2"),
+        F.when(ok, F.col("r")).alias("r"),
+        F.when(ok, F.col("z2_milli")).alias("z2_milli"),
+        F.when(ok, F.col("direction")).alias("direction"),
+        F.when(ok, F.col("sig")).alias("sig"),
+        F.when(~ok, F.lit("ties"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
     )
