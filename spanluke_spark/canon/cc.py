@@ -126,12 +126,17 @@ def connected_components(
             spark = edges.sparkSession
             pairs = [(r["u"], r["v"]) for r in e.collect()]
             comp = py_union_find(pairs)
+            # r6 (guide §3.1): in driver mode the whole result is bounded by
+            # construction (nodes <= 2 * driver_threshold rows of longs), so
+            # hint it broadcastable — downstream consumers (dedup_keep's
+            # left_anti survivor pass) then join it map-side instead of
+            # shuffling the corpus. The distributed path below stays unhinted.
             if not comp:
-                return nodes.select("node", F.col("node").alias("component"))
+                return F.broadcast(nodes.select("node", F.col("node").alias("component")))
             mapping = spark.createDataFrame(
                 list(comp.items()), "node long, component long"
             )
-            return (
+            return F.broadcast(
                 nodes.join(mapping, "node", "left")
                 .withColumn("component", F.coalesce("component", F.col("node")))
                 .select("node", "component")

@@ -437,7 +437,10 @@ def exact_collapse(
     ``neardup_keep`` bit-identical to the uncollapsed pipeline.
     """
     t = F.col(text_col)
-    long_enough = F.size(F.split(F.trim(t), r"\s+")) >= min_words
+    # r6: split with limit min_words+1 — the >= test only needs to see
+    # whether that many fields exist, not the full token array (the last
+    # limited field swallows the rest, which cannot lower the count).
+    long_enough = F.size(F.split(F.trim(t), r"\s+", min_words + 1)) >= min_words
     key = F.when(
         long_enough,
         F.struct(
@@ -486,9 +489,18 @@ def neardup_keep(
     # verify join, and the final left_anti) — materialize the collapse once
     # instead of betting on exchange reuse across all three subtrees
     # (measured: min 3.9 s vs 4.4 s at sf0.1, and far lower spread)
-    reps = exact_collapse(
-        df, id_col=id_col, text_col=text_col, min_words=n
-    ).localCheckpoint(eager=True)
+    collapsed = exact_collapse(df, id_col=id_col, text_col=text_col, min_words=n)
+    # r6 (guide §2.5): AQE sizes the collapse output by BYTES, but the
+    # downstream shingle-explode + signature stage costs ~n_hashes ops per
+    # shingle — a few-MB-per-partition coalesce (8 partitions at sf1)
+    # serializes it. When the INPUT scan is narrower than the core count
+    # (local single-row-group files), re-spread the collapse inside the same
+    # materialization job; at cluster scale the scan is wide already and no
+    # extra corpus exchange is added.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        collapsed = collapsed.repartition(target, id_col)
+    reps = collapsed.localCheckpoint(eager=True)
     pairs = minhash_lsh_pairs(
         reps,
         id_col=id_col,

@@ -49,13 +49,45 @@ def semdedup(
     threshold: float = 0.6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_size: int | None = 100_000,
 ) -> DataFrame:
     """-> (id_col, cluster, group_id, cos_centroid, keep): every vector
     with its cluster, its duplicate group (min member id; singletons map
     to themselves), its cosine to the cluster centroid (round-6), and
-    keep=1 for the group representative (lowest cos_centroid, id ties)."""
+    keep=1 for the group representative (lowest cos_centroid, id ties).
+
+    ``max_cluster_size`` (r6 scale guard): the within-cluster pair join is
+    O(sum c_i^2) — the paper's contract is that k grows with n so cells
+    stay constant-sized, but nothing used to enforce it: ``k=4`` on a 10^9
+    corpus meant one ~2.5*10^8-row cell and ~3*10^16 candidate pairs. The
+    guard joins the (k-row, broadcast) post-assignment cluster sizes under
+    the pair join and fails the JOB with the required-k message the moment
+    any cell exceeds the bound — lazily, inside the plan, so the function
+    stays action-free and a compliant run pays one broadcast of k rows.
+    ``None`` disables (exact pre-guard behavior)."""
     assign = kmeans_assignments(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     e = emb.select(id_col, vec_col).join(assign, id_col)
+    if max_cluster_size is not None:
+        sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csize"))
+        guard = F.when(
+            F.col("_csize") > F.lit(int(max_cluster_size)),
+            F.raise_error(
+                F.format_string(
+                    "semdedup: cluster %d has %d members > max_cluster_size "
+                    f"{int(max_cluster_size)}; the within-cluster pair join is "
+                    "O(c^2) — increase k so that every cell fits (k >= "
+                    "ceil(n / max_cluster_size)), or raise/disable "
+                    "max_cluster_size explicitly",
+                    F.col("cluster"),
+                    F.col("_csize"),
+                )
+            ),
+        ).otherwise(F.lit(1))
+        e = (
+            e.join(F.broadcast(sizes), "cluster")
+            .where(guard == 1)
+            .drop("_csize")
+        )
 
     # centroid = mean of members (the post-assignment half-step; the SQL
     # twin replays the same definition)

@@ -72,15 +72,17 @@ def extract_mentions_token(
             rows.update(
                 {"sent_id": [], "start": [], "end": [], "surface": [], "label": [], "score": []}
             )
-            for rec in pdf.itertuples(index=False):
-                d = rec._asdict()
-                text = d.get(text_col) or ""
+            # column lists instead of itertuples()._asdict(): the per-row
+            # namedtuple + OrderedDict allocations were ~15% of kernel time
+            id_vals = [pdf[c].tolist() for c in id_cols]
+            for ri, text in enumerate(pdf[text_col].tolist()):
+                text = text or ""
                 toks = py_tokenize_offsets(text)
                 types = scorer.predict_types([t for t, _, _ in toks])
                 offsets = [(s, e) for _, s, e in toks]
                 for m in py_adjacent_merge(offsets, types):
-                    for c in id_cols:
-                        rows[c].append(d[c])
+                    for ci, c in enumerate(id_cols):
+                        rows[c].append(id_vals[ci][ri])
                     rows["sent_id"].append(0)
                     rows["start"].append(m["start"])
                     rows["end"].append(m["end"])
@@ -135,9 +137,10 @@ def extract_mentions_span(
             rows.update(
                 {"sent_id": [], "start": [], "end": [], "surface": [], "label": [], "score": []}
             )
-            for rec in pdf.itertuples(index=False):
-                d = rec._asdict()
-                text = d.get(text_col) or ""
+            # column lists instead of itertuples()._asdict() (see token path)
+            id_vals = [pdf[c].tolist() for c in id_cols]
+            for ri, text in enumerate(pdf[text_col].tolist()):
+                text = text or ""
                 toks = py_tokenize_offsets(text)
                 words = [t for t, _, _ in toks]
                 spans, scores, preds = score(words, max_length)
@@ -145,8 +148,8 @@ def extract_mentions_span(
                     len(words), spans, scores, preds, outside_id, inv
                 ):
                     cs, ce = toks[ws][1], toks[we - 1][2]
-                    for c in id_cols:
-                        rows[c].append(d[c])
+                    for ci, c in enumerate(id_cols):
+                        rows[c].append(id_vals[ci][ri])
                     rows["sent_id"].append(0)
                     rows["start"].append(cs)
                     rows["end"].append(ce)
@@ -202,9 +205,10 @@ def extract_mentions_from_pages(
             rows.update(
                 {"sent_id": [], "start": [], "end": [], "surface": [], "label": [], "score": []}
             )
-            for rec in pdf.itertuples(index=False):
-                d = rec._asdict()
-                text = py_html_to_text(d.get(html_col))
+            # column lists instead of itertuples()._asdict() (see token path)
+            id_vals = [pdf[c].tolist() for c in id_cols]
+            for ri, html in enumerate(pdf[html_col].tolist()):
+                text = py_html_to_text(html)
                 toks = py_tokenize_offsets(text)
                 words = [t for t, _, _ in toks]
                 spans, scores, preds = score(words, max_length)
@@ -212,8 +216,8 @@ def extract_mentions_from_pages(
                     len(words), spans, scores, preds, outside_id, inv
                 ):
                     cs, ce = toks[ws][1], toks[we - 1][2]
-                    for c in id_cols:
-                        rows[c].append(d[c])
+                    for ci, c in enumerate(id_cols):
+                        rows[c].append(id_vals[ci][ri])
                     rows["sent_id"].append(0)
                     rows["start"].append(cs)
                     rows["end"].append(ce)

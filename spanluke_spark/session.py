@@ -58,6 +58,17 @@ def get_spark(
         # Arrow transfer for every pandas-UDF kernel (input_hint: no per-row Python).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
+        # r6 (guide §3.1): join-strategy stability for mid-size dims. The
+        # default 10 MB estimate threshold leaves e.g. the 2-column orders
+        # projection (~26 MB file estimate at sf1) right at the flip point,
+        # so the plan oscillates between broadcast and SMJ run-to-run.
+        # Parameterized: local default 64m (plenty for a 32 GB driver);
+        # production clusters set SPARK_GRAFT_AUTOBROADCAST to taste —
+        # the value scales with driver/executor memory, not data size.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_AUTOBROADCAST", "64m"),
+        )
         # Deterministic timestamps vs the DuckDB oracle (UTC-naive).
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -59,3 +59,25 @@ def test_threshold_one_keeps_everything_distinct(spark):
     out = semdedup(_emb(spark, vecs), k=2, iters=1, threshold=1.0).collect()
     assert all(r.keep == 1 for r in out)
     assert all(r.group_id == r.vec_id for r in out)
+
+
+def test_max_cluster_size_guard_fires_on_planted_mega_cluster(spark):
+    """r6 scale guard: a cell larger than max_cluster_size must fail the job
+    with the required-k message BEFORE the O(c^2) pair join runs, and a
+    bound that the planted cluster respects must leave results untouched."""
+    import pytest
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(8)
+    # 40 jittered copies -> with k=1 everything lands in one 40-member cell
+    vecs = [base + rng.randn(8) * 0.001 for _ in range(40)]
+    df = _emb(spark, vecs)
+
+    with pytest.raises(Exception, match="max_cluster_size"):
+        semdedup(df, k=1, iters=1, threshold=0.99, max_cluster_size=10).collect()
+
+    # identical call with an adequate bound: guard adds no rows, loses none
+    guarded = semdedup(df, k=1, iters=1, threshold=0.99, max_cluster_size=40).collect()
+    unguarded = semdedup(df, k=1, iters=1, threshold=0.99, max_cluster_size=None).collect()
+    key = lambda r: (r.vec_id, r.cluster, r.group_id, r.cos_centroid, r.keep)
+    assert sorted(map(key, guarded)) == sorted(map(key, unguarded))
