@@ -118,13 +118,15 @@ def connected_components(
     e = sym_all.filter(F.col("u") != F.col("v"))
 
     if driver_threshold:
-        # limit()+count probes size without a full count of a huge graph
-        probe = e.limit(driver_threshold + 1).count()
-        if probe <= driver_threshold:
+        # r6: ONE limited collect both probes the size and (when small)
+        # delivers the edges — the previous limit+count then collect pair
+        # spent two jobs on the same checkpointed set
+        probe_rows = e.limit(driver_threshold + 1).collect()
+        if len(probe_rows) <= driver_threshold:
             if stats is not None:
-                stats.update(mode="driver", rounds=0, edges_initial=probe)
+                stats.update(mode="driver", rounds=0, edges_initial=len(probe_rows))
             spark = edges.sparkSession
-            pairs = [(r["u"], r["v"]) for r in e.collect()]
+            pairs = [(r["u"], r["v"]) for r in probe_rows]
             comp = py_union_find(pairs)
             # r6 (guide §3.1): in driver mode the whole result is bounded by
             # construction (nodes <= 2 * driver_threshold rows of longs), so

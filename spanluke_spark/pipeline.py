@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .etl.tokenize import py_tokenize_offsets
+from .etl.tokenize import py_char_offsets, py_tokenize_words
 from .ner.decode import py_adjacent_merge, py_greedy_decode_mentions
 from .ner.scorer import Gazetteer, GazetteerTokenScorer, HashedGazetteerSpanScorer
 from .ner.spans import ENTITY_MAX_LENGTH, py_enumerate_spans
@@ -77,10 +77,20 @@ def extract_mentions_token(
             id_vals = [pdf[c].tolist() for c in id_cols]
             for ri, text in enumerate(pdf[text_col].tolist()):
                 text = text or ""
-                toks = py_tokenize_offsets(text)
-                types = scorer.predict_types([t for t, _, _ in toks])
-                offsets = [(s, e) for _, s, e in toks]
-                for m in py_adjacent_merge(offsets, types):
+                words = py_tokenize_words(text)
+                types = scorer.predict_types(words)
+                # char offsets lazily, only through the last typed token:
+                # zip() inside py_adjacent_merge ignores the truncated
+                # trailing "O" tail, so output is identical (r6, guide §4.2)
+                last = -1
+                for i in range(len(types) - 1, -1, -1):
+                    if types[i] != "O":
+                        last = i
+                        break
+                if last < 0:
+                    continue
+                starts, ends = py_char_offsets(text, words, last + 1)
+                for m in py_adjacent_merge(list(zip(starts, ends)), types):
                     for ci, c in enumerate(id_cols):
                         rows[c].append(id_vals[ci][ri])
                     rows["sent_id"].append(0)
@@ -141,13 +151,17 @@ def extract_mentions_span(
             id_vals = [pdf[c].tolist() for c in id_cols]
             for ri, text in enumerate(pdf[text_col].tolist()):
                 text = text or ""
-                toks = py_tokenize_offsets(text)
-                words = [t for t, _, _ in toks]
+                words = py_tokenize_words(text)
                 spans, scores, preds = score(words, max_length)
-                for ws, we, lbl, sc in py_greedy_decode_mentions(
+                ms = py_greedy_decode_mentions(
                     len(words), spans, scores, preds, outside_id, inv
-                ):
-                    cs, ce = toks[ws][1], toks[we - 1][2]
+                )
+                if not ms:
+                    continue
+                # offsets lazily, only through the furthest accepted word
+                starts, ends = py_char_offsets(text, words, max(we for _, we, _, _ in ms))
+                for ws, we, lbl, sc in ms:
+                    cs, ce = starts[ws], ends[we - 1]
                     for ci, c in enumerate(id_cols):
                         rows[c].append(id_vals[ci][ri])
                     rows["sent_id"].append(0)
@@ -209,13 +223,16 @@ def extract_mentions_from_pages(
             id_vals = [pdf[c].tolist() for c in id_cols]
             for ri, html in enumerate(pdf[html_col].tolist()):
                 text = py_html_to_text(html)
-                toks = py_tokenize_offsets(text)
-                words = [t for t, _, _ in toks]
+                words = py_tokenize_words(text)
                 spans, scores, preds = score(words, max_length)
-                for ws, we, lbl, sc in py_greedy_decode_mentions(
+                ms = py_greedy_decode_mentions(
                     len(words), spans, scores, preds, outside_id, inv
-                ):
-                    cs, ce = toks[ws][1], toks[we - 1][2]
+                )
+                if not ms:
+                    continue
+                starts, ends = py_char_offsets(text, words, max(we for _, we, _, _ in ms))
+                for ws, we, lbl, sc in ms:
+                    cs, ce = starts[ws], ends[we - 1]
                     for ci, c in enumerate(id_cols):
                         rows[c].append(id_vals[ci][ri])
                     rows["sent_id"].append(0)

@@ -56,3 +56,33 @@ def test_token_rows_spark(spark):
         for r in map_tokenize(df, ["doc_id"]).collect()
     }
     assert got == got2
+
+
+def test_char_offsets_matches_tokenize_offsets():
+    """r6 lazy-offset walk: py_char_offsets must reproduce the offsets of
+    py_tokenize_offsets for any prefix, including repeated substrings and
+    exotic whitespace."""
+    from spanluke_spark.etl.tokenize import (
+        py_char_offsets,
+        py_tokenize_offsets,
+        py_tokenize_words,
+    )
+
+    cases = [
+        "a ab a aba ab",
+        "  leading and   double  spaces ",
+        "ab a\tab\na ab",
+        " nbsp em space tok tok",
+        "",
+        "   ",
+        "same same same same",
+        "x" * 50 + " " + "x" * 3 + " x",
+    ]
+    for text in cases:
+        toks = py_tokenize_offsets(text)
+        words = py_tokenize_words(text)
+        assert words == [t for t, _, _ in toks]
+        for upto in (0, 1, len(words) // 2, len(words)):
+            starts, ends = py_char_offsets(text, words, upto)
+            assert starts == [s for _, s, _ in toks[:upto]]
+            assert ends == [e for _, _, e in toks[:upto]]
