@@ -122,9 +122,11 @@ def exact_permutation_test(
 
 
 def median_ci(df: DataFrame, x_col: str = "x") -> DataFrame:
-    """(x int), 6 <= n <= 60 -> ONE row (n, l, lo, hi, cov_num,
+    """(x int), 6 <= n <= 62 -> ONE row (n, l, lo, hi, cov_num,
     cov_den, status): exact >= 95% order-statistic CI for the
-    median."""
+    median. Outside the regime the row carries status
+    'too_small' / 'out_of_regime' with NULL bounds (n >= 63 would
+    wrap the dyadic coverage shift)."""
     x = F.col(x_col).cast("long")
     cls = df.select(x.alias("v")).groupBy("v").agg(
         F.count(F.lit(1)).cast("long").alias("c")
@@ -201,7 +203,11 @@ def median_ci(df: DataFrame, x_col: str = "x") -> DataFrame:
     hi = F.expr(
         "filter(rk, r -> r.below < n - l AND r.upto >= n - l)[0].v"
     )
-    ok = (F.col("n") >= 6) & (F.col("l") >= 0)
+    # r6 (ADVICE): gate the upper bound too — for n >= 63 the
+    # (1 as bigint) << n coverage dyadics silently wrap, so surface
+    # 'out_of_regime' instead of garbage (matches exact_permutation_test's
+    # out-of-regime contract in this module).
+    ok = (F.col("n") >= 6) & (F.col("n") <= 62) & (F.col("l") >= 0)
     return bounds.select(
         "n",
         F.when(ok, F.col("l")).alias("l"),
@@ -216,7 +222,8 @@ def median_ci(df: DataFrame, x_col: str = "x") -> DataFrame:
         F.when(
             ok, F.expr("cast(1 as bigint) << cast(n as int)")
         ).alias("cov_den"),
-        F.when(~ok, F.lit("too_small"))
+        F.when(F.col("n") > 62, F.lit("out_of_regime"))
+        .when(~ok, F.lit("too_small"))
         .otherwise(F.lit("ok"))
         .alias("status"),
     )

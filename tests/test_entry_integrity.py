@@ -19,10 +19,13 @@ pinpointed instead.
 
 from __future__ import annotations
 
-import re
+import ast
+import os
 from collections import Counter
 
-ENTRY = "/root/repo/__spark_entry__.py"
+# r6 (ADVICE): derive from the test's own location so the gates run on any
+# checkout, like the rest of the suite
+ENTRY = os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
 
 
 def _src():
@@ -31,7 +34,20 @@ def _src():
 
 
 def test_no_duplicate_module_constants():
-    names = re.findall(r"^(_[A-Z0-9_]+) = ", _src(), re.M)
+    # r6 (ADVICE): parse with ast instead of a line-anchored regex — a line
+    # inside a triple-quoted oracle SQL that happens to start with
+    # `_UPPER = ` must neither false-positive nor mask a real duplicate.
+    tree = ast.parse(_src())
+    names = []
+    for node in tree.body:
+        targets = []
+        if isinstance(node, ast.Assign):
+            targets = node.targets
+        elif isinstance(node, ast.AnnAssign) and node.value is not None:
+            targets = [node.target]
+        for t in targets:
+            if isinstance(t, ast.Name) and t.id.startswith("_") and t.id.upper() == t.id:
+                names.append(t.id)
     dups = {k: v for k, v in Counter(names).items() if v > 1}
     assert dups == {}, f"redefined module constants: {dups}"
 

@@ -145,3 +145,17 @@ def test_median_ci_ties_and_small(spark):
     assert got == py_median_ci(xs)
     small = _run_ci(spark, [1, 2, 3, 4, 5])
     assert small["status"] == "too_small"
+
+
+def test_median_ci_out_of_regime_surfaces_status(spark):
+    """r6 (ADVICE): n >= 63 would wrap the dyadic coverage shift — the lane
+    must say so instead of returning garbage."""
+    xs = list(range(70))
+    df = spark.createDataFrame([(x,) for x in xs], "x int")
+    from spanluke_spark.evaluation.exact import median_ci
+
+    row = median_ci(df).collect()[0].asDict()
+    assert row["n"] == 70
+    assert row["status"] == "out_of_regime"
+    assert row["lo"] is None and row["hi"] is None
+    assert row["cov_num"] is None and row["cov_den"] is None
