@@ -113,3 +113,61 @@ def test_curate_output_unchanged_with_exact_dup_clusters(spark):
         for r in dedup_keep(kept, minhash_lsh_pairs(kept, verify_threshold=0.5)).collect()
     )
     assert got == old
+
+
+def test_adversarial_skew_dedup_stress(spark):
+    """r6 (VERDICT r5 #4): the adversarial shape 100 TB crawls actually
+    have — a Zipf cluster-size distribution with a planted 10^5-copy
+    byte-identical cluster AND a hot shingle shared by 20k distinct
+    docs. The two-tier path must keep candidate pairs O(#near-dup
+    collisions), not O(c^2): the planted cluster alone would emit
+    c*(c-1)/2 = ~5*10^9 pairs uncollapsed."""
+    hot_prefix = "home about contact "
+    mega = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit(" ".join(f"boiler{i}" for i in range(50))).alias("text"),
+    )
+    # 20k DISTINCT docs sharing one hot 3-gram ("home about contact")
+    hot = spark.range(100_000, 120_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(hot_prefix),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"w{j}_"), F.col("id").cast("string"))
+                    for j in range(20)
+                ],
+            ),
+        ).alias("text"),
+    )
+    # Zipf tail of identical clusters: sizes 1000 / 300 / 100 / 30 / 10
+    tails = []
+    base_id = 200_000
+    for k in (1000, 300, 100, 30, 10):
+        tails.append(
+            spark.range(base_id, base_id + k).select(
+                F.col("id").alias("doc_id"),
+                F.lit(" ".join(f"tail{k}_{i}" for i in range(40))).alias("text"),
+            )
+        )
+        base_id += k
+    df = mega.union(hot)
+    for t in tails:
+        df = df.union(t)
+
+    reps = exact_collapse(df)
+    # 1 rep per identical cluster + 20k distinct hot docs
+    assert reps.count() == 1 + 20_000 + 5
+
+    # candidate pairs after collapse: only genuine near-dup collisions —
+    # the hot shingle alone cannot align all rows of a MinHash band
+    n_pairs = minhash_lsh_pairs(reps, verify_threshold=None).count()
+    assert n_pairs < 100, f"candidate pairs not O(collisions): {n_pairs}"
+
+    kept = neardup_keep(df)
+    n_kept = kept.count()
+    # every cluster keeps exactly its min-id rep; hot docs all survive
+    # (Jaccard across hot docs ~ 1/40 << 0.7)
+    assert n_kept == 1 + 20_000 + 5
+    assert kept.agg(F.min("doc_id")).collect()[0][0] == 0
