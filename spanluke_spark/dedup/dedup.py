@@ -489,18 +489,20 @@ def neardup_keep(
     # verify join, and the final left_anti) — materialize the collapse once
     # instead of betting on exchange reuse across all three subtrees
     # (measured: min 3.9 s vs 4.4 s at sf0.1, and far lower spread)
-    collapsed = exact_collapse(df, id_col=id_col, text_col=text_col, min_words=n)
+    reps = exact_collapse(
+        df, id_col=id_col, text_col=text_col, min_words=n
+    ).localCheckpoint(eager=True)
     # r6 (guide §2.5): AQE sizes the collapse output by BYTES, but the
     # downstream shingle-explode + signature stage costs ~n_hashes ops per
     # shingle — a few-MB-per-partition coalesce (8 partitions at sf1)
-    # serializes it. When the INPUT scan is narrower than the core count
-    # (local single-row-group files), re-spread the collapse inside the same
-    # materialization job; at cluster scale the scan is wide already and no
-    # extra corpus exchange is added.
+    # serializes it. Probe the width on the CHECKPOINT (its RDD already
+    # exists, so .rdd is conversion-only — probing the INPUT df instead
+    # would make AQE materialize the whole upstream) and re-spread only
+    # when narrower than the core count; at cluster scale the collapse
+    # output is wide already and this no-ops.
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        collapsed = collapsed.repartition(target, id_col)
-    reps = collapsed.localCheckpoint(eager=True)
+    if reps.rdd.getNumPartitions() < target:
+        reps = reps.repartition(target, id_col).localCheckpoint(eager=True)
     pairs = minhash_lsh_pairs(
         reps,
         id_col=id_col,
